@@ -1,0 +1,54 @@
+"""Headline benchmark: run the bench-flagged catalog queries and print one
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) selects the data;
+SPARK_GRAFT_CPUS the local[] parallelism. Each query is fully executed
+(collect-to-count) but results stay on the executors except the final rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from thymeflow_back_spark import queries as catalog
+from thymeflow_back_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+
+    bench_queries = {name: q for name, q in catalog.QUERIES.items() if q.bench}
+    # warm the JVM + parquet footers once (excluded from timings)
+    next(iter(bench_queries.values())).spark(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, q in bench_queries.items():
+        t0 = time.time()
+        q.spark(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

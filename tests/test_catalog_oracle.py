@@ -1,0 +1,49 @@
+"""Catalog-wide oracle test: every declared query must hash-match its DuckDB
+oracle at sf0.001 (the driver gate runs sf0.01 — same comparison, more rows).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from thymeflow_back_spark import queries as catalog
+from thymeflow_back_spark.tables import TABLE_NAMES
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from tools.check import compare  # noqa: E402
+from tests.conftest import SF_SMOKE  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(catalog.QUERIES))
+def test_query_matches_oracle(name, spark, oracle_con):
+    q = catalog.QUERIES[name]
+    spark_pd = q.spark(spark, SF_SMOKE).toPandas()
+    if q.oracle is None:
+        assert spark_pd is not None  # rows-only check
+        return
+    oracle_pd = oracle_con.execute(q.oracle).fetchdf()
+    problems = compare(name, spark_pd, oracle_pd)
+    assert not problems, problems
+
+
+def test_entry_runs(spark):
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 10

@@ -1,0 +1,18 @@
+"""Declared query catalog.
+
+Importing this package registers every query module; the registry maps a query
+name to (a) a Spark DataFrame implementation and (b) where SQL-expressible, an
+equivalent DuckDB oracle SQL string — the driver's correctness gate runs both.
+"""
+
+from __future__ import annotations
+
+from .catalog import QUERIES, Query, oracle_sql_map, query, query_map  # noqa: F401
+
+# Register query modules (import side effects populate QUERIES).
+from . import relational  # noqa: F401,E402
+from . import temporal  # noqa: F401,E402
+from . import dedup  # noqa: F401,E402
+from . import similarity  # noqa: F401,E402
+from . import textstats  # noqa: F401,E402
+from . import rdf  # noqa: F401,E402

@@ -1,0 +1,328 @@
+"""Relational-core queries (SURVEY.md §2.3/§2.5/§2.6 surface).
+
+These exercise the SPARQL-relational operator set the reference's enrichers
+pin down — multi-hop joins (BGP), left joins (OPTIONAL), unions, filters/isin,
+group-by aggregates with SAMPLE/COUNT, window top-1 per group, anti/semi
+joins — expressed over the driver's TPC-H-ish tables.
+
+Determinism discipline: monetary aggregates run in exact decimal arithmetic
+(cast back to double at the end) so Spark and the DuckDB oracle agree bitwise;
+every window has a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tables import load
+from .catalog import query
+
+# --- exact-arithmetic helpers -------------------------------------------------
+
+DEC = "decimal(12,2)"
+
+
+def dec(c: str | Column) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(DEC)
+
+
+def dsum(c: str | Column) -> Column:
+    """Exact decimal sum surfaced as double (bit-equal across engines)."""
+    return F.sum(dec(c)).cast("double")
+
+
+# --- Q: pricing summary (hash aggregation; reference §2.5 hash-agg counts) ---
+
+
+@query(
+    "q_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+    doc="TPC-H-Q1-shaped scan+group-by: the canonical hash-agg plan.",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lin = load(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(DEC)
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price * (one + dec("l_tax"))
+    return (
+        lin.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (dsum("l_discount") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- Q: regional revenue (multi-hop join chain ~ BGP; reference §2.3 BGP) ----
+
+
+@query(
+    "q_regional_revenue",
+    oracle="""
+    SELECT
+      n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    bench=True,
+    doc="5-table join chain (region→nation→customer→orders→lineitem), the "
+    "Spark shape of a multi-hop BGP (reference AgentMatchEnricher.scala:95-100).",
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    lineitem = load(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(DEC)
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    # Dimension side is tiny: broadcast region→nation→customer so the only
+    # shuffle is the orders⋈lineitem fact join + final aggregation.
+    dims = F.broadcast(
+        region.join(nation, F.col("n_regionkey") == F.col("r_regionkey")).join(
+            customer, F.col("c_nationkey") == F.col("n_nationkey")
+        )
+    )
+    return (
+        dims.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --- Q: top order per customer (window top-1 per group; reference §2.6) ------
+
+
+@query(
+    "q_top_order_per_customer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey AS top_orderkey, o_totalprice AS top_totalprice
+    FROM (
+      SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM customer JOIN orders ON o_custkey = c_custkey
+    )
+    WHERE rn = 1
+    ORDER BY c_custkey
+    """,
+    bench=True,
+    doc="Top-1 per group via window rank — the primary-facet election shape "
+    "(reference PrimaryFacetEnricher.scala:18-28).",
+)
+def q_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey").alias("top_orderkey"),
+            F.col("o_totalprice").alias("top_totalprice"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --- Q: customer order profile (left join = OPTIONAL; reference §2.3) --------
+
+
+@query(
+    "q_customer_order_profile",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment,
+           COUNT(o_orderkey) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name, c_mktsegment
+    ORDER BY c_custkey
+    """,
+    doc="LEFT OUTER join + aggregate — SPARQL OPTIONAL with message-count "
+    "(reference AgentMatchEnricher.scala:105-111).",
+)
+def q_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --- Q: agents union (UNION + conditional agg; reference §2.3 UNION) ---------
+
+
+@query(
+    "q_agents_by_nation",
+    oracle="""
+    WITH agents AS (
+      SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier
+    )
+    SELECT n_name,
+           COUNT(*) AS n_agents,
+           SUM(CASE WHEN kind = 'customer' THEN 1 ELSE 0 END) AS n_customers,
+           SUM(CASE WHEN kind = 'supplier' THEN 1 ELSE 0 END) AS n_suppliers
+    FROM agents JOIN nation ON n_nationkey = nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="UNION of two entity sources + per-group counts — the recipient∪sender "
+    "shape (reference AgentMatchEnricher.scala:106-110).",
+)
+def q_agents_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("kind")
+    )
+    supplier = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("kind")
+    )
+    nation = load(spark, sf_dir, "nation")
+    agents = customer.unionByName(supplier)
+    return (
+        agents.join(F.broadcast(nation), F.col("n_nationkey") == F.col("nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_agents"),
+            F.sum(F.when(F.col("kind") == "customer", 1).otherwise(0)).alias("n_customers"),
+            F.sum(F.when(F.col("kind") == "supplier", 1).otherwise(0)).alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- Q: customers without orders (anti join; reference §2.4 existence joins) -
+
+
+@query(
+    "q_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND c_acctbal > 0
+    ORDER BY c_custkey
+    """,
+    doc="Left-anti join — the hasStatement negation guard "
+    "(reference AbstractEnricher.scala:26-34).",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+# --- Q: orders with discounted items (semi join) -----------------------------
+
+
+@query(
+    "q_priority_discounted_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount >= 0.09
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Left-semi join + group count — existence predicate "
+    "(reference PlacesGeocoderEnricher.scala:47-51).",
+)
+def q_priority_discounted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.09)
+    return (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- Q: parts by brand (filter/isin + aggregates; reference §2.3 FILTER) -----
+
+
+@query(
+    "q_parts_by_brand",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_retail,
+           MAX(p_size) AS max_size
+    FROM part
+    WHERE p_size IN (1, 5, 10, 15, 20)
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="isin filter + aggregate — FILTER(?x IN …) "
+    "(reference DataServicesService.scala:43).",
+)
+def q_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_size").isin(1, 5, 10, 15, 20))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            (F.sum(dec("p_retailprice")).cast("double") / F.count("*")).alias("avg_retail"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("p_brand")
+    )

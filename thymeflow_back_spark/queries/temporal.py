@@ -1,0 +1,214 @@
+"""Temporal / sequence queries over the events stream (SURVEY.md §2.4/§2.6/§2.7).
+
+Sessionization (gap-split), interval-overlap self-join, consecutive-duplicate
+dedup (sliding(2)), and time-bucket histograms. All interval math is done on
+epoch-microsecond BIGINTs for exact cross-engine comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.interval_join import interval_overlap_self_join
+from ..operators.sessionize import sessionize
+from ..tables import load
+from .catalog import query
+
+GAP_SECONDS = 30 * 60  # 30-min inactivity gap
+BUCKET_SECONDS = 600  # 10-min histogram buckets (reference Clustering.scala:29-53)
+
+
+# --- Q: sessionization (gap-split; reference §2.7 stay sessions) -------------
+
+
+@query(
+    "q_user_sessions",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts_us,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us > {GAP_SECONDS} * 1000000 THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts_us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           COUNT(*) AS n_events,
+           (MAX(ts_us) - MIN(ts_us)) / 1000000 AS duration_secs
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    bench=True,
+    doc="Gap-based sessionization (30-min inactivity), the skeleton of the "
+    "reference's time-sequential stay grouping (LocationStayEnricher.scala:52-118).",
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    sessions = sessionize(events, ["user_id"], "ts", GAP_SECONDS, order_tiebreak=["event_id"])
+    return (
+        sessions.withColumn("ts_us", F.unix_micros("ts"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            ((F.max("ts_us") - F.min("ts_us")) / F.lit(1_000_000)).alias("duration_secs"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# --- Q: interval-overlap self-join (reference LocationEventEnricher.scala) ---
+
+
+@query(
+    "q_overlapping_activity",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS start_us,
+             epoch_us(ts) + CAST(value * 60 * 1000000 AS BIGINT) AS end_us
+      FROM events WHERE event_type IN ('view', 'click')
+    )
+    SELECT a.user_id AS user_id, COUNT(*) AS n_overlapping_pairs,
+           MIN(a.event_id) AS first_a_id
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+    GROUP BY a.user_id
+    ORDER BY a.user_id
+    """,
+    bench=True,
+    doc="Temporal interval-overlap join via time-bucket equi-join (the scalable "
+    "form of LocationEventEnricher.scala:66-95's event×stay loop). Each event "
+    "spans [ts, ts + value minutes].",
+)
+def q_overlapping_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").filter(F.col("event_type").isin("view", "click"))
+    iv = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("start_us"),
+        (F.unix_micros("ts") + (F.col("value") * 60 * 1_000_000).cast("bigint")).alias("end_us"),
+    )
+    pairs = interval_overlap_self_join(
+        iv, on=["user_id"], id_col="event_id", start_us="start_us", end_us="end_us", bucket_seconds=600
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count("*").alias("n_overlapping_pairs"), F.min("a_id").alias("first_a_id"))
+        .orderBy("user_id")
+    )
+
+
+# --- Q: consecutive-duplicate dedup (reference sliding(2) §2.6) --------------
+
+
+@query(
+    "q_dedup_consecutive",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN prev_type IS NULL OR event_type <> prev_type THEN 1 ELSE 0 END) AS n_after_dedup
+    FROM ordered
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Drop consecutive duplicates per key — the reference's sliding(2) "
+    "resource dedup (LocationStayEnricher.scala:102-105) as a lag window.",
+)
+def q_dedup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")), 1).otherwise(0)
+            ).alias("n_after_dedup"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- Q: 10-minute histogram (reference Clustering.scala:29-53) ---------------
+
+
+@query(
+    "q_event_histogram",
+    oracle=f"""
+    SELECT (epoch_us(ts) // ({BUCKET_SECONDS} * 1000000)) * {BUCKET_SECONDS} AS bucket_start_s,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Fixed-width time-window histogram — distribution report of "
+    "observations per 10-min window (reference Clustering.scala:29-53).",
+)
+def q_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    bucket = (F.floor(F.unix_micros("ts") / F.lit(BUCKET_SECONDS * 1_000_000)) * BUCKET_SECONDS).alias(
+        "bucket_start_s"
+    )
+    return (
+        events.groupBy(bucket, "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("bucket_start_s", "event_type")
+    )
+
+
+# --- Q: daily order stats (date bucketing as strings) ------------------------
+
+
+@query(
+    "q_daily_order_stats",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS month_total
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Calendar bucketing emitted as strings (timezone-proof): monthly order "
+    "counts and exact decimal totals.",
+)
+def q_daily_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("month_total"),
+        )
+        .orderBy("order_month", "o_orderstatus")
+    )
