@@ -1,0 +1,87 @@
+"""Unit tests for operators: closure, BGP compiler, interval join, top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from thymeflow_back_spark.operators.closure import connected_components, transitive_closure
+from thymeflow_back_spark.operators.interval_join import interval_overlap_self_join
+from thymeflow_back_spark.operators.topk import top_k_per_group
+from thymeflow_back_spark.plans.patterns import BGP
+from thymeflow_back_spark.rdf.model import V, make_quads
+
+
+def test_connected_components_chain_and_clique(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("y", "x"), ("p", "q"), ("q", "r"), ("r", "s")],
+        "src string, dst string",
+    )
+    got = {(r.node, r.component) for r in connected_components(edges).collect()}
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("x", "x"), ("y", "x"),
+        ("p", "p"), ("q", "p"), ("r", "p"), ("s", "p"),
+    }
+
+
+def test_transitive_closure_reflexive(spark):
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    got = {(r.src, r.dst) for r in transitive_closure(edges).collect()}
+    assert got == {
+        ("a", "a"), ("b", "b"), ("c", "c"),
+        ("a", "b"), ("b", "c"), ("a", "c"),
+    }
+
+
+def test_bgp_two_hop_and_optional(spark):
+    quads = make_quads(
+        spark,
+        [
+            ("alice", "email", "a@x", "iri", None, None, "g"),
+            ("a@x", "name", "A. Smith", "literal", None, None, "g"),
+            ("bob", "email", "b@x", "iri", None, None, "g"),
+        ],
+    )
+    bgp = BGP(quads)
+    two_hop = bgp.compile([(V("agent"), "email", V("em")), (V("em"), "name", V("name"))])
+    assert [(r.agent, r.em, r.name) for r in two_hop.collect()] == [("alice", "a@x", "A. Smith")]
+    base = bgp.compile([(V("agent"), "email", V("em"))])
+    opt = bgp.optional(base, [(V("em"), "name", V("name"))])
+    got = {(r.agent, r.name) for r in opt.collect()}
+    assert got == {("alice", "A. Smith"), ("bob", None)}
+
+
+def test_interval_self_join_matches_naive(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, 0, s := rnd.randrange(0, 10_000_000_000), s + rnd.randrange(1, 2_000_000_000))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, k long, start_us long, end_us long")
+    got = {
+        (r.a_id, r.b_id)
+        for r in interval_overlap_self_join(
+            df, on=["k"], id_col="id", start_us="start_us", end_us="end_us", bucket_seconds=1000
+        ).collect()
+    }
+    naive = {
+        (a[0], b[0])
+        for a in rows
+        for b in rows
+        if a[0] < b[0] and a[2] <= b[3] and b[2] <= a[3]
+    }
+    assert got == naive
+
+
+def test_top_k_per_group_deterministic(spark):
+    df = spark.createDataFrame(
+        [("g1", 1, 10.0), ("g1", 2, 10.0), ("g1", 3, 5.0), ("g2", 4, 1.0)],
+        "g string, id long, v double",
+    )
+    got = {
+        (r.g, r.id)
+        for r in top_k_per_group(df, ["g"], [F.desc("v"), F.asc("id")], k=1).collect()
+    }
+    assert got == {("g1", 1), ("g2", 4)}

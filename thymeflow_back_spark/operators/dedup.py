@@ -1,0 +1,223 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+These are the training-data-pipeline operators layered on top of the
+reference's entity-resolution machinery (token-blocking similarity joins —
+AgentMatchEnricher.scala:249-334 — generalized to document near-dup at scale).
+
+Scale design:
+- Exact dedup: one hash-groupBy on md5(text) — a single shuffle.
+- Jaccard join: explode distinct shingles → equi-join on shingle → count-based
+  Jaccard. The shingle join is blocking: only documents sharing a shingle
+  meet, never a cross product. Frequent-shingle skew is handled by AQE's
+  skew-join splitting (and could add a document-frequency cap).
+- MinHash+LSH: fixed-size signatures (NUM_PERMS) per doc → band buckets →
+  candidates only within a bucket → verify true Jaccard on candidates. At
+  100 TB, the signature table is ~num_perms·8 bytes/doc and the band join is
+  the only shuffle that matters.
+- SimHash: 60-bit fingerprint per doc; banding on 4×15-bit chunks guarantees
+  every pair within Hamming distance 3 shares a band (pigeonhole), so the
+  candidate join is an equi-join, then an exact popcount filter.
+
+Portability: every hash derives from md5 hex (identical across engines);
+permutations are (a·h + b) mod P over the 31-bit prime P so the whole
+pipeline is bit-reproducible in ANSI SQL (see queries/dedup.py oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: a·h + b stays < 2^62, no signed-64 overflow.
+MERSENNE_P = 2147483647
+
+# Deterministic permutation constants (random.Random(42), fixed forever —
+# the SQL oracles embed the same literals).
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (1373158607, 239081663), (53710185, 1592467581), (590620972, 525901256),
+    (479341424, 299655412), (1581559893, 220106707), (1453201079, 1590571865),
+    (1915941033, 1171165722), (186699714, 1268073012), (906070221, 68252793),
+    (63989048, 201209005), (469521478, 499635468), (1085242217, 1292825378),
+    (56985562, 1205264595), (427000597, 1537640408), (1395616197, 1506083910),
+    (1170252924, 900911954),
+]
+NUM_PERMS = len(MINHASH_PERMS)
+LSH_BANDS = 4
+ROWS_PER_BAND = NUM_PERMS // LSH_BANDS
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits signed 64-bit
+SIMHASH_BANDS = 4  # 15 bits per band; guarantees recall for hamming <= 3
+
+
+def h32(col: Column) -> Column:
+    """Portable 32-bit hash: first 8 hex chars of md5, as bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def h60(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5, as bigint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per (id, token) occurrence; empty tokens dropped."""
+    return df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks")).withColumn(
+        "toks", F.filter("toks", lambda t: t != "")
+    )
+    idx = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)))
+    return (
+        toks.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def exact_dedup_summary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group documents by content hash: (n_docs, n_distinct, n_duplicates)."""
+    groups = df.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.count("*").alias("group_size"), F.min(id_col).alias("canonical_id")
+    )
+    return groups.agg(
+        F.sum("group_size").alias("n_docs"),
+        F.count("*").alias("n_distinct"),
+        (F.sum("group_size") - F.count("*")).alias("n_duplicates"),
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join.
+
+    Output: (a_id, b_id, n_common, jaccard) for pairs with jaccard >= threshold.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = shingles.select(F.col(id_col).alias("a_id"), "shingle")
+    b = shingles.select(F.col(id_col).alias("b_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("a_n"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("b_n"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("jaccard", F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str) -> DataFrame:
+    """Fixed NUM_PERMS MinHash signature per document.
+
+    One aggregation (no explode-by-permutation): each shingle row carries the
+    vector of permuted hashes; per-document elementwise min is NUM_PERMS
+    plain min() aggregates — stays in whole-stage codegen.
+    """
+    h = (h32(F.col("shingle")) % MERSENNE_P).alias("h")
+    hashed = shingles.select(F.col(id_col), h)
+    perm_cols = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return hashed.groupBy(id_col).agg(*perm_cols)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+    """Candidate pairs sharing at least one LSH band bucket: (a_id, b_id)."""
+    bands = []
+    for band in range(LSH_BANDS):
+        cols = [F.col(f"mh{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        bands.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(band).alias("band"),
+                F.concat_ws(",", *[c.cast("string") for c in cols]).alias("bkey"),
+            )
+        )
+    exploded = bands[0]
+    for b in bands[1:]:
+        exploded = exploded.unionByName(b)
+    a = exploded.select(F.col(id_col).alias("a_id"), "band", "bkey")
+    b = exploded.select(F.col(id_col).alias("b_id"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """MinHash-LSH candidates verified with true Jaccard >= threshold."""
+    sh = word_shingles(df, id_col, text_col, n)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
+    verified = jaccard_pairs(sh, id_col, threshold)
+    return cands.join(verified, ["a_id", "b_id"]).select("a_id", "b_id", "n_common", "jaccard")
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash per document, term-frequency weighted: (id, fp)."""
+    tf = tokens(df, id_col, text_col).groupBy(id_col, "tok").agg(F.count("*").alias("cnt"))
+    hashed = tf.select(F.col(id_col), F.col("cnt"), h60(F.col("tok")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, F.col("cnt")).otherwise(-F.col("cnt"))
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = hashed.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.alias("fp"))
+
+
+def simhash_pairs(fps: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
+    """Pairs within Hamming distance via band-blocked join + popcount filter.
+
+    Requires max_hamming < SIMHASH_BANDS for guaranteed recall (pigeonhole:
+    k differing bits cannot touch all bands if k < #bands).
+    """
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError("max_hamming must be < SIMHASH_BANDS for exact recall")
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    chunks = []
+    for band in range(SIMHASH_BANDS):
+        chunks.append(
+            fps.select(
+                F.col(id_col),
+                F.col("fp"),
+                F.lit(band).alias("band"),
+                F.shiftright(F.col("fp"), band * width).bitwiseAND(mask).alias("bkey"),
+            )
+        )
+    exploded = chunks[0]
+    for c in chunks[1:]:
+        exploded = exploded.unionByName(c)
+    a = exploded.select(F.col(id_col).alias("a_id"), F.col("fp").alias("a_fp"), "band", "bkey")
+    b = exploded.select(F.col(id_col).alias("b_id"), F.col("fp").alias("b_fp"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
+    )

@@ -1,0 +1,70 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline: broadcast the (small) query
+set against the corpus — a map-side cross product with no shuffle except the
+final per-query top-k. The dot product stays JVM-side via zip_with/aggregate
+(left-to-right summation, deterministic). Scores are rounded to 9 decimals
+before ranking so results are reproducible across engines regardless of
+float summation order.
+
+Scale path (100 TB): the same top_k_per_group tail works behind any blocking
+scheme; swap the broadcast cross join for an LSH/IVF candidate join when the
+query set is large. (Random-hyperplane LSH is planned with md5-derived
+hyperplanes so it stays oracle-reproducible.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SCORE_DECIMALS = 9
+
+
+def as_double_array(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right ordered dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact cosine top-k: (q_id, c_id, score, rank), self-matches excluded.
+
+    ``queries`` must be small enough to broadcast (it is the per-query probe
+    set; the corpus side streams).
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), as_double_array(F.col(vec_col)).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("c_id"), as_double_array(F.col(vec_col)).alias("c_vec"))
+    score = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (norm(F.col("q_vec")) * norm(F.col("c_vec"))),
+        SCORE_DECIMALS,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(query_id_col) != F.col("c_id"))
+        .select(query_id_col, "c_id", score.alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,113 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+All hot-path computation is JVM-side array/regex expressions (no Python
+UDFs): tokenization via split + filter, counts via aggregate/transform,
+fingerprints via md5-derived hashes. The reference's text normalization
+stack (utilities/text/Normalization.scala, EntityResolution.scala:39-40)
+maps to the same built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import h32, word_shingles
+
+# Small English stopword list (public knowledge), kept sorted and fixed so
+# oracle SQL can embed the identical literal.
+STOPWORDS = ("a", "an", "and", "in", "is", "of", "the", "to")
+
+
+def toks_col(text_col: str = "text") -> Column:
+    """Whitespace tokens with empties removed, as array<string>."""
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics + a deterministic quality score.
+
+    quality = 0.5·min(n_tokens/100, 1) + 0.3·(unique ratio) + 0.2·(stopword ratio)
+    — a length/diversity/stopword blend of the usual heuristic quality
+    filters; all arithmetic on exact integer counts, so cross-engine stable.
+    """
+    toks = toks_col(text_col)
+    d = df.select(
+        F.col(id_col),
+        toks.alias("toks"),
+        F.length(text_col).alias("n_chars"),
+    )
+    n_tokens = F.size("toks")
+    n_unique = F.size(F.array_distinct("toks"))
+    n_stop = F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS)))
+    sum_len = F.aggregate(F.transform("toks", lambda t: F.length(t)), F.lit(0), lambda a, x: a + x)
+    d = d.select(
+        F.col(id_col),
+        F.col("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique"),
+        n_stop.alias("n_stopwords"),
+        (sum_len / n_tokens).alias("avg_token_len"),
+        (n_stop / n_tokens).alias("stopword_ratio"),
+        (n_unique / n_tokens).alias("unique_ratio"),
+    )
+    quality = (
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.col("unique_ratio") * 0.3
+        + F.col("stopword_ratio") * 0.2
+    )
+    return d.withColumn("quality", quality)
+
+
+def bpe_token_estimate(text_col: str = "text") -> Column:
+    """BPE-ish token-count estimate: ceil(len/4) per whitespace word, summed.
+
+    Integer arithmetic only ((len+3) div 4) for cross-engine parity.
+    """
+    return F.aggregate(
+        F.transform(toks_col(text_col), lambda t: (F.length(t) + 3).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + F.floor(x / 4).cast("bigint"),
+    )
+
+
+def lang_id_scores(df: DataFrame, text_col: str, markers: dict[str, tuple[str, ...]]) -> DataFrame:
+    """N-gram/stopword-marker language ID: argmax of per-language marker hits.
+
+    ``markers``: lang -> tuple of marker words. Deterministic tie-break by
+    language code ascending. Adds ``pred_lang`` and ``lang_hits``.
+    """
+    toks = toks_col(text_col)
+    best_lang, best_hits = None, None
+    for lang in sorted(markers):
+        hits = F.size(F.filter(toks, lambda t: t.isin(*markers[lang])))
+        if best_lang is None:
+            best_lang, best_hits = F.lit(lang), hits
+        else:
+            better = hits > best_hits
+            best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+            best_hits = F.when(better, hits).otherwise(best_hits)
+    return df.withColumn("pred_lang", best_lang).withColumn("lang_hits", best_hits)
+
+
+def min_k_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 5
+) -> DataFrame:
+    """Winnowing-style content fingerprint: the k smallest 32-bit shingle
+    hashes per document, joined into a stable string key.
+
+    Near-identical documents share most minimal hashes, so the fingerprint
+    doubles as a cheap clustering key; size is O(k) per document regardless
+    of document length.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    hashed = sh.select(F.col(id_col), h32(F.col("shingle")).alias("h")).dropDuplicates([id_col, "h"])
+    w = Window.partitionBy(id_col).orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy(id_col)
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list("h"))).alias("fingerprint"))
+    )

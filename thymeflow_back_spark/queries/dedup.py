@@ -1,1 +1,184 @@
-"""Placeholder — populated in this round."""
+"""Deduplication queries over the documents table.
+
+Exact (hash-groupBy), n-gram Jaccard similarity join, MinHash+LSH, and
+SimHash near-dup detection — the LLM-training-pipeline dedup ladder, each
+with a bit-exact ANSI-SQL oracle (all hashing is md5-derived, so DuckDB
+reproduces the Spark pipeline exactly; permutation constants are shared
+literals from operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup as D
+from ..tables import load
+from .catalog import query
+
+JACCARD_THRESHOLD = 0.5
+SHINGLE_N = 3
+MAX_HAMMING = 3
+
+# Shared SQL fragments ---------------------------------------------------------
+
+_SQL_SHINGLES = """
+    toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) s
+    )
+"""
+
+_SQL_JACCARD = """
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT a_id, b_id, n_common,
+             n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+    )
+"""
+
+_PERMS_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.MINHASH_PERMS)
+)
+
+
+# --- Q: exact dedup -----------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    WITH groups AS (
+      SELECT md5(text) AS content_hash, COUNT(*) AS group_size
+      FROM documents GROUP BY 1
+    )
+    SELECT SUM(group_size) AS n_docs,
+           COUNT(*) AS n_distinct,
+           SUM(group_size) - COUNT(*) AS n_duplicates
+    FROM groups
+    """,
+    doc="Exact content dedup: one hash-groupBy on md5(text); summary counts.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.exact_dedup_summary(docs, "doc_id", "text")
+
+
+# --- Q: n-gram Jaccard similarity join ---------------------------------------
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_JACCARD}
+    SELECT a_id, b_id, n_common, jaccard
+    FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    ORDER BY a_id, b_id
+    """,
+    bench=True,
+    doc="Exact near-dup detection: distinct word-3-gram shingles, shingle-"
+    "blocked similarity join, Jaccard >= 0.5 (the token-blocking join of "
+    "reference AgentMatchEnricher.scala:249-334 at document scale).",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", SHINGLE_N)
+    pairs = D.jaccard_pairs(sh, "doc_id", JACCARD_THRESHOLD)
+    return pairs.withColumnRenamed("a_id", "a_id").orderBy("a_id", "b_id")
+
+
+# --- Q: MinHash + LSH ---------------------------------------------------------
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_JACCARD},
+    perms(i, a, b) AS (VALUES {_PERMS_VALUES}),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {D.MERSENNE_P} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, i, MIN((a * h + b) % {D.MERSENNE_P}) AS mh
+      FROM hashed CROSS JOIN perms
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, i // {D.ROWS_PER_BAND} AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkey
+      FROM sig GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b USING (band, bkey)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id, j.n_common, j.jaccard
+    FROM cands c JOIN jac j USING (a_id, b_id)
+    WHERE j.jaccard >= {JACCARD_THRESHOLD}
+    ORDER BY c.a_id, c.b_id
+    """,
+    bench=True,
+    doc="MinHash(16 perms)+LSH(4 bands) candidate generation, verified with "
+    "true Jaccard — the scale path: signatures are fixed-size per doc and "
+    "candidates meet only inside band buckets.",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_near_dups(docs, "doc_id", "text", SHINGLE_N, JACCARD_THRESHOLD).orderBy(
+        "a_id", "b_id"
+    )
+
+
+# --- Q: SimHash ---------------------------------------------------------------
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt
+      FROM (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents
+      ) GROUP BY 1, 2
+    ),
+    th AS (
+      SELECT doc_id, cnt, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tf
+    ),
+    bits AS (
+      SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, {D.SIMHASH_BITS - 1})) AS b) bs
+      GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS fp
+      FROM bits GROUP BY 1
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.fp, b.fp)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= {MAX_HAMMING}
+    ORDER BY a_id, b_id
+    """,
+    doc="SimHash (60-bit, tf-weighted) near-dup pairs within Hamming distance "
+    "3; Spark side blocks on 4×15-bit bands (pigeonhole-exact recall), oracle "
+    "verifies via the equivalent full pair scan.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fps = D.simhash_fingerprints(docs, "doc_id", "text")
+    return D.simhash_pairs(fps, "doc_id", MAX_HAMMING).orderBy("a_id", "b_id")

@@ -1,1 +1,159 @@
-"""Placeholder — populated in this round."""
+"""RDF-layer queries: BGP joins, OPTIONAL, IFP identity inference, and
+sameAs-closure connected components — the reference's core query shapes
+(SURVEY.md §2.3, §2.11) run over quads built from the synthetic tables
+(rdf/tpch.py) and oracle-checked against the equivalent relational SQL.
+
+The oracle deliberately takes the DIRECT relational path (joins over
+customer/nation/region), while Spark goes through quad-ification + the BGP
+compiler — matching results prove the RDF layer preserves semantics, not
+just that two identical plans agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.closure import connected_components
+from ..plans.patterns import BGP
+from ..rdf import tpch
+from ..rdf.model import V
+from .catalog import query
+
+_PB = tpch.PHONE_BUCKETS
+
+
+# --- Q: BGP with OPTIONAL (2-hop join + left join over quads) ----------------
+
+
+@query(
+    "q_rdf_bgp_region",
+    oracle=f"""
+    SELECT n_name,
+           COUNT(*) AS n_customers,
+           COUNT(CASE WHEN c_acctbal > {tpch.BIG_SPENDER_MIN_ACCTBAL} THEN 1 END) AS n_big_spenders
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="SPARQL-shaped BGP over the quad store: ?c p:inNation ?n . ?n "
+    "schema:name ?name . ?n p:inRegion ?r . ?r schema:name 'EUROPE' with "
+    "OPTIONAL { ?c p:bigSpender ?bs } — compiled to DataFrame joins "
+    "(reference AgentMatchEnricher.scala:95-111 shape); oracle is the direct "
+    "relational join, proving quad-ification preserves semantics.",
+)
+def q_rdf_bgp_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quads = tpch.tpch_quads(spark, sf_dir)
+    bgp = BGP(quads)
+    base = bgp.compile(
+        [
+            (V("c"), tpch.IN_NATION, V("n")),
+            (V("n"), tpch.NAME, V("n_name")),
+            (V("n"), tpch.IN_REGION, V("r")),
+            (V("r"), tpch.NAME, "EUROPE"),
+        ]
+    )
+    with_bs = bgp.optional(base, [(V("c"), tpch.BIG_SPENDER, V("bs"))])
+    return (
+        with_bs.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.count("bs").alias("n_big_spenders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- Q: inverse-functional-property identity inference -----------------------
+
+
+@query(
+    "q_rdf_ifp_sameas",
+    oracle=f"""
+    SELECT 'c:' || a.c_custkey AS a_id,
+           'c:' || b.c_custkey AS b_id,
+           'phone:' || (a.c_custkey % {_PB}) AS shared_value
+    FROM customer a
+    JOIN customer b
+      ON a.c_custkey % {_PB} = b.c_custkey % {_PB}
+     AND 'c:' || a.c_custkey < 'c:' || b.c_custkey
+    ORDER BY a_id, b_id
+    """,
+    doc="IFP identity inference: agents sharing an inverse-functional "
+    "property value (phone) become sameAs pairs — the self-join of "
+    "quads[pred=phone] on object value (reference "
+    "InverseFunctionalPropertyInferencer.scala:37-53), via the BGP compiler.",
+)
+def q_rdf_ifp_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quads = tpch.tpch_quads(spark, sf_dir)
+    bgp = BGP(quads)
+    pairs = bgp.compile(
+        [
+            (V("a_id"), tpch.PHONE, V("shared_value")),
+            (V("b_id"), tpch.PHONE, V("shared_value")),
+        ]
+    )
+    return (
+        pairs.filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "shared_value")
+        .orderBy("a_id", "b_id")
+    )
+
+
+# --- Q: sameAs* closure (connected components) -------------------------------
+
+
+@query(
+    "q_rdf_sameas_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT 'c:' || a.c_custkey AS a_id, 'c:' || b.c_custkey AS b_id
+      FROM customer a
+      JOIN customer b
+        ON a.c_custkey % {_PB} = b.c_custkey % {_PB}
+       AND 'c:' || a.c_custkey < 'c:' || b.c_custkey
+    ),
+    edges AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION
+      SELECT b_id AS s, a_id AS d FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS node, MIN(d) AS component FROM reach GROUP BY s),
+    sizes AS (SELECT component, COUNT(*) AS component_size FROM comp GROUP BY component)
+    SELECT component_size, COUNT(*) AS n_components
+    FROM sizes GROUP BY component_size
+    ORDER BY component_size
+    """,
+    doc="sameAs* reflexive-transitive closure → equivalence classes: "
+    "iterative min-label propagation (the Spark form of `personal:sameAs*` "
+    "property paths + ConnectedComponents.scala:9-36); output is the "
+    "component-size histogram, oracle via recursive CTE.",
+)
+def q_rdf_sameas_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quads = tpch.tpch_quads(spark, sf_dir)
+    bgp = BGP(quads)
+    pairs = (
+        bgp.compile(
+            [
+                (V("a_id"), tpch.PHONE, V("v")),
+                (V("b_id"), tpch.PHONE, V("v")),
+            ]
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    comps = connected_components(pairs, src="a_id", dst="b_id")
+    sizes = comps.groupBy("component").agg(F.count("*").alias("component_size"))
+    return (
+        sizes.groupBy("component_size")
+        .agg(F.count("*").alias("n_components"))
+        .orderBy("component_size")
+    )

@@ -1,1 +1,91 @@
-"""Placeholder — populated in this round."""
+"""Similarity-search queries over the embeddings table (64-dim float vectors).
+
+Brute-force cosine top-k (exact baseline) and a label-centroid classification
+check. The DuckDB oracle reproduces the same rounded scores via
+list_dot_product over double-cast lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import cosine_topk
+from ..tables import load
+from .catalog import query
+
+N_QUERIES = 10  # vec_id < 10 are the probe set
+TOP_K = 5
+
+
+@query(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM vecs WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, c.vec_id AS c_id,
+             round(
+               list_dot_product(q.q_vec, c.v)
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.v, c.v))),
+               9
+             ) AS score
+      FROM vecs c CROSS JOIN q
+      WHERE c.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, c_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, c_id, score, rank FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY q_id, rank
+    """,
+    bench=True,
+    doc="Brute-force cosine top-5 neighbors for 10 probe vectors: broadcast "
+    "cross join + windowed top-k; scores rounded to 9 decimals for "
+    "cross-engine determinism.",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return cosine_topk(emb, queries, "vec_id", "embedding", TOP_K).orderBy("q_id", "rank")
+
+
+@query(
+    "q_label_centroid_stats",
+    oracle="""
+    WITH vecs AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id, label, sqrt(list_dot_product(v, v)) AS vnorm FROM vecs
+    )
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           round(MIN(vnorm), 9) AS min_norm,
+           round(MAX(vnorm), 9) AS max_norm
+    FROM norms
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="Per-label vector stats (count + norm range) — the embedding-column "
+    "profiling pass a pipeline runs before ANN indexing.",
+)
+def q_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import as_double_array, norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    vnorm = norm(as_double_array(F.col("embedding")))
+    return (
+        emb.select("label", vnorm.alias("vnorm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.min("vnorm"), 9).alias("min_norm"),
+            F.round(F.max("vnorm"), 9).alias("max_norm"),
+        )
+        .orderBy("label")
+    )

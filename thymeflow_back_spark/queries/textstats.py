@@ -1,1 +1,147 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis queries over the documents table: per-doc token/quality
+stats, corpus profiling, BPE-ish token estimates, and content fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as T
+from ..tables import load
+from .catalog import query
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+
+_SQL_TOKS = """
+    toks AS (
+      SELECT doc_id, lang, source, length(text) AS n_chars,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+"""
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    WITH {_SQL_TOKS},
+    stats AS (
+      SELECT doc_id, n_chars,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_unique,
+             len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS n_stopwords,
+             CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS sum_len
+      FROM toks
+    )
+    SELECT doc_id, n_chars, n_tokens, n_unique, n_stopwords,
+           sum_len / n_tokens AS avg_token_len,
+           n_stopwords / n_tokens AS stopword_ratio,
+           n_unique / n_tokens AS unique_ratio,
+           least(n_tokens / 100.0, 1.0) * 0.5
+             + (n_unique / n_tokens) * 0.3
+             + (n_stopwords / n_tokens) * 0.2 AS quality
+    FROM stats
+    ORDER BY doc_id
+    """,
+    bench=True,
+    doc="Per-document token statistics + deterministic quality score "
+    "(length/diversity/stopword blend) — heuristic quality filtering for a "
+    "training-data pipeline.",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return T.token_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@query(
+    "q_corpus_profile",
+    oracle=f"""
+    WITH {_SQL_TOKS}
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(len(toks)) AS total_tokens,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM toks
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    doc="Corpus profiling: per (lang, source) document/token/char totals — "
+    "the count-per-type dashboard shape (reference DataServicesService.scala:25-49).",
+)
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = T.toks_col("text")
+    return (
+        docs.select("lang", "source", F.length("text").alias("n_chars"), F.size(toks).alias("n_tokens"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "q_token_estimates",
+    oracle=f"""
+    WITH {_SQL_TOKS}
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(toks)) AS total_words,
+           SUM(CAST(list_sum(list_transform(toks, t -> (len(t) + 3) // 4)) AS BIGINT)) AS est_bpe_tokens
+    FROM toks
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="BPE-ish token budget per source: ceil(len/4) per word — the token "
+    "accounting pass of a training-data pipeline.",
+)
+def q_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = T.toks_col("text")
+    return (
+        docs.select("source", F.size(toks).alias("n_words"), T.bpe_token_estimate("text").alias("est_bpe"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("est_bpe").alias("est_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) s
+    ),
+    hashed AS (
+      SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+    ),
+    ranked AS (
+      SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+      FROM hashed
+    )
+    SELECT doc_id, string_agg(h::VARCHAR, ',' ORDER BY h) AS fingerprint
+    FROM ranked WHERE rn <= 5
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Winnowing-style min-5-hash content fingerprint per document — cheap "
+    "near-dup clustering key (document fingerprinting via rolling hashes).",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return T.min_k_fingerprint(docs, "doc_id", "text", n=3, k=5).orderBy("doc_id")
