@@ -1,0 +1,47 @@
+"""EnrichmentPipeline: document ingestion → ordered enricher chain.
+
+Parity with reference Pipeline.scala:37-42 + Thymeflow.scala:56-63: each
+ingested document produces a diff; enrichers run in order, each seeing the
+store state left by its predecessors; their inferences are applied to the
+store and appended to the flowing diff. ``ingest_quads`` accepts a batch of
+mixed-graph quads (the foreachBatch entry point for streaming).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..rdf.store import Diff, StatementStore
+
+Enricher = Callable[[StatementStore, Diff], Diff]
+
+
+class EnrichmentPipeline:
+    def __init__(self, store: StatementStore, enrichers: Sequence[Enricher] = ()):
+        self.store = store
+        self.enrichers = list(enrichers)
+
+    def ingest_document(self, graph: str, statements: DataFrame) -> Diff:
+        """Replace one document graph, run the enricher chain, return the
+        total effective diff."""
+        store, diff = self.store.add_document(graph, statements)
+        store = store.materialize()
+        for enricher in self.enrichers:
+            extra = enricher(store, diff)
+            store = store.apply_diff(extra).materialize()
+            diff = diff.union(extra)
+        self.store = store
+        return diff
+
+    def ingest_quads(self, quads: DataFrame) -> list[Diff]:
+        """Batch entry point: split by graph, ingest each as a document.
+        Used from Structured Streaming foreachBatch — each micro-batch may
+        carry several (re)delivered documents."""
+        graphs = [r.graph for r in quads.select("graph").distinct().collect()]
+        diffs = []
+        for g in sorted(graphs):
+            diffs.append(self.ingest_document(g, quads.filter(F.col("graph") == g)))
+        return diffs

@@ -139,3 +139,10 @@ class StatementStore:
 
     def remove_graph(self, graph: str) -> "StatementStore":
         return StatementStore(self.quads.filter(F.col("graph") != graph))
+
+    def materialize(self) -> "StatementStore":
+        """Cut lineage (localCheckpoint). Functional updates stack anti-joins;
+        without periodic materialization an ingest loop re-executes the whole
+        history on every action. The durable deployment shape is a Delta
+        table + MERGE, where each commit is naturally materialized."""
+        return StatementStore(self.quads.localCheckpoint(eager=True))
