@@ -1,0 +1,203 @@
+"""Tests: movement segmentation, primary-facet election, update routing,
+geocoder cache, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from thymeflow_back_spark.algorithms.trellis import viterbi_states, STATIONARY, MOVING
+from thymeflow_back_spark.enrichers.primary_facet import OUTPUT_GRAPH as PF_GRAPH
+from thymeflow_back_spark.enrichers.primary_facet import primary_facet_enricher
+from thymeflow_back_spark.geocoding import CachedGeocoder, Feature
+from thymeflow_back_spark.multimodal import (
+    extract_image_features,
+    resize_images,
+    sample_video_frames,
+)
+from thymeflow_back_spark.operators.movement import segment_movement
+from thymeflow_back_spark.rdf import vocab
+from thymeflow_back_spark.rdf.model import make_quads
+from thymeflow_back_spark.rdf.store import Diff, StatementStore
+from thymeflow_back_spark.update import USER_GRAPH, apply_update
+
+
+def iri_q(s, p, o, g):
+    return (s, p, o, "iri", None, None, g)
+
+
+def lit_q(s, p, o, g):
+    return (s, p, o, "literal", "http://www.w3.org/2001/XMLSchema#string", None, g)
+
+
+# --- trellis / movement -------------------------------------------------------
+
+
+def test_viterbi_smooths_noise():
+    # stationary with one spurious speed spike stays stationary throughout
+    speeds = [0.3, 0.5, 8.0, 0.4, 0.2]
+    assert viterbi_states(speeds) == [STATIONARY] * 5
+    # sustained movement flips the state
+    speeds = [0.3, 0.3, 6.0, 7.0, 6.5, 7.2, 0.2, 0.3]
+    states = viterbi_states(speeds)
+    assert states[:2] == [STATIONARY, STATIONARY]
+    assert states[2:6] == [MOVING] * 4
+    assert states[6:] == [STATIONARY, STATIONARY]
+
+
+def test_segment_movement_spark(spark):
+    minute = 60_000_000
+    rows = []
+    # 10 min still, 5 min moving (~400 m/min), 10 min still
+    for i in range(10):
+        rows.append((1, i * minute, 2.0, 48.0))
+    for i in range(5):
+        rows.append((1, (10 + i) * minute, 2.0 + 0.005 * (i + 1), 48.0))
+    for i in range(10):
+        rows.append((1, (15 + i) * minute, 2.025, 48.0))
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, lon double, lat double")
+    segs = segment_movement(df).orderBy("start_us").collect()
+    assert [s.state for s in segs] == ["stationary", "moving", "stationary"]
+
+
+# --- primary facet ------------------------------------------------------------
+
+
+def test_primary_facet_election(spark):
+    quads = make_quads(
+        spark,
+        [
+            iri_q("a", vocab.SAME_AS, "b", "g:ifp"),
+            iri_q("b", vocab.SAME_AS, "a", "g:ifp"),
+            # 'b' has more descriptive triples → becomes the head
+            lit_q("b", "p:name", "Bee", "g:doc"),
+            lit_q("b", "p:mail", "b@x", "g:doc"),
+            lit_q("a", "p:name", "Ay", "g:doc"),
+            # unrelated singleton with no sameAs — not elected
+            lit_q("z", "p:name", "Zed", "g:doc"),
+        ],
+    )
+    store = StatementStore(quads)
+    diff = primary_facet_enricher(store, Diff(quads, quads.filter(F.lit(False))))
+    got = {
+        (r.subject, r.object_value)
+        for r in diff.added.filter(F.col("graph") == PF_GRAPH).collect()
+    }
+    assert got == {("a", "b"), ("b", "b")}
+
+
+# --- updater ------------------------------------------------------------------
+
+
+def test_update_routing_and_negation(spark):
+    doc_graph = "urn:uuid:doc-1"
+    store = StatementStore(
+        make_quads(
+            spark,
+            [
+                lit_q("s1", "p:name", "Old", doc_graph),
+                lit_q("s1", "p:age", "30", doc_graph),
+            ],
+        )
+    )
+    # user update: remove the name from the synchronized doc (no write-back),
+    # add a graphless statement about s1, add an explicit user-graph statement
+    nullable_schema = (
+        "subject string, predicate string, object_value string, object_type string, "
+        "object_datatype string, object_lang string, graph string"
+    )
+    diff = Diff(
+        added=spark.createDataFrame(
+            [
+                ("s1", "p:nickname", "N", "literal", None, None, None),
+                lit_q("s2", "p:note", "hello", USER_GRAPH),
+            ],
+            nullable_schema,
+        ),
+        removed=make_quads(spark, [lit_q("s1", "p:name", "Old", doc_graph)]),
+    )
+    out = apply_update(store, diff, synchronized_graph_prefix="urn:uuid:")
+    rows = {(r.subject, r.predicate, r.object_value, r.graph) for r in out.quads.collect()}
+    # removal applied locally
+    assert ("s1", "p:name", "Old", doc_graph) not in rows
+    # negation asserted in user graph so re-sync cannot resurrect
+    assert ("s1", "urn:neg:p:name", "Old", USER_GRAPH) in rows
+    # graphless add routed to the subject's dominant graph
+    assert ("s1", "p:nickname", "N", doc_graph) in rows
+    # explicit graph respected
+    assert ("s2", "p:note", "hello", USER_GRAPH) in rows
+    # negation now blocks re-delivery of the removed triple
+    redelivery = make_quads(
+        spark, [lit_q("s1", "p:name", "Old", doc_graph), lit_q("s1", "p:age", "30", doc_graph)]
+    )
+    out2, diff2 = out.add_document(doc_graph, redelivery)
+    assert ("s1", "p:name", "Old") not in {
+        (r.subject, r.predicate, r.object_value) for r in out2.quads.collect()
+    }
+
+
+# --- geocoder cache -----------------------------------------------------------
+
+
+def test_cached_geocoder(spark):
+    calls = []
+
+    def fake_fetch(kind, query):
+        calls.append((kind, query))
+        if query == "Cafe de Flore":
+            return [Feature(name="Cafe de Flore", lon=2.3325, lat=48.8542, country="France")]
+        if query == "Springfield":
+            return [
+                Feature(name="Springfield IL", lon=-89.6, lat=39.8),
+                Feature(name="Springfield MA", lon=-72.6, lat=42.1),
+            ]
+        return []
+
+    geo = CachedGeocoder(spark, fake_fetch)
+    places = spark.createDataFrame(
+        [("p1", "Cafe de Flore"), ("p2", "Springfield"), ("p3", "Nowhere At All")],
+        "place_id string, name string",
+    )
+    out = {r.place_id: r for r in geo.geocode_places(places).collect()}
+    assert out["p1"].certain and out["p1"].n_features == 1
+    assert (not out["p2"].certain) and out["p2"].n_features == 2
+    assert out["p3"].n_features == 0
+    n_calls = len(calls)
+    # same lookup again → served from cache, no new fetches
+    geo.geocode_places(places).collect()
+    assert len(calls) == n_calls
+
+
+# --- multimodal ---------------------------------------------------------------
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (1, "image", "image/png", bytes([i % 251 for i in range(400)]), {"src": "a"}),
+        (2, "image", "image/png", b"other-bytes" * 30, {"src": "b"}),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, content binary, meta map<string,string>"
+    )
+    feats = {r.media_id: r for r in extract_image_features(media, fake_decode=True).collect()}
+    assert set(feats) == {1, 2}
+    assert feats[1].width >= 32 and len(feats[1].phash) == 16
+    # determinism: same bytes → same features
+    feats2 = {r.media_id: r for r in extract_image_features(media, fake_decode=True).collect()}
+    assert feats[1].phash == feats2[1].phash and feats[1].mean_luma == feats2[1].mean_luma
+
+    resized = resize_images(media, 16, 16, fake_decode=True).collect()
+    assert all(len(bytes(r.content)) == 16 * 16 * 3 for r in resized)
+
+    frames = sample_video_frames(media, fake_decode=True).collect()
+    per_media = {}
+    for fr in frames:
+        per_media.setdefault(fr.media_id, []).append(fr)
+    assert all(len(v) >= 1 for v in per_media.values())
+
+    # the real-decoder path must fail loudly, not silently fake
+    import pytest
+
+    with pytest.raises(Exception) as exc_info:
+        extract_image_features(media, fake_decode=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "codec" in str(exc_info.value)

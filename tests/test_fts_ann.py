@@ -1,0 +1,109 @@
+"""Full-text search goldens (FIXTURES.md §7) + SRP-LSH ANN recall tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from thymeflow_back_spark.algorithms.stemmer import porter_stem
+from thymeflow_back_spark.operators.ann import srp_candidate_pairs, srp_near_dup
+from thymeflow_back_spark.operators.fts import build_index, match_query, partial_match
+
+
+def test_porter_stem_basics():
+    assert porter_stem("does") == "doe"
+    assert porter_stem("alice") == "alic"
+    assert porter_stem("wonders") == "wonder"
+    assert porter_stem("wondrs") == "wondr"
+    assert porter_stem("running") == "run"
+    assert porter_stem("relational") == "relat"
+
+
+def test_fts_reference_golden(spark):
+    # FIXTURES.md §7: corpus/queries with matchPercent 80
+    corpus = spark.createDataFrame(
+        [("e1", "John Doe"), ("e2", "Does John"), ("e3", "Alice Wonders"), ("e4", "Alic Wondrs")],
+        "entity_id string, text string",
+    )
+    queries = spark.createDataFrame(
+        [("John", "John"), ("Doe", "Doe"), ("Alice", "Alice"), ("Wonders", "Wonders")],
+        "query_id string, qtext string",
+    )
+    index = build_index(corpus, "entity_id", "text", stem=True)
+    got = {}
+    for r in match_query(index, queries, "query_id", "qtext", 80, stem=True).collect():
+        got.setdefault(r.query_id, set()).add(r.entity_id)
+    assert got["John"] == {"e1", "e2"}
+    assert got["Doe"] == {"e1", "e2"}
+    assert got["Alice"] == {"e3", "e4"}
+    assert got["Wonders"] == {"e3"}
+
+
+def test_partial_match_ngrams(spark):
+    corpus = spark.createDataFrame(
+        [("e1", "cafe de flore"), ("e2", "flore gardens")], "entity_id string, text string"
+    )
+    texts = spark.createDataFrame(
+        [("t1", "meet at Cafe de Flore at noon")], "text_id string, text string"
+    )
+    index = build_index(corpus, "entity_id", "text")
+    got = {(r.ngram, r.entity_id) for r in partial_match(index, texts, "text_id", "text").collect()}
+    assert ("cafe de flore", "e1") in got
+    assert ("flore", "e2") in got
+    assert not any(ng == "at noon" for ng, _ in got)
+
+
+def test_srp_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dims = len(emb.select("embedding").first()[0])
+    # brute-force truth at threshold 0.4
+    from thymeflow_back_spark.operators.similarity import as_double_array, dot, norm
+
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        as_double_array(F.col("embedding")).alias("v"),
+        norm(as_double_array(F.col("embedding"))).alias("n"),
+    ).cache()
+    a = vecs.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"), F.col("n").alias("a_n"))
+    b = vecs.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"), F.col("n").alias("b_n"))
+    truth = {
+        (r.a_id, r.b_id)
+        for r in a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", (dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n"))).alias("s"))
+        .filter(F.col("s") >= 0.4)
+        .collect()
+    }
+    got = {
+        (r.a_id, r.b_id)
+        for r in srp_near_dup(emb, "vec_id", "embedding", dims, threshold=0.4).collect()
+    }
+    # verified candidates are always a subset of truth (no false positives)
+    assert got <= truth
+    # candidate generation must prune the pair space substantially
+    n = emb.count()
+    n_cands = srp_candidate_pairs(emb, "vec_id", "embedding", dims).count()
+    assert n_cands < n * (n - 1) / 2 * 0.6
+
+
+def test_srp_ann_recall_on_near_duplicates(spark):
+    # SRP banding guarantees high recall for HIGH-cosine pairs (P(bit match)
+    # = 1 − θ/π). Plant true near-dups (tiny noise → cos > 0.95) and require
+    # the LSH path to find nearly all of them.
+    import numpy as np
+
+    rnd = np.random.RandomState(7)
+    dims = 32
+    rows = []
+    for i in range(60):
+        base = rnd.randn(dims)
+        noisy = base + 0.03 * rnd.randn(dims)
+        rows.append((2 * i, [float(x) for x in base]))
+        rows.append((2 * i + 1, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.a_id, r.b_id)
+        for r in srp_near_dup(df, "vec_id", "embedding", dims, threshold=0.95).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(60)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"recall {recall}"

@@ -1,0 +1,100 @@
+"""Approximate nearest neighbors: SRP-LSH (signed random projections).
+
+The scale path for similarity search (operators/similarity.py is the exact
+baseline): each vector gets a b-bit signature (sign of dot products with b
+pseudo-random hyperplanes), signatures are banded, candidates meet only
+inside band buckets, and true cosine is computed for candidates alone.
+P(signature bits agree) = 1 − θ/π per bit, so near-identical vectors share
+band buckets with high probability.
+
+Hyperplanes are md5-derived (deterministic, seedless, reproducible in SQL
+if ever needed as an oracle), materialized once per query as a broadcast
+literal array — no shuffle for the signature pass.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import as_double_array, dot
+
+N_PLANES = 16
+BANDS = 4
+ROWS_PER_BAND = N_PLANES // BANDS
+
+
+def _plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random component in [-1, 1)."""
+    h = int(hashlib.md5(f"srp:{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return h / 2_147_483_648.0 - 1.0
+
+
+def srp_signature(vec: Column, dims: int, n_planes: int = N_PLANES) -> Column:
+    """b-bit signature as bigint: bit p = sign(plane_p · vec)."""
+    v = as_double_array(vec)
+    sig = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(dims)])
+        bit = F.when(dot(plane, v) >= 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = sig + bit
+    return sig
+
+
+def srp_candidate_pairs(
+    df: DataFrame, id_col: str, vec_col: str, dims: int, n_planes: int = N_PLANES, bands: int = BANDS
+) -> DataFrame:
+    """Candidate pairs (a_id < b_id) sharing at least one signature band."""
+    rows = n_planes // bands
+    mask = (1 << rows) - 1
+    sigs = df.select(F.col(id_col).alias("id"), srp_signature(F.col(vec_col), dims, n_planes).alias("sig"))
+    chunks = None
+    for band in range(bands):
+        c = sigs.select(
+            "id",
+            F.lit(band).alias("band"),
+            F.shiftright(F.col("sig"), band * rows).bitwiseAND(mask).alias("bkey"),
+        )
+        chunks = c if chunks is None else chunks.unionByName(c)
+    a = chunks.select(F.col("id").alias("a_id"), "band", "bkey")
+    b = chunks.select(F.col("id").alias("b_id"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def srp_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    threshold: float,
+    n_planes: int = N_PLANES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """ANN near-dup: SRP candidates verified with exact cosine ≥ threshold."""
+    from .similarity import norm
+
+    cands = srp_candidate_pairs(df, id_col, vec_col, dims, n_planes, bands)
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        as_double_array(F.col(vec_col)).alias("v"),
+        norm(as_double_array(F.col(vec_col))).alias("n"),
+    )
+    av = vecs.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"), F.col("n").alias("a_n"))
+    bv = vecs.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"), F.col("n").alias("b_n"))
+    return (
+        cands.join(av, "a_id")
+        .join(bv, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")), 9).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

@@ -1,0 +1,112 @@
+"""Full-text candidate retrieval: inverted-index match with
+minimum-should-match semantics.
+
+Replaces the reference's embedded Elasticsearch (SURVEY.md §2.10,
+FullTextSearchServer.scala: matchQuery with minimumShouldMatch 70-80%) with
+a pure DataFrame inverted index: explode normalized tokens, equi-join
+query tokens against the index, and keep entities matching at least
+``ceil(match_percent × query_token_count)`` distinct query tokens.
+
+``partial_match`` implements the n-gram growth matcher
+(FullTextSearchPartialTextMatcher: match token subsequences up to depth 3):
+candidate spans are consecutive token n-grams of the text joined against
+the index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+from ..algorithms.stemmer import porter_stem
+from ..functions.text_norm import normalize_text, tokenize
+
+
+def _analyze(col, stem: bool):
+    """Normalize + tokenize (+ optional Porter stemming, the analyzer step
+    that gives the reference's search its fuzzy-ish recall)."""
+    toks = F.array_distinct(tokenize(normalize_text(col)))
+    if not stem:
+        return toks
+
+    @pandas_udf("array<string>")
+    def stem_all(s: pd.Series) -> pd.Series:
+        return s.map(lambda arr: None if arr is None else [porter_stem(t) for t in arr])
+
+    return stem_all(toks)
+
+
+def build_index(entities: DataFrame, id_col: str, text_col: str, stem: bool = False) -> DataFrame:
+    """Inverted index: (entity_id, token) distinct."""
+    return (
+        entities.select(
+            F.col(id_col).alias("entity_id"),
+            F.explode(_analyze(F.col(text_col), stem)).alias("token"),
+        )
+        .dropDuplicates(["entity_id", "token"])
+    )
+
+
+def match_query(
+    index: DataFrame,
+    queries: DataFrame,
+    query_id_col: str,
+    query_text_col: str,
+    match_percent: int = 80,
+    stem: bool = False,
+) -> DataFrame:
+    """(query_id, entity_id, n_matched, n_query_tokens) for entities matching
+    ≥ match_percent% of the query's distinct tokens."""
+    qtoks = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(_analyze(F.col(query_text_col), stem)).alias("token"),
+    )
+    qsizes = qtoks.groupBy("query_id").agg(F.count("*").alias("n_query_tokens"))
+    hits = (
+        qtoks.join(index, "token")
+        .groupBy("query_id", "entity_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        hits.join(qsizes, "query_id")
+        .filter(F.col("n_matched") * 100 >= F.col("n_query_tokens") * match_percent)
+        .select("query_id", "entity_id", "n_matched", "n_query_tokens")
+    )
+
+
+def partial_match(
+    index: DataFrame, texts: DataFrame, text_id_col: str, text_col: str, max_depth: int = 3
+) -> DataFrame:
+    """Match consecutive token n-grams (n ≤ max_depth) of each text against
+    indexed entity tokens: (text_id, ngram, n, entity_id)."""
+    toks = texts.select(
+        F.col(text_id_col).alias("text_id"),
+        tokenize(normalize_text(F.col(text_col))).alias("toks"),
+    )
+    grams = None
+    for n in range(1, max_depth + 1):
+        idx = F.when(
+            F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
+        ).otherwise(F.array().cast("array<int>"))
+        g = toks.select(
+            "text_id",
+            F.lit(n).alias("n"),
+            F.explode(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)))
+            ).alias("ngram"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    # an n-gram matches an entity if EVERY word of the n-gram is an entity token
+    words = grams.select(
+        "text_id", "n", "ngram", F.explode(F.split("ngram", " ")).alias("token")
+    )
+    per_entity = (
+        words.join(index, "token")
+        .groupBy("text_id", "n", "ngram", "entity_id")
+        .agg(F.count("*").alias("matched_words"))
+        .filter(F.col("matched_words") == F.col("n"))
+    )
+    return per_entity.select("text_id", "ngram", "n", "entity_id").dropDuplicates()

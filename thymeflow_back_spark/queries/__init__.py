@@ -18,3 +18,4 @@ from . import textstats  # noqa: F401,E402
 from . import rdf  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
 from . import er  # noqa: F401,E402
+from . import fts  # noqa: F401,E402

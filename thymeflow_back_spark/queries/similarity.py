@@ -54,6 +54,56 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, "vec_id", "embedding", TOP_K).orderBy("q_id", "rank")
 
 
+NEAR_DUP_THRESHOLD = 0.4
+
+
+@query(
+    "q_embedding_near_dup",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(
+               list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+               9
+             ) AS score
+      FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, score FROM scored
+    WHERE score >= {NEAR_DUP_THRESHOLD}
+    ORDER BY a_id, b_id
+    """,
+    doc="Embedding-cosine near-duplicate pairs (exact all-pairs baseline; "
+    "operators/ann.py provides the SRP-LSH scale path verified against this "
+    "in tests).",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import as_double_array, dot, norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        as_double_array(F.col("embedding")).alias("v"),
+        norm(as_double_array(F.col("embedding"))).alias("n"),
+    )
+    a = vecs.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"), F.col("n").alias("a_n"))
+    b = vecs.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"), F.col("n").alias("b_n"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")), 9).alias("score"),
+        )
+        .filter(F.col("score") >= NEAR_DUP_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )
+
+
 @query(
     "q_label_centroid_stats",
     oracle="""

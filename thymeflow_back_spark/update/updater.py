@@ -1,0 +1,110 @@
+"""Update routing: apply a user-issued diff with write-back semantics.
+
+Parity with reference Updater.scala:26-196 (SURVEY.md §3.3):
+
+- adds WITH an explicit graph go to that graph;
+- adds WITHOUT a graph are routed to a "possible context" inferred from the
+  subject's existing graphs (most-populated source graph), else to the user
+  graph;
+- removals are applied locally; a removal from a SYNCHRONIZED source graph
+  additionally asserts a negation quad in the user graph so the next sync
+  cannot resurrect the triple (write-back to IMAP/files always fails in the
+  reference — the negation is the durable record of the user's intent);
+- adds a source rejects land in the user graph (here: sources are
+  represented by a write_back callback; None means "cannot write back",
+  the reference's IMAP/file behavior).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..rdf.model import QUAD_COLUMNS, negate
+from ..rdf.store import Diff, StatementStore
+
+USER_GRAPH = "urn:graph:userData"
+
+# write_back(graph, added_df, removed_df) -> bool (True = source accepted)
+WriteBack = Callable[[str, DataFrame, DataFrame], bool]
+
+
+def _route_graphless_adds(store: StatementStore, adds: DataFrame) -> DataFrame:
+    """Adds with NULL graph → the subject's dominant existing graph, else
+    the user graph (reference 'possible contexts' inference,
+    Updater.scala:109-130)."""
+    subject_graphs = (
+        store.quads.groupBy("subject", "graph")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("subject").orderBy(F.desc("n"), F.asc("graph"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("subject", F.col("graph").alias("target_graph"))
+    )
+    return (
+        adds.drop("graph")
+        .join(subject_graphs, "subject", "left")
+        .withColumn("graph", F.coalesce(F.col("target_graph"), F.lit(USER_GRAPH)))
+        .select(*QUAD_COLUMNS)
+    )
+
+
+def _negation_quads(removed: DataFrame) -> DataFrame:
+    """Negation assertions for removals from synchronized graphs."""
+    return removed.select(
+        F.col("subject"),
+        F.concat(F.lit(negate("")), F.col("predicate")).alias("predicate"),
+        F.col("object_value"),
+        F.col("object_type"),
+        F.col("object_datatype"),
+        F.col("object_lang"),
+        F.lit(USER_GRAPH).alias("graph"),
+    ).select(*QUAD_COLUMNS)
+
+
+def apply_update(
+    store: StatementStore,
+    diff: Diff,
+    synchronized_graph_prefix: str = "urn:uuid:",
+    write_back: WriteBack | None = None,
+) -> StatementStore:
+    """Apply a SPARQL-UPDATE-style diff with source write-back routing."""
+    added = diff.added
+    graphless = added.filter(F.col("graph").isNull())
+    explicit = added.filter(F.col("graph").isNotNull())
+    routed = _route_graphless_adds(store, graphless) if not graphless.isEmpty() else graphless
+
+    removed = diff.removed
+    sync_removed = removed.filter(F.col("graph").startswith(synchronized_graph_prefix))
+
+    # attempt write-back per synchronized graph; failures assert negations
+    failed_removals = sync_removed
+    if write_back is not None:
+        accepted_graphs = []
+        for r in sync_removed.select("graph").distinct().collect():
+            g = r.graph
+            ok = write_back(
+                g,
+                explicit.filter(F.col("graph") == g),
+                sync_removed.filter(F.col("graph") == g),
+            )
+            if ok:
+                accepted_graphs.append(g)
+        if accepted_graphs:
+            failed_removals = sync_removed.filter(~F.col("graph").isin(accepted_graphs))
+
+    negations = _negation_quads(failed_removals)
+    effective = Diff(
+        explicit.select(*QUAD_COLUMNS)
+        .unionByName(routed.select(*QUAD_COLUMNS))
+        .unionByName(negations),
+        removed.select(*QUAD_COLUMNS),
+    )
+    return store.apply_diff(effective).materialize()
