@@ -70,7 +70,7 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     "q_events_pivot",
     oracle=f"""
     SELECT user_id,
-           {", ".join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}" for t in EVENT_TYPES)},
+           {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in EVENT_TYPES)},
            COUNT(*) AS total
     FROM events
     GROUP BY user_id

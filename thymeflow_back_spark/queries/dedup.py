@@ -64,9 +64,9 @@ _PERMS_VALUES = ", ".join(
       SELECT md5(text) AS content_hash, COUNT(*) AS group_size
       FROM documents GROUP BY 1
     )
-    SELECT SUM(group_size) AS n_docs,
+    SELECT CAST(SUM(group_size) AS BIGINT) AS n_docs,
            COUNT(*) AS n_distinct,
-           SUM(group_size) - COUNT(*) AS n_duplicates
+           CAST(SUM(group_size) - COUNT(*) AS BIGINT) AS n_duplicates
     FROM groups
     """,
     doc="Exact content dedup: one hash-groupBy on md5(text); summary counts.",

@@ -213,8 +213,8 @@ def q_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_name,
            COUNT(*) AS n_agents,
-           SUM(CASE WHEN kind = 'customer' THEN 1 ELSE 0 END) AS n_customers,
-           SUM(CASE WHEN kind = 'supplier' THEN 1 ELSE 0 END) AS n_suppliers
+           CAST(SUM(CASE WHEN kind = 'customer' THEN 1 ELSE 0 END) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN kind = 'supplier' THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
     FROM agents JOIN nation ON n_nationkey = nationkey
     GROUP BY n_name
     ORDER BY n_name

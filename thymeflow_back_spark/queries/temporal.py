@@ -38,8 +38,8 @@ BUCKET_SECONDS = 600  # 10-min histogram buckets (reference Clustering.scala:29-
     ),
     sessions AS (
       SELECT user_id, event_id, ts_us,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
@@ -126,7 +126,7 @@ def q_overlapping_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN prev_type IS NULL OR event_type <> prev_type THEN 1 ELSE 0 END) AS n_after_dedup
+           CAST(SUM(CASE WHEN prev_type IS NULL OR event_type <> prev_type THEN 1 ELSE 0 END) AS BIGINT) AS n_after_dedup
     FROM ordered
     GROUP BY user_id
     ORDER BY user_id

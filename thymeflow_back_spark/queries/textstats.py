@@ -60,8 +60,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SQL_TOKS}
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(len(toks)) AS total_tokens,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM toks
     GROUP BY lang, source
@@ -92,8 +92,8 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SQL_TOKS}
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(toks)) AS total_words,
-           SUM(CAST(list_sum(list_transform(toks, t -> (len(t) + 3) // 4)) AS BIGINT)) AS est_bpe_tokens
+           CAST(SUM(len(toks)) AS BIGINT) AS total_words,
+           CAST(SUM(CAST(list_sum(list_transform(toks, t -> (len(t) + 3) // 4)) AS BIGINT)) AS BIGINT) AS est_bpe_tokens
     FROM toks
     GROUP BY source
     ORDER BY source
