@@ -7,7 +7,13 @@ import time
 
 from pyspark.sql import functions as F
 
-from thymeflow_back_spark.enrichers import EnrichmentPipeline, ifp_enricher, rdfs_enricher
+from thymeflow_back_spark.enrichers import (
+    EnrichmentPipeline,
+    counting_ifp_enricher,
+    counting_rdfs_enricher,
+    ifp_enricher,
+    rdfs_enricher,
+)
 from thymeflow_back_spark.enrichers.ifp import OUTPUT_GRAPH as IFP_GRAPH
 from thymeflow_back_spark.enrichers.rdfs import SUB_CLASS_OF, SUB_PROPERTY_OF, DOMAIN
 from thymeflow_back_spark.rdf import vocab
@@ -77,6 +83,214 @@ def test_rdfs_forward_chaining(spark):
     assert ("x", vocab.RDF_TYPE, "c:Thing") in got  # transitive subclass
     assert ("x", "p:name", "Ada") in got  # subproperty
     assert ("x", vocab.RDF_TYPE, "c:Named") in got  # domain of inferred prop
+
+
+def test_ifp_retraction_on_redelivery(spark):
+    """Re-delivering a document MINUS its email triple retracts the
+    IFP-derived sameAs pair (reference InferenceCountingInferencer.scala:
+    20-46 — ref-counted derivations, retract at zero)."""
+    pipe = EnrichmentPipeline(
+        StatementStore(make_quads(spark, [])), [counting_ifp_enricher()]
+    )
+    pipe.ingest_document(
+        "g:doc1", make_quads(spark, [iri_q("agent:a", vocab.EMAIL, "mailto:x@y.z", "g:doc1")])
+    )
+    pipe.ingest_document(
+        "g:doc2",
+        make_quads(
+            spark,
+            [
+                iri_q("agent:b", vocab.EMAIL, "mailto:x@y.z", "g:doc2"),
+                iri_q("agent:b", vocab.RDF_TYPE, "c:Person", "g:doc2"),
+            ],
+        ),
+    )
+    assert pipe.store.quads.filter(F.col("predicate") == vocab.SAME_AS).count() == 2
+
+    # redeliver doc2 without the email triple → premise gone → sameAs retracted
+    diff = pipe.ingest_document(
+        "g:doc2", make_quads(spark, [iri_q("agent:b", vocab.RDF_TYPE, "c:Person", "g:doc2")])
+    )
+    assert pipe.store.quads.filter(F.col("predicate") == vocab.SAME_AS).count() == 0
+    assert diff.removed.filter(F.col("predicate") == vocab.SAME_AS).count() == 2
+
+
+def test_ifp_multi_support_survives_single_retraction(spark):
+    """Two shared emails support one sameAs pair; removing one premise must
+    NOT retract the inference (count 2 → 1, not 0)."""
+    pipe = EnrichmentPipeline(
+        StatementStore(make_quads(spark, [])), [counting_ifp_enricher()]
+    )
+    pipe.ingest_document(
+        "g:doc1",
+        make_quads(
+            spark,
+            [
+                iri_q("agent:a", vocab.EMAIL, "mailto:x@y.z", "g:doc1"),
+                iri_q("agent:a", vocab.EMAIL, "mailto:x2@y.z", "g:doc1"),
+            ],
+        ),
+    )
+    pipe.ingest_document(
+        "g:doc2",
+        make_quads(
+            spark,
+            [
+                iri_q("agent:b", vocab.EMAIL, "mailto:x@y.z", "g:doc2"),
+                iri_q("agent:b", vocab.EMAIL, "mailto:x2@y.z", "g:doc2"),
+            ],
+        ),
+    )
+    assert pipe.store.quads.filter(F.col("predicate") == vocab.SAME_AS).count() == 2
+    # drop one of the two shared emails from doc2
+    pipe.ingest_document(
+        "g:doc2", make_quads(spark, [iri_q("agent:b", vocab.EMAIL, "mailto:x@y.z", "g:doc2")])
+    )
+    assert pipe.store.quads.filter(F.col("predicate") == vocab.SAME_AS).count() == 2
+    # drop the last shared email → retract
+    pipe.ingest_document("g:doc2", make_quads(spark, []))
+    assert pipe.store.quads.filter(F.col("predicate") == vocab.SAME_AS).count() == 0
+
+
+def test_rdfs_retraction_on_redelivery(spark):
+    ontology = make_quads(
+        spark,
+        [
+            iri_q("c:Person", SUB_CLASS_OF, "c:Agent", "g:ontology"),
+            iri_q("p:givenName", SUB_PROPERTY_OF, "p:name", "g:ontology"),
+        ],
+    )
+    pipe = EnrichmentPipeline(StatementStore(ontology), [counting_rdfs_enricher()])
+    pipe.ingest_document(
+        "g:doc",
+        make_quads(
+            spark,
+            [
+                iri_q("x", vocab.RDF_TYPE, "c:Person", "g:doc"),
+                ("x", "p:givenName", "Ada", "literal", None, None, "g:doc"),
+            ],
+        ),
+    )
+    inferred = pipe.store.quads.filter(F.col("graph") == "urn:graph:rdfsInferencer")
+    got = {(r.subject, r.predicate, r.object_value) for r in inferred.collect()}
+    assert ("x", vocab.RDF_TYPE, "c:Agent") in got and ("x", "p:name", "Ada") in got
+
+    # redeliver without the type triple → derived supertype retracted,
+    # subproperty-derived name stays
+    pipe.ingest_document(
+        "g:doc", make_quads(spark, [("x", "p:givenName", "Ada", "literal", None, None, "g:doc")])
+    )
+    inferred = pipe.store.quads.filter(F.col("graph") == "urn:graph:rdfsInferencer")
+    got = {(r.subject, r.predicate, r.object_value) for r in inferred.collect()}
+    assert ("x", vocab.RDF_TYPE, "c:Agent") not in got
+    assert ("x", "p:name", "Ada") in got
+
+
+def test_batched_multi_document_ingest(spark):
+    """One ingest_quads call carrying several documents replaces all their
+    graphs with one vectorized set-difference and one enricher pass."""
+    store = StatementStore(
+        make_quads(spark, [iri_q("agent:old", vocab.EMAIL, "mailto:gone@y.z", "g:doc1")])
+    )
+    pipe = EnrichmentPipeline(store, [counting_ifp_enricher()])
+    batch = make_quads(
+        spark,
+        [
+            iri_q("agent:a", vocab.EMAIL, "mailto:x@y.z", "g:doc1"),
+            iri_q("agent:b", vocab.EMAIL, "mailto:x@y.z", "g:doc2"),
+            iri_q("agent:c", vocab.RDF_TYPE, "c:Person", "g:doc3"),
+        ],
+    )
+    diff = pipe.ingest_quads(batch)
+    # doc1's old content replaced, both new docs present, sameAs inferred
+    assert diff.removed.filter(F.col("subject") == "agent:old").count() == 1
+    assert pipe.store.quads.filter(F.col("subject") == "agent:old").count() == 0
+    sameas = {
+        (r.subject, r.object_value)
+        for r in pipe.store.quads.filter(F.col("predicate") == vocab.SAME_AS).collect()
+    }
+    assert sameas == {("agent:a", "agent:b"), ("agent:b", "agent:a")}
+
+
+def test_batched_ingest_cross_graph_dedup(spark):
+    """The same triple delivered by two batch documents lands once, in the
+    lexicographically smallest graph (order-free analogue of sequential
+    per-document ingest)."""
+    pipe = EnrichmentPipeline(StatementStore(make_quads(spark, [])))
+    batch = make_quads(
+        spark,
+        [
+            iri_q("x", vocab.RDF_TYPE, "c:Person", "g:docB"),
+            iri_q("x", vocab.RDF_TYPE, "c:Person", "g:docA"),
+        ],
+    )
+    diff = pipe.ingest_quads(batch)
+    rows = diff.added.collect()
+    assert len(rows) == 1 and rows[0].graph == "g:docA"
+
+
+def test_owl_forward_chaining(spark):
+    """Parity goldens for ForwardChainingSimpleOWLInferencerConnection.scala:
+    23-170: inverseOf both directions, symmetric, transitive chain closure."""
+    from thymeflow_back_spark.enrichers.owl import (
+        INVERSE_OF,
+        OUTPUT_GRAPH,
+        SYMMETRIC_PROPERTY,
+        TRANSITIVE_PROPERTY,
+        owl_enricher,
+    )
+
+    ontology = make_quads(
+        spark,
+        [
+            iri_q("p:hasPart", INVERSE_OF, "p:partOf", "g:ontology"),
+            iri_q("p:knows", vocab.RDF_TYPE, SYMMETRIC_PROPERTY, "g:ontology"),
+            iri_q("p:ancestor", vocab.RDF_TYPE, TRANSITIVE_PROPERTY, "g:ontology"),
+        ],
+    )
+    pipe = EnrichmentPipeline(StatementStore(ontology), [owl_enricher])
+    pipe.ingest_document(
+        "g:doc",
+        make_quads(
+            spark,
+            [
+                iri_q("x", "p:partOf", "y", "g:doc"),
+                iri_q("y", "p:hasPart", "z", "g:doc"),
+                iri_q("a", "p:knows", "b", "g:doc"),
+                iri_q("c1", "p:ancestor", "c2", "g:doc"),
+                iri_q("c2", "p:ancestor", "c3", "g:doc"),
+                iri_q("c3", "p:ancestor", "c4", "g:doc"),
+            ],
+        ),
+    )
+    got = {
+        (r.subject, r.predicate, r.object_value)
+        for r in pipe.store.quads.filter(F.col("graph") == OUTPUT_GRAPH).collect()
+    }
+    assert ("y", "p:hasPart", "x") in got  # inverseOf: x partOf y → y hasPart x
+    assert ("z", "p:partOf", "y") in got  # inverseOf other direction
+    assert ("b", "p:knows", "a") in got  # symmetric
+    # transitive closure of the 3-link chain
+    assert ("c1", "p:ancestor", "c3") in got
+    assert ("c1", "p:ancestor", "c4") in got
+    assert ("c2", "p:ancestor", "c4") in got
+
+
+def test_owl_schema_addition_refires_rules(spark):
+    """Declaring a property symmetric AFTER its statements exist re-fires
+    the rules over the whole store (reference rule-1 variants)."""
+    from thymeflow_back_spark.enrichers.owl import SYMMETRIC_PROPERTY, owl_enricher
+
+    base = make_quads(spark, [iri_q("a", "p:knows", "b", "g:doc")])
+    pipe = EnrichmentPipeline(StatementStore(base), [owl_enricher])
+    pipe.ingest_document(
+        "g:schema",
+        make_quads(spark, [iri_q("p:knows", vocab.RDF_TYPE, SYMMETRIC_PROPERTY, "g:schema")]),
+    )
+    got = {
+        (r.subject, r.predicate, r.object_value) for r in pipe.store.quads.collect()
+    }
+    assert ("b", "p:knows", "a") in got
 
 
 def test_streaming_pipeline_drive(spark, tmp_path):

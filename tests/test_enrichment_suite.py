@@ -136,6 +136,73 @@ def test_update_routing_and_negation(spark):
     }
 
 
+def test_update_readd_clears_negation(spark):
+    """A user re-add removes the matching negation quad (Updater.scala:34-36)
+    — without this, a once-removed triple stays suppressed forever."""
+    doc_graph = "urn:uuid:doc-1"
+    store = StatementStore(make_quads(spark, [lit_q("s1", "p:name", "Old", doc_graph)]))
+    # remove (asserts negation), then re-add the same triple
+    store = apply_update(
+        store,
+        Diff(
+            added=make_quads(spark, []),
+            removed=make_quads(spark, [lit_q("s1", "p:name", "Old", doc_graph)]),
+        ),
+    )
+    assert ("s1", "urn:neg:p:name", "Old") in {
+        (r.subject, r.predicate, r.object_value) for r in store.quads.collect()
+    }
+    store = apply_update(
+        store,
+        Diff(
+            added=make_quads(spark, [lit_q("s1", "p:name", "Old", USER_GRAPH)]),
+            removed=make_quads(spark, []),
+        ),
+    )
+    rows = {(r.subject, r.predicate, r.object_value) for r in store.quads.collect()}
+    assert ("s1", "urn:neg:p:name", "Old") not in rows
+    assert ("s1", "p:name", "Old") in rows
+    # re-sync can now resurrect the triple into the doc graph
+    store2, diff = store.add_document(
+        doc_graph, make_quads(spark, [lit_q("s1", "p:name", "New", doc_graph)])
+    )
+    assert ("s1", "p:name", "New") in {
+        (r.subject, r.predicate, r.object_value) for r in store2.quads.collect()
+    }
+
+
+def test_update_graphless_removal_resolves_graphs(spark):
+    """Removals with NULL graph expand to every matching store statement
+    (Updater.scala:138-144) instead of silently no-oping."""
+    nullable_schema = (
+        "subject string, predicate string, object_value string, object_type string, "
+        "object_datatype string, object_lang string, graph string"
+    )
+    xsd_s = "http://www.w3.org/2001/XMLSchema#string"
+    store = StatementStore(
+        make_quads(
+            spark,
+            [
+                lit_q("s1", "p:name", "Old", "urn:uuid:doc-1"),
+                lit_q("s1", "p:name", "Old2", "urn:uuid:doc-2"),
+            ],
+        )
+    )
+    diff = Diff(
+        added=make_quads(spark, []),
+        removed=spark.createDataFrame(
+            [("s1", "p:name", "Old", "literal", xsd_s, None, None)], nullable_schema
+        ),
+    )
+    out = apply_update(store, diff)
+    rows = {(r.subject, r.predicate, r.object_value, r.graph) for r in out.quads.collect()}
+    assert ("s1", "p:name", "Old", "urn:uuid:doc-1") not in rows
+    # the other value untouched
+    assert ("s1", "p:name", "Old2", "urn:uuid:doc-2") in rows
+    # negation asserted for the resolved synchronized-graph removal
+    assert ("s1", "urn:neg:p:name", "Old", USER_GRAPH) in rows
+
+
 # --- geocoder cache -----------------------------------------------------------
 
 

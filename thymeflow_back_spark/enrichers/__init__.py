@@ -8,8 +8,18 @@ store by the pipeline and appended to the flowing diff, preserving the
 reference's stage-chaining semantics with exactly-once application.
 """
 
-from .ifp import ifp_enricher
-from .rdfs import rdfs_enricher
+from .counting import CountingInferencer
+from .ifp import counting_ifp_enricher, ifp_enricher
+from .owl import owl_enricher
+from .rdfs import counting_rdfs_enricher, rdfs_enricher
 from .pipeline import EnrichmentPipeline
 
-__all__ = ["ifp_enricher", "rdfs_enricher", "EnrichmentPipeline"]
+__all__ = [
+    "CountingInferencer",
+    "counting_ifp_enricher",
+    "counting_rdfs_enricher",
+    "ifp_enricher",
+    "owl_enricher",
+    "rdfs_enricher",
+    "EnrichmentPipeline",
+]

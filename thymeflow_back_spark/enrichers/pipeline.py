@@ -27,7 +27,18 @@ class EnrichmentPipeline:
     def ingest_document(self, graph: str, statements: DataFrame) -> Diff:
         """Replace one document graph, run the enricher chain, return the
         total effective diff."""
-        store, diff = self.store.add_document(graph, statements)
+        return self.ingest_quads(
+            statements.withColumn("graph", F.lit(graph)), graphs=[graph]
+        )
+
+    def ingest_quads(self, quads: DataFrame, graphs: list[str] | None = None) -> Diff:
+        """Batch entry point: replace ALL document graphs present in the
+        batch with one vectorized set-difference (StatementStore.
+        add_documents), then run the enricher chain ONCE over the combined
+        diff. A micro-batch of n re-delivered documents costs O(1) Spark
+        job chains, not O(n) — this is the foreachBatch entry point for
+        Structured Streaming."""
+        store, diff = self.store.add_documents(quads, graphs=graphs)
         store = store.materialize()
         for enricher in self.enrichers:
             extra = enricher(store, diff)
@@ -35,13 +46,3 @@ class EnrichmentPipeline:
             diff = diff.union(extra)
         self.store = store
         return diff
-
-    def ingest_quads(self, quads: DataFrame) -> list[Diff]:
-        """Batch entry point: split by graph, ingest each as a document.
-        Used from Structured Streaming foreachBatch — each micro-batch may
-        carry several (re)delivered documents."""
-        graphs = [r.graph for r in quads.select("graph").distinct().collect()]
-        diffs = []
-        for g in sorted(graphs):
-            diffs.append(self.ingest_document(g, quads.filter(F.col("graph") == g)))
-        return diffs

@@ -18,6 +18,7 @@ from ..operators.closure import transitive_closure
 from ..rdf import vocab
 from ..rdf.model import QUAD_COLUMNS
 from ..rdf.store import Diff, StatementStore
+from .counting import CountingInferencer
 
 RDFS = "http://www.w3.org/2000/01/rdf-schema#"
 SUB_CLASS_OF = RDFS + "subClassOf"
@@ -27,19 +28,17 @@ RANGE = RDFS + "range"
 OUTPUT_GRAPH = "urn:graph:rdfsInferencer"
 
 
-def _as_quads(df: DataFrame) -> DataFrame:
-    """(subject, predicate, object_value, object_type) → full quad rows."""
-    return (
-        df.withColumn("object_datatype", F.lit(None).cast("string"))
-        .withColumn("object_lang", F.lit(None).cast("string"))
-        .withColumn("graph", F.lit(OUTPUT_GRAPH))
-        .select(*QUAD_COLUMNS)
-        .dropDuplicates(list(QUAD_COLUMNS))
-    )
+def rdfs_derivations(
+    premises: DataFrame, universe: DataFrame, store: StatementStore
+) -> DataFrame:
+    """RDFS consequences of ``premises`` with derivation multiplicities.
 
-
-def rdfs_enricher(store: StatementStore, diff: Diff) -> Diff:
-    """Materialize RDFS consequences of the diff's added statements."""
+    Each (premise, rule-application) is one derivation instance; the
+    returned ``n`` counts instances per derived quad. Rules are single-
+    premise given the ontology (treated as static schema state, like the
+    reference's startup-loaded ontology graph), so running this on added
+    and removed premises symmetrically yields exact ref-counts for the
+    CountingInferencer."""
     ontology = store.quads.filter(
         F.col("predicate").isin(SUB_CLASS_OF, SUB_PROPERTY_OF, DOMAIN, RANGE)
     ).select("subject", "predicate", "object_value")
@@ -62,7 +61,11 @@ def rdfs_enricher(store: StatementStore, diff: Diff) -> Diff:
         F.col("subject").alias("p"), F.col("object_value").alias("cls")
     )
 
-    added = diff.added
+    # premise identity is the triple (graph-insensitive, like cross-context
+    # dedup): multiple graph copies of one triple are one premise
+    added = premises.select(
+        "subject", "predicate", "object_value", "object_type"
+    ).dropDuplicates()
 
     # rdfs9/11: x a C, C ⊑* D → x a D
     types = added.filter(F.col("predicate") == vocab.RDF_TYPE).select(
@@ -128,7 +131,26 @@ def rdfs_enricher(store: StatementStore, diff: Diff) -> Diff:
             F.lit("iri").alias("object_type"),
         )
     )
-    new_quads = _as_quads(derived.unionByName(derived2))
+    return (
+        derived.unionByName(derived2)
+        .groupBy("subject", "predicate", "object_value", "object_type")
+        .agg(F.count("*").alias("n"))
+        .withColumn("object_datatype", F.lit(None).cast("string"))
+        .withColumn("object_lang", F.lit(None).cast("string"))
+        .withColumn("graph", F.lit(OUTPUT_GRAPH))
+        .select(*QUAD_COLUMNS, "n")
+    )
+
+
+def counting_rdfs_enricher() -> CountingInferencer:
+    """RDFS enricher with ref-counted retraction (the pipeline default)."""
+    return CountingInferencer(rdfs_derivations)
+
+
+def rdfs_enricher(store: StatementStore, diff: Diff) -> Diff:
+    """Stateless add-only form: materialize RDFS consequences of the diff's
+    added statements (monotone per batch; no retraction state)."""
+    new_quads = rdfs_derivations(diff.added, store.quads, store).drop("n")
     new_quads = new_quads.join(
         store.quads.select(*QUAD_COLUMNS), on=list(QUAD_COLUMNS), how="left_anti"
     )

@@ -39,6 +39,7 @@ def connected_components(
         .dropDuplicates()
         .withColumn("component", F.col("node"))
     )
+    converged = False
     for i in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -65,9 +66,30 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
         else:
             labels = new_labels
+    if not converged:
+        # exit by iteration cap: silently-split components would be a wrong
+        # answer, not a slow one — verify a full propagation round is a no-op
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        pending = (
+            labels.join(neighbor_min, "node")
+            .filter(F.col("nbr_component") < F.col("component"))
+            .limit(1)
+            .count()
+        )
+        if pending:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                "iterations (component diameter exceeds the cap); raise "
+                "max_iterations or use a large-star/small-star variant"
+            )
     return labels
 
 
@@ -82,6 +104,7 @@ def transitive_closure(
     reach = nodes.select(F.col("s"), F.col("s").alias("d"))  # reflexive
     frontier = base
     reach = reach.unionByName(frontier).dropDuplicates()
+    converged = False
     for i in range(max_iterations):
         step = (
             frontier.alias("f")
@@ -91,7 +114,13 @@ def transitive_closure(
         )
         new_frontier = step.join(reach, on=["s", "d"], how="left_anti").localCheckpoint(eager=True)
         if new_frontier.limit(1).count() == 0:
+            converged = True
             break
         reach = reach.unionByName(new_frontier).dropDuplicates().localCheckpoint(eager=True)
         frontier = new_frontier
+    if not converged:
+        raise RuntimeError(
+            f"transitive_closure did not converge in {max_iterations} iterations "
+            "(path length exceeds the cap); raise max_iterations"
+        )
     return reach.select(F.col("s").alias(src), F.col("d").alias(dst))

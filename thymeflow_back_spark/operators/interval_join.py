@@ -56,11 +56,16 @@ def interval_overlap_join(
     bucket_us = bucket_seconds * 1_000_000
     lb = _with_buckets(left, left_start, left_end, bucket_us)
     rb = _with_buckets(right, right_start, right_end, bucket_us).withColumnRenamed("__bucket", "__bucket_r")
-    cond = [lb[k] == rb[k] for k in on] + [lb["__bucket"] == rb["__bucket_r"]]
+    # rename right-side keys so the output carries ONE unambiguous column per
+    # join key (downstream F.col(key) / dropDuplicates would otherwise see
+    # two identically-named columns)
+    for k in on:
+        rb = rb.withColumnRenamed(k, f"__r_{k}")
+    cond = [lb[k] == rb[f"__r_{k}"] for k in on] + [lb["__bucket"] == rb["__bucket_r"]]
     joined = (
         lb.join(rb, cond)
         .filter((F.col(left_start) <= F.col(right_end)) & (F.col(right_start) <= F.col(left_end)))
-        .drop("__bucket", "__bucket_r")
+        .drop("__bucket", "__bucket_r", *[f"__r_{k}" for k in on])
     )
     # a pair that overlaps k buckets appears k times — keep one
     return joined.dropDuplicates(list(dedup_cols) if dedup_cols else None)

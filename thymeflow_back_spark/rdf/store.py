@@ -41,6 +41,10 @@ def _anti(a: DataFrame, b: DataFrame, cols) -> DataFrame:
     return a.join(b, on=_null_safe_cond(a, b, cols), how="left_anti")
 
 
+def _semi(a: DataFrame, b: DataFrame, cols) -> DataFrame:
+    return a.join(b, on=_null_safe_cond(a, b, cols), how="left_semi")
+
+
 @dataclass(frozen=True)
 class Diff:
     """StatementSetDiff: the unit of dataflow between pipeline stages."""
@@ -110,17 +114,64 @@ class StatementStore:
         triple present in another context, or that are negated, are filtered
         out of both the store and the diff.
         """
-        new = statements.withColumn("graph", F.lit(graph)).select(*QUAD_COLUMNS).dropDuplicates(
-            list(QUAD_COLUMNS)
+        return self.add_documents(
+            statements.withColumn("graph", F.lit(graph)), graphs=[graph]
         )
-        current = self.graph(graph)
+
+    def add_documents(
+        self, quads: DataFrame, graphs: list[str] | None = None
+    ) -> tuple["StatementStore", Diff]:
+        """Replace EVERY named graph present in ``quads``, in one set of joins.
+
+        Batch form of the reference's per-document replace (Pipeline.scala:
+        61-93 run once per delivered document): a micro-batch of n re-delivered
+        documents is ingested with O(1) Spark jobs, not n sequential job
+        chains. Cross-context dedup is defined against the post-batch state —
+        an add is skipped if its (s,p,o):
+
+        - exists in a graph outside the batch, or
+        - is kept (unchanged) by another batch graph, or
+        - is also added by a lexicographically smaller batch graph (the
+          deterministic stand-in for the reference's sequential doc order), or
+        - has an asserted negation quad.
+
+        ``graphs``: extra graph IRIs to treat as (re)delivered even when the
+        batch carries no rows for them — an EMPTY re-delivery must still
+        clear its graph (the reference replaces with the empty set too).
+        """
+        new = quads.select(*QUAD_COLUMNS).dropDuplicates(list(QUAD_COLUMNS))
+        batch_graphs = new.select("graph").distinct()
+        if graphs:
+            extra = quads.sparkSession.createDataFrame(
+                [(g,) for g in graphs], "graph string"
+            )
+            batch_graphs = batch_graphs.unionByName(extra).distinct()
+        current = self.quads.join(batch_graphs, on="graph", how="left_semi").select(
+            *QUAD_COLUMNS
+        )
         added = _anti(new, current, QUAD_COLUMNS)
         removed = _anti(current, new, QUAD_COLUMNS)
 
-        # cross-context dedup: skip adds whose (s,p,o) exists in another graph
-        elsewhere = self.quads.filter(F.col("graph") != graph).select(*SPO).dropDuplicates()
+        # (1) cross-context dedup vs graphs not in this batch (their content
+        # is unchanged by the batch, so pre-state == post-state)
+        elsewhere = (
+            self.quads.join(batch_graphs, on="graph", how="left_anti")
+            .select(*SPO)
+            .dropDuplicates()
+        )
         added = _anti(added, elsewhere, SPO)
-        # negation filter: skip adds with an asserted negation
+        # (2) dedup vs triples kept unchanged by OTHER batch graphs
+        kept = _semi(new, current, QUAD_COLUMNS).select(*SPO, "graph")
+        added = added.join(
+            kept,
+            on=_null_safe_cond(added, kept, SPO) & (added["graph"] != kept["graph"]),
+            how="left_anti",
+        )
+        # (3) among adds of the same triple in several batch graphs, the
+        # smallest graph IRI wins (order-free analogue of sequential ingest)
+        winner = added.groupBy(*SPO).agg(F.min("graph").alias("graph"))
+        added = _semi(added, winner, (*SPO, "graph"))
+        # (4) negation filter: skip adds with an asserted negation
         added = _anti(
             added, self.negations(), ["subject", "predicate", "object_value", "object_type"]
         )

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..rdf import vocab
 from ..rdf.model import QUAD_SCHEMA, XSD_DATETIME, XSD_DOUBLE
-from .common import mint, q
+from .common import mint, mint_col, q
 
 _DT = "http://www.w3.org/2001/XMLSchema#double"
 
@@ -78,8 +78,11 @@ def location_history_df(spark: SparkSession, path: str) -> DataFrame:
     )
     dt = F.timestamp_millis(F.col("ts_ms"))
     day = F.date_format(dt, "yyyy-MM-dd")
-    p_iri = F.concat(F.lit("urn:location:"), F.sha1(F.concat(F.lit(path), F.lit(":"), F.col("ts_ms"))))
-    g_iri = F.concat(F.lit("urn:location-day:"), day)
+    # identical IRIs to the per-file path (_point_quads): same mint inputs →
+    # same graphs, so the two ingestion paths agree and two archives that
+    # share a day don't collide into one graph
+    p_iri = mint_col("location", F.concat(F.lit(f"{path}:"), F.col("ts_ms")))
+    g_iri = mint_col("location-day", F.concat(F.lit(f"{path}:"), day))
 
     def quad(pred: str, obj, otype: str, dtype: str | None) -> DataFrame:
         return pts.select(

@@ -23,8 +23,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..rdf.model import QUAD_COLUMNS, negate
+from ..rdf.model import NEG_PREFIX, QUAD_COLUMNS, negate
 from ..rdf.store import Diff, StatementStore
+
+SPOT = ("subject", "predicate", "object_value", "object_type")
 
 USER_GRAPH = "urn:graph:userData"
 
@@ -81,7 +83,19 @@ def apply_update(
     explicit = added.filter(F.col("graph").isNotNull())
     routed = _route_graphless_adds(store, graphless) if not graphless.isEmpty() else graphless
 
+    # removals with NULL graph expand to ALL matching store statements
+    # (reference Updater.scala:138-144 — a context-less DELETE means "this
+    # triple, wherever it lives"), mirroring _route_graphless_adds
     removed = diff.removed
+    graphless_rm = removed.filter(F.col("graph").isNull())
+    explicit_rm = removed.filter(F.col("graph").isNotNull())
+    if not graphless_rm.isEmpty():
+        resolved = store.quads.join(
+            graphless_rm.select(*SPOT).dropDuplicates(), on=list(SPOT), how="left_semi"
+        )
+        removed = explicit_rm.unionByName(resolved.select(*QUAD_COLUMNS))
+    else:
+        removed = explicit_rm
     sync_removed = removed.filter(F.col("graph").startswith(synchronized_graph_prefix))
 
     # attempt write-back per synchronized graph; failures assert negations
@@ -101,10 +115,23 @@ def apply_update(
             failed_removals = sync_removed.filter(~F.col("graph").isin(accepted_graphs))
 
     negations = _negation_quads(failed_removals)
+    all_adds = explicit.select(*QUAD_COLUMNS).unionByName(routed.select(*QUAD_COLUMNS))
+
+    # a user re-add clears any matching negation quad (reference Updater.
+    # scala:34-36) — otherwise a once-removed triple stays suppressed forever,
+    # since add_documents anti-joins sync adds against negations on every sync
+    neg_keys = all_adds.select(
+        "subject",
+        F.concat(F.lit(NEG_PREFIX), F.col("predicate")).alias("predicate"),
+        "object_value",
+        "object_type",
+    ).dropDuplicates()
+    cleared_negations = store.quads.filter(
+        F.col("predicate").startswith(NEG_PREFIX)
+    ).join(neg_keys, on=list(SPOT), how="left_semi")
+
     effective = Diff(
-        explicit.select(*QUAD_COLUMNS)
-        .unionByName(routed.select(*QUAD_COLUMNS))
-        .unionByName(negations),
-        removed.select(*QUAD_COLUMNS),
+        all_adds.unionByName(negations),
+        removed.select(*QUAD_COLUMNS).unionByName(cleared_negations.select(*QUAD_COLUMNS)),
     )
     return store.apply_diff(effective).materialize()
