@@ -86,6 +86,67 @@ def test_primary_facet_election(spark):
     assert got == {("a", "b"), ("b", "b")}
 
 
+# --- location-event enricher --------------------------------------------------
+
+
+def test_location_event_enricher(spark):
+    """LocationEventEnricher.scala:66-95 parity: overlap >20% of the event
+    and ≤1 km (or missing geo) → (event, schema:location, stay) quad."""
+    from thymeflow_back_spark.enrichers.location_events import (
+        OUTPUT_GRAPH,
+        location_event_enricher,
+    )
+    from thymeflow_back_spark.enrichers import EnrichmentPipeline
+    from thymeflow_back_spark.rdf.model import XSD_DATETIME, XSD_DOUBLE
+
+    def dt_q(s, p, o, g):
+        return (s, p, o, "literal", XSD_DATETIME, None, g)
+
+    def num_q(s, p, o, g):
+        return (s, p, o, "literal", XSD_DOUBLE, None, g)
+
+    # stay 10:00-11:00 at (48.0, 2.0); nearby event 10:00-10:30 (full overlap),
+    # far event 10:00-10:30 at ~22 km, barely-overlapping event 10:54-11:54
+    # (10% of event inside), geo-less event 10:00-10:30 (passes)
+    base = [
+        iri_q("stay:1", vocab.RDF_TYPE, vocab.STAY, "g:stays"),
+        dt_q("stay:1", vocab.START_DATE, "2024-01-01T10:00:00+00:00", "g:stays"),
+        dt_q("stay:1", vocab.END_DATE, "2024-01-01T11:00:00+00:00", "g:stays"),
+        iri_q("stay:1", vocab.GEO, "geo:s1", "g:stays"),
+        num_q("geo:s1", vocab.LATITUDE, "48.0", "g:stays"),
+        num_q("geo:s1", vocab.LONGITUDE, "2.0", "g:stays"),
+    ]
+    events = []
+    for ev, start, end, latlon in [
+        ("event:near", "10:00:00", "10:30:00", ("48.001", "2.0")),
+        ("event:far", "10:00:00", "10:30:00", ("48.2", "2.0")),
+        ("event:thin", "10:54:00", "11:54:00", ("48.0", "2.0")),
+        ("event:nogeo", "10:00:00", "10:30:00", None),
+    ]:
+        events += [
+            iri_q(ev, vocab.RDF_TYPE, vocab.EVENT, "g:cal"),
+            dt_q(ev, vocab.START_DATE, f"2024-01-01T{start}+00:00", "g:cal"),
+            dt_q(ev, vocab.END_DATE, f"2024-01-01T{end}+00:00", "g:cal"),
+        ]
+        if latlon:
+            events += [
+                iri_q(ev, vocab.GEO, f"geo:{ev}", "g:cal"),
+                num_q(f"geo:{ev}", vocab.LATITUDE, latlon[0], "g:cal"),
+                num_q(f"geo:{ev}", vocab.LONGITUDE, latlon[1], "g:cal"),
+            ]
+    pipe = EnrichmentPipeline(
+        StatementStore(make_quads(spark, base)), [location_event_enricher]
+    )
+    pipe.ingest_document("g:cal", make_quads(spark, events))
+    located = {
+        r.subject
+        for r in pipe.store.quads.filter(
+            (F.col("graph") == OUTPUT_GRAPH) & (F.col("predicate") == vocab.LOCATION)
+        ).collect()
+    }
+    assert located == {"event:near", "event:nogeo"}
+
+
 # --- updater ------------------------------------------------------------------
 
 
@@ -206,11 +267,14 @@ def test_update_graphless_removal_resolves_graphs(spark):
 # --- geocoder cache -----------------------------------------------------------
 
 
-def test_cached_geocoder(spark):
-    calls = []
+def test_cached_geocoder(spark, tmp_path):
+    # the fetch runs EXECUTOR-side (mapInPandas) — count invocations through
+    # a file the worker processes append to, not a driver closure list
+    log_path = str(tmp_path / "fetch_log")
 
     def fake_fetch(kind, query):
-        calls.append((kind, query))
+        with open(log_path, "a") as fh:
+            fh.write(f"{kind}\t{query}\n")
         if query == "Cafe de Flore":
             return [Feature(name="Cafe de Flore", lon=2.3325, lat=48.8542, country="France")]
         if query == "Springfield":
@@ -219,6 +283,13 @@ def test_cached_geocoder(spark):
                 Feature(name="Springfield MA", lon=-72.6, lat=42.1),
             ]
         return []
+
+    def n_calls():
+        try:
+            with open(log_path) as fh:
+                return sum(1 for _ in fh)
+        except FileNotFoundError:
+            return 0
 
     geo = CachedGeocoder(spark, fake_fetch)
     places = spark.createDataFrame(
@@ -229,10 +300,10 @@ def test_cached_geocoder(spark):
     assert out["p1"].certain and out["p1"].n_features == 1
     assert (not out["p2"].certain) and out["p2"].n_features == 2
     assert out["p3"].n_features == 0
-    n_calls = len(calls)
+    assert n_calls() == 3  # each distinct miss fetched exactly once
     # same lookup again → served from cache, no new fetches
     geo.geocode_places(places).collect()
-    assert len(calls) == n_calls
+    assert n_calls() == 3
 
 
 # --- multimodal ---------------------------------------------------------------

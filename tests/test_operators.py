@@ -75,6 +75,41 @@ def test_interval_self_join_matches_naive(spark):
     assert got == naive
 
 
+def test_jaccard_hot_shingle_cap(spark):
+    """Document-frequency cap: stop-shingles are excluded from blocking (the
+    candidate join stays bounded on a boilerplate-heavy corpus) while the
+    Jaccard value of surviving pairs stays EXACT."""
+    from thymeflow_back_spark.operators.dedup import jaccard_pairs, word_shingles
+
+    # every doc shares the same boilerplate prefix; only (0, 1) share real text
+    boiler = "all rights reserved by the example corporation"
+    rows = [(0, boiler + " alpha beta gamma delta"), (1, boiler + " alpha beta gamma delta")]
+    rows += [(i, f"{boiler} unique{i} text{i} body{i} tail{i}") for i in range(2, 30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(docs, "doc_id", "text", 3)
+
+    capped = jaccard_pairs(sh, "doc_id", threshold=0.3, max_doc_freq=5).collect()
+    exact = {
+        (r.a_id, r.b_id): (r.n_common, round(r.jaccard, 9))
+        for r in jaccard_pairs(sh, "doc_id", threshold=0.3).collect()
+    }
+    assert {(r.a_id, r.b_id) for r in capped} == {(0, 1)}
+    # verification recomputes against FULL shingle sets: boilerplate shingles
+    # still count toward n_common/jaccard even though they were not blockable
+    got = {(r.a_id, r.b_id): (r.n_common, round(r.jaccard, 9)) for r in capped}
+    assert got[(0, 1)] == exact[(0, 1)]
+
+
+def test_fts_index_hot_token_cap(spark):
+    from thymeflow_back_spark.operators.fts import build_index
+
+    rows = [(i, f"common word{i}") for i in range(10)]
+    ents = spark.createDataFrame(rows, "id long, text string")
+    idx = build_index(ents, "id", "text", max_doc_freq=5)
+    toks = {r.token for r in idx.collect()}
+    assert "common" not in toks and "word3" in toks
+
+
 def test_top_k_per_group_deterministic(spark):
     df = spark.createDataFrame(
         [("g1", 1, 10.0), ("g1", 2, 10.0), ("g1", 3, 5.0), ("g2", 4, 1.0)],

@@ -1,0 +1,144 @@
+"""SPARQL text front-end tests: parse → compile → run over a quad fixture
+(the §2.3 operator contract through the string surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from thymeflow_back_spark.plans.sparql import sparql_ask, sparql_select
+from thymeflow_back_spark.rdf import vocab
+from thymeflow_back_spark.rdf.model import make_quads
+
+
+def iri_q(s, p, o, g):
+    return (s, p, o, "iri", None, None, g)
+
+
+def lit_q(s, p, o, g):
+    return (s, p, o, "literal", "http://www.w3.org/2001/XMLSchema#string", None, g)
+
+
+@pytest.fixture()
+def quads(spark):
+    return make_quads(
+        spark,
+        [
+            iri_q("p:alice", vocab.RDF_TYPE, "c:Person", "g:a"),
+            lit_q("p:alice", "schema:name", "Alice", "g:a"),
+            lit_q("p:alice", "schema:email", "a@x.y", "g:a"),
+            iri_q("p:bob", vocab.RDF_TYPE, "c:Person", "g:b"),
+            lit_q("p:bob", "schema:name", "Bob", "g:b"),
+            iri_q("p:carol", vocab.RDF_TYPE, "c:Robot", "g:b"),
+            lit_q("p:carol", "schema:name", "Carol", "g:b"),
+            lit_q("p:carol", "p:age", "5", "g:b"),
+            iri_q("p:alice", "p:knows", "p:bob", "g:a"),
+            iri_q("p:bob", "p:knows", "p:carol", "g:b"),
+        ],
+    ).localCheckpoint(eager=True)
+
+
+PFX = 'PREFIX p: <p:> PREFIX c: <c:> PREFIX schema: <schema:> PREFIX g: <g:> '
+
+
+def test_select_bgp_optional(quads):
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?who ?name ?email WHERE {
+          ?who a c:Person ; schema:name ?name .
+          OPTIONAL { ?who schema:email ?email }
+        } ORDER BY ?name
+        """,
+    ).collect()
+    assert [(r.who, r.name, r.email) for r in rows] == [
+        ("p:alice", "Alice", "a@x.y"),
+        ("p:bob", "Bob", None),
+    ]
+
+
+def test_union_and_filter_in(quads):
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?who WHERE {
+          { ?who a c:Person } UNION { ?who a c:Robot }
+          ?who schema:name ?name .
+          FILTER(?name IN ("Alice", "Carol"))
+        } ORDER BY ?who
+        """,
+    ).collect()
+    assert [r.who for r in rows] == ["p:alice", "p:carol"]
+
+
+def test_graph_scoping(quads):
+    rows = sparql_select(
+        quads,
+        PFX + "SELECT ?who WHERE { GRAPH g:a { ?who a c:Person } }",
+    ).collect()
+    assert [r.who for r in rows] == ["p:alice"]
+
+
+def test_numeric_filter_and_limit(quads):
+    rows = sparql_select(
+        quads,
+        PFX + "SELECT ?who WHERE { ?who p:age ?age . FILTER(?age > 3) } LIMIT 1",
+    ).collect()
+    assert [r.who for r in rows] == ["p:carol"]
+
+
+def test_group_count_distinct(quads):
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?cls (COUNT(?who) AS ?n) WHERE { ?who a ?cls }
+        GROUP BY ?cls ORDER BY DESC(?n) ?cls
+        """,
+    ).collect()
+    assert [(r.cls, r.n) for r in rows] == [("c:Person", 2), ("c:Robot", 1)]
+
+
+def test_property_path_sequence(quads):
+    # knows/name: one-hop chain desugared to a fresh intermediate variable
+    rows = sparql_select(
+        quads,
+        PFX + "SELECT ?name WHERE { p:alice p:knows/schema:name ?name }",
+    ).collect()
+    assert [r.name for r in rows] == ["Bob"]
+
+
+def test_property_path_star(quads):
+    # knows*: reflexive-transitive closure — alice reaches herself, bob, carol
+    rows = sparql_select(
+        quads,
+        PFX + "SELECT ?who WHERE { p:alice p:knows* ?who } ORDER BY ?who",
+    ).collect()
+    assert [r.who for r in rows] == ["p:alice", "p:bob", "p:carol"]
+
+
+def test_ask(quads):
+    assert sparql_ask(quads, PFX + "ASK { ?x schema:email ?e }")
+    assert not sparql_ask(quads, PFX + 'ASK { ?x schema:email "nobody@x" }')
+
+
+def test_sample_aggregate(quads):
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?cls (SAMPLE(?name) AS ?a_name) WHERE {
+          ?who a ?cls ; schema:name ?name
+        } GROUP BY ?cls ORDER BY ?cls
+        """,
+    ).collect()
+    assert rows[0].cls == "c:Person" and rows[0].a_name in ("Alice", "Bob")
+
+
+def test_parse_errors(quads):
+    with pytest.raises(SyntaxError):
+        sparql_select(quads, "SELECT ?x WHERE { ?x unknown:p ?y }")
+    with pytest.raises(SyntaxError):
+        sparql_select(quads, "SELECT ?x WHERE { ?x }")

@@ -59,9 +59,19 @@ class Geocoder:
 
 
 class CachedGeocoder:
-    def __init__(self, spark: SparkSession, fetch: Fetch, cache: DataFrame | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        fetch: Fetch,
+        cache: DataFrame | None = None,
+        parallelism: int = 2,
+    ):
         self.spark = spark
         self._fetch = fetch
+        # reference runs its geocoder HTTP at parallelism 2
+        # (PlacesGeocoderEnricher.scala:28); here it is the partition count
+        # of the executor-side miss fetch
+        self.parallelism = parallelism
         self.cache = (
             cache if cache is not None else spark.createDataFrame([], CACHE_SCHEMA)
         )
@@ -69,22 +79,37 @@ class CachedGeocoder:
     def lookup_batch(self, queries: DataFrame) -> DataFrame:
         """queries(kind, query) → (kind, query, features JSON).
 
-        Cache hits are served by a join; misses are fetched (driver-side
-        here — batched mapInPandas in the scale deployment) and merged into
-        the cache.
-        """
+        Cache hits are served by a join; misses are fetched EXECUTOR-SIDE in
+        Arrow batches (mapInPandas over ``parallelism`` partitions — the
+        reference's parallelism-2 async HTTP, CachedGeocoder.scala:34-80)
+        and merged into the cache. The fetch callable is shipped to
+        executors, so it must be picklable and self-contained (carry its own
+        HTTP session setup)."""
         q = queries.select("kind", "query").dropDuplicates()
         hits = q.join(self.cache, ["kind", "query"])
         misses = q.join(self.cache.select("kind", "query"), ["kind", "query"], "left_anti")
-        miss_rows = misses.collect()
-        fetched = [
-            (r.kind, r.query, json.dumps([asdict(f) for f in self._fetch(r.kind, r.query)]))
-            for r in miss_rows
-        ]
-        if fetched:
-            new_entries = self.spark.createDataFrame(fetched, CACHE_SCHEMA)
-            self.cache = self.cache.unionByName(new_entries).localCheckpoint(eager=True)
-            return hits.unionByName(new_entries)
+
+        fetch = self._fetch
+
+        def fetch_partition(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["features"] = [
+                    json.dumps([asdict(f) for f in fetch(k, qq)])
+                    for k, qq in zip(pdf["kind"], pdf["query"])
+                ]
+                yield pdf[["kind", "query", "features"]]
+
+        # eager checkpoint: the external fetch runs exactly once, not on
+        # every downstream action
+        fetched = (
+            misses.repartition(self.parallelism)
+            .mapInPandas(fetch_partition, CACHE_SCHEMA)
+            .localCheckpoint(eager=True)
+        )
+        if fetched.limit(1).count():
+            self.cache = self.cache.unionByName(fetched).localCheckpoint(eager=True)
+            return hits.unionByName(fetched)
         return hits
 
     def geocode_places(self, places: DataFrame, name_col: str = "name") -> DataFrame:

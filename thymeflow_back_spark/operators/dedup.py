@@ -94,21 +94,51 @@ def exact_dedup_summary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def jaccard_pairs(
-    shingles: DataFrame, id_col: str, threshold: float
+    shingles: DataFrame, id_col: str, threshold: float, max_doc_freq: int | None = None
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity join.
+    """N-gram Jaccard similarity join.
 
     Output: (a_id, b_id, n_common, jaccard) for pairs with jaccard >= threshold.
+
+    ``max_doc_freq``: when set, shingles occurring in more than this many
+    documents are excluded from CANDIDATE BLOCKING (the ER module's hot-key
+    cap, operators/er.py — a boilerplate-heavy corpus would otherwise make
+    one stop-shingle block quadratic). The Jaccard value itself stays EXACT:
+    candidates are re-verified against the full shingle sets. The only
+    approximation is recall — a pair whose every common shingle is hot is
+    missed, the standard stop-word trade-off.
     """
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingles.select(F.col(id_col).alias("a_id"), "shingle")
     b = shingles.select(F.col(id_col).alias("b_id"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("n_common"))
-    )
+    if max_doc_freq is None:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        cands = (
+            a.join(rare, "shingle")
+            .join(b.join(rare, "shingle"), "shingle")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        # exact intersection recomputed on candidates only (full shingle sets)
+        inter = (
+            cands.join(a, "a_id")
+            .join(b, ["b_id", "shingle"])
+            .groupBy("a_id", "b_id")
+            .agg(F.count("*").alias("n_common"))
+        )
     sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("a_n"))
     sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("b_n"))
     return (

@@ -39,15 +39,35 @@ def _analyze(col, stem: bool):
     return stem_all(toks)
 
 
-def build_index(entities: DataFrame, id_col: str, text_col: str, stem: bool = False) -> DataFrame:
-    """Inverted index: (entity_id, token) distinct."""
-    return (
+def build_index(
+    entities: DataFrame,
+    id_col: str,
+    text_col: str,
+    stem: bool = False,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Inverted index: (entity_id, token) distinct.
+
+    ``max_doc_freq``: drop tokens present in more than this many entities —
+    the hot-token cap bounding the candidate join's skew (the ES 10k-hits
+    analogue, AgentMatchEnricher.scala:68; stop-tokens carry ~no IDF signal
+    but dominate the shuffle at corpus scale)."""
+    index = (
         entities.select(
             F.col(id_col).alias("entity_id"),
             F.explode(_analyze(F.col(text_col), stem)).alias("token"),
         )
         .dropDuplicates(["entity_id", "token"])
     )
+    if max_doc_freq is not None:
+        rare = (
+            index.groupBy("token")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("token")
+        )
+        index = index.join(rare, "token").select("entity_id", "token")
+    return index
 
 
 def match_query(

@@ -1,0 +1,524 @@
+"""SPARQL text front-end: parse a SPARQL-subset string and compile it onto
+the quads DataFrame through the BGP pattern compiler.
+
+The reference's primary query entry point is SPARQL text over HTTP
+(SparqlService.scala:38-74, 100-158 — RDF4J parses and evaluates). This
+module is the Spark analogue of that front door for the §2.3 contract:
+
+    SELECT [DISTINCT] ?v… | (AGG(?v) AS ?alias)…
+    WHERE { triples · GRAPH ?g {…} · OPTIONAL {…} · {…} UNION {…} ·
+            FILTER(expr) }   with ';'/','/'a' sugar, property paths
+            p1/p2 (desugared to a chained pattern) and p* (reflexive-
+            transitive closure via operators/closure.py)
+    GROUP BY ?v… · ORDER BY [ASC|DESC](?v) · LIMIT n · OFFSET n
+    ASK {…}
+
+No rdflib in the runtime, so the parser is a small hand-written
+recursive-descent over a regex token stream. Compilation is entirely
+declarative DataFrame operations — Catalyst plans the joins (the reference
+delegates the same job to RDF4J's optimizer).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.closure import transitive_closure
+from ..rdf.model import V
+from .patterns import BGP
+
+BUILTIN_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "schema": "http://schema.org/",
+    "personal": "urn:personal:",
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRIREF><[^<>\s]*>)
+  | (?P<VAR>\?\w+)
+  | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<NUMBER>-?\d+(?:\.\d+)?)
+  | (?P<PNAME>\w[\w.-]*:[\w.-]*)
+  | (?P<KW>(?i:PREFIX|SELECT|ASK|DISTINCT|WHERE|GRAPH|OPTIONAL|UNION|FILTER
+       |GROUP|ORDER|BY|ASC|DESC|LIMIT|OFFSET|AS|IN|NOT|COUNT|SUM|MIN|MAX|AVG
+       |SAMPLE)\b)
+  | (?P<A>\ba\b)
+  | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,*/=<>!])
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    tokens, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SyntaxError(f"SPARQL: cannot tokenize at {text[pos:pos+30]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        val = m.group()
+        tokens.append(("KW", val.upper()) if kind in ("KW", "A") and kind != "A" else (kind, val))
+        if kind == "A":
+            tokens[-1] = ("A", "a")
+    return tokens
+
+
+# --- AST ----------------------------------------------------------------------
+
+Term = tuple  # ("var", name) | ("iri", value) | ("lit", value) | ("num", float)
+
+
+@dataclass
+class Triple:
+    s: Term
+    p: Term  # plus ("path*", iri) for reflexive-transitive closure
+    o: Term
+    g: Term | None = None
+
+
+@dataclass
+class Optional_:
+    group: "Group"
+
+
+@dataclass
+class Union_:
+    left: "Group"
+    right: "Group"
+
+
+@dataclass
+class Filter_:
+    expr: tuple
+
+
+@dataclass
+class Group:
+    elements: list = field(default_factory=list)
+
+
+@dataclass
+class SelectQuery:
+    projections: list  # ("var", name) | ("agg", fn, distinct, arg, alias)
+    group: Group
+    distinct: bool = False
+    group_by: list[str] = field(default_factory=list)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
+    limit: int | None = None
+    offset: int | None = None
+    ask: bool = False
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes = dict(BUILTIN_PREFIXES)
+        self.fresh = 0
+
+    # -- token helpers
+    def peek(self, k: int = 0):
+        return self.toks[self.i + k] if self.i + k < len(self.toks) else ("EOF", "")
+
+    def next(self):
+        tok = self.peek()
+        self.i += 1
+        return tok
+
+    def accept(self, kind: str, val: str | None = None) -> bool:
+        k, v = self.peek()
+        if k == kind and (val is None or v == val):
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, kind: str, val: str | None = None) -> str:
+        k, v = self.next()
+        if k != kind or (val is not None and v != val):
+            raise SyntaxError(f"SPARQL: expected {val or kind}, got {v!r}")
+        return v
+
+    # -- prologue & terms
+    def parse_prologue(self) -> None:
+        while self.accept("KW", "PREFIX"):
+            pname = self.expect("PNAME")
+            iri = self.expect("IRIREF")
+            self.prefixes[pname[:-1]] = iri[1:-1]
+
+    def expand(self, pname: str) -> str:
+        pre, _, local = pname.partition(":")
+        if pre not in self.prefixes:
+            raise SyntaxError(f"SPARQL: unknown prefix {pre!r}")
+        return self.prefixes[pre] + local
+
+    def parse_term(self) -> Term:
+        kind, val = self.next()
+        if kind == "VAR":
+            return ("var", val[1:])
+        if kind == "IRIREF":
+            return ("iri", val[1:-1])
+        if kind == "PNAME":
+            return ("iri", self.expand(val))
+        if kind == "STRING":
+            return ("lit", re.sub(r"\\(.)", r"\1", val[1:-1]))
+        if kind == "NUMBER":
+            return ("num", float(val) if "." in val else int(val))
+        if kind == "A":
+            return ("iri", BUILTIN_PREFIXES["rdf"] + "type")
+        raise SyntaxError(f"SPARQL: unexpected term {val!r}")
+
+    def _fresh_var(self) -> Term:
+        self.fresh += 1
+        return ("var", f"__path{self.fresh}")
+
+    # -- group graph pattern
+    def parse_group(self) -> Group:
+        self.expect("OP", "{")
+        group = Group()
+        while not self.accept("OP", "}"):
+            if self.accept("KW", "OPTIONAL"):
+                group.elements.append(Optional_(self.parse_group()))
+            elif self.accept("KW", "FILTER"):
+                self.expect("OP", "(")
+                group.elements.append(Filter_(self.parse_expr()))
+                self.expect("OP", ")")
+            elif self.accept("KW", "GRAPH"):
+                g = self.parse_term()
+                inner = self.parse_group()
+                for el in inner.elements:
+                    if isinstance(el, Triple) and el.g is None:
+                        el.g = g
+                group.elements.extend(inner.elements)
+            elif self.peek() == ("OP", "{"):
+                sub = self.parse_group()
+                while self.accept("KW", "UNION"):
+                    sub = Group([Union_(sub, self.parse_group())])
+                group.elements.extend(sub.elements if isinstance(sub, Group) else [sub])
+            else:
+                group.elements.extend(self.parse_triples_block())
+            self.accept("OP", ".")
+        return group
+
+    def parse_triples_block(self) -> list[Triple]:
+        triples: list[Triple] = []
+        subject = self.parse_term()
+        while True:
+            pred, star = self.parse_path()
+            obj_terms = [self.parse_term()]
+            while self.accept("OP", ","):
+                obj_terms.append(self.parse_term())
+            for obj in obj_terms:
+                if isinstance(pred, list):  # p1/p2/… sequence: chain fresh vars
+                    cur = subject
+                    for step, (p, st) in enumerate(pred):
+                        nxt = obj if step == len(pred) - 1 else self._fresh_var()
+                        triples.append(Triple(cur, ("path*", p[1]) if st else p, nxt))
+                        cur = nxt
+                else:
+                    triples.append(Triple(subject, ("path*", pred[1]) if star else pred, obj))
+            if not self.accept("OP", ";"):
+                break
+            if self.peek() in (("OP", "."), ("OP", "}")):
+                break
+        return triples
+
+    def parse_path(self):
+        """IRI, IRI* or IRI/IRI/… (each step may carry *). Returns either
+        (term, star) or a list of (term, star) steps."""
+        p = self.parse_term()
+        star = self.accept("OP", "*")
+        if self.peek() == ("OP", "/"):
+            steps = [(p, star)]
+            while self.accept("OP", "/"):
+                q = self.parse_term()
+                steps.append((q, self.accept("OP", "*")))
+            return steps, False
+        return p, star
+
+    # -- expressions (FILTER)
+    def parse_expr(self):
+        left = self.parse_and()
+        while self.accept("OP", "||"):
+            left = ("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_cmp()
+        while self.accept("OP", "&&"):
+            left = ("and", left, self.parse_cmp())
+        return left
+
+    def parse_cmp(self):
+        if self.accept("OP", "("):
+            inner = self.parse_expr()
+            self.expect("OP", ")")
+            return inner
+        if self.accept("OP", "!"):
+            return ("not", self.parse_cmp())
+        left = self.parse_term()
+        if self.accept("KW", "NOT"):
+            self.expect("KW", "IN")
+            return ("not", ("in", left, self._parse_in_list()))
+        if self.accept("KW", "IN"):
+            return ("in", left, self._parse_in_list())
+        k, v = self.peek()
+        if k == "OP" and v in ("=", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return (v, left, self.parse_term())
+        return ("bound", left)
+
+    def _parse_in_list(self):
+        self.expect("OP", "(")
+        items = [self.parse_term()]
+        while self.accept("OP", ","):
+            items.append(self.parse_term())
+        self.expect("OP", ")")
+        return items
+
+    # -- query
+    def parse_query(self) -> SelectQuery:
+        self.parse_prologue()
+        if self.accept("KW", "ASK"):
+            return SelectQuery(projections=[], group=self.parse_group(), ask=True)
+        self.expect("KW", "SELECT")
+        q = SelectQuery(projections=[], group=Group())
+        q.distinct = self.accept("KW", "DISTINCT")
+        while True:
+            k, v = self.peek()
+            if k == "VAR":
+                self.next()
+                q.projections.append(("var", v[1:]))
+            elif (k, v) == ("OP", "("):
+                self.next()
+                fn = self.expect("KW")
+                if fn not in ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE"):
+                    raise SyntaxError(f"SPARQL: unsupported function {fn}")
+                self.expect("OP", "(")
+                distinct = self.accept("KW", "DISTINCT")
+                arg = "*" if self.accept("OP", "*") else self.expect("VAR")[1:]
+                self.expect("OP", ")")
+                self.expect("KW", "AS")
+                alias = self.expect("VAR")[1:]
+                self.expect("OP", ")")
+                q.projections.append(("agg", fn, distinct, arg, alias))
+            elif (k, v) == ("OP", "*"):
+                self.next()
+                q.projections.append(("star", "*"))
+            else:
+                break
+        self.accept("KW", "WHERE")
+        q.group = self.parse_group()
+        if self.accept("KW", "GROUP"):
+            self.expect("KW", "BY")
+            while self.peek()[0] == "VAR":
+                q.group_by.append(self.next()[1][1:])
+        if self.accept("KW", "ORDER"):
+            self.expect("KW", "BY")
+            while True:
+                k, v = self.peek()
+                if (k, v) == ("KW", "ASC") or (k, v) == ("KW", "DESC"):
+                    self.next()
+                    self.expect("OP", "(")
+                    var = self.expect("VAR")[1:]
+                    self.expect("OP", ")")
+                    q.order_by.append((var, v == "ASC"))
+                elif k == "VAR":
+                    self.next()
+                    q.order_by.append((v[1:], True))
+                else:
+                    break
+        if self.accept("KW", "LIMIT"):
+            q.limit = int(self.expect("NUMBER"))
+        if self.accept("KW", "OFFSET"):
+            q.offset = int(self.expect("NUMBER"))
+        if self.peek()[0] != "EOF":
+            raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()[1]!r}")
+        return q
+
+
+# --- compiler -----------------------------------------------------------------
+
+
+def _bgp_term(term: Term):
+    kind, val = term
+    if kind == "var":
+        return V(val)
+    if kind == "num":
+        return str(val)
+    return val  # iri / lit → compare against the lexical column
+
+
+class _Compiler:
+    def __init__(self, quads: DataFrame):
+        self.quads = quads
+        self.bgp = BGP(quads)
+
+    def compile_group(self, group: Group) -> DataFrame:
+        dfs: list[DataFrame] = []
+        optionals: list[Group] = []
+        filters: list[tuple] = []
+        plain: list[tuple] = []
+
+        def flush_plain():
+            if plain:
+                dfs.append(self.bgp.compile(list(plain)))
+                plain.clear()
+
+        for el in group.elements:
+            if isinstance(el, Triple):
+                if isinstance(el.p, tuple) and el.p[0] == "path*":
+                    flush_plain()
+                    dfs.append(self._path_star_df(el))
+                else:
+                    pat = tuple(
+                        _bgp_term(t) for t in ((el.s, el.p, el.o, el.g) if el.g else (el.s, el.p, el.o))
+                    )
+                    plain.append(pat)
+            elif isinstance(el, Union_):
+                flush_plain()
+                dfs.append(
+                    BGP.union(self.compile_group(el.left), self.compile_group(el.right))
+                )
+            elif isinstance(el, Optional_):
+                optionals.append(el.group)
+            elif isinstance(el, Filter_):
+                filters.append(el.expr)
+        flush_plain()
+
+        if not dfs:
+            raise SyntaxError("SPARQL: empty group pattern")
+        result = dfs[0]
+        for df in dfs[1:]:
+            shared = sorted(set(result.columns) & set(df.columns))
+            result = result.join(df, on=shared) if shared else result.crossJoin(df)
+        for opt in optionals:
+            opt_df = self.compile_group(opt)
+            shared = sorted(set(result.columns) & set(opt_df.columns))
+            if not shared:
+                raise SyntaxError("SPARQL: OPTIONAL shares no variables with base")
+            result = result.join(opt_df, on=shared, how="left")
+        for expr in filters:
+            result = result.filter(self._expr_col(expr, result))
+        return result
+
+    def _path_star_df(self, t: Triple) -> DataFrame:
+        """p* reflexive-transitive closure pattern (SURVEY §2.3: sameAs*)."""
+        pred = t.p[1]
+        edges = self.quads.filter(F.col("predicate") == pred).select(
+            F.col("subject").alias("src"), F.col("object_value").alias("dst")
+        )
+        closure = transitive_closure(edges)
+        out_cols = []
+        for term, col in ((t.s, "src"), (t.o, "dst")):
+            kind, val = term
+            if kind == "var":
+                out_cols.append(F.col(col).alias(val))
+            else:
+                closure = closure.filter(F.col(col) == (str(val) if kind == "num" else val))
+        return closure.select(*out_cols) if out_cols else closure
+
+    def _expr_col(self, expr: tuple, df: DataFrame) -> Column:
+        op = expr[0]
+        if op == "or":
+            return self._expr_col(expr[1], df) | self._expr_col(expr[2], df)
+        if op == "and":
+            return self._expr_col(expr[1], df) & self._expr_col(expr[2], df)
+        if op == "not":
+            return ~self._expr_col(expr[1], df)
+        if op == "bound":
+            return self._operand(expr[1]).isNotNull()
+        if op == "in":
+            _, left, items = expr
+            return self._operand(left).isin(*[i[1] for i in items])
+        _, left, right = expr
+        lc, rc = self._operand(left, right), self._operand(right, left)
+        return {
+            "=": lc == rc, "!=": lc != rc,
+            "<": lc < rc, "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
+        }[op]
+
+    def _operand(self, term: Term, other: Term | None = None) -> Column:
+        kind, val = term
+        if kind == "var":
+            col = F.col(val)
+            # numeric comparison: lexical column cast to double
+            if other is not None and other[0] == "num":
+                col = col.cast("double")
+            return col
+        if kind == "num":
+            return F.lit(val)
+        return F.lit(val)
+
+
+_AGGS = {
+    "COUNT": F.count,
+    "SUM": F.sum,
+    "MIN": F.min,
+    "MAX": F.max,
+    "AVG": F.avg,
+    "SAMPLE": F.first,
+}
+
+
+def sparql_select(quads: DataFrame, text: str) -> DataFrame:
+    """Compile and run a SPARQL SELECT string over a quads DataFrame."""
+    q = _Parser(text).parse_query()
+    if q.ask:
+        raise ValueError("use sparql_ask for ASK queries")
+    df = _Compiler(quads).compile_group(q.group)
+
+    has_agg = any(p[0] == "agg" for p in q.projections)
+    if has_agg:
+        aggs = []
+        for p in q.projections:
+            if p[0] != "agg":
+                continue
+            _, fn, distinct, arg, alias = p
+            if fn == "COUNT" and arg == "*":
+                col = F.count(F.lit(1))
+            else:
+                c = F.col(arg)
+                if distinct:
+                    col = F.count_distinct(c) if fn == "COUNT" else _AGGS[fn](c)
+                else:
+                    col = _AGGS[fn](c)
+            if fn in ("SUM", "AVG"):
+                col = _AGGS[fn](F.col(arg).cast("double"))
+            aggs.append(col.alias(alias))
+        keys = q.group_by or [p[1] for p in q.projections if p[0] == "var"]
+        df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        names = [p[1] if p[0] == "var" else p[4] for p in q.projections]
+        df = df.select(*names)
+    else:
+        if not any(p[0] == "star" for p in q.projections):
+            df = df.select(*[p[1] for p in q.projections])
+    if q.distinct:
+        df = df.dropDuplicates()
+    if q.order_by:
+        df = df.orderBy(*[F.asc(v) if asc else F.desc(v) for v, asc in q.order_by])
+    if q.offset:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df
+
+
+def sparql_ask(quads: DataFrame, text: str) -> bool:
+    """SPARQL ASK: limit-1 probe, not a count (reference ASK shape)."""
+    q = _Parser(text).parse_query()
+    if not q.ask:
+        raise ValueError("not an ASK query")
+    df = _Compiler(quads).compile_group(q.group)
+    return len(df.limit(1).take(1)) > 0

@@ -39,31 +39,32 @@ _PB = tpch.PHONE_BUCKETS
     GROUP BY n_name
     ORDER BY n_name
     """,
-    doc="SPARQL-shaped BGP over the quad store: ?c p:inNation ?n . ?n "
-    "schema:name ?name . ?n p:inRegion ?r . ?r schema:name 'EUROPE' with "
-    "OPTIONAL { ?c p:bigSpender ?bs } — compiled to DataFrame joins "
+    doc="SPARQL-TEXT front door (SparqlService.scala:38-74 parity): the query "
+    "arrives as a SPARQL string, is parsed by plans/sparql.py and compiled "
+    "onto the quad store — BGP joins + OPTIONAL + GROUP BY/COUNT/ORDER BY "
     "(reference AgentMatchEnricher.scala:95-111 shape); oracle is the direct "
-    "relational join, proving quad-ification preserves semantics.",
+    "relational join, proving text→algebra→DataFrame preserves semantics.",
 )
 def q_rdf_bgp_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.sparql import sparql_select
+
     quads = tpch.tpch_quads(spark, sf_dir)
-    bgp = BGP(quads)
-    base = bgp.compile(
-        [
-            (V("c"), tpch.IN_NATION, V("n")),
-            (V("n"), tpch.NAME, V("n_name")),
-            (V("n"), tpch.IN_REGION, V("r")),
-            (V("r"), tpch.NAME, "EUROPE"),
-        ]
-    )
-    with_bs = bgp.optional(base, [(V("c"), tpch.BIG_SPENDER, V("bs"))])
-    return (
-        with_bs.groupBy("n_name")
-        .agg(
-            F.count("*").alias("n_customers"),
-            F.count("bs").alias("n_big_spenders"),
-        )
-        .orderBy("n_name")
+    return sparql_select(
+        quads,
+        f"""
+        PREFIX p: <p:>
+        PREFIX schema: <schema:>
+        SELECT ?n_name (COUNT(*) AS ?n_customers) (COUNT(?bs) AS ?n_big_spenders)
+        WHERE {{
+          ?c p:inNation ?n .
+          ?n schema:name ?n_name .
+          ?n p:inRegion ?r .
+          ?r schema:name "EUROPE" .
+          OPTIONAL {{ ?c p:bigSpender ?bs }}
+        }}
+        GROUP BY ?n_name
+        ORDER BY ?n_name
+        """,
     )
 
 

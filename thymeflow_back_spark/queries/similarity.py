@@ -104,6 +104,79 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIMS = 64
+
+
+def _srp_sig_sql() -> str:
+    """The SRP signature as DuckDB SQL: same md5-derived hyperplanes as
+    operators/ann.py, so the oracle replays the LSH algorithm itself."""
+    from ..operators.ann import N_PLANES, _plane_component
+
+    terms = []
+    for p in range(N_PLANES):
+        arr = ", ".join(repr(_plane_component(p, d)) for d in range(EMB_DIMS))
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, [{arr}]) >= 0 "
+            f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
+        )
+    return " + ".join(terms)
+
+
+def _ann_oracle() -> str:
+    from ..operators.ann import BANDS, N_PLANES
+
+    rows = N_PLANES // BANDS
+    mask = (1 << rows) - 1
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    sigs AS (SELECT vec_id, {_srp_sig_sql()} AS sig FROM vecs),
+    bands AS (
+      SELECT vec_id, band, (sig >> (band * {rows})) & {mask} AS bkey
+      FROM sigs CROSS JOIN (SELECT unnest(range({BANDS})) AS band) b
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT a_id, b_id,
+             round(
+               list_dot_product(va.v, vb.v)
+               / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))),
+               9
+             ) AS score
+      FROM cands
+      JOIN vecs va ON va.vec_id = a_id
+      JOIN vecs vb ON vb.vec_id = b_id
+    )
+    SELECT a_id, b_id, score FROM scored
+    WHERE score >= {NEAR_DUP_THRESHOLD}
+    ORDER BY a_id, b_id
+    """
+
+
+@query(
+    "q_embedding_near_dup_ann",
+    oracle=_ann_oracle(),
+    doc="SRP-LSH near-dup — the SCALE path for q_embedding_near_dup: 16-bit "
+    "signed-random-projection signatures, 4 banded buckets, exact-cosine "
+    "verification on candidates only. The oracle replays the identical "
+    "deterministic algorithm (md5-derived hyperplanes as SQL literals) in "
+    "DuckDB, so the whole LSH pipeline is cross-engine checked end-to-end.",
+)
+def q_embedding_near_dup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import srp_near_dup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        srp_near_dup(emb, "vec_id", "embedding", EMB_DIMS, NEAR_DUP_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )
+
+
 @query(
     "q_label_centroid_stats",
     oracle="""

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.interval_join import interval_overlap_self_join
+from ..operators.location_events import match_events_to_stays
 from ..operators.sessionize import sessionize
 from ..tables import load
 from .catalog import query
@@ -110,6 +111,84 @@ def q_overlapping_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("user_id")
         .agg(F.count("*").alias("n_overlapping_pairs"), F.min("a_id").alias("first_a_id"))
         .orderBy("user_id")
+    )
+
+
+# --- Q: event × stay location matching (LocationEventEnricher) ---------------
+
+
+@query(
+    "q_location_events",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS event_start_us,
+             epoch_us(ts) + CAST(round(value * 60 * 1000000) AS BIGINT) AS event_end_us,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE 48.0 + (event_id % 2) * 0.02 END AS event_lat,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE 2.0 + ((event_id // 2) % 2) * 0.03 END AS event_lon
+      FROM events WHERE event_type = 'view'
+    ),
+    st AS (
+      SELECT user_id, event_id AS stay_id,
+             epoch_us(ts) AS stay_start_us,
+             epoch_us(ts) + CAST(round(value * 180 * 1000000) AS BIGINT) AS stay_end_us,
+             48.0 + (event_id % 2) * 0.02 AS stay_lat,
+             2.0 + ((event_id // 2) % 2) * 0.03 AS stay_lon
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT ev.user_id AS user_id, event_id, stay_id,
+           LEAST(event_end_us, stay_end_us) - GREATEST(event_start_us, stay_start_us)
+             AS overlap_us
+    FROM ev JOIN st ON ev.user_id = st.user_id
+     AND event_start_us <= stay_end_us AND stay_start_us <= event_end_us
+     AND CAST(LEAST(event_end_us, stay_end_us) - GREATEST(event_start_us, stay_start_us) AS DOUBLE)
+         / CAST(event_end_us - event_start_us AS DOUBLE) > 0.2
+     AND (event_lat IS NULL OR stay_lat IS NULL OR
+          2 * 6371000.0 * asin(sqrt(
+            sin(radians(stay_lat - event_lat) / 2) ^ 2
+            + cos(radians(event_lat)) * cos(radians(stay_lat))
+              * sin(radians(stay_lon - event_lon) / 2) ^ 2
+          )) <= 1000.0)
+    ORDER BY user_id, event_id, stay_id
+    """,
+    doc="Event × stay location matching (LocationEventEnricher.scala:66-95): "
+    "interval overlap, >20% of the event's length, Haversine ≤ 1 km when both "
+    "sides are geocoded (missing coordinates pass). 'view' events span "
+    "[ts, ts+value min]; 'purchase' rows play the stays, 3× longer. "
+    "Coordinates sit on a deterministic 2 km grid so the distance predicate "
+    "is decided far from its threshold.",
+)
+def q_location_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events_raw = load(spark, sf_dir, "events")
+    lat = 48.0 + (F.col("event_id") % 2).cast("double") * 0.02
+    lon = 2.0 + ((F.col("event_id") / 2).cast("bigint") % 2).cast("double") * 0.03
+    nullable = F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+    ev = events_raw.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("event_start_us"),
+        (F.unix_micros("ts") + F.round(F.col("value") * 60 * 1_000_000).cast("bigint")).alias(
+            "event_end_us"
+        ),
+        nullable.otherwise(lat).alias("event_lat"),
+        nullable.otherwise(lon).alias("event_lon"),
+    )
+    st = events_raw.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("stay_id"),
+        F.unix_micros("ts").alias("stay_start_us"),
+        (F.unix_micros("ts") + F.round(F.col("value") * 180 * 1_000_000).cast("bigint")).alias(
+            "stay_end_us"
+        ),
+        lat.alias("stay_lat"),
+        lon.alias("stay_lon"),
+    )
+    return (
+        match_events_to_stays(ev, st, on=["user_id"], bucket_seconds=3600)
+        .select("user_id", "event_id", "stay_id", "overlap_us")
+        .orderBy("user_id", "event_id", "stay_id")
     )
 
 
