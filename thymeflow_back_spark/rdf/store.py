@@ -119,7 +119,7 @@ class StatementStore:
         )
 
     def add_documents(
-        self, quads: DataFrame, graphs: list[str] | None = None
+        self, quads: DataFrame, graphs: list[str] | DataFrame | None = None
     ) -> tuple["StatementStore", Diff]:
         """Replace EVERY named graph present in ``quads``, in one set of joins.
 
@@ -138,10 +138,14 @@ class StatementStore:
         ``graphs``: extra graph IRIs to treat as (re)delivered even when the
         batch carries no rows for them — an EMPTY re-delivery must still
         clear its graph (the reference replaces with the empty set too).
+        Accepts a list of IRIs or a single-column ``graph`` DataFrame (the
+        synchronizer delta path stays fully distributed with the latter).
         """
         new = quads.select(*QUAD_COLUMNS).dropDuplicates(list(QUAD_COLUMNS))
         batch_graphs = new.select("graph").distinct()
-        if graphs:
+        if isinstance(graphs, DataFrame):
+            batch_graphs = batch_graphs.unionByName(graphs.select("graph")).distinct()
+        elif graphs:
             extra = quads.sparkSession.createDataFrame(
                 [(g,) for g in graphs], "graph string"
             )
