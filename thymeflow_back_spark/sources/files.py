@@ -24,17 +24,20 @@ Converter = Callable[[bytes, str], list[tuple]]
 
 
 def _registry() -> dict[str, Converter]:
+    from ..rdf.io import RDF_EXTENSIONS, rdf_file_to_quads
     from .eml import eml_to_quads
     from .ical import ical_to_quads
     from .location_history import location_history_to_quads
     from .vcard import vcard_to_quads
 
-    return {
+    registry: dict[str, Converter] = {
         ".eml": eml_to_quads,
         ".vcf": vcard_to_quads,
         ".ics": ical_to_quads,
         ".json": location_history_to_quads,
     }
+    registry.update({ext: rdf_file_to_quads for ext in RDF_EXTENSIONS})
+    return registry
 
 
 def scan_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
