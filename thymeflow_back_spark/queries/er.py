@@ -67,3 +67,174 @@ def q_er_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lev") <= MAX_LEV)
         .orderBy("a_key", "b_key")
     )
+
+
+# --- Q: PARIS probabilistic ER over synthetic agent facets -------------------
+
+from ..enrichers.paris import DEFAULT_PRIORS, exact_literal_eq, paris_step  # noqa: E402
+from ..rdf import vocab  # noqa: E402
+
+_INV_N, _FUN_N = DEFAULT_PRIORS[vocab.NAME]
+_INV_E, _FUN_E = DEFAULT_PRIORS[vocab.EMAIL]
+
+_PARIS_ORACLE = f"""
+WITH c AS (SELECT c_custkey AS k, c_name AS name FROM customer),
+stmts AS (
+  SELECT 'urn:crm:' || k AS x, 'name' AS p, 'name:' || name AS y FROM c
+  UNION ALL
+  SELECT 'urn:crm:' || k, 'email', 'email:c' || k || '@ex.com' FROM c
+  UNION ALL
+  SELECT 'urn:mail:' || k, 'name',
+         'name:' || CASE WHEN k % 2 = 0 THEN name ELSE name || ' jr' END FROM c
+  UNION ALL
+  SELECT 'urn:mail:' || k, 'email',
+         CASE WHEN k % 5 = 0 THEN 'email:other' || k || '@ex.com'
+              ELSE 'email:c' || k || '@ex.com' END
+  FROM c WHERE k % 7 <> 0
+),
+matched AS (
+  SELECT a.x, b.x AS xp, a.p, a.y
+  FROM stmts a JOIN stmts b ON a.p = b.p AND a.y = b.y AND a.x <> b.x
+),
+pos AS (
+  SELECT x, xp,
+         SUM(LN(1 - CASE WHEN p = 'name' THEN {_INV_N!r} ELSE {_INV_E!r} END)) AS pos_log
+  FROM matched GROUP BY x, xp
+),
+neg AS (
+  SELECT cd.x, cd.xp,
+         SUM(LN(1 - CASE WHEN s.p = 'name' THEN {_FUN_N!r} ELSE {_FUN_E!r} END
+                    * CASE WHEN m.y IS NOT NULL THEN 0 ELSE 1 END)) AS neg_log
+  FROM (SELECT DISTINCT x, xp FROM matched) cd
+  JOIN stmts s ON s.x = cd.x
+  LEFT JOIN (SELECT DISTINCT x, xp, p, y FROM matched) m
+    ON m.x = cd.x AND m.xp = cd.xp AND m.p = s.p AND m.y = s.y
+  GROUP BY cd.x, cd.xp
+)
+SELECT p.x AS agent, p.xp AS other,
+       ROUND((1 - EXP(p.pos_log)) * EXP(n.neg_log), 9) AS prob
+FROM pos p JOIN neg n ON p.x = n.x AND p.xp = n.xp
+ORDER BY agent, other
+"""
+
+
+@query(
+    "q_paris_agents",
+    oracle=_PARIS_ORACLE,
+    doc="PARIS probabilistic ER: positive/negative evidence under the "
+    "reference's functionality priors over synthetic crm/mail agent facets "
+    "of the customer table (exact literal equality — the SQL-checkable "
+    "mode). Candidate pairs come only from shared objects; the plan never "
+    "builds the agent cross product (ParisEnricher.scala:41-280).",
+)
+def q_paris_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("name")
+    )
+    crm_name = c.select(
+        F.concat(F.lit("urn:crm:"), "k").alias("x"),
+        F.lit(vocab.NAME).alias("p"),
+        F.concat(F.lit("name:"), "name").alias("y"),
+    )
+    crm_email = c.select(
+        F.concat(F.lit("urn:crm:"), "k").alias("x"),
+        F.lit(vocab.EMAIL).alias("p"),
+        F.concat(F.lit("email:c"), "k", F.lit("@ex.com")).alias("y"),
+    )
+    mail_name = c.select(
+        F.concat(F.lit("urn:mail:"), "k").alias("x"),
+        F.lit(vocab.NAME).alias("p"),
+        F.concat(
+            F.lit("name:"),
+            F.when(F.col("k") % 2 == 0, F.col("name")).otherwise(
+                F.concat("name", F.lit(" jr"))
+            ),
+        ).alias("y"),
+    )
+    mail_email = c.filter(F.col("k") % 7 != 0).select(
+        F.concat(F.lit("urn:mail:"), "k").alias("x"),
+        F.lit(vocab.EMAIL).alias("p"),
+        F.when(
+            F.col("k") % 5 == 0, F.concat(F.lit("email:other"), "k", F.lit("@ex.com"))
+        ).otherwise(F.concat(F.lit("email:c"), "k", F.lit("@ex.com"))).alias("y"),
+    )
+    stmts = crm_name.unionByName(crm_email).unionByName(mail_name).unionByName(mail_email)
+    pairs = paris_step(stmts, exact_literal_eq(stmts))
+    return pairs.select(
+        F.col("x").alias("agent"),
+        F.col("xp").alias("other"),
+        F.round("prob", 9).alias("prob"),
+    ).orderBy("agent", "other")
+
+
+# --- Q: AgentMatch contact-relative name weighting ---------------------------
+
+from ..enrichers.agent_match import agent_name_weights  # noqa: E402
+
+_WEIGHTS_ORACLE = """
+WITH counts AS (
+  SELECT 'urn:agent:' || c_custkey AS rep, c_name AS name, TRUE AS is_contact, 1 AS cnt
+  FROM customer
+  UNION ALL
+  SELECT 'urn:agent:' || c.c_custkey, c.c_name || ' (mail)', FALSE, COUNT(*)
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_name
+),
+totals AS (
+  SELECT rep,
+         SUM(CASE WHEN is_contact THEN cnt ELSE 0 END) AS tc,
+         SUM(CASE WHEN NOT is_contact THEN cnt ELSE 0 END) AS tm
+  FROM counts GROUP BY rep
+),
+mults AS (
+  SELECT rep,
+         CASE WHEN tc / CAST(tc + tm AS DOUBLE) >= 0.5 OR tc = 0 OR tm = 0
+              THEN 1.0 / (tc + tm) ELSE 0.5 / tc END AS c_mult,
+         CASE WHEN tc / CAST(tc + tm AS DOUBLE) >= 0.5 OR tc = 0 OR tm = 0
+              THEN 1.0 / (tc + tm) ELSE 0.5 / tm END AS m_mult
+  FROM totals
+)
+SELECT c.rep, c.name,
+       ROUND(SUM(c.cnt * CASE WHEN c.is_contact THEN m.c_mult ELSE m.m_mult END), 9) AS weight
+FROM counts c JOIN mults m ON m.rep = c.rep
+GROUP BY c.rep, c.name
+ORDER BY c.rep, c.name
+"""
+
+
+@query(
+    "q_agent_name_weights",
+    oracle=_WEIGHTS_ORACLE,
+    doc="AgentMatch contact-relative name weighting: contact-card name "
+    "evidence lifted to 1/2 of each agent's mass against per-message name "
+    "counts (AgentMatchEnricher.scala:961-1003), over synthetic agent "
+    "facets (customer = contact name, orders = message-name occurrences). "
+    "One aggregation + one broadcast-size join back; no shuffle beyond the "
+    "groupBy.",
+)
+def q_agent_name_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    contact = c.select(
+        F.concat(F.lit("urn:agent:"), "c_custkey").alias("rep"),
+        F.col("c_name").alias("name"),
+        F.lit(True).alias("is_contact"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    message = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.concat(F.lit("urn:agent:"), "c_custkey").alias("rep"),
+            F.concat("c_name", F.lit(" (mail)")).alias("name"),
+            F.lit(False).alias("is_contact"),
+            "cnt",
+        )
+    )
+    counts = contact.unionByName(message)
+    return (
+        agent_name_weights(counts, 0.5)
+        .select("rep", "name", F.round("weight", 9).alias("weight"))
+        .orderBy("rep", "name")
+    )
