@@ -309,3 +309,49 @@ def test_streaming_pipeline_drive(spark, tmp_path):
     query.awaitTermination(120)
     sameas = pipe.store.quads.filter(F.col("predicate") == vocab.SAME_AS).count()
     assert sameas == 2
+
+
+def test_debounce_quads_quiet_period(spark, tmp_path):
+    """DelayedBatch semantics: a graph's quads fold while data keeps
+    arriving and emit only after the quiet period passes."""
+    import time
+
+    from thymeflow_back_spark.streaming.jobs import debounce_quads
+
+    staging = tmp_path / "stage"
+    ckpt = tmp_path / "ck"
+    staging.mkdir()
+    make_quads(spark, [iri_q("a", "p:x", "1", "g:doc")]).write.mode("append").parquet(
+        str(staging)
+    )
+    stream = quad_stream(spark, str(staging))
+    query = (
+        debounce_quads(stream, quiet_period_ms=3000)
+        .writeStream.format("memory")
+        .queryName("debounced")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # second delivery to the same graph inside the quiet window refolds
+        time.sleep(1.0)
+        make_quads(spark, [iri_q("a", "p:y", "2", "g:doc")]).write.mode("append").parquet(
+            str(staging)
+        )
+        time.sleep(1.0)
+        early = spark.sql("select * from debounced").count()
+        assert early == 0, "emitted before the quiet period elapsed"
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("select * from debounced").count() >= 2:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("select * from debounced").collect()
+        assert {(r.subject, r.predicate, r.object_value) for r in rows} == {
+            ("a", "p:x", "1"),
+            ("a", "p:y", "2"),
+        }
+        assert all(r.graph == "g:doc" for r in rows)
+    finally:
+        query.stop()

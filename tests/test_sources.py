@@ -60,7 +60,11 @@ def test_vcard_converter():
     assert other_bday and other_bday[0][4].endswith("date")
     assert (vocab.TELEPHONE, "tel:+33612345678") in po
     assert (vocab.STREET_ADDRESS, "12 Rabbit Hole") in po
-    assert (vocab.ADDRESS_COUNTRY, "France") in po
+    # addressCountry now points at a Place NODE named "France"
+    # (PostalAddressConverter hierarchy, see test_scalar_upgrades)
+    country = next(r[2] for r in quads if r[1] == vocab.ADDRESS_COUNTRY)
+    assert (vocab.NAME, "France") in po
+    assert any(r[0] == country and r[2] == vocab.COUNTRY for r in quads)
 
 
 def test_ical_converter():

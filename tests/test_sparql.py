@@ -142,3 +142,67 @@ def test_parse_errors(quads):
         sparql_select(quads, "SELECT ?x WHERE { ?x unknown:p ?y }")
     with pytest.raises(SyntaxError):
         sparql_select(quads, "SELECT ?x WHERE { ?x }")
+
+
+# --- CONSTRUCT / UPDATE text surface -----------------------------------------
+
+from thymeflow_back_spark.plans.sparql import sparql_construct, sparql_update_diff
+from thymeflow_back_spark.rdf.store import StatementStore
+from thymeflow_back_spark.update.updater import apply_update
+
+
+def test_construct_preserves_object_terms(quads):
+    out = sparql_construct(
+        quads,
+        PFX
+        + """
+        CONSTRUCT { ?who <urn:copiedName> ?name . ?who a <urn:Copied> }
+        WHERE { ?who schema:name ?name }
+        """,
+    )
+    rows = out.collect()
+    names = [r for r in rows if r.predicate == "urn:copiedName"]
+    types = [r for r in rows if r.predicate.endswith("#type")]
+    assert len(names) == 3 and len(types) == 3
+    # literal-ness came from the store's type columns, not a lexical guess
+    assert all(r.object_type == "literal" for r in names)
+    assert all(r.object_type == "iri" and r.object_value == "urn:Copied" for r in types)
+    assert all(r.graph == "urn:graph:construct" for r in rows)
+
+
+def test_construct_graph_template(quads):
+    out = sparql_construct(
+        quads,
+        PFX + "CONSTRUCT { GRAPH <urn:g:out> { ?a <urn:p> ?n } } WHERE { ?a schema:name ?n }",
+    )
+    assert [r.graph for r in out.select("graph").distinct().collect()] == ["urn:g:out"]
+
+
+def test_update_insert_delete_data(quads):
+    diff = sparql_update_diff(
+        quads,
+        """
+        INSERT DATA { GRAPH <urn:g:u> { <urn:new> <urn:p> "v" . <urn:new> a <urn:T> } } ;
+        DELETE DATA { <urn:gone> <urn:p> "x" }
+        """,
+    )
+    added = diff.added.collect()
+    assert {(r.subject, r.object_value, r.graph) for r in added} == {
+        ("urn:new", "v", "urn:g:u"),
+        ("urn:new", "urn:T", "urn:g:u"),
+    }
+    assert [(r.subject, r.graph) for r in diff.removed.collect()] == [("urn:gone", None)]
+    # ground-ness is enforced
+    with pytest.raises(SyntaxError):
+        sparql_update_diff(quads, "INSERT DATA { ?x <urn:p> 1 }")
+
+
+def test_update_delete_where_roundtrip(quads):
+    """DELETE WHERE matches store quads; apply_update removes them all,
+    including the graphless-removal expansion to their actual graphs."""
+    store = StatementStore(quads)
+    diff = sparql_update_diff(quads, PFX + "DELETE WHERE { ?a schema:name ?n }")
+    assert diff.removed.count() == 3
+    updated = apply_update(store, diff, synchronized_graph_prefix="urn:never:")
+    assert updated.quads.filter(F.col("predicate") == "schema:name").count() == 0
+    assert updated.quads.count() == quads.count() - 3

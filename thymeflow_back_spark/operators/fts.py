@@ -85,13 +85,16 @@ def match_query(
         F.explode(_analyze(F.col(query_text_col), stem)).alias("token"),
     )
     qsizes = qtoks.groupBy("query_id").agg(F.count("*").alias("n_query_tokens"))
+    # the query set is small by construction; broadcasting it keeps the
+    # (huge) index un-shuffled — the token join degenerates to a map-side
+    # hash probe over the index scan, followed by one partial-agg shuffle
     hits = (
-        qtoks.join(index, "token")
+        F.broadcast(qtoks).join(index, "token")
         .groupBy("query_id", "entity_id")
         .agg(F.count("*").alias("n_matched"))
     )
     return (
-        hits.join(qsizes, "query_id")
+        hits.join(F.broadcast(qsizes), "query_id")
         .filter(F.col("n_matched") * 100 >= F.col("n_query_tokens") * match_percent)
         .select("query_id", "entity_id", "n_matched", "n_query_tokens")
     )

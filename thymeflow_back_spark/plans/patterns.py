@@ -33,8 +33,14 @@ Pattern = tuple  # (s, p, o) or (s, p, o, g); each term str constant or V
 
 
 class BGP:
-    def __init__(self, quads: DataFrame):
+    def __init__(self, quads: DataFrame, track_types: bool = False):
+        """``track_types``: carry hidden ``<var>__type/__datatype/__lang``
+        columns for variables bound in OBJECT position, so CONSTRUCT can
+        re-emit solutions as quads without guessing term kinds. Shared-
+        variable joins include the hidden columns (same binding → same quad
+        value → same type), so join semantics are unchanged."""
         self.quads = quads
+        self.track_types = track_types
 
     def _pattern_df(self, pattern: Pattern) -> DataFrame:
         if len(pattern) not in (3, 4):
@@ -49,7 +55,16 @@ class BGP:
                     bindings[term.name] = col
             elif term is not None:
                 df = df.filter(F.col(col) == term)
-        return df.select(*[F.col(col).alias(name) for name, col in bindings.items()])
+        out = [F.col(col).alias(name) for name, col in bindings.items()]
+        if self.track_types:
+            for name, col in bindings.items():
+                if col == "object_value":
+                    out += [
+                        F.col("object_type").alias(f"{name}__type"),
+                        F.col("object_datatype").alias(f"{name}__datatype"),
+                        F.col("object_lang").alias(f"{name}__lang"),
+                    ]
+        return df.select(*out)
 
     def compile(self, patterns: Sequence[Pattern]) -> DataFrame:
         """Inner-join all patterns on their shared variables."""

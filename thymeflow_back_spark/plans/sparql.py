@@ -2,8 +2,9 @@
 the quads DataFrame through the BGP pattern compiler.
 
 The reference's primary query entry point is SPARQL text over HTTP
-(SparqlService.scala:38-74, 100-158 — RDF4J parses and evaluates). This
-module is the Spark analogue of that front door for the §2.3 contract:
+(SparqlService.scala:38-74, 100-158 — RDF4J parses and evaluates; updates
+route through Updater.scala). This module is the Spark analogue of that
+front door for the §2.3 contract:
 
     SELECT [DISTINCT] ?v… | (AGG(?v) AS ?alias)…
     WHERE { triples · GRAPH ?g {…} · OPTIONAL {…} · {…} UNION {…} ·
@@ -12,6 +13,9 @@ module is the Spark analogue of that front door for the §2.3 contract:
             transitive closure via operators/closure.py)
     GROUP BY ?v… · ORDER BY [ASC|DESC](?v) · LIMIT n · OFFSET n
     ASK {…}
+    CONSTRUCT { template } WHERE {…}       → quads DataFrame
+    INSERT DATA {…} · DELETE DATA {…} ·    → Diff for update/updater
+    DELETE WHERE {…}                         (GRAPH blocks supported)
 
 No rdflib in the runtime, so the parser is a small hand-written
 recursive-descent over a regex token stream. Compilation is entirely
@@ -48,9 +52,9 @@ _TOKEN_RE = re.compile(
   | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<NUMBER>-?\d+(?:\.\d+)?)
   | (?P<PNAME>\w[\w.-]*:[\w.-]*)
-  | (?P<KW>(?i:PREFIX|SELECT|ASK|DISTINCT|WHERE|GRAPH|OPTIONAL|UNION|FILTER
-       |GROUP|ORDER|BY|ASC|DESC|LIMIT|OFFSET|AS|IN|NOT|COUNT|SUM|MIN|MAX|AVG
-       |SAMPLE)\b)
+  | (?P<KW>(?i:PREFIX|SELECT|ASK|CONSTRUCT|INSERT|DELETE|DATA|DISTINCT|WHERE
+       |GRAPH|OPTIONAL|UNION|FILTER|GROUP|ORDER|BY|ASC|DESC|LIMIT|OFFSET|AS
+       |IN|NOT|COUNT|SUM|MIN|MAX|AVG|SAMPLE)\b)
   | (?P<A>\ba\b)
   | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,*/=<>!])
     """,
@@ -287,6 +291,57 @@ class _Parser:
         self.expect("OP", ")")
         return items
 
+    # -- CONSTRUCT / UPDATE
+    def parse_construct(self) -> tuple[list[Triple], "SelectQuery"]:
+        self.parse_prologue()
+        self.expect("KW", "CONSTRUCT")
+        template = self._parse_template_block()
+        self.accept("KW", "WHERE")
+        q = SelectQuery(projections=[("star", "*")], group=self.parse_group())
+        if self.accept("KW", "LIMIT"):
+            q.limit = int(self.expect("NUMBER"))
+        if self.peek()[0] != "EOF":
+            raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()[1]!r}")
+        return template, q
+
+    def _parse_template_block(self) -> list[Triple]:
+        """{ triples with optional GRAPH scoping } — no OPTIONAL/UNION/FILTER."""
+        self.expect("OP", "{")
+        triples: list[Triple] = []
+        while not self.accept("OP", "}"):
+            if self.accept("KW", "GRAPH"):
+                g = self.parse_term()
+                inner = self._parse_template_block()
+                for t in inner:
+                    if t.g is None:
+                        t.g = g
+                triples.extend(inner)
+            else:
+                triples.extend(self.parse_triples_block())
+            self.accept("OP", ".")
+        return triples
+
+    def parse_update(self) -> list[tuple[str, object]]:
+        """INSERT DATA / DELETE DATA / DELETE WHERE operations (';'-chained).
+        Returns [(op, payload)]: ('insert_data'|'delete_data', [Triple]) with
+        ground triples, or ('delete_where', Group)."""
+        self.parse_prologue()
+        ops: list[tuple[str, object]] = []
+        while self.peek()[0] != "EOF":
+            if self.accept("KW", "INSERT"):
+                self.expect("KW", "DATA")
+                ops.append(("insert_data", self._parse_template_block()))
+            elif self.accept("KW", "DELETE"):
+                if self.accept("KW", "DATA"):
+                    ops.append(("delete_data", self._parse_template_block()))
+                else:
+                    self.expect("KW", "WHERE")
+                    ops.append(("delete_where", self.parse_group()))
+            else:
+                raise SyntaxError(f"SPARQL UPDATE: unexpected {self.peek()[1]!r}")
+            self.accept("OP", ";")
+        return ops
+
     # -- query
     def parse_query(self) -> SelectQuery:
         self.parse_prologue()
@@ -361,9 +416,9 @@ def _bgp_term(term: Term):
 
 
 class _Compiler:
-    def __init__(self, quads: DataFrame):
+    def __init__(self, quads: DataFrame, track_types: bool = False):
         self.quads = quads
-        self.bgp = BGP(quads)
+        self.bgp = BGP(quads, track_types=track_types)
 
     def compile_group(self, group: Group) -> DataFrame:
         dfs: list[DataFrame] = []
@@ -522,3 +577,132 @@ def sparql_ask(quads: DataFrame, text: str) -> bool:
         raise ValueError("not an ASK query")
     df = _Compiler(quads).compile_group(q.group)
     return len(df.limit(1).take(1)) > 0
+
+
+# --- CONSTRUCT / UPDATE -------------------------------------------------------
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _null_s() -> Column:
+    return F.lit(None).cast("string")
+
+
+def _template_obj_cols(term: Term, df: DataFrame):
+    """(value, type, datatype, lang) columns for a template OBJECT term."""
+    kind, val = term
+    if kind == "var":
+        tcol = f"{val}__type"
+        if tcol in df.columns:  # bound in object position: exact term kind
+            return (
+                F.col(val),
+                F.coalesce(F.col(tcol), F.lit("iri")),
+                F.col(f"{val}__datatype"),
+                F.col(f"{val}__lang"),
+            )
+        # bound in subject/predicate/graph position → an IRI or bnode
+        return (F.col(val), F.lit("iri"), _null_s(), _null_s())
+    if kind == "iri":
+        return (F.lit(val), F.lit("iri"), _null_s(), _null_s())
+    if kind == "num":
+        dtype = _XSD + ("integer" if isinstance(val, int) else "double")
+        return (F.lit(str(val)), F.lit("literal"), F.lit(dtype), _null_s())
+    return (F.lit(val), F.lit("literal"), F.lit(_XSD + "string"), _null_s())
+
+
+def _template_node_col(term: Term) -> Column:
+    kind, val = term
+    return F.col(val) if kind == "var" else F.lit(val)
+
+
+def _instantiate(template: list[Triple], df: DataFrame, default_graph: str | None) -> DataFrame:
+    """Solutions × template → quads DataFrame (QUAD_COLUMNS order)."""
+    parts = []
+    g_default = F.lit(default_graph) if default_graph is not None else _null_s()
+    for t in template:
+        if isinstance(t.p, tuple) and t.p[0] == "path*":
+            raise SyntaxError("SPARQL: property paths are not allowed in templates")
+        value, otype, dtype, lang = _template_obj_cols(t.o, df)
+        parts.append(
+            df.select(
+                _template_node_col(t.s).alias("subject"),
+                _template_node_col(t.p).alias("predicate"),
+                value.alias("object_value"),
+                otype.alias("object_type"),
+                dtype.alias("object_datatype"),
+                lang.alias("object_lang"),
+                (_template_node_col(t.g) if t.g is not None else g_default).alias("graph"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates()
+
+
+def sparql_construct(
+    quads: DataFrame, text: str, default_graph: str = "urn:graph:construct"
+) -> DataFrame:
+    """SPARQL CONSTRUCT → quads DataFrame. Object term kinds are carried
+    through the BGP (hidden type columns), not guessed from lexical shape."""
+    template, q = _Parser(text).parse_construct()
+    df = _Compiler(quads, track_types=True).compile_group(q.group)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return _instantiate(template, df, default_graph)
+
+
+def sparql_update_diff(quads: DataFrame, text: str):
+    """SPARQL UPDATE text → Diff of quad rows for update/updater.apply_update
+    (the reference routes RDF4J-parsed updates through Updater.scala).
+
+    INSERT DATA / DELETE DATA take ground triples (graphless rows keep a
+    NULL graph — apply_update routes adds to the subject's dominant graph
+    and expands graphless removals to every matching statement).
+    DELETE WHERE deletes every store quad matching the pattern."""
+    from ..rdf.store import Diff
+
+    spark = quads.sparkSession
+    ddl = ", ".join(f"{c} string" for c in (
+        "subject", "predicate", "object_value", "object_type", "object_datatype",
+        "object_lang", "graph",
+    ))
+
+    def ground_rows(triples: list[Triple]):
+        rows = []
+        for t in triples:
+            for term, pos in ((t.s, "s"), (t.p, "p")):
+                if term[0] == "var":
+                    raise SyntaxError("SPARQL UPDATE: DATA blocks must be ground")
+            if t.o[0] == "var" or (t.g is not None and t.g[0] == "var"):
+                raise SyntaxError("SPARQL UPDATE: DATA blocks must be ground")
+            okind, oval = t.o
+            if okind == "iri":
+                obj = (oval, "iri", None, None)
+            elif okind == "num":
+                obj = (
+                    str(oval),
+                    "literal",
+                    _XSD + ("integer" if isinstance(oval, int) else "double"),
+                    None,
+                )
+            else:
+                obj = (oval, "literal", _XSD + "string", None)
+            rows.append((t.s[1], t.p[1], *obj, t.g[1] if t.g is not None else None))
+        return spark.createDataFrame(rows, ddl)
+
+    added = spark.createDataFrame([], ddl)
+    removed = spark.createDataFrame([], ddl)
+    for op, payload in _Parser(text).parse_update():
+        if op == "insert_data":
+            added = added.unionByName(ground_rows(payload))
+        elif op == "delete_data":
+            removed = removed.unionByName(ground_rows(payload))
+        else:  # delete_where: instantiate the pattern itself from matches
+            group: Group = payload
+            df = _Compiler(quads, track_types=True).compile_group(group)
+            matched = _instantiate(
+                [el for el in group.elements if isinstance(el, Triple)], df, None
+            )
+            removed = removed.unionByName(matched)
+    return Diff(added=added, removed=removed)

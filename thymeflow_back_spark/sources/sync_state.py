@@ -117,7 +117,11 @@ def snapshot_delta(previous: DataFrame, current: DataFrame) -> SyncDelta:
       unsubscribes the folder and removes its messages on
       FolderNotFoundException).
     """
-    reset = _reset_collections(previous, current)
+    # collections are few relative to items (folders vs messages), so the
+    # reset set broadcasts — the item-level joins below stay the only
+    # shuffles, and they all hash on the same (source, collection, item_id)
+    # key, so one exchange per snapshot feeds every join
+    reset = F.broadcast(_reset_collections(previous, current))
 
     # Membership and version change are decided by separate joins: a plain
     # left join's NULL prev_item_version would be ambiguous between "no

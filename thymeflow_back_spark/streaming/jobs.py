@@ -2,10 +2,15 @@
 
 The reference's Akka-Streams dataflow (SURVEY.md §3.2) maps to Structured
 Streaming: a quad-staging directory is the source (synchronizers append
-parquet batches), foreachBatch drives the enrichment pipeline, and the
-trigger interval plays the DelayedBatch debounce role (reference
-DelayedBatch.scala: fold diffs, emit after a quiet period — here: every
-micro-batch folds whatever arrived during the trigger interval).
+parquet batches), foreachBatch drives the enrichment pipeline, and
+``debounce_quads`` is the DelayedBatch stage (reference
+DelayedBatch.scala:16-100: fold incoming elements, emit only once a QUIET
+PERIOD passes with nothing new). Here the debounce is keyed by document
+graph and runs as ``applyInPandasWithState`` with a processing-time
+timeout — a graph that keeps receiving quads keeps folding and resetting
+its timer; the folded document is released to the enrichment pipeline only
+when its source goes quiet, exactly the reference's batching contract, but
+distributed per key instead of a single in-process stage.
 
 Watermark-windowed aggregation is included for the event-stream analytics
 (late data bounded by the watermark; reference handles late redelivery by
@@ -14,12 +19,17 @@ idempotent graph replacement, which ingest_quads preserves).
 
 from __future__ import annotations
 
+import json
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..enrichers.pipeline import EnrichmentPipeline
-from ..rdf.model import QUAD_SCHEMA
+from ..rdf.model import QUAD_COLUMNS, QUAD_SCHEMA
 
 
 def quad_stream(spark: SparkSession, staging_dir: str) -> DataFrame:
@@ -47,6 +57,42 @@ def run_pipeline_stream(
     writer = quads.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
     writer = writer.trigger(**(trigger or {"processingTime": "10 seconds"}))
     return writer.start()
+
+
+def debounce_quads(quads: DataFrame, quiet_period_ms: int = 10_000) -> DataFrame:
+    """DelayedBatch: per-graph quiet-period debounce over a quad stream.
+
+    Each document graph folds its incoming quads into keyed state; every
+    new arrival resets the graph's processing-time timeout. Only when
+    ``quiet_period_ms`` elapses with NO new quads for that graph does the
+    folded batch emit downstream (reference DelayedBatch.scala: emit when
+    `delay` has passed since the last element). Emission is per-graph, so
+    a chatty mailbox folding thousands of updates doesn't hold back an
+    already-quiet calendar document.
+    """
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (rows_json,) = state.get
+            state.remove()
+            rows = [json.loads(r) for r in rows_json]
+            yield pd.DataFrame(rows, columns=list(QUAD_COLUMNS))
+        else:
+            rows_json = list(state.get[0]) if state.exists else []
+            for pdf in pdfs:
+                for row in pdf[list(QUAD_COLUMNS)].itertuples(index=False):
+                    rows_json.append(json.dumps(list(row)))
+            state.update((rows_json,))
+            state.setTimeoutDuration(quiet_period_ms)
+            yield pd.DataFrame(columns=list(QUAD_COLUMNS))
+
+    return quads.groupBy("graph").applyInPandasWithState(
+        fold,
+        outputStructType=QUAD_SCHEMA,
+        stateStructType="rows array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
 
 
 def windowed_event_counts(
