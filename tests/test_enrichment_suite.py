@@ -183,8 +183,12 @@ def test_update_routing_and_negation(spark):
     assert ("s1", "p:name", "Old", doc_graph) not in rows
     # negation asserted in user graph so re-sync cannot resurrect
     assert ("s1", "urn:neg:p:name", "Old", USER_GRAPH) in rows
-    # graphless add routed to the subject's dominant graph
-    assert ("s1", "p:nickname", "N", doc_graph) in rows
+    # graphless add routed toward the subject's dominant graph — which is a
+    # SYNCHRONIZED graph with no write-back, so the add lands in the user
+    # graph instead (Updater.scala:47-75: rejected adds live in userData;
+    # leaving it in the doc graph would lose it on the next re-delivery)
+    assert ("s1", "p:nickname", "N", USER_GRAPH) in rows
+    assert ("s1", "p:nickname", "N", doc_graph) not in rows
     # explicit graph respected
     assert ("s2", "p:note", "hello", USER_GRAPH) in rows
     # negation now blocks re-delivery of the removed triple

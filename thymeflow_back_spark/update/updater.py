@@ -98,24 +98,48 @@ def apply_update(
         removed = explicit_rm
     sync_removed = removed.filter(F.col("graph").startswith(synchronized_graph_prefix))
 
-    # attempt write-back per synchronized graph; failures assert negations
-    failed_removals = sync_removed
+    # split adds by whether they target a synchronized source graph (explicit
+    # OR routed there by the possible-contexts inference) — those must go
+    # through the source's write-back, like removals (Updater.scala:47-75)
+    is_sync = F.col("graph").startswith(synchronized_graph_prefix)
+    candidate_adds = explicit.select(*QUAD_COLUMNS).unionByName(routed.select(*QUAD_COLUMNS))
+    sync_added = candidate_adds.filter(is_sync)
+    other_added = candidate_adds.filter(~is_sync)
+
+    # attempt write-back per synchronized graph over its adds AND removes;
+    # a failure asserts negations (removes) / reroutes to the user graph
+    # (adds — keeping them in the source graph would lose them on the next
+    # idempotent document re-delivery, which is why the reference keeps
+    # rejected adds in personal:userData)
+    failed_removals, failed_adds, ok_adds = sync_removed, sync_added, None
     if write_back is not None:
+        wb_graphs = (
+            sync_removed.select("graph")
+            .unionByName(sync_added.select("graph"))
+            .distinct()
+            .collect()
+        )
         accepted_graphs = []
-        for r in sync_removed.select("graph").distinct().collect():
+        for r in wb_graphs:
             g = r.graph
             ok = write_back(
                 g,
-                explicit.filter(F.col("graph") == g),
+                sync_added.filter(F.col("graph") == g),
                 sync_removed.filter(F.col("graph") == g),
             )
             if ok:
                 accepted_graphs.append(g)
         if accepted_graphs:
             failed_removals = sync_removed.filter(~F.col("graph").isin(accepted_graphs))
+            failed_adds = sync_added.filter(~F.col("graph").isin(accepted_graphs))
+            ok_adds = sync_added.filter(F.col("graph").isin(accepted_graphs))
 
     negations = _negation_quads(failed_removals)
-    all_adds = explicit.select(*QUAD_COLUMNS).unionByName(routed.select(*QUAD_COLUMNS))
+    all_adds = other_added.unionByName(
+        failed_adds.withColumn("graph", F.lit(USER_GRAPH)).select(*QUAD_COLUMNS)
+    )
+    if ok_adds is not None:
+        all_adds = all_adds.unionByName(ok_adds.select(*QUAD_COLUMNS))
 
     # a user re-add clears any matching negation quad (reference Updater.
     # scala:34-36) — otherwise a once-removed triple stays suppressed forever,
