@@ -1,0 +1,190 @@
+"""SPARQL protocol service tests: dispatch, DESCRIBE, parameter bindings,
+SPARQL 1.1 result serialization (JSON/XML/CSV), and the HTTP endpoint
+round-trip including updates (reference api/SparqlService.scala:38-195)."""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from thymeflow_back_spark.api.service import (
+    SparqlEndpoint,
+    ask_json,
+    execute_sparql,
+    query_form,
+    select_csv,
+    select_json,
+    select_xml,
+)
+from thymeflow_back_spark.plans.sparql import sparql_describe, sparql_select
+from thymeflow_back_spark.rdf.model import QUAD_SCHEMA
+from thymeflow_back_spark.rdf.store import StatementStore
+
+PFX = 'PREFIX schema: <http://schema.org/> '
+
+XSD_S = "http://www.w3.org/2001/XMLSchema#string"
+XSD_I = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    rows = [
+        ("urn:p:1", "http://schema.org/name", "Ada", "literal", XSD_S, None, "urn:g:a"),
+        ("urn:p:1", "http://schema.org/email", "mailto:ada@x.org", "iri", None, None, "urn:g:a"),
+        ("urn:p:1", "http://schema.org/age", "36", "literal", XSD_I, None, "urn:g:a"),
+        ("urn:p:2", "http://schema.org/name", "Grace", "literal", None, "en", "urn:g:b"),
+        ("mailto:ada@x.org", "http://schema.org/name", "ada mail", "literal", XSD_S, None, "urn:g:a"),
+    ]
+    return spark.createDataFrame(rows, QUAD_SCHEMA)
+
+
+def test_query_form_dispatch(quads):
+    assert query_form("SELECT ?x WHERE { ?x ?p ?o }") == "select"
+    assert query_form(PFX + "ASK { ?x schema:name ?n }") == "ask"
+    assert query_form("CONSTRUCT { ?x <urn:p> ?o } WHERE { ?x <urn:q> ?o }") == "construct"
+    assert query_form("DESCRIBE <urn:p:1>") == "describe"
+    assert query_form('INSERT DATA { <urn:s> <urn:p> "v" }') == "update"
+    with pytest.raises(SyntaxError):
+        query_form("FROBNICATE ?x")
+
+
+def test_describe_explicit_iri(quads):
+    out = sparql_describe(quads, "DESCRIBE <urn:p:1>")
+    assert {r.predicate for r in out.collect()} == {
+        "http://schema.org/name",
+        "http://schema.org/email",
+        "http://schema.org/age",
+    }
+
+
+def test_describe_var_where(quads):
+    out = sparql_describe(
+        quads, PFX + "DESCRIBE ?who WHERE { ?who schema:email ?m }"
+    )
+    rows = out.collect()
+    assert {r.subject for r in rows} == {"urn:p:1"}
+    with pytest.raises(SyntaxError):
+        sparql_describe(quads, "DESCRIBE ?who")
+
+
+def test_select_bindings(quads):
+    df = sparql_select(
+        quads,
+        PFX + "SELECT ?who ?n WHERE { ?who schema:name ?n }",
+        bindings={"who": "urn:p:2"},
+    )
+    assert [(r.who, r.n) for r in df.collect()] == [("urn:p:2", "Grace")]
+
+
+def test_select_json_exact_term_kinds(quads):
+    df = sparql_select(
+        quads,
+        PFX + "SELECT ?who ?m ?n ?a WHERE { ?who schema:email ?m . ?who schema:name ?n . ?who schema:age ?a }",
+        keep_term_types=True,
+    )
+    doc = json.loads(select_json(df))
+    assert set(doc["head"]["vars"]) == {"who", "m", "n", "a"}
+    [b] = doc["results"]["bindings"]
+    assert b["who"] == {"type": "uri", "value": "urn:p:1"}  # subject position → uri
+    assert b["m"] == {"type": "uri", "value": "mailto:ada@x.org"}  # object, typed iri
+    assert b["n"] == {"type": "literal", "value": "Ada"}  # xsd:string stays plain
+    assert b["a"] == {"type": "literal", "value": "36", "datatype": XSD_I}
+
+
+def test_select_json_lang_tag(quads):
+    df = sparql_select(
+        quads, PFX + 'SELECT ?n WHERE { <urn:p:2> schema:name ?n }', keep_term_types=True
+    )
+    [b] = json.loads(select_json(df))["results"]["bindings"]
+    assert b["n"] == {"type": "literal", "value": "Grace", "xml:lang": "en"}
+
+
+def test_select_json_aggregate_typing(quads):
+    df = sparql_select(
+        quads, PFX + "SELECT (COUNT(*) AS ?n) WHERE { ?s schema:name ?x }", keep_term_types=True
+    )
+    [b] = json.loads(select_json(df))["results"]["bindings"]
+    assert b["n"]["datatype"].endswith("integer") and b["n"]["value"] == "3"
+
+
+def test_select_xml_and_csv(quads):
+    df = sparql_select(
+        quads, PFX + "SELECT ?n WHERE { <urn:p:1> schema:name ?n }", keep_term_types=True
+    )
+    xml = select_xml(df)
+    assert '<variable name="n"/>' in xml and "<literal>Ada</literal>" in xml
+    csv = select_csv(df)
+    assert csv.splitlines() == ["n", "Ada"]
+
+
+def test_execute_update_roundtrip(spark, quads):
+    store = StatementStore(quads)
+    result = execute_sparql(
+        store, 'INSERT DATA { GRAPH <urn:g:u> { <urn:p:3> <http://schema.org/name> "Edsger" } }'
+    )
+    assert result.kind == "update"
+    assert result.store.quads.filter(F.col("object_value") == "Edsger").count() == 1
+
+
+def test_http_endpoint(quads):
+    endpoint = SparqlEndpoint(StatementStore(quads))
+    port = endpoint.start()
+    base = f"http://127.0.0.1:{port}/sparql"
+    try:
+        # GET select (JSON default)
+        q = urllib.parse.quote(PFX + "SELECT ?n WHERE { <urn:p:1> schema:name ?n }")
+        with urllib.request.urlopen(f"{base}?query={q}") as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("application/sparql-results+json")
+            doc = json.loads(resp.read())
+        assert doc["results"]["bindings"][0]["n"]["value"] == "Ada"
+
+        # CSV content negotiation
+        req = urllib.request.Request(f"{base}?query={q}", headers={"Accept": "text/csv"})
+        with urllib.request.urlopen(req) as resp:
+            assert resp.headers["Content-Type"].startswith("text/csv")
+            assert b"Ada" in resp.read()
+
+        # ASK
+        q = urllib.parse.quote(PFX + "ASK { ?x schema:name ?n }")
+        with urllib.request.urlopen(f"{base}?query={q}") as resp:
+            assert json.loads(resp.read()) == json.loads(ask_json(True))
+
+        # POST update (form-encoded), then read the write through GET
+        body = urllib.parse.urlencode(
+            {"update": 'INSERT DATA { GRAPH <urn:g:u> { <urn:p:9> <http://schema.org/name> "New" } }'}
+        ).encode()
+        req = urllib.request.Request(
+            base, data=body, headers={"Content-Type": "application/x-www-form-urlencoded"}
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 204
+        q = urllib.parse.quote(PFX + "SELECT ?n WHERE { <urn:p:9> schema:name ?n }")
+        with urllib.request.urlopen(f"{base}?query={q}") as resp:
+            doc = json.loads(resp.read())
+        assert doc["results"]["bindings"][0]["n"]["value"] == "New"
+
+        # DESCRIBE over POST application/sparql-query → N-Triples
+        req = urllib.request.Request(
+            base,
+            data=b"DESCRIBE <urn:p:1>",
+            headers={"Content-Type": "application/sparql-query"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.headers["Content-Type"].startswith("application/n-triples")
+            text = resp.read().decode()
+        assert "<urn:p:1> <http://schema.org/name> \"Ada\"" in text
+
+        # malformed query → 400 (MalformedQueryException parity)
+        q = urllib.parse.quote("SELECT ?x WHERE { ?x }")
+        try:
+            urllib.request.urlopen(f"{base}?query={q}")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        endpoint.stop()

@@ -1,0 +1,333 @@
+"""SPARQL protocol service: query dispatch, result serialization, HTTP.
+
+The reference's front door is `/sparql` over HTTP
+(api/SparqlService.scala:38-74: GET ?query= or POST form /
+`application/sparql-query`; 100-158: dispatch on Boolean/Graph/Tuple query
+with a result writer picked from the Accept header; 145-158: updates).
+This module is that surface over the Spark engine:
+
+- ``execute_sparql`` — one entry point dispatching SELECT / ASK /
+  CONSTRUCT / DESCRIBE / UPDATE to the compilers in plans/sparql.py.
+- SPARQL 1.1 result serializers: Results JSON, Results XML, CSV for
+  SELECT/ASK; N-Triples for CONSTRUCT/DESCRIBE graphs.
+- ``SparqlEndpoint`` — a stdlib ThreadingHTTPServer endpoint holding a
+  StatementStore; updates route through update/updater.apply_update (the
+  reference intercepts update diffs into Updater.scala — §3.3).
+
+Serialization collects to the driver — serving results over HTTP is
+inherently a driver/edge concern (the reference streams through a piped
+thread the same way); the QUERY itself still runs distributed, and LIMIT
+belongs in the query for big results.
+
+Term kinds in SELECT results are exact, not guessed: the compiler carries
+hidden ``__type/__datatype/__lang`` columns for object-bound variables
+(``keep_term_types=True``), and a variable without them was bound in
+subject/predicate/graph position — an IRI by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from dataclasses import dataclass
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+from xml.sax.saxutils import escape
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..plans.sparql import (
+    _Parser,
+    sparql_ask,
+    sparql_construct,
+    sparql_describe,
+    sparql_select,
+    sparql_update_diff,
+)
+from ..rdf.store import StatementStore
+from ..update.updater import WriteBack, apply_update
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def query_form(text: str) -> str:
+    """select|ask|construct|describe|update — the dispatch the reference
+    does via RDF4J's parsed query class (SparqlService.scala:100-158)."""
+    p = _Parser(text)
+    p.parse_prologue()
+    kind, val = p.peek()
+    if kind == "KW":
+        v = val.upper()
+        if v in ("SELECT", "ASK", "CONSTRUCT", "DESCRIBE"):
+            return v.lower()
+        if v in ("INSERT", "DELETE"):
+            return "update"
+    raise SyntaxError(f"SPARQL: cannot dispatch query starting at {val!r}")
+
+
+@dataclass
+class SparqlResult:
+    kind: str  # select | ask | construct | describe | update
+    df: DataFrame | None = None  # select solutions / construct quads
+    boolean: bool | None = None  # ask
+    store: StatementStore | None = None  # post-update store
+
+
+def execute_sparql(
+    store: StatementStore,
+    text: str,
+    bindings: dict[str, str] | None = None,
+    write_back: WriteBack | None = None,
+    synchronized_graph_prefix: str = "urn:uuid:",
+) -> SparqlResult:
+    form = query_form(text)
+    quads = store.quads
+    if form == "select":
+        return SparqlResult(
+            "select", df=sparql_select(quads, text, bindings=bindings, keep_term_types=True)
+        )
+    if form == "ask":
+        return SparqlResult("ask", boolean=sparql_ask(quads, text, bindings=bindings))
+    if form == "construct":
+        return SparqlResult("construct", df=sparql_construct(quads, text))
+    if form == "describe":
+        return SparqlResult("describe", df=sparql_describe(quads, text))
+    diff = sparql_update_diff(quads, text)
+    new_store = apply_update(
+        store,
+        diff,
+        synchronized_graph_prefix=synchronized_graph_prefix,
+        write_back=write_back,
+    )
+    return SparqlResult("update", store=new_store)
+
+
+# ---------------------------------------------------------------------------
+# SELECT / ASK result serialization (SPARQL 1.1 Query Results formats)
+
+
+def _solution_columns(pdf: pd.DataFrame) -> list[str]:
+    return [c for c in pdf.columns if "__" not in c]
+
+
+def _term(pdf_row, var: str, dtype_kind: str) -> dict | None:
+    value = pdf_row.get(var)
+    if value is None or (isinstance(value, float) and pd.isna(value)):
+        return None
+    ttype = pdf_row.get(f"{var}__type")
+    if ttype is None:
+        # no hidden columns: subject/predicate/graph-position var → IRI;
+        # aggregate outputs land here too, typed from the pandas dtype
+        if dtype_kind in "iu":
+            return {"type": "literal", "value": str(int(value)), "datatype": _XSD + "integer"}
+        if dtype_kind == "f":
+            return {"type": "literal", "value": repr(float(value)), "datatype": _XSD + "double"}
+        if dtype_kind == "b":
+            return {"type": "literal", "value": str(bool(value)).lower(), "datatype": _XSD + "boolean"}
+        return {"type": "uri", "value": str(value)}
+    out: dict = {
+        "type": {"iri": "uri", "bnode": "bnode"}.get(ttype, "literal"),
+        "value": str(value),
+    }
+    lang = pdf_row.get(f"{var}__lang")
+    dtype = pdf_row.get(f"{var}__datatype")
+    if out["type"] == "literal":
+        if lang:
+            out["xml:lang"] = lang
+        elif dtype and dtype != _XSD + "string":
+            out["datatype"] = dtype
+    return out
+
+
+def _solutions(df: DataFrame) -> tuple[list[str], list[dict]]:
+    pdf = df.toPandas()
+    cols = _solution_columns(pdf)
+    kinds = {c: pdf[c].dtype.kind for c in cols}
+    rows = []
+    for _, r in pdf.iterrows():
+        row = {}
+        for c in cols:
+            term = _term(r, c, kinds[c])
+            if term is not None:
+                row[c] = term
+        rows.append(row)
+    return cols, rows
+
+
+def select_json(df: DataFrame) -> str:
+    """application/sparql-results+json."""
+    cols, rows = _solutions(df)
+    return json.dumps({"head": {"vars": cols}, "results": {"bindings": rows}})
+
+
+def select_xml(df: DataFrame) -> str:
+    """application/sparql-results+xml."""
+    cols, rows = _solutions(df)
+    parts = ['<?xml version="1.0"?>', '<sparql xmlns="http://www.w3.org/2005/sparql-results#">']
+    parts.append("<head>" + "".join(f'<variable name="{escape(c)}"/>' for c in cols) + "</head>")
+    parts.append("<results>")
+    for row in rows:
+        parts.append("<result>")
+        for var, term in row.items():
+            if term["type"] == "uri":
+                body = f"<uri>{escape(term['value'])}</uri>"
+            elif term["type"] == "bnode":
+                body = f"<bnode>{escape(term['value'])}</bnode>"
+            else:
+                attrs = ""
+                if "xml:lang" in term:
+                    attrs = f' xml:lang="{escape(term["xml:lang"])}"'
+                elif "datatype" in term:
+                    attrs = f' datatype="{escape(term["datatype"])}"'
+                body = f"<literal{attrs}>{escape(term['value'])}</literal>"
+            parts.append(f'<binding name="{escape(var)}">{body}</binding>')
+        parts.append("</result>")
+    parts.append("</results></sparql>")
+    return "".join(parts)
+
+
+def select_csv(df: DataFrame) -> str:
+    """text/csv (SPARQL 1.1 CSV: plain lexical values)."""
+    pdf = df.toPandas()
+    cols = _solution_columns(pdf)
+    return pdf[cols].to_csv(index=False, lineterminator="\r\n")
+
+
+def ask_json(value: bool) -> str:
+    return json.dumps({"head": {}, "boolean": value})
+
+
+def ask_xml(value: bool) -> str:
+    return (
+        '<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+        f"<head/><boolean>{str(value).lower()}</boolean></sparql>"
+    )
+
+
+def quads_ntriples(df: DataFrame) -> str:
+    """CONSTRUCT/DESCRIBE graph → N-Triples text."""
+    from ..rdf.io import serialize_ntriples
+
+    return "\n".join(r.line for r in serialize_ntriples(df).collect()) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# HTTP endpoint
+
+
+_SELECT_WRITERS = {
+    "application/sparql-results+json": select_json,
+    "application/json": select_json,
+    "application/sparql-results+xml": select_xml,
+    "text/csv": select_csv,
+}
+
+
+def _negotiate(accept: str) -> tuple[str, object]:
+    for media in (accept or "").split(","):
+        media = media.split(";")[0].strip()
+        if media in _SELECT_WRITERS:
+            return media, _SELECT_WRITERS[media]
+    return "application/sparql-results+json", select_json
+
+
+class SparqlEndpoint:
+    """Minimal SPARQL 1.1 Protocol endpoint over a StatementStore.
+
+    GET /sparql?query=… and POST /sparql (form-encoded `query=`/`update=`,
+    `application/sparql-query`, or `application/sparql-update`) — the same
+    surface SparqlService.scala:38-74 mounts. The held store is swapped
+    atomically on update; reads serve from the store current at arrival.
+    """
+
+    def __init__(self, store: StatementStore, write_back: WriteBack | None = None):
+        self.store = store
+        self.write_back = write_back
+        self._lock = threading.Lock()
+        self._server: ThreadingHTTPServer | None = None
+
+    # -- request handling (transport-independent, used by the HTTP handler)
+
+    def handle(self, text: str, accept: str = "") -> tuple[int, str, str]:
+        """(status, content_type, body) for one SPARQL request string."""
+        try:
+            form = query_form(text)
+        except SyntaxError as e:
+            return 400, "text/plain", str(e)
+        try:
+            if form == "update":
+                with self._lock:
+                    result = execute_sparql(self.store, text, write_back=self.write_back)
+                    self.store = result.store
+                return 204, "text/plain", ""
+            result = execute_sparql(self.store, text)
+        except SyntaxError as e:  # MalformedQueryException → 400 parity
+            return 400, "text/plain", str(e)
+        if result.kind == "select":
+            ctype, writer = _negotiate(accept)
+            return 200, ctype, writer(result.df)
+        if result.kind == "ask":
+            if "xml" in (accept or ""):
+                return 200, "application/sparql-results+xml", ask_xml(result.boolean)
+            return 200, "application/sparql-results+json", ask_json(result.boolean)
+        return 200, "application/n-triples", quads_ntriples(result.df)
+
+    # -- HTTP plumbing
+
+    def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
+        endpoint = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet test runs
+                pass
+
+            def _respond(self, status: int, ctype: str, body: str) -> None:
+                data = body.encode("utf-8")
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                if url.path != "/sparql":
+                    return self._respond(404, "text/plain", "not found")
+                params = parse_qs(url.query)
+                if "query" not in params:
+                    return self._respond(400, "text/plain", "missing query parameter")
+                status, ctype, body = endpoint.handle(
+                    params["query"][0], self.headers.get("Accept", "")
+                )
+                self._respond(status, ctype, body)
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                if url.path != "/sparql":
+                    return self._respond(404, "text/plain", "not found")
+                length = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(length).decode("utf-8")
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+                if ctype == "application/x-www-form-urlencoded":
+                    params = parse_qs(raw)
+                    text = (params.get("query") or params.get("update") or [""])[0]
+                elif ctype in ("application/sparql-query", "application/sparql-update"):
+                    text = raw
+                else:
+                    return self._respond(415, "text/plain", f"unsupported content type {ctype}")
+                if not text:
+                    return self._respond(400, "text/plain", "missing query")
+                status, rtype, body = endpoint.handle(text, self.headers.get("Accept", ""))
+                self._respond(status, rtype, body)
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        thread.start()
+        return self._server.server_address[1]
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None

@@ -52,9 +52,9 @@ _TOKEN_RE = re.compile(
   | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<NUMBER>-?\d+(?:\.\d+)?)
   | (?P<PNAME>\w[\w.-]*:[\w.-]*)
-  | (?P<KW>(?i:PREFIX|SELECT|ASK|CONSTRUCT|INSERT|DELETE|DATA|DISTINCT|WHERE
-       |GRAPH|OPTIONAL|UNION|FILTER|GROUP|ORDER|BY|ASC|DESC|LIMIT|OFFSET|AS
-       |IN|NOT|COUNT|SUM|MIN|MAX|AVG|SAMPLE)\b)
+  | (?P<KW>(?i:PREFIX|SELECT|ASK|CONSTRUCT|DESCRIBE|INSERT|DELETE|DATA|DISTINCT
+       |WHERE|GRAPH|OPTIONAL|UNION|FILTER|GROUP|ORDER|BY|ASC|DESC|LIMIT|OFFSET
+       |AS|IN|NOT|COUNT|SUM|MIN|MAX|AVG|SAMPLE)\b)
   | (?P<A>\ba\b)
   | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,*/=<>!])
     """,
@@ -342,6 +342,30 @@ class _Parser:
             self.accept("OP", ";")
         return ops
 
+    def parse_describe(self) -> tuple[list[Term], Group | None]:
+        """DESCRIBE <iri>… | DESCRIBE ?v… [WHERE {…}] — returns the resource
+        terms and the optional WHERE group."""
+        self.parse_prologue()
+        self.expect("KW", "DESCRIBE")
+        terms: list[Term] = []
+        while True:
+            k, v = self.peek()
+            if k == "VAR":
+                self.next()
+                terms.append(("var", v[1:]))
+            elif k in ("IRIREF", "PNAME"):
+                terms.append(self.parse_term())
+            else:
+                break
+        if not terms:
+            raise SyntaxError("SPARQL: DESCRIBE needs at least one resource")
+        group = None
+        if self.accept("KW", "WHERE"):
+            group = self.parse_group()
+        if self.peek()[0] != "EOF":
+            raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()[1]!r}")
+        return terms, group
+
     # -- query
     def parse_query(self) -> SelectQuery:
         self.parse_prologue()
@@ -527,12 +551,37 @@ _AGGS = {
 }
 
 
-def sparql_select(quads: DataFrame, text: str) -> DataFrame:
-    """Compile and run a SPARQL SELECT string over a quads DataFrame."""
+def _apply_bindings(df: DataFrame, bindings: dict[str, str] | None) -> DataFrame:
+    """Pre-bound variables (RDF4J ``setBinding`` parity — the reference's
+    enrichers parameterize prepared queries this way, e.g.
+    PrimaryFacetEnricher.scala:103-108). Equality filters on the solution
+    relation; Catalyst pushes them into the pattern scans."""
+    if not bindings:
+        return df
+    for var, value in bindings.items():
+        if var in df.columns:
+            df = df.filter(F.col(var) == value)
+    return df
+
+
+def sparql_select(
+    quads: DataFrame,
+    text: str,
+    bindings: dict[str, str] | None = None,
+    keep_term_types: bool = False,
+) -> DataFrame:
+    """Compile and run a SPARQL SELECT string over a quads DataFrame.
+
+    ``keep_term_types``: for non-aggregate projections, carry the hidden
+    ``<var>__type/__datatype/__lang`` columns of object-bound variables so
+    a result serializer can emit exact term kinds (a var with no hidden
+    columns was bound in subject/predicate/graph position — an IRI)."""
     q = _Parser(text).parse_query()
     if q.ask:
         raise ValueError("use sparql_ask for ASK queries")
-    df = _Compiler(quads).compile_group(q.group)
+    df = _apply_bindings(
+        _Compiler(quads, track_types=keep_term_types).compile_group(q.group), bindings
+    )
 
     has_agg = any(p[0] == "agg" for p in q.projections)
     if has_agg:
@@ -558,7 +607,15 @@ def sparql_select(quads: DataFrame, text: str) -> DataFrame:
         df = df.select(*names)
     else:
         if not any(p[0] == "star" for p in q.projections):
-            df = df.select(*[p[1] for p in q.projections])
+            cols = [p[1] for p in q.projections]
+            if keep_term_types:
+                cols += [
+                    f"{p[1]}{suffix}"
+                    for p in q.projections
+                    for suffix in ("__type", "__datatype", "__lang")
+                    if f"{p[1]}{suffix}" in df.columns
+                ]
+            df = df.select(*cols)
     if q.distinct:
         df = df.dropDuplicates()
     if q.order_by:
@@ -570,13 +627,47 @@ def sparql_select(quads: DataFrame, text: str) -> DataFrame:
     return df
 
 
-def sparql_ask(quads: DataFrame, text: str) -> bool:
+def sparql_ask(quads: DataFrame, text: str, bindings: dict[str, str] | None = None) -> bool:
     """SPARQL ASK: limit-1 probe, not a count (reference ASK shape)."""
     q = _Parser(text).parse_query()
     if not q.ask:
         raise ValueError("not an ASK query")
-    df = _Compiler(quads).compile_group(q.group)
+    df = _apply_bindings(_Compiler(quads).compile_group(q.group), bindings)
     return len(df.limit(1).take(1)) > 0
+
+
+def sparql_describe(quads: DataFrame, text: str) -> DataFrame:
+    """SPARQL DESCRIBE → the described resources' outgoing statements.
+
+    RDF4J (the reference's evaluator) describes a resource by its
+    subject-position statements; the resource set is either the explicit
+    IRIs or every binding of the DESCRIBE variables in the WHERE solutions.
+    The store side stays a semi-join — no collect of resource lists."""
+    terms, group = _Parser(text).parse_describe()
+    iris = [val for kind, val in terms if kind == "iri"]
+    var_names = [val for kind, val in terms if kind == "var"]
+    if var_names and group is None:
+        raise SyntaxError("SPARQL: DESCRIBE ?var needs a WHERE clause")
+    parts = []
+    if iris:
+        parts.append(quads.filter(F.col("subject").isin(iris)))
+    if var_names:
+        sols = _Compiler(quads).compile_group(group)
+        resources = None
+        for v in var_names:
+            sel = sols.select(F.col(v).alias("__resource")).dropDuplicates()
+            resources = sel if resources is None else resources.unionByName(sel)
+        parts.append(
+            quads.join(
+                resources.dropDuplicates(),
+                quads["subject"] == F.col("__resource"),
+                "left_semi",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates()
 
 
 # --- CONSTRUCT / UPDATE -------------------------------------------------------
