@@ -108,7 +108,6 @@ def jaccard_pairs(
     approximation is recall — a pair whose every common shingle is hot is
     missed, the standard stop-word trade-off.
     """
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = shingles.select(F.col(id_col).alias("a_id"), "shingle")
     b = shingles.select(F.col(id_col).alias("b_id"), "shingle")
     if max_doc_freq is None:
@@ -118,27 +117,28 @@ def jaccard_pairs(
             .groupBy("a_id", "b_id")
             .agg(F.count("*").alias("n_common"))
         )
-    else:
-        rare = (
-            shingles.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("shingle")
-        )
-        cands = (
-            a.join(rare, "shingle")
-            .join(b.join(rare, "shingle"), "shingle")
-            .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id")
-            .dropDuplicates(["a_id", "b_id"])
-        )
-        # exact intersection recomputed on candidates only (full shingle sets)
-        inter = (
-            cands.join(a, "a_id")
-            .join(b, ["b_id", "shingle"])
-            .groupBy("a_id", "b_id")
-            .agg(F.count("*").alias("n_common"))
-        )
+        return _jaccard_from_intersections(shingles, inter, id_col, threshold)
+    rare = (
+        shingles.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("shingle")
+    )
+    cands = (
+        a.join(rare, "shingle")
+        .join(b.join(rare, "shingle"), "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return verify_jaccard_candidates(shingles, cands, id_col, threshold)
+
+
+def _jaccard_from_intersections(
+    shingles: DataFrame, inter: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """(a_id, b_id, n_common) + per-doc shingle counts → exact Jaccard."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("a_n"))
     sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("b_n"))
     return (
@@ -148,6 +148,25 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "n_common", "jaccard")
     )
+
+
+def verify_jaccard_candidates(
+    shingles: DataFrame, cands: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given candidate pairs.
+
+    The intersection join fans each candidate out by its a-side shingles
+    and probes the b-side on (b_id, shingle) — work proportional to
+    |candidates| × shingles-per-doc, never to the all-pairs blocked join.
+    This is the verify stage every blocked similarity path (LSH bands,
+    doc-frequency blocking) funnels into."""
+    inter = (
+        cands.join(shingles.select(F.col(id_col).alias("a_id"), "shingle"), "a_id")
+        .join(shingles.select(F.col(id_col).alias("b_id"), "shingle"), ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return _jaccard_from_intersections(shingles, inter, id_col, threshold)
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str) -> DataFrame:
@@ -196,6 +215,11 @@ def minhash_near_dups(
 ) -> DataFrame:
     """MinHash-LSH candidates verified with true Jaccard >= threshold.
 
+    Exact Jaccard is computed for CANDIDATE PAIRS ONLY
+    (verify_jaccard_candidates) — the verification cost is proportional to
+    the LSH collision count, not to the all-pairs shingle-blocked join,
+    which is the whole point of banding at corpus scale.
+
     The shingle table feeds both the signature pass and the verification
     join. Measured: recomputing the (column-pruned, codegen'd) shingle
     explode per branch beats materializing it — persist() was tried and
@@ -204,8 +228,7 @@ def minhash_near_dups(
     """
     sh = word_shingles(df, id_col, text_col, n)
     cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
-    verified = jaccard_pairs(sh, id_col, threshold)
-    return cands.join(verified, ["a_id", "b_id"]).select("a_id", "b_id", "n_common", "jaccard")
+    return verify_jaccard_candidates(sh, cands, id_col, threshold)
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
