@@ -69,5 +69,15 @@ VELOCITY = PERSONAL + "velocity"
 ANGLE = PERSONAL + "angle"
 PRIMARY_FACET = PERSONAL + "primaryFacet"
 DOCUMENT_OF = PERSONAL + "documentOf"
+
+# service metadata tree (reference Supervisor.scala:63-94: the
+# personal:serviceGraph holds Service → Account → Source, and every
+# document graph is linked to its source with personal:documentOf)
+SERVICE_GRAPH = PERSONAL + "serviceGraph"
+SERVICE = PERSONAL + "Service"
+SERVICE_ACCOUNT = PERSONAL + "ServiceAccount"
+SERVICE_SOURCE = PERSONAL + "ServiceAccountSource"
+ACCOUNT_OF = PERSONAL + "accountOf"
+SOURCE_OF = PERSONAL + "sourceOf"
 IN_REPLY_TO = PERSONAL + "inReplyTo"
 NICKNAME = PERSONAL + "nickname"
