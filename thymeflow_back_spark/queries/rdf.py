@@ -158,3 +158,90 @@ def q_rdf_sameas_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_components"))
         .orderBy("component_size")
     )
+
+
+# --- Q: SPARQL CONSTRUCT through the text front-end ---------------------------
+
+_XSD_S = "http://www.w3.org/2001/XMLSchema#string"
+
+
+@query(
+    "q_rdf_construct_euro",
+    oracle=f"""
+    WITH euro AS (
+      SELECT c.c_custkey, c.c_name
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT 'c:' || c_custkey AS subject, 'p:label' AS predicate,
+           c_name AS object_value, 'literal' AS object_type,
+           '{_XSD_S}' AS object_datatype,
+           CAST(NULL AS VARCHAR) AS object_lang,
+           'urn:graph:construct' AS graph
+    FROM euro
+    UNION ALL
+    SELECT 'c:' || c_custkey, 'rdf:type', 'p:EuroCustomer', 'iri',
+           NULL, NULL, 'urn:graph:construct'
+    FROM euro
+    ORDER BY subject, predicate
+    """,
+    doc="SPARQL CONSTRUCT compiled from text (template instantiation over "
+    "BGP solutions, object term kinds carried through hidden type columns "
+    "— reference SparqlService.scala:100-143 graph-query dispatch).",
+)
+def q_rdf_construct_euro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.sparql import sparql_construct
+
+    quads = tpch.tpch_quads(spark, sf_dir)
+    return sparql_construct(
+        quads,
+        """
+        PREFIX p: <p:>
+        PREFIX schema: <schema:>
+        CONSTRUCT { ?c <p:label> ?name . ?c <rdf:type> <p:EuroCustomer> }
+        WHERE {
+          ?c p:inNation ?n .
+          ?n p:inRegion ?r .
+          ?r schema:name "EUROPE" .
+          ?c schema:name ?name
+        }
+        """,
+    )
+
+
+@query(
+    "q_rdf_describe_nations",
+    oracle=f"""
+    WITH ns AS (SELECT * FROM nation WHERE n_regionkey = 1)
+    SELECT 'n:' || n_nationkey AS subject, 'rdf:type' AS predicate,
+           'schema:Nation' AS object_value, 'iri' AS object_type,
+           CAST(NULL AS VARCHAR) AS object_datatype,
+           CAST(NULL AS VARCHAR) AS object_lang, 'g:tpch' AS graph
+    FROM ns
+    UNION ALL
+    SELECT 'n:' || n_nationkey, 'schema:name', n_name, 'literal',
+           '{_XSD_S}', NULL, 'g:tpch'
+    FROM ns
+    UNION ALL
+    SELECT 'n:' || n_nationkey, 'p:inRegion', 'r:' || n_regionkey, 'iri',
+           NULL, NULL, 'g:tpch'
+    FROM ns
+    ORDER BY subject, predicate
+    """,
+    doc="SPARQL DESCRIBE from text: WHERE-bound resources' outgoing "
+    "statements via semi-join on subject (RDF4J describe semantics, "
+    "SparqlService.scala graph-query dispatch).",
+)
+def q_rdf_describe_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.sparql import sparql_describe
+
+    quads = tpch.tpch_quads(spark, sf_dir)
+    return sparql_describe(
+        quads,
+        """
+        PREFIX p: <p:>
+        DESCRIBE ?n WHERE { ?n p:inRegion <r:1> }
+        """,
+    )

@@ -145,3 +145,47 @@ def q_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return T.min_k_fingerprint(docs, "doc_id", "text", n=3, k=5).orderBy("doc_id")
+
+
+# language-ID markers, sorted and fixed so the oracle embeds identical
+# literals (the n-gram/stopword-marker heuristic of the LLM-pipeline brief)
+LANG_MARKERS = {
+    "de": ("das", "der", "die", "und"),
+    "en": ("and", "of", "the", "to"),
+    "fr": ("de", "et", "la", "le", "les"),
+}
+
+_M_SQL = {k: ", ".join(f"'{w}'" for w in v) for k, v in LANG_MARKERS.items()}
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH {_SQL_TOKS},
+    h AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, t -> t IN ({_M_SQL['de']}))) AS h_de,
+             len(list_filter(toks, t -> t IN ({_M_SQL['en']}))) AS h_en,
+             len(list_filter(toks, t -> t IN ({_M_SQL['fr']}))) AS h_fr
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE WHEN h_fr > GREATEST(h_de, h_en) THEN 'fr'
+                WHEN h_en > h_de THEN 'en'
+                ELSE 'de' END AS pred_lang,
+           GREATEST(h_de, h_en, h_fr) AS lang_hits
+    FROM h
+    ORDER BY doc_id
+    """,
+    doc="Marker-word language ID per document (argmax of per-language "
+    "stopword hits, deterministic ascending-code tie-break) — the n-gram "
+    "heuristic language filter of a training-data pipeline; pure column "
+    "expressions, no shuffle beyond the scan.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        T.lang_id_scores(docs, "text", LANG_MARKERS)
+        .select("doc_id", "lang", "pred_lang", "lang_hits")
+        .orderBy("doc_id")
+    )
