@@ -150,3 +150,78 @@ def q_geo_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- rows-only catalog entries: per-group Python operators --------------------
+# Stay-point clustering and trellis movement smoothing are order-dependent
+# per-user dynamic programming (SURVEY.md §2.7) — not SQL-expressible, so
+# these declare oracle=None and the driver records the weaker rows-only
+# check the brief defines for custom stateful operators; golden-value
+# coverage lives in pytest (tests/test_er_staypoints.py). Both consume a
+# deterministic synthetic dwell-then-jump track derived from the events
+# table: three dwell centers per user with meter-scale jitter, exactly the
+# shape stay extraction exists to find.
+
+
+def _synthetic_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    dwell = (F.col("event_id") % 3).cast("double")  # which center
+    jitter = ((F.col("event_id") % 7).cast("double") - 3.0) * 1e-5  # ~1 m
+    return events.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.lit(2.30) + dwell * 0.05 + jitter).alias("lon"),
+        (F.lit(48.80) + dwell * 0.05 + jitter).alias("lat"),
+        F.lit(20.0).alias("accuracy_m"),
+    )
+
+
+@query(
+    "q_staypoints",
+    oracle=None,
+    doc="Stay-point clustering (Hellinger-merged Gaussian clusters, "
+    "λ=0.95, 15-min minimum stay) over per-user time-sorted tracks via "
+    "applyInPandas — reference TimeSequentialClusterEstimator.scala:49-106; "
+    "rows-only driver check, golden values in pytest.",
+)
+def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.staypoints import extract_stays
+
+    return extract_stays(_synthetic_track(spark, sf_dir)).orderBy(
+        "user_id", "start_us"
+    )
+
+
+@query(
+    "q_movement_smoothing",
+    oracle=None,
+    doc="Movement/stay trellis smoothing (Viterbi min-cost state path per "
+    "user — reference StateEstimator.scala:19-96) via applyInPandas; "
+    "rows-only driver check, golden values in pytest.",
+)
+def q_movement_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.movement import segment_movement
+
+    return segment_movement(_synthetic_track(spark, sf_dir)).orderBy(
+        "user_id", "start_us"
+    )
+
+
+@query(
+    "q_multimodal_features",
+    oracle=None,
+    doc="Multimodal column plumbing: binary media content → Arrow-batched "
+    "mapInPandas feature extraction (dimensions, mean luma, perceptual "
+    "hash). The codec is the documented deterministic fake (no image "
+    "library in this runtime); schema, batching, and hash math are the "
+    "real production path. Rows-only driver check.",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.ops import extract_image_features
+
+    docs = load(spark, sf_dir, "documents").limit(200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    return extract_image_features(media, fake_decode=True).orderBy("media_id")
