@@ -206,3 +206,34 @@ def test_update_delete_where_roundtrip(quads):
     updated = apply_update(store, diff, synchronized_graph_prefix="urn:never:")
     assert updated.quads.filter(F.col("predicate") == "schema:name").count() == 0
     assert updated.quads.count() == quads.count() - 3
+
+
+def test_registered_function_call(spark):
+    """Custom SPARQL functions from the FunctionRegistry surface
+    (personal:duration / personal:durationInMillis,
+    RepositoryFactory.scala:248-251)."""
+    xsd_dt = "http://www.w3.org/2001/XMLSchema#dateTime"
+    rows = [
+        ("urn:e:1", "urn:p:start", "2026-01-01T10:00:00", "literal", xsd_dt, None, "g"),
+        ("urn:e:1", "urn:p:end", "2026-01-01T11:30:05", "literal", xsd_dt, None, "g"),
+    ]
+    q = spark.createDataFrame(
+        rows,
+        "subject string, predicate string, object_value string, object_type string,"
+        "object_datatype string, object_lang string, graph string",
+    )
+    df = sparql_select(
+        q,
+        """
+        PREFIX personal: <urn:personal:>
+        SELECT ?e (personal:durationInMillis(?s, ?t) AS ?ms)
+               (personal:duration(?s, ?t) AS ?dur)
+        WHERE { ?e <urn:p:start> ?s . ?e <urn:p:end> ?t }
+        """,
+    )
+    [r] = df.collect()
+    assert r.e == "urn:e:1"
+    assert r.ms == (90 * 60 + 5) * 1000
+    assert r.dur == "PT1H30M5.0S"
+    with pytest.raises(SyntaxError):
+        sparql_select(q, "SELECT (<urn:nope>(?x) AS ?y) WHERE { ?a <urn:p:start> ?x }")

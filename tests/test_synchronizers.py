@@ -230,7 +230,7 @@ def test_carddav_write_back_etag_conflict_asserts_negation(spark):
     assert updated.negations().filter(F.col("subject") == card).count() == 1
 
 
-def test_caldav_sync_refuses_write_back(spark):
+def test_caldav_sync_and_write_back(spark):
     directory = "dav://acc/cal/"
     ics = b"""BEGIN:VCALENDAR
 BEGIN:VEVENT
@@ -246,7 +246,28 @@ END:VCALENDAR
     store = StatementStore(empty_quads(spark))
     store, _, _ = sync.sync(store, sync.current_snapshot().limit(0))
     assert store.quads.filter(F.col("object_value") == "Standup").count() == 1
-    assert sync.write_back(f"{directory}#cal.ics", store.quads.limit(0), store.quads.limit(0)) is False
+
+    # rename the event through the write-back path (remove+add = replace)
+    graph = f"{directory}#cal.ics"
+    ev = "urn:event:e-1"
+    schema = store.quads.schema
+    adds = spark.createDataFrame(
+        [(ev, vocab.NAME, "Planning", "literal", None, None, graph)], schema
+    )
+    removes = spark.createDataFrame(
+        [(ev, vocab.NAME, "Standup", "literal", None, None, graph)], schema
+    )
+    assert sync.write_back(graph, adds, removes) is True
+    _, body = transport.state[directory]["cal.ics"]
+    assert b"SUMMARY:Planning" in body and b"SUMMARY:Standup" not in body
+    assert b"DTSTART:20260601T090000Z" in body  # untouched property survives
+    # VCALENDAR wrapper preserved
+    assert body.startswith(b"BEGIN:VCALENDAR") and body.rstrip().endswith(b"END:VCALENDAR")
+    # unsupported predicate → rejected → write_back False
+    bad = spark.createDataFrame(
+        [(ev, "urn:unsupported", "x", "literal", None, None, graph)], schema
+    )
+    assert sync.write_back(graph, bad, removes.limit(0)) is False
 
 
 class FakePagedGraphApi:

@@ -28,6 +28,8 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -381,6 +383,23 @@ class _Parser:
                 q.projections.append(("var", v[1:]))
             elif (k, v) == ("OP", "("):
                 self.next()
+                nk, _ = self.peek()
+                if nk in ("PNAME", "IRIREF"):
+                    # registered scalar function call, e.g.
+                    # (personal:durationInMillis(?start, ?end) AS ?ms) —
+                    # the FunctionRegistry surface
+                    # (RepositoryFactory.scala:248-251)
+                    fn_iri = self.parse_term()[1]
+                    self.expect("OP", "(")
+                    args = [self.expect("VAR")[1:]]
+                    while self.accept("OP", ","):
+                        args.append(self.expect("VAR")[1:])
+                    self.expect("OP", ")")
+                    self.expect("KW", "AS")
+                    alias = self.expect("VAR")[1:]
+                    self.expect("OP", ")")
+                    q.projections.append(("fn", fn_iri, args, alias))
+                    continue
                 fn = self.expect("KW")
                 if fn not in ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE"):
                     raise SyntaxError(f"SPARQL: unsupported function {fn}")
@@ -551,6 +570,26 @@ _AGGS = {
 }
 
 
+def _fn_duration(start: Column, end: Column) -> Column:
+    from ..functions.temporal import iso_duration
+
+    return iso_duration(F.to_timestamp(start), F.to_timestamp(end))
+
+
+def _fn_duration_millis(start: Column, end: Column) -> Column:
+    from ..functions.temporal import duration_millis
+
+    return duration_millis(F.to_timestamp(start), F.to_timestamp(end))
+
+
+# the reference's SPARQL FunctionRegistry (RepositoryFactory.scala:248-251):
+# custom functions callable from query text, keyed by IRI
+SPARQL_FUNCTIONS: dict[str, Callable[..., Column]] = {
+    "urn:personal:duration": _fn_duration,
+    "urn:personal:durationInMillis": _fn_duration_millis,
+}
+
+
 def _apply_bindings(df: DataFrame, bindings: dict[str, str] | None) -> DataFrame:
     """Pre-bound variables (RDF4J ``setBinding`` parity — the reference's
     enrichers parameterize prepared queries this way, e.g.
@@ -584,6 +623,14 @@ def sparql_select(
     )
 
     has_agg = any(p[0] == "agg" for p in q.projections)
+    fn_projections = [p for p in q.projections if p[0] == "fn"]
+    if fn_projections and has_agg:
+        raise SyntaxError("SPARQL: function calls cannot mix with aggregates")
+    for _, fn_iri, args, alias in fn_projections:
+        builder = SPARQL_FUNCTIONS.get(fn_iri)
+        if builder is None:
+            raise SyntaxError(f"SPARQL: unknown function <{fn_iri}>")
+        df = df.withColumn(alias, builder(*[F.col(a) for a in args]))
     if has_agg:
         aggs = []
         for p in q.projections:
@@ -607,13 +654,14 @@ def sparql_select(
         df = df.select(*names)
     else:
         if not any(p[0] == "star" for p in q.projections):
-            cols = [p[1] for p in q.projections]
+            names = [p[3] if p[0] == "fn" else p[1] for p in q.projections]
+            cols = list(names)
             if keep_term_types:
                 cols += [
-                    f"{p[1]}{suffix}"
-                    for p in q.projections
+                    f"{n}{suffix}"
+                    for n in names
                     for suffix in ("__type", "__datatype", "__lang")
-                    if f"{p[1]}{suffix}" in df.columns
+                    if f"{n}{suffix}" in df.columns
                 ]
             df = df.select(*cols)
     if q.distinct:

@@ -117,3 +117,130 @@ def ical_to_quads(content: bytes, path: str) -> list[tuple]:
                 quads.extend(aq)
                 quads.append(q(ev, vocab.ATTENDEE, agent, g, otype="iri"))
     return quads
+
+
+# --- write-back: apply a diff onto iCalendar text -----------------------------
+# (reference ICalConverter applyDiff, used by CalDavSynchronizer's PUT path
+# — BaseDavSynchronizer.scala:223-240)
+
+_ICAL_DT_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})(?:\+00:00|Z)?$")
+
+
+def _dt_ical(lexical: str) -> str | None:
+    """xsd:dateTime/date lexical → iCal basic format (inverse of _dt_literal)."""
+    m = _ICAL_DT_RE.match(lexical.strip())
+    if m:
+        y, mo, d, h, mi, s = m.groups()
+        return f"{y}{mo}{d}T{h}{mi}{s}Z"
+    m = re.match(r"^(\d{4})-(\d{2})-(\d{2})$", lexical.strip())
+    if m:
+        return "".join(m.groups())
+    return None
+
+
+def _ical_line_for_add(p: str, o: str) -> str | None:
+    if p == vocab.NAME:
+        return "SUMMARY:" + o.replace(",", "\\,")
+    if p in (vocab.START_DATE, vocab.END_DATE):
+        dt = _dt_ical(o)
+        if dt is None:
+            return None
+        return ("DTSTART:" if p == vocab.START_DATE else "DTEND:") + dt
+    if p == vocab.DURATION:
+        return f"DURATION:{o}"
+    if p == vocab.URL:
+        return f"URL:{o}"
+    return None
+
+
+def _ical_line_matches_removal(name: str, value: str, p: str, o: str) -> bool:
+    if p == vocab.NAME:
+        return name == "SUMMARY" and value.strip().replace("\\,", ",") == o
+    if p == vocab.START_DATE:
+        return name == "DTSTART"
+    if p == vocab.END_DATE:
+        return name == "DTEND"
+    if p == vocab.DURATION:
+        return name == "DURATION" and value.strip() == o
+    if p == vocab.URL:
+        return name == "URL" and value.strip() == o
+    return False
+
+
+def ical_apply_diff(
+    text: str, added: list[tuple[str, str, str]], removed: list[tuple[str, str, str]]
+) -> tuple[str, dict[str, list[tuple]]]:
+    """Apply (subject, predicate, object) adds/removes onto iCalendar text.
+
+    Events are matched by UID (the urn:event:<uid> minting of
+    ical_to_quads). Supported properties: SUMMARY, DTSTART, DTEND,
+    DURATION, URL; anything else is rejected (ConverterException parity) so
+    the Updater routes it to negations / the user graph. Removals run
+    before adds — an edit delivered as remove+add is a replacement."""
+    lines = unfold_lines(text)
+    # split into alternating wrapper/vevent segments, preserving wrapper text
+    segments: list[tuple[str, list[str]]] = []
+    current: list[str] = []
+    kind = "other"
+    for line in lines:
+        upper = line.strip().upper()
+        if upper == "BEGIN:VEVENT":
+            segments.append((kind, current))
+            current, kind = [], "vevent"
+        elif upper == "END:VEVENT":
+            segments.append((kind, current))
+            current, kind = [], "other"
+        else:
+            current.append(line)
+    segments.append((kind, current))
+
+    def event_iri(ev_lines: list[str]) -> str:
+        for line in ev_lines:
+            prop = parse_prop(line)
+            if prop and prop[0] == "UID":
+                return f"urn:event:{prop[2].strip()}"
+        return ""
+
+    applied: list[tuple] = []
+    rejected: list[tuple] = []
+    out_segments = [(k, list(ls)) for k, ls in segments]
+
+    for s, p, o in removed:
+        matched = False
+        found_event = False
+        for k, ls in out_segments:
+            if k != "vevent" or event_iri(ls) != s:
+                continue
+            found_event = True
+            kept = []
+            for line in ls:
+                prop = parse_prop(line)
+                if prop and _ical_line_matches_removal(prop[0], prop[2], p, o):
+                    matched = True
+                    continue
+                kept.append(line)
+            ls[:] = kept
+        if found_event:
+            (applied if matched else rejected).append((s, p, o, "remove"))
+
+    for s, p, o in added:
+        for k, ls in out_segments:
+            if k != "vevent" or event_iri(ls) != s:
+                continue
+            line = _ical_line_for_add(p, o)
+            if line is None:
+                rejected.append((s, p, o, "add"))
+            else:
+                ls.append(line)
+                applied.append((s, p, o, "add"))
+            break
+
+    parts: list[str] = []
+    for k, ls in out_segments:
+        if k == "vevent":
+            parts.append("BEGIN:VEVENT")
+            parts.extend(ls)
+            parts.append("END:VEVENT")
+        else:
+            parts.extend(ls)
+    return "\n".join(parts) + "\n", {"applied": applied, "rejected": rejected}

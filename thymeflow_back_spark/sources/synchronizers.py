@@ -44,7 +44,7 @@ from ..rdf.model import QUAD_COLUMNS, QUAD_SCHEMA
 from ..rdf.store import Diff, StatementStore
 from .eml import eml_to_quads
 from .facebook import facebook_to_quads
-from .ical import ical_to_quads
+from .ical import ical_apply_diff, ical_to_quads
 from .sync_state import dav_snapshot, imap_snapshot, sync_pass
 from .vcard import vcard_apply_diff, vcard_to_quads
 
@@ -188,42 +188,45 @@ class BaseDavSynchronizer:
         return any(graph.startswith(f"{d}#") for d in self.directories)
 
 
-class CalDavSynchronizer(BaseDavSynchronizer):
-    """iCalendar directories. Write-back is not supported: the reference's
-    ICalConverter.applyDiff covers far fewer properties than vCard and the
-    calendar edits the workload needs route through the user graph — a
-    False here makes the Updater do exactly that (negations + userData)."""
+class _DavWriteBackMixin:
+    """Updater WriteBack hook: fetch-current → apply diff onto the resource
+    text → conditional PUT (BaseDavSynchronizer.scala:223-240).
 
-    converter = staticmethod(ical_to_quads)
+    Returns False (→ negation/user-graph routing) when the graph is not
+    ours, any statement cannot be expressed in the payload format, or the
+    PUT loses the etag race. Update diffs are user edits — a handful of
+    rows — so collecting them here is the same size class as the
+    reference's in-memory diff."""
 
-    def write_back(self, graph: str, added: DataFrame, removed: DataFrame) -> bool:
-        return False
-
-
-class CardDavSynchronizer(BaseDavSynchronizer):
-    """vCard directories, with PUT write-back (If-Match etag)."""
-
-    converter = staticmethod(vcard_to_quads)
+    apply_diff_fn: Callable
 
     def write_back(self, graph: str, added: DataFrame, removed: DataFrame) -> bool:
-        """Updater WriteBack hook: fetch-current → apply diff onto the vCard
-        text → conditional PUT (BaseDavSynchronizer.scala:223-240).
-
-        Returns False (→ negation/user-graph routing) when the graph is not
-        ours, any statement cannot be expressed in vCard, or the PUT loses
-        the etag race. Update diffs are user edits — a handful of rows — so
-        collecting them here is the same size class as the reference's
-        in-memory diff."""
         if not self.owns_graph(graph):
             return False
         directory, _, path = graph.rpartition("#")
         etag, body = self.transport.get(directory, path)
         adds = [(r.subject, r.predicate, r.object_value) for r in added.collect()]
         removes = [(r.subject, r.predicate, r.object_value) for r in removed.collect()]
-        new_text, results = vcard_apply_diff(body.decode("utf-8"), adds, removes)
+        new_text, results = type(self).apply_diff_fn(body.decode("utf-8"), adds, removes)
         if results["rejected"]:
             return False
         return self.transport.put(directory, path, new_text.encode("utf-8"), etag) is not None
+
+
+class CalDavSynchronizer(_DavWriteBackMixin, BaseDavSynchronizer):
+    """iCalendar directories, with PUT write-back onto the VEVENT text
+    (SUMMARY/DTSTART/DTEND/DURATION/URL — ICalConverter applyDiff parity;
+    unsupported properties reject and route through negations/userData)."""
+
+    converter = staticmethod(ical_to_quads)
+    apply_diff_fn = staticmethod(ical_apply_diff)
+
+
+class CardDavSynchronizer(_DavWriteBackMixin, BaseDavSynchronizer):
+    """vCard directories, with PUT write-back (If-Match etag)."""
+
+    converter = staticmethod(vcard_to_quads)
+    apply_diff_fn = staticmethod(vcard_apply_diff)
 
 
 # ---------------------------------------------------------------------------
