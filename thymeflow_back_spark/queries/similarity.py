@@ -212,3 +212,96 @@ def q_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+IVF_CELLS = 8
+IVF_PROBE = 2
+IVF_QUERIES = 20
+IVF_K = 5
+
+
+@query(
+    "q_similarity_ivf",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell, v
+      FROM vecs
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {IVF_CELLS}
+    ),
+    assign0 AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT vecs.vec_id, vecs.v, seeds.cell,
+               row_number() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY list_dot_product(seeds.v, vecs.v) DESC, seeds.cell
+               ) AS rn
+        FROM vecs CROSS JOIN seeds) WHERE rn = 1
+    ),
+    means AS (
+      SELECT cell, i, avg(v[i]) AS m
+      FROM assign0, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) s
+      GROUP BY cell, i
+    ),
+    cmeans AS (SELECT cell, list(m ORDER BY i) AS v FROM means GROUP BY cell),
+    cents AS (
+      SELECT s.cell, COALESCE(c.v, s.v) AS v
+      FROM seeds s LEFT JOIN cmeans c USING (cell)
+    ),
+    inverted AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT vecs.vec_id, vecs.v, cents.cell,
+               row_number() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY list_dot_product(cents.v, vecs.v) DESC, cents.cell
+               ) AS rn
+        FROM vecs CROSS JOIN cents) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, v AS q_v FROM vecs WHERE vec_id < {IVF_QUERIES}),
+    probe AS (
+      SELECT q_id, q_v, cell FROM (
+        SELECT q.q_id, q.q_v, cents.cell,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY list_dot_product(cents.v, q.q_v) DESC, cents.cell
+               ) AS rn
+        FROM q CROSS JOIN cents) WHERE rn <= {IVF_PROBE}
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id AS c_id,
+             round(
+               list_dot_product(p.q_v, a.v)
+               / (sqrt(list_dot_product(p.q_v, p.q_v)) * sqrt(list_dot_product(a.v, a.v))),
+               9
+             ) AS score
+      FROM probe p JOIN inverted a ON p.cell = a.cell AND a.vec_id <> p.q_id
+    )
+    SELECT q_id, c_id, score, rank FROM (
+      SELECT q_id, c_id, score,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+      FROM scored)
+    WHERE rank <= {IVF_K}
+    ORDER BY q_id, rank
+    """,
+    doc="IVF approximate top-k: content-addressed seed centroids + one "
+    "Lloyd refinement, map-side cell assignment (broadcast centroid "
+    "matrix), probe the 2 nearest of 8 cells per query, exact cosine on "
+    "probed cells only. The oracle replays the whole index build in SQL — "
+    "seeding, refinement, assignment, probing — so the approximate result "
+    "itself is value-checked, not just the exact-probe degenerate case.",
+)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivf import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < IVF_QUERIES)
+    return ivf_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        IVF_K,
+        n_cells=IVF_CELLS,
+        n_probe=IVF_PROBE,
+        refine_iters=1,
+    ).orderBy("q_id", "rank")

@@ -42,12 +42,20 @@ def run_pipeline_stream(
     quads: DataFrame,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    debounce_ms: int | None = None,
 ) -> StreamingQuery:
     """Drive the enrichment pipeline from a quad stream via foreachBatch.
 
     ``trigger``: e.g. {"processingTime": "10 seconds"} (the debounce delay),
     or {"availableNow": True} for drain-and-stop (testing/backfill).
+    ``debounce_ms``: when set, insert the per-graph quiet-period
+    ``debounce_quads`` stage before the pipeline — a document graph's quads
+    fold in keyed state and reach the enrichers only once its source stays
+    quiet for that long (the reference's DelayedBatch placement between the
+    geocoder and the location enrichers, Thymeflow.scala:58).
     """
+    if debounce_ms is not None:
+        quads = debounce_quads(quads, quiet_period_ms=debounce_ms)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
