@@ -355,3 +355,40 @@ def test_debounce_quads_quiet_period(spark, tmp_path):
         assert all(r.graph == "g:doc" for r in rows)
     finally:
         query.stop()
+
+
+def test_streaming_pipeline_with_debounce(spark, tmp_path):
+    """run_pipeline_stream with debounce_ms: the stateful quiet-period fold
+    sits between the source and foreachBatch; after the source goes quiet,
+    the folded document flows through the enricher chain exactly once."""
+    import time
+
+    staging = tmp_path / "staging"
+    checkpoint = tmp_path / "ckpt"
+    staging.mkdir()
+    make_quads(spark, [iri_q("agent:a", vocab.EMAIL, "mailto:s@t.u", "g:s1")]).write.mode(
+        "append"
+    ).parquet(str(staging))
+
+    pipe = EnrichmentPipeline(StatementStore(make_quads(spark, [])), [ifp_enricher])
+    query = run_pipeline_stream(
+        pipe,
+        quad_stream(spark, str(staging)),
+        str(checkpoint),
+        trigger={"processingTime": "500 milliseconds"},
+        debounce_ms=2000,
+    )
+    try:
+        # second delivery inside the quiet window folds into the same batch
+        time.sleep(0.8)
+        make_quads(spark, [iri_q("agent:b", vocab.EMAIL, "mailto:s@t.u", "g:s2")]).write.mode(
+            "append"
+        ).parquet(str(staging))
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            if pipe.store.quads.filter(F.col("predicate") == vocab.SAME_AS).count() == 2:
+                break
+            time.sleep(1.0)
+        assert pipe.store.quads.filter(F.col("predicate") == vocab.SAME_AS).count() == 2
+    finally:
+        query.stop()

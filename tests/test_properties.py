@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis): serializer/parser round-trips and
+scalar-function invariants that unit goldens can't sweep.
+
+Driver-side properties run pure-Python helpers (parse_rdf, the term
+escaper, phone normalization) so thousands of examples stay cheap; Spark
+jobs are reserved for one representative columnar batch per property.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from thymeflow_back_spark.functions.phone import display_phone, normalize_phone
+from thymeflow_back_spark.rdf.io import _term_str, parse_rdf
+
+# --- N-Triples escape/parse round-trip ---------------------------------------
+
+_literal_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",),  # no lone surrogates
+        max_codepoint=0x2FFF,
+    ),
+    max_size=40,
+)
+
+_iri = st.from_regex(r"urn:[a-zA-Z0-9._:-]{1,30}", fullmatch=True)
+
+
+@settings(max_examples=300, deadline=None)
+@given(s=_iri, p=_iri, text=_literal_text, lang=st.sampled_from([None, "en", "pt-BR"]))
+def test_ntriples_roundtrip_literals(s, p, text, lang):
+    """serialize(term) → parse → identical (subject, predicate, object)."""
+    dtype = None if lang else "http://www.w3.org/2001/XMLSchema#string"
+    line = (
+        f"<{s}> <{p}> " + _term_str(text, "literal", dtype, lang) + " ."
+    )
+    quads = parse_rdf(line, default_graph="g")
+    assert len(quads) == 1
+    qs, qp, qo, otype, qdtype, qlang, _ = quads[0]
+    assert (qs, qp, qo, otype) == (s, p, text, "literal")
+    assert qlang == lang
+
+
+@settings(max_examples=200, deadline=None)
+@given(s=_iri, p=_iri, o=_iri)
+def test_ntriples_roundtrip_iris(s, p, o):
+    line = f"<{s}> <{p}> <{o}> ."
+    [(qs, qp, qo, otype, *_rest)] = parse_rdf(line, default_graph="g")
+    assert (qs, qp, qo, otype) == (s, p, o, "iri")
+
+
+# --- phone normalization invariants ------------------------------------------
+
+_phoneish = st.text(alphabet="0123456789+()-. /", min_size=1, max_size=24)
+
+
+@settings(max_examples=500, deadline=None)
+@given(raw=_phoneish)
+def test_normalize_phone_canonical_or_rejected(raw):
+    """Output is always canonical tel:+digits within E.164 bounds — and
+    normalization is idempotent (normalize(normalize(x)) == normalize(x))."""
+    out = normalize_phone(raw)
+    if out is None:
+        return
+    assert re.fullmatch(r"tel:\+[0-9]{6,15}", out)
+    assert normalize_phone(out) == out
+    disp = display_phone(out)
+    assert disp.startswith("+") and " " in disp
+
+
+# --- SPARQL parser never crashes unstructured --------------------------------
+
+_junk = st.text(alphabet="?{}()<>.;,*=!&|\"' abcdefSELECTWHERE0123", max_size=60)
+
+
+@settings(max_examples=300, deadline=None)
+@given(text=_junk)
+def test_sparql_parser_total(text):
+    """The parser either parses or raises SyntaxError — no other exception
+    class escapes (MalformedQueryException→400 parity needs that)."""
+    from thymeflow_back_spark.plans.sparql import _Parser
+
+    try:
+        _Parser(text).parse_query()
+    except SyntaxError:
+        pass
