@@ -245,3 +245,73 @@ def q_rdf_describe_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         DESCRIBE ?n WHERE { ?n p:inRegion <r:1> }
         """,
     )
+
+
+# --- Q: RDFS forward chaining (subclass/domain closure) -----------------------
+
+_RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+
+
+@query(
+    "q_rdf_rdfs_closure",
+    oracle="""
+    WITH base AS (
+      SELECT 'c:' || c_custkey AS entity, 'schema:Customer' AS type FROM customer
+      UNION ALL
+      SELECT 'n:' || n_nationkey, 'schema:Nation' FROM nation
+      UNION ALL
+      SELECT 'r:' || r_regionkey, 'schema:Region' FROM region
+    ),
+    -- the ontology is a fixed literal: its transitive closure is inlined
+    closure(sub, super) AS (
+      VALUES ('schema:Customer', 'personal:Agent'),
+             ('schema:Customer', 'schema:Thing'),
+             ('personal:Agent',  'schema:Thing'),
+             ('schema:Nation',   'schema:Place'),
+             ('schema:Nation',   'schema:Thing'),
+             ('schema:Place',    'schema:Thing')
+    ),
+    inferred AS (
+      SELECT b.entity, c.super AS type FROM base b JOIN closure c ON b.type = c.sub
+    )
+    SELECT entity, type FROM (
+      SELECT * FROM base UNION SELECT * FROM inferred
+    ) ORDER BY entity, type
+    """,
+    doc="RDFS forward chaining over the quad store: rdfs9/11 subclass "
+    "closure materialized by the semi-naive inferencer "
+    "(enrichers/rdfs.py; reference ForwardChainingRDFSInferencer via "
+    "RepositoryFactory.scala:167-173). The oracle inlines the ontology's "
+    "transitive closure and checks the full (entity, type) relation.",
+)
+def q_rdf_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..enrichers.rdfs import SUB_CLASS_OF, rdfs_enricher
+    from ..rdf.model import QUAD_SCHEMA
+    from ..rdf.store import Diff, StatementStore
+
+    from ..rdf import vocab
+
+    # normalize the tpch mapping's shorthand 'rdf:type' to the full RDF IRI
+    # the inferencer's rules match on
+    quads = tpch.tpch_quads(spark, sf_dir).withColumn(
+        "predicate",
+        F.when(F.col("predicate") == tpch.TYPE, F.lit(vocab.RDF_TYPE)).otherwise(
+            F.col("predicate")
+        ),
+    )
+    onto_rows = [
+        ("schema:Customer", SUB_CLASS_OF, "personal:Agent"),
+        ("personal:Agent", SUB_CLASS_OF, "schema:Thing"),
+        ("schema:Nation", SUB_CLASS_OF, "schema:Place"),
+        ("schema:Place", SUB_CLASS_OF, "schema:Thing"),
+    ]
+    onto = spark.createDataFrame(
+        [(s, p, o, "iri", None, None, "g:ontology") for s, p, o in onto_rows],
+        QUAD_SCHEMA,
+    )
+    store = StatementStore(quads.unionByName(onto))
+    diff = rdfs_enricher(store, Diff(added=quads, removed=quads.limit(0)))
+    all_types = quads.unionByName(diff.added).filter(
+        F.col("predicate") == vocab.RDF_TYPE
+    ).select(F.col("subject").alias("entity"), F.col("object_value").alias("type"))
+    return all_types.dropDuplicates().orderBy("entity", "type")
