@@ -68,16 +68,16 @@ def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks")).withColumn(
-        "toks", F.filter("toks", lambda t: t != "")
+    toks = df.selectExpr(
+        id_col, f"filter(split({text_col}, ' '), t -> t != '') as toks"
     )
-    idx = F.when(
-        F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
-    ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)))
-    return (
-        toks.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
+    sh = (
+        f"transform("
+        f"  if(size(toks) >= {n}, sequence(0, size(toks) - {n}), cast(array() as array<int>)),"
+        f"  i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+    )
+    return toks.selectExpr(id_col, f"explode({sh}) as shingle").dropDuplicates(
+        [id_col, "shingle"]
     )
 
 
@@ -176,10 +176,14 @@ def minhash_signatures(shingles: DataFrame, id_col: str) -> DataFrame:
     vector of permuted hashes; per-document elementwise min is NUM_PERMS
     plain min() aggregates — stays in whole-stage codegen.
     """
-    h = (h32(F.col("shingle")) % MERSENNE_P).alias("h")
-    hashed = shingles.select(F.col(id_col), h)
+    # one F.expr per column: a handful of py4j round-trips instead of ~10
+    # per permutation — plan construction is socket-bound, not JVM-bound
+    hashed = shingles.selectExpr(
+        id_col,
+        f"cast(conv(substring(md5(shingle), 1, 8), 16, 10) as bigint) % {MERSENNE_P} as h",
+    )
     perm_cols = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"mh{i}")
+        F.expr(f"min(({a}L * h + {b}L) % {MERSENNE_P}) as mh{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)
     ]
     return hashed.groupBy(id_col).agg(*perm_cols)
@@ -189,12 +193,12 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
     """Candidate pairs sharing at least one LSH band bucket: (a_id, b_id)."""
     bands = []
     for band in range(LSH_BANDS):
-        cols = [F.col(f"mh{band * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        cols = ", ".join(
+            f"cast(mh{band * ROWS_PER_BAND + r} as string)" for r in range(ROWS_PER_BAND)
+        )
         bands.append(
-            signatures.select(
-                F.col(id_col),
-                F.lit(band).alias("band"),
-                F.concat_ws(",", *[c.cast("string") for c in cols]).alias("bkey"),
+            signatures.selectExpr(
+                id_col, f"{band} as band", f"concat_ws(',', {cols}) as bkey"
             )
         )
     exploded = bands[0]
