@@ -343,3 +343,45 @@ def test_multimodal_plumbing(spark):
     with pytest.raises(Exception) as exc_info:
         extract_image_features(media, fake_decode=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or "codec" in str(exc_info.value)
+
+
+def test_sameas_negation_special_pair(spark):
+    """Negation.scala:21-23: removing personal:sameAs asserts a first-class
+    personal:differentFrom; the differentFrom then vetoes sameAs re-adds at
+    sync; re-adding sameAs clears the differentFrom."""
+    g = "urn:uuid:doc-sp"
+    base = make_quads(
+        spark, [("a", vocab.SAME_AS, "b", "iri", None, None, g)]
+    )
+    store = StatementStore(base)
+    # user removes the sameAs from a synchronized graph
+    store = apply_update(
+        store,
+        Diff(added=make_quads(spark, []), removed=base),
+    )
+    rows = {(r.subject, r.predicate, r.object_value) for r in store.quads.collect()}
+    assert ("a", vocab.SAME_AS, "b") not in rows
+    assert ("a", vocab.DIFFERENT_FROM, "b") in rows  # not an urn:neg: quad
+    assert not any(p.startswith("urn:neg:") for _, p, _ in rows)
+
+    # synchronization re-delivery cannot resurrect the sameAs
+    store2, diff = store.add_document(
+        g, make_quads(spark, [("a", vocab.SAME_AS, "b", "iri", None, None, g)])
+    )
+    assert ("a", vocab.SAME_AS, "b") not in {
+        (r.subject, r.predicate, r.object_value) for r in store2.quads.collect()
+    }
+
+    # an explicit user re-add clears the differentFrom veto
+    store3 = apply_update(
+        store,
+        Diff(
+            added=make_quads(
+                spark, [("a", vocab.SAME_AS, "b", "iri", None, None, "urn:graph:userData")]
+            ),
+            removed=make_quads(spark, []),
+        ),
+    )
+    rows3 = {(r.subject, r.predicate, r.object_value) for r in store3.quads.collect()}
+    assert ("a", vocab.SAME_AS, "b") in rows3
+    assert ("a", vocab.DIFFERENT_FROM, "b") not in rows3

@@ -45,15 +45,33 @@ XSD_DATETIME = XSD + "dateTime"
 # Negative assertion encoding: a quad with predicate NEG_PREFIX+<p> asserts
 # that <s, p, o> must NOT be re-added by synchronization (the reference
 # rewrites predicates into a negation namespace — Negation.scala:16-23).
+# One special pair (Negation.scala:21-23): personal:sameAs and
+# personal:differentFrom are each other's negation — removing a sameAs
+# statement asserts a first-class differentFrom (which the IFP inferencer
+# then respects as an identity veto), not an opaque prefixed quad.
 NEG_PREFIX = "urn:neg:"
+
+from . import vocab as _vocab  # noqa: E402  (constants only, no import cycle)
+
+_SPECIAL_NEGATION = {
+    _vocab.SAME_AS: _vocab.DIFFERENT_FROM,
+    _vocab.DIFFERENT_FROM: _vocab.SAME_AS,
+}
 
 
 def negate(predicate: str) -> str:
-    return NEG_PREFIX + predicate
+    return _SPECIAL_NEGATION.get(predicate, NEG_PREFIX + predicate)
 
 
 def is_negation(predicate: str) -> bool:
-    return predicate.startswith(NEG_PREFIX)
+    return predicate.startswith(NEG_PREFIX) or predicate in _SPECIAL_NEGATION
+
+
+def unnegate(predicate: str) -> str:
+    """Inverse of ``negate`` for predicates ``is_negation`` accepts."""
+    if predicate in _SPECIAL_NEGATION:
+        return _SPECIAL_NEGATION[predicate]
+    return predicate[len(NEG_PREFIX):]
 
 
 @dataclass(frozen=True)
@@ -70,3 +88,15 @@ def empty_quads(spark: SparkSession) -> DataFrame:
 def make_quads(spark: SparkSession, rows: list[tuple]) -> DataFrame:
     """Quads from python tuples (testing/fixtures), schema-checked."""
     return spark.createDataFrame(rows, QUAD_SCHEMA)
+
+
+def negate_col(pred):
+    """Column form of ``negate`` (used by the vectorized negation paths)."""
+    from pyspark.sql import Column, functions as F  # local: keep model import-light
+
+    p = pred if isinstance(pred, Column) else F.col(pred)
+    return (
+        F.when(p == _vocab.SAME_AS, F.lit(_vocab.DIFFERENT_FROM))
+        .when(p == _vocab.DIFFERENT_FROM, F.lit(_vocab.SAME_AS))
+        .otherwise(F.concat(F.lit(NEG_PREFIX), p))
+    )

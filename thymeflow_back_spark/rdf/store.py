@@ -97,13 +97,29 @@ class StatementStore:
         return self.quads.filter(F.col("graph") == graph)
 
     def negations(self) -> DataFrame:
-        """Asserted negations as (subject, predicate-without-prefix, object)."""
-        return self.quads.filter(F.col("predicate").startswith(NEG_PREFIX)).select(
+        """Asserted negations as (subject, negated-predicate, object).
+
+        Includes the special pair (Negation.scala:21-23): an asserted
+        personal:differentFrom blocks the matching personal:sameAs from
+        synchronization re-add, and vice versa."""
+        from .model import negate_col
+        from . import vocab
+
+        prefixed = self.quads.filter(F.col("predicate").startswith(NEG_PREFIX)).select(
             F.col("subject"),
             F.expr(f"substring(predicate, {len(NEG_PREFIX) + 1})").alias("predicate"),
             F.col("object_value"),
             F.col("object_type"),
         )
+        special = self.quads.filter(
+            F.col("predicate").isin(vocab.SAME_AS, vocab.DIFFERENT_FROM)
+        ).select(
+            F.col("subject"),
+            negate_col(F.col("predicate")).alias("predicate"),
+            F.col("object_value"),
+            F.col("object_type"),
+        )
+        return prefixed.unionByName(special)
 
     # -- writes (functional: return (new_store, diff)) ------------------------
 

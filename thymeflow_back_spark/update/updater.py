@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..rdf.model import NEG_PREFIX, QUAD_COLUMNS, negate
+from ..rdf import vocab
+from ..rdf.model import NEG_PREFIX, QUAD_COLUMNS, negate, negate_col
 from ..rdf.store import Diff, StatementStore
 
 SPOT = ("subject", "predicate", "object_value", "object_type")
@@ -59,10 +60,12 @@ def _route_graphless_adds(store: StatementStore, adds: DataFrame) -> DataFrame:
 
 
 def _negation_quads(removed: DataFrame) -> DataFrame:
-    """Negation assertions for removals from synchronized graphs."""
+    """Negation assertions for removals from synchronized graphs. A removed
+    personal:sameAs asserts personal:differentFrom (the special pair,
+    Negation.scala:21-23) rather than a prefixed quad."""
     return removed.select(
         F.col("subject"),
-        F.concat(F.lit(negate("")), F.col("predicate")).alias("predicate"),
+        negate_col(F.col("predicate")).alias("predicate"),
         F.col("object_value"),
         F.col("object_type"),
         F.col("object_datatype"),
@@ -146,12 +149,13 @@ def apply_update(
     # since add_documents anti-joins sync adds against negations on every sync
     neg_keys = all_adds.select(
         "subject",
-        F.concat(F.lit(NEG_PREFIX), F.col("predicate")).alias("predicate"),
+        negate_col(F.col("predicate")).alias("predicate"),
         "object_value",
         "object_type",
     ).dropDuplicates()
     cleared_negations = store.quads.filter(
         F.col("predicate").startswith(NEG_PREFIX)
+        | F.col("predicate").isin(vocab.SAME_AS, vocab.DIFFERENT_FROM)
     ).join(neg_keys, on=list(SPOT), how="left_semi")
 
     effective = Diff(
