@@ -24,15 +24,23 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 25,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Min-label propagation: returns (node, component) — component is the
     smallest node id reachable (ids must be orderable; works for numeric or
-    string ids)."""
+    string ids).
+
+    ``checkpoint_every=1``: sameAs-style graphs converge in 2-3 rounds, so
+    checking after every round with flat lineage beats piling k rounds of
+    nested plans between checks (measured on the IFP component query)."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .dropDuplicates()
+        # the edge list joins into EVERY round — materialize it once, or the
+        # whole upstream pair-generation (e.g. the IFP self-join) re-executes
+        # per iteration
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
