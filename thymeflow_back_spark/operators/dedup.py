@@ -285,3 +285,31 @@ def simhash_pairs(fps: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["a_id", "b_id"])
     )
+
+
+def dedup_clusters(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Duplicate-cluster assignment: (id, canonical_id, cluster_size).
+
+    The keep-one-per-cluster primitive of a training-data pipeline:
+    near-dup pairs (n-gram Jaccard >= threshold) form a graph, connected
+    components give the clusters, the smallest member id is the cluster's
+    canonical document, and singletons are their own canonical. Downstream
+    "deduplicate" is then a filter (id == canonical_id); "weight by
+    multiplicity" is cluster_size.
+    """
+    from .closure import connected_components
+
+    pairs = jaccard_pairs(word_shingles(df, id_col, text_col, n), id_col, threshold)
+    comps = connected_components(pairs, src="a_id", dst="b_id")
+    labeled = (
+        df.select(F.col(id_col).alias("node"))
+        .join(comps, "node", "left")
+        .withColumn("canonical_id", F.coalesce("component", "node"))
+    )
+    sizes = labeled.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        labeled.join(sizes, "canonical_id")
+        .select(F.col("node").alias(id_col), "canonical_id", "cluster_size")
+    )

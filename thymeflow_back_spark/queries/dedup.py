@@ -182,3 +182,49 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     fps = D.simhash_fingerprints(docs, "doc_id", "text")
     return D.simhash_pairs(fps, "doc_id", MAX_HAMMING).orderBy("a_id", "b_id")
+
+
+# --- Q: duplicate clusters (components + canonical election) ------------------
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_JACCARD},
+    pairs AS (
+      SELECT a_id, b_id FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS node, MIN(d) AS mn FROM reach GROUP BY s),
+    labeled AS (
+      SELECT doc.doc_id,
+             LEAST(COALESCE(c.mn, doc.doc_id), doc.doc_id) AS canonical_id
+      FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node
+    ),
+    csizes AS (
+      SELECT canonical_id, COUNT(*) AS cluster_size FROM labeled GROUP BY 1
+    )
+    SELECT l.doc_id, l.canonical_id, s.cluster_size
+    FROM labeled l JOIN csizes s USING (canonical_id)
+    ORDER BY l.doc_id
+    """,
+    doc="Duplicate-cluster assignment: connected components over the "
+    "near-dup pair graph, smallest member elected canonical, singletons "
+    "their own cluster — the keep-one-per-cluster primitive of a "
+    "training-data pipeline (components via min-label propagation; oracle "
+    "via recursive-CTE reachability).",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.dedup_clusters(docs, "doc_id", "text", SHINGLE_N, JACCARD_THRESHOLD).orderBy(
+        "doc_id"
+    )
