@@ -228,3 +228,50 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(docs, "doc_id", "text", SHINGLE_N, JACCARD_THRESHOLD).orderBy(
         "doc_id"
     )
+
+
+# --- Q: Jaccard with the hot-shingle document-frequency cap -------------------
+
+MAX_SHINGLE_DF = 8  # shingles in more docs than this are blocked out
+
+
+@query(
+    "q_dedup_jaccard_capped",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sh a JOIN rare USING (shingle) JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.a_id
+      JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, n_common,
+           n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+    ORDER BY a_id, b_id
+    """,
+    doc="Jaccard near-dup with the hot-key cap: shingles above a document "
+    "frequency are excluded from candidate BLOCKING (boilerplate-heavy "
+    "corpora otherwise make one stop-shingle block quadratic), while the "
+    "Jaccard value stays exact — candidates re-verify against full shingle "
+    "sets. The scale path of the blocked similarity join.",
+)
+def q_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", SHINGLE_N)
+    return D.jaccard_pairs(
+        sh, "doc_id", JACCARD_THRESHOLD, max_doc_freq=MAX_SHINGLE_DF
+    ).orderBy("a_id", "b_id")
