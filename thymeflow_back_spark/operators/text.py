@@ -111,3 +111,42 @@ def min_k_fingerprint(
         .groupBy(id_col)
         .agg(F.concat_ws(",", F.sort_array(F.collect_list("h"))).alias("fingerprint"))
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4-style filters):
+
+    - ``dup_line_frac`` — fraction of lines that are repeats of an earlier
+      line (0 for single-line docs),
+    - ``dup_2gram_frac`` — fraction of word-bigram occurrences beyond each
+    distinct bigram's first,
+    - ``top_2gram_frac`` — share of bigram occurrences taken by the most
+      frequent bigram.
+
+    All ratios derive from exact integer counts (cross-engine stable) and
+    run as array expressions inside codegen — no shuffle beyond the scan.
+    The per-distinct-element counting is O(d²) per document, fine for
+    document-sized arrays; corpus-scale aggregation stays row-local.
+    """
+    d = df.selectExpr(
+        id_col,
+        f"filter(transform(split({text_col}, '\\n'), l -> trim(l)), l -> l != '') as lines",
+        f"filter(split({text_col}, ' '), t -> t != '') as toks",
+    ).selectExpr(
+        id_col,
+        "lines",
+        "transform(if(size(toks) >= 2, sequence(0, size(toks) - 2), cast(array() as array<int>)),"
+        " i -> concat_ws(' ', slice(toks, i + 1, 2))) as grams",
+    )
+    return d.selectExpr(
+        id_col,
+        "size(lines) as n_lines",
+        "if(size(lines) > 0,"
+        " 1.0 - size(array_distinct(lines)) / size(lines), cast(0.0 as double)) as dup_line_frac",
+        "size(grams) as n_2grams",
+        "if(size(grams) > 0,"
+        " 1.0 - size(array_distinct(grams)) / size(grams), cast(0.0 as double)) as dup_2gram_frac",
+        "if(size(grams) > 0,"
+        " array_max(transform(array_distinct(grams), x -> size(filter(grams, y -> y = x)))) / size(grams),"
+        " cast(0.0 as double)) as top_2gram_frac",
+    )

@@ -189,3 +189,45 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "pred_lang", "lang_hits")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS lines,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lines,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE [] END AS grams
+      FROM d
+    )
+    SELECT doc_id,
+           len(lines) AS n_lines,
+           CASE WHEN len(lines) > 0
+                THEN 1.0 - len(list_distinct(lines)) / len(lines)
+                ELSE 0.0 END AS dup_line_frac,
+           len(grams) AS n_2grams,
+           CASE WHEN len(grams) > 0
+                THEN 1.0 - len(list_distinct(grams)) / len(grams)
+                ELSE 0.0 END AS dup_2gram_frac,
+           CASE WHEN len(grams) > 0
+                THEN list_max(list_transform(list_distinct(grams),
+                       x -> len(list_filter(grams, y -> y = x)))) / len(grams)
+                ELSE 0.0 END AS top_2gram_frac
+    FROM g
+    ORDER BY doc_id
+    """,
+    doc="Repetition-based quality signals per document (duplicate-line "
+    "fraction, duplicate-bigram fraction, top-bigram share) — the "
+    "Gopher/C4-style repetition filters of a training-data pipeline, as "
+    "pure array expressions.",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return T.repetition_stats(docs, "doc_id", "text").orderBy("doc_id")
