@@ -188,3 +188,35 @@ def test_http_endpoint(quads):
             assert e.code == 400
     finally:
         endpoint.stop()
+
+
+def test_service_description_and_dashboard(spark, quads):
+    from thymeflow_back_spark.rdf import vocab
+    from thymeflow_back_spark.rdf.model import QUAD_SCHEMA
+
+    meta = spark.createDataFrame(
+        [
+            ("urn:doc:1", vocab.DOCUMENT_OF, "urn:src:inbox", "iri", None, None, vocab.SERVICE_GRAPH),
+            ("urn:doc:2", vocab.DOCUMENT_OF, "urn:src:inbox", "iri", None, None, vocab.SERVICE_GRAPH),
+            ("urn:src:inbox", vocab.NAME, "inbox", "literal", None, None, vocab.SERVICE_GRAPH),
+        ],
+        QUAD_SCHEMA,
+    )
+    endpoint = SparqlEndpoint(StatementStore(quads.unionByName(meta)))
+    port = endpoint.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # bare GET /sparql → SPARQL 1.1 service description, not an error
+        with urllib.request.urlopen(f"{base}/sparql") as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/turtle")
+            body = resp.read().decode()
+        assert "sd:SPARQL11Query" in body and "sd:UnionDefaultGraph" in body
+
+        # /services dashboard: per-source document counts
+        with urllib.request.urlopen(f"{base}/services") as resp:
+            assert resp.headers["Content-Type"].startswith("application/json")
+            doc = json.loads(resp.read())
+        assert doc == [{"source": "urn:src:inbox", "name": "inbox", "n_documents": 2}]
+    finally:
+        endpoint.stop()

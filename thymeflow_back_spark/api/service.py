@@ -36,6 +36,7 @@ from xml.sax.saxutils import escape
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..plans.sparql import (
     _Parser,
@@ -273,6 +274,53 @@ class SparqlEndpoint:
             return 200, "application/sparql-results+json", ask_json(result.boolean)
         return 200, "application/n-triples", quads_ntriples(result.df)
 
+    def service_description(self) -> str:
+        """SPARQL 1.1 Service Description (Turtle) — union default graph and
+        the supported languages/result formats, the subset the reference
+        advertises (SparqlService.scala:203-246)."""
+        return (
+            "@prefix sd: <http://www.w3.org/ns/sparql-service-description#> .\n"
+            "[] a sd:Service ;\n"
+            "   sd:supportedLanguage sd:SPARQL11Query, sd:SPARQL11Update ;\n"
+            "   sd:resultFormat <http://www.w3.org/ns/formats/SPARQL_Results_JSON>,\n"
+            "       <http://www.w3.org/ns/formats/SPARQL_Results_XML>,\n"
+            "       <http://www.w3.org/ns/formats/SPARQL_Results_CSV>,\n"
+            "       <http://www.w3.org/ns/formats/N-Triples> ;\n"
+            "   sd:feature sd:UnionDefaultGraph .\n"
+        )
+
+    def services_dashboard(self) -> tuple[int, str, str]:
+        """The data-services dashboard (DataServicesService.scala:25-49
+        shape): per-source document counts from the service metadata graph,
+        as JSON."""
+        from ..rdf import vocab
+
+        meta = self.store.quads.filter(F.col("graph") == vocab.SERVICE_GRAPH)
+        docs = meta.filter(F.col("predicate") == vocab.DOCUMENT_OF).select(
+            F.col("subject").alias("document"), F.col("object_value").alias("source")
+        )
+        names = meta.filter(F.col("predicate") == vocab.NAME).select(
+            F.col("subject").alias("source"), F.col("object_value").alias("source_name")
+        )
+        rows = (
+            docs.groupBy("source")
+            .agg(F.count("*").alias("n_documents"))
+            .join(names, "source", "left")
+            .orderBy("source")
+            .collect()
+        )
+        body = json.dumps(
+            [
+                {
+                    "source": r.source,
+                    "name": r.source_name,
+                    "n_documents": r.n_documents,
+                }
+                for r in rows
+            ]
+        )
+        return 200, "application/json", body
+
     # -- HTTP plumbing
 
     def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
@@ -292,11 +340,18 @@ class SparqlEndpoint:
 
             def do_GET(self):
                 url = urlparse(self.path)
+                if url.path == "/services":
+                    return self._respond(*endpoint.services_dashboard())
                 if url.path != "/sparql":
                     return self._respond(404, "text/plain", "not found")
                 params = parse_qs(url.query)
                 if "query" not in params:
-                    return self._respond(400, "text/plain", "missing query parameter")
+                    # SPARQL 1.1 service description (the reference
+                    # advertises its endpoint the same way,
+                    # SparqlService.scala:203-246)
+                    return self._respond(
+                        200, "text/turtle", endpoint.service_description()
+                    )
                 status, ctype, body = endpoint.handle(
                     params["query"][0], self.headers.get("Accept", "")
                 )
