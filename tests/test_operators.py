@@ -51,6 +51,34 @@ def test_bgp_two_hop_and_optional(spark):
     assert got == {("alice", "A. Smith"), ("bob", None)}
 
 
+def test_bgp_track_types_object_object_join(spark):
+    """Regression: a variable shared between two OBJECT positions under
+    track_types carries hidden __type/__datatype/__lang columns that are NULL
+    for IRIs / plain literals. Those must not be equi-join keys (NULL = NULL
+    is false) — the join is on base names with null-safe kind agreement."""
+    quads = make_quads(
+        spark,
+        [
+            ("alice", "attends", "ev1", "iri", None, None, "g"),
+            ("bob", "hosts", "ev1", "iri", None, None, "g"),
+            ("carol", "attends", "ev2", "iri", None, None, "g"),
+            # same lexical form as ev2 but a literal: kinds disagree → no match
+            ("dave", "hosts", "ev2", "literal", None, None, "g"),
+        ],
+    )
+    bgp = BGP(quads, track_types=True)
+    joined = bgp.compile([(V("a"), "attends", V("e")), (V("b"), "hosts", V("e"))])
+    assert {(r.a, r.b, r.e) for r in joined.collect()} == {("alice", "bob", "ev1")}
+    # OPTIONAL: kind mismatch is a non-match (row kept, right side NULL),
+    # not a dropped row and not a merge.
+    base = bgp.compile([(V("a"), "attends", V("e"))])
+    opt = bgp.optional(base, [(V("b"), "hosts", V("e"))])
+    assert {(r.a, r.e, r.b) for r in opt.collect()} == {
+        ("alice", "ev1", "bob"),
+        ("carol", "ev2", None),
+    }
+
+
 def test_interval_self_join_matches_naive(spark):
     import random
 

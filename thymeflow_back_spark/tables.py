@@ -36,12 +36,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}")
     tune(spark)  # make timezone/AQE deterministic even on the driver's session
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Nano-precision timestamps arrive as raw-nanos BIGINT (nanosAsLong).
-    # Truncate to microseconds — exactly what DuckDB does on read — so both
-    # engines see the same instant.
+    # Nano-precision timestamps: Spark ≤4.0 delivers raw-nanos BIGINT under
+    # spark.sql.legacy.parquet.nanosAsLong; Spark 4.1+ ignores that conf and
+    # reads TIMESTAMP(NANOS) as TIMESTAMP_NTZ (already µs-truncated, exactly
+    # what DuckDB does on read). Normalize both arrivals to a UTC-instant
+    # TIMESTAMP so downstream unix_micros()/window math sees one type.
+    # (tune() pinned the session timezone to UTC, so the NTZ→TZ cast is an
+    # exact micros-preserving reinterpretation.)
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
