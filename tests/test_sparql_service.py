@@ -190,6 +190,44 @@ def test_http_endpoint(quads):
         endpoint.stop()
 
 
+def test_endpoint_row_cap_and_runtime_error(quads):
+    """A SELECT bigger than max_rows gets 413 (driver-side OOM guard, the
+    limit is pushed into the plan); a runtime evaluation error gets 500, not
+    a dead connection; small results are unaffected."""
+    endpoint = SparqlEndpoint(StatementStore(quads), max_rows=2)
+    # quads fixture has >2 statements → ?s ?p ?o exceeds the cap
+    status, ctype, body = endpoint.handle("SELECT ?s ?p ?o WHERE { ?s ?p ?o }")
+    assert status == 413 and "max_rows=2" in body
+    # within the cap: normal 200
+    status, _, body = endpoint.handle(
+        PFX + "SELECT ?n WHERE { <urn:p:1> schema:name ?n }"
+    )
+    assert status == 200 and "Ada" in body
+    # CONSTRUCT over the cap → 413 too
+    status, _, body = endpoint.handle(
+        "CONSTRUCT { ?s <urn:pp> ?o } WHERE { ?s ?p ?o }"
+    )
+    assert status == 413
+    # a variable name containing '__' is a legitimate projection, not hidden
+    status, _, body = endpoint.handle(
+        PFX + "SELECT ?my__var WHERE { <urn:p:1> schema:name ?my__var }"
+    )
+    assert status == 200 and "my__var" in body and "Ada" in body
+
+
+def test_endpoint_runtime_error_returns_500(quads, monkeypatch):
+    import thymeflow_back_spark.api.service as svc
+
+    endpoint = SparqlEndpoint(StatementStore(quads))
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("kaput")
+
+    monkeypatch.setattr(svc, "execute_sparql", boom)
+    status, _, body = endpoint.handle("SELECT ?s WHERE { ?s ?p ?o }")
+    assert status == 500 and "kaput" in body
+
+
 def test_service_description_and_dashboard(spark, quads):
     from thymeflow_back_spark.rdf import vocab
     from thymeflow_back_spark.rdf.model import QUAD_SCHEMA

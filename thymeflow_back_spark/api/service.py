@@ -108,8 +108,18 @@ def execute_sparql(
 # SELECT / ASK result serialization (SPARQL 1.1 Query Results formats)
 
 
+# suffixes of the hidden term-kind columns (plans.patterns emits them under
+# track_types); an explicit suffix set, NOT a '__' substring test, so a
+# legitimately projected variable whose name contains '__' is kept
+_HIDDEN_COL_SUFFIXES = ("__type", "__datatype", "__lang")
+
+
 def _solution_columns(pdf: pd.DataFrame) -> list[str]:
-    return [c for c in pdf.columns if "__" not in c]
+    return [c for c in pdf.columns if not c.endswith(_HIDDEN_COL_SUFFIXES)]
+
+
+def _to_pandas(df) -> pd.DataFrame:
+    return df if isinstance(df, pd.DataFrame) else df.toPandas()
 
 
 def _term(pdf_row, var: str, dtype_kind: str) -> dict | None:
@@ -141,8 +151,8 @@ def _term(pdf_row, var: str, dtype_kind: str) -> dict | None:
     return out
 
 
-def _solutions(df: DataFrame) -> tuple[list[str], list[dict]]:
-    pdf = df.toPandas()
+def _solutions(df) -> tuple[list[str], list[dict]]:
+    pdf = _to_pandas(df)
     cols = _solution_columns(pdf)
     kinds = {c: pdf[c].dtype.kind for c in cols}
     rows = []
@@ -188,9 +198,9 @@ def select_xml(df: DataFrame) -> str:
     return "".join(parts)
 
 
-def select_csv(df: DataFrame) -> str:
+def select_csv(df) -> str:
     """text/csv (SPARQL 1.1 CSV: plain lexical values)."""
-    pdf = df.toPandas()
+    pdf = _to_pandas(df)
     cols = _solution_columns(pdf)
     return pdf[cols].to_csv(index=False, lineterminator="\r\n")
 
@@ -242,9 +252,21 @@ class SparqlEndpoint:
     atomically on update; reads serve from the store current at arrival.
     """
 
-    def __init__(self, store: StatementStore, write_back: WriteBack | None = None):
+    def __init__(
+        self,
+        store: StatementStore,
+        write_back: WriteBack | None = None,
+        max_rows: int = 100_000,
+    ):
+        """``max_rows`` bounds driver-side result materialization: a SELECT /
+        CONSTRUCT producing more rows gets HTTP 413 instead of OOMing the
+        driver (the reference streams but is equally unbounded,
+        SparqlService.scala:183-195 — at 100 TB a cap is the only safe
+        default). The limit is pushed into the plan (``LIMIT cap+1``), so
+        Spark never collects more than cap+1 rows."""
         self.store = store
         self.write_back = write_back
+        self.max_rows = max_rows
         self._lock = threading.Lock()
         self._server: ThreadingHTTPServer | None = None
 
@@ -263,16 +285,26 @@ class SparqlEndpoint:
                     self.store = result.store
                 return 204, "text/plain", ""
             result = execute_sparql(self.store, text)
+            if result.kind == "select":
+                ctype, writer = _negotiate(accept)
+                pdf = result.df.limit(self.max_rows + 1).toPandas()
+                if len(pdf) > self.max_rows:
+                    return 413, "text/plain", f"result exceeds max_rows={self.max_rows}"
+                return 200, ctype, writer(pdf)
+            if result.kind == "ask":
+                if "xml" in (accept or ""):
+                    return 200, "application/sparql-results+xml", ask_xml(result.boolean)
+                return 200, "application/sparql-results+json", ask_json(result.boolean)
+            body = quads_ntriples(result.df.limit(self.max_rows + 1))
+            if body.count("\n") > self.max_rows:
+                return 413, "text/plain", f"result exceeds max_rows={self.max_rows}"
+            return 200, "application/n-triples", body
         except SyntaxError as e:  # MalformedQueryException → 400 parity
             return 400, "text/plain", str(e)
-        if result.kind == "select":
-            ctype, writer = _negotiate(accept)
-            return 200, ctype, writer(result.df)
-        if result.kind == "ask":
-            if "xml" in (accept or ""):
-                return 200, "application/sparql-results+xml", ask_xml(result.boolean)
-            return 200, "application/sparql-results+json", ask_json(result.boolean)
-        return 200, "application/n-triples", quads_ntriples(result.df)
+        except Exception as e:  # noqa: BLE001 — runtime evaluation errors
+            # (AnalysisException from an unbound variable, bad bindings, …)
+            # must produce an HTTP response, not kill the handler thread
+            return 500, "text/plain", f"query evaluation failed: {e}"
 
     def service_description(self) -> str:
         """SPARQL 1.1 Service Description (Turtle) — union default graph and

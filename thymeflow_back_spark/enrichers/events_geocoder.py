@@ -101,11 +101,20 @@ def events_with_stays_geocoder_enricher(
             ),
         )
         .filter(F.col("rk") == 1)
+        # one bias per place, picked deterministically (largest overlap,
+        # then smallest event id) — dropDuplicates would keep an arbitrary
+        # row and make the certain/uncertain outcome vary across runs
+        .withColumn(
+            "place_rk",
+            F.row_number().over(
+                Window.partitionBy("place").orderBy(F.desc("overlap_us"), F.asc("e_id"))
+            ),
+        )
+        .filter(F.col("place_rk") == 1)
         # bias rounded to ~1 km so nearby stays share one cache entry
         .withColumn("bias_lon", F.round(F.col("s_lon"), 2))
         .withColumn("bias_lat", F.round(F.col("s_lat"), 2))
         .select("place", "place_name", "bias_lon", "bias_lat")
-        .dropDuplicates(["place"])
     )
 
     queries = best.select(

@@ -132,8 +132,17 @@ def paris_step(
         cands.join(s1, "x")
         .join(inner.select("x", "xp", "p", "y", "inner"), ["x", "xp", "p", "y"], "left")
         .withColumn(
+            # fun = 1.0 with inner = 1 makes the argument exactly 0, and
+            # Spark log(0) is NULL, which SUM would silently skip — dropping
+            # the zero factor that must drive the pair probability to 0.
+            # Clamp like the positive-evidence side.
             "factor",
-            F.log(1.0 - fun_map[F.col("p")] * F.coalesce("inner", F.lit(1.0))),
+            F.log(
+                F.greatest(
+                    1.0 - fun_map[F.col("p")] * F.coalesce("inner", F.lit(1.0)),
+                    F.lit(1e-15),
+                )
+            ),
         )
         .groupBy("x", "xp")
         .agg(F.sum("factor").alias("neg_log"))

@@ -220,8 +220,12 @@ def ical_apply_diff(
                     continue
                 kept.append(line)
             ls[:] = kept
-        if found_event:
-            (applied if matched else rejected).append((s, p, o, "remove"))
+        if found_event and matched:
+            applied.append((s, p, o, "remove"))
+        else:
+            # unknown event subject or no matching line: reject so
+            # write_back fails and the updater reroutes the statement
+            rejected.append((s, p, o, "remove"))
 
     for s, p, o in added:
         for k, ls in out_segments:
@@ -234,6 +238,11 @@ def ical_apply_diff(
                 ls.append(line)
                 applied.append((s, p, o, "add"))
             break
+        else:
+            # subject is not an event in this resource: reject (the
+            # reference raises ConverterException; silently skipping would
+            # lose the statement on the next idempotent re-delivery)
+            rejected.append((s, p, o, "add"))
 
     parts: list[str] = []
     for k, ls in out_segments:

@@ -216,10 +216,12 @@ def vcard_apply_diff(
     """Apply (subject, predicate, object) adds/removes onto vCard text.
 
     Returns (new_text, results) with results['applied'] / ['rejected'].
-    Statements whose subject is not a card in this file are ignored (the
-    reference's per-fetcher scoping); unsupported predicates are rejected
-    (ConverterException parity). Removals run before adds, so an edit
-    delivered as remove+add lands as a replacement."""
+    Statements whose subject is not a card in this file are REJECTED, as are
+    unsupported predicates (ConverterException parity — the reference raises
+    so the Updater reroutes them to negations / the user graph; silently
+    skipping would let the next idempotent re-delivery erase them).
+    Removals run before adds, so an edit delivered as remove+add lands as a
+    replacement."""
     lines = unfold_lines(text)
     records = _split_records(lines)
     applied: list[tuple] = []
@@ -246,6 +248,7 @@ def vcard_apply_diff(
     for s, p, o in removed:
         i = find_record(s)
         if i is None:
+            rejected.append((s, p, o, "remove"))
             continue
         matched = False
         kept = []
@@ -261,6 +264,7 @@ def vcard_apply_diff(
     for s, p, o in added:
         i = find_record(s)
         if i is None:
+            rejected.append((s, p, o, "add"))
             continue
         line = _property_lines_for_add(p, o)
         if line is None:
