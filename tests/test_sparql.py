@@ -237,3 +237,201 @@ def test_registered_function_call(spark):
     assert r.dur == "PT1H30M5.0S"
     with pytest.raises(SyntaxError):
         sparql_select(q, "SELECT (<urn:nope>(?x) AS ?y) WHERE { ?a <urn:p:start> ?x }")
+
+
+# --- SPARQL 1.1 grammar extensions -------------------------------------------
+# nested subqueries, BIND, VALUES, MINUS, FILTER [NOT] EXISTS, property-path
+# + and |, and DELETE/INSERT…WHERE — the surface RDF4J gives the reference
+# for free (api/SparqlService.scala:78-98)
+
+
+def test_nested_subquery_primary_facet_shape(quads):
+    """The reference's own primary-facet query verbatim in shape
+    (PrimaryFacetEnricher.scala:20-27): nested SELECT over a sameAs*-style
+    closure, grouped outside, ordered by an unprojected COUNT."""
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?facet WHERE {
+          {
+            SELECT ?facet {
+              ?facet p:knows* ?startFacet .
+            }
+          }
+          ?facet ?descriptionProperty ?descriptionValue .
+        } GROUP BY ?facet ORDER BY DESC(COUNT(?descriptionProperty))
+        """,
+        bindings={"startFacet": "p:carol"},
+    ).collect()
+    # alice knows* carol (2 hops), bob knows* carol (1 hop), carol reaches
+    # itself by the zero-length path even with no outgoing knows edge
+    assert {r.facet for r in rows} == {"p:alice", "p:bob", "p:carol"}
+    # alice has 4 description triples (type, name, email, knows) — the rest 3
+    assert rows[0].facet == "p:alice"
+
+
+def test_bind_arithmetic(quads):
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?who ?age2 WHERE {
+          ?who p:age ?age .
+          BIND((?age * 2) AS ?age2)
+        }
+        """,
+    ).collect()
+    assert [(r.who, r.age2) for r in rows] == [("p:carol", 10.0)]
+
+
+def test_values_single_and_multi(quads):
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?who ?name WHERE {
+          ?who schema:name ?name .
+          VALUES ?name { "Alice" "Bob" }
+        } ORDER BY ?name
+        """,
+    ).collect()
+    assert [(r.who, r.name) for r in rows] == [("p:alice", "Alice"), ("p:bob", "Bob")]
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?who ?name WHERE {
+          VALUES (?who ?name) { (p:alice "Alice") (p:bob "nope") }
+          ?who schema:name ?name .
+        }
+        """,
+    ).collect()
+    assert [(r.who, r.name) for r in rows] == [("p:alice", "Alice")]
+
+
+def test_minus_and_not_exists(quads):
+    for clause in (
+        "MINUS { ?who schema:email ?e }",
+        "FILTER NOT EXISTS { ?who schema:email ?e }",
+        "FILTER (NOT EXISTS { ?who schema:email ?e })",
+    ):
+        rows = sparql_select(
+            quads,
+            PFX + "SELECT ?who WHERE { ?who a c:Person . " + clause + " }",
+        ).collect()
+        assert [r.who for r in rows] == ["p:bob"], clause
+    rows = sparql_select(
+        quads,
+        PFX + "SELECT ?who WHERE { ?who a c:Person . FILTER EXISTS { ?who schema:email ?e } }",
+    ).collect()
+    assert [r.who for r in rows] == ["p:alice"]
+
+
+def test_property_path_alternation_and_plus(quads):
+    rows = sparql_select(
+        quads,
+        PFX + "SELECT ?v WHERE { p:alice (schema:name|schema:email) ?v } ORDER BY ?v",
+    ).collect()
+    assert [r.v for r in rows] == ["Alice", "a@x.y"]
+    rows = sparql_select(
+        quads,
+        PFX + "SELECT ?who WHERE { p:alice p:knows+ ?who } ORDER BY ?who",
+    ).collect()
+    assert [r.who for r in rows] == ["p:bob", "p:carol"]
+
+
+def test_update_modify_where(quads):
+    """DELETE {tmpl} INSERT {tmpl} WHERE {pattern} — template + pattern
+    (the form the round-2 grammar lacked; Updater routes the diff)."""
+    diff = sparql_update_diff(
+        quads,
+        PFX
+        + """
+        DELETE { ?s schema:email ?e }
+        INSERT { ?s p:hadEmail ?e }
+        WHERE { ?s schema:email ?e }
+        """,
+    )
+    assert [(r.subject, r.predicate, r.object_value) for r in diff.removed.collect()] == [
+        ("p:alice", "schema:email", "a@x.y")
+    ]
+    assert [(r.subject, r.predicate, r.object_value) for r in diff.added.collect()] == [
+        ("p:alice", "p:hadEmail", "a@x.y")
+    ]
+
+
+def test_reference_queries_verbatim(spark):
+    """Queries lifted verbatim from the reference's enrichers (IRIs expanded
+    the way Scala string interpolation would): they must parse and compile.
+    AgentMatchEnricher.scala:87-137, PrimaryFacetEnricher.scala:20-27."""
+    from thymeflow_back_spark.rdf.model import make_quads
+
+    personal = "http://thymeflow.com/personal#"
+    schema = "http://schema.org/"
+    quads = make_quads(
+        spark,
+        [
+            ("a:1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", personal + "Agent", "iri", None, None, "g:x"),
+            ("a:1", schema + "name", "Ann", "literal", None, None, "g:x"),
+            ("a:1", schema + "email", "e:1", "iri", None, None, "g:x"),
+            ("e:1", schema + "name", "ann@x.y", "literal", None, None, "g:x"),
+            ("m:1", schema + "sender", "a:1", "iri", None, None, "g:x"),
+            ("a:1", personal + "sameAs", "a:2", "iri", None, None, personal + "inverseFunctionalInferencerOutput"),
+        ],
+    )
+    same_agent_as = f"""SELECT ?agent ?sameAs WHERE {{
+      ?agent a <{personal}Agent> .
+      GRAPH <{personal}inverseFunctionalInferencerOutput> {{
+        ?agent <{personal}sameAs> ?sameAs .
+      }}
+    }}"""
+    assert [(r.agent, r.sameAs) for r in sparql_select(quads, same_agent_as).collect()] == [
+        ("a:1", "a:2")
+    ]
+
+    agent_emails = f"""SELECT ?agent ?emailAddress WHERE {{
+       ?agent a <{personal}Agent> ;
+              <{schema}email>/<{schema}name> ?emailAddress .
+    }}"""
+    assert [(r.agent, r.emailAddress) for r in sparql_select(quads, agent_emails).collect()] == [
+        ("a:1", "ann@x.y")
+    ]
+
+    msgs_by_name = f"""SELECT ?agent ?name (COUNT(?msg) as ?msgCount) WHERE {{
+      ?agent a <{personal}Agent> ;
+               <{schema}name> ?name .
+      OPTIONAL {{
+        {{
+          ?msg <{schema}recipient> ?agent .
+        }} UNION {{
+          ?msg <{schema}sender> ?agent .
+        }}
+      }}
+    }} GROUP BY ?agent ?name"""
+    assert [(r.agent, r.name, r.msgCount) for r in sparql_select(quads, msgs_by_name).collect()] == [
+        ("a:1", "Ann", 1)
+    ]
+
+    agents_name_email = f"""
+SELECT ?s ?email ?name
+WHERE {{
+?s a <{personal}Agent> .
+OPTIONAL {{ ?s <http://schema.org/email>/<http://schema.org/name> ?email }} .
+OPTIONAL{{ ?s <http://schema.org/name> ?name }}
+}}
+    """
+    assert [(r.s, r.email, r.name) for r in sparql_select(quads, agents_name_email).collect()] == [
+        ("a:1", "ann@x.y", "Ann")
+    ]
+
+    primary_facet = f"""SELECT ?facet WHERE {{
+      {{
+        SELECT ?facet {{
+          ?facet <{personal}sameAs>* ?startFacet .
+        }}
+      }}
+      ?facet ?descriptionProperty ?descriptionValue .
+    }} GROUP BY ?facet ORDER BY DESC(COUNT(?descriptionProperty))"""
+    rows = sparql_select(quads, primary_facet, bindings={"startFacet": "a:2"}).collect()
+    assert [r.facet for r in rows] == ["a:1"]

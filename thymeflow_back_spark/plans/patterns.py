@@ -35,6 +35,50 @@ _HIDDEN_SUFFIXES = ("__type", "__datatype", "__lang")
 Pattern = tuple  # (s, p, o) or (s, p, o, g); each term str constant or V
 
 
+def join_on_shared(left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
+    """Join two solution relations on their shared BASE variable names.
+
+    Hidden ``__type/__datatype/__lang`` columns must never be join keys:
+    they are NULL for IRIs / plain literals (and whenever only one side
+    bound the variable in object position), and ``NULL = NULL`` is false
+    in a Spark equi-join — joining on them silently empties the result
+    for any variable shared between two object positions. Instead the
+    hidden columns are reconciled via null-safe equality in the join
+    condition (same binding ⇒ same term kind) and the duplicates are
+    coalesced into one column after the join.
+    """
+    shared = set(left.columns) & set(right.columns)
+    base = sorted(c for c in shared if not c.endswith(_HIDDEN_SUFFIXES))
+    hidden = sorted(c for c in shared if c.endswith(_HIDDEN_SUFFIXES))
+    if not base:
+        if how != "inner":
+            raise ValueError("OPTIONAL block shares no variables with base")
+        return left.crossJoin(right)
+    if not hidden:
+        return left.join(right, on=base, how=how)
+    # Rename every shared right-side column so the join condition can be
+    # expressed by name, then fold the duplicates back after the join.
+    right2 = right
+    for c in base + hidden:
+        right2 = right2.withColumnRenamed(c, c + "__r")
+    cond = F.lit(True)
+    for c in base:
+        cond = cond & (F.col(c) == F.col(c + "__r"))
+    for h in hidden:
+        # Same variable bound to the same value in two object positions
+        # must also agree on term kind; `<=>` treats NULL (plain
+        # literal / IRI) as a definite, comparable state. Putting this
+        # in the join condition (not a post-filter) keeps OPTIONAL
+        # semantics: a kind mismatch is a non-match, not a dropped row.
+        cond = cond & F.col(h).eqNullSafe(F.col(h + "__r"))
+    joined = left.join(right2, on=cond, how=how)
+    for c in base:
+        joined = joined.drop(c + "__r")
+    for h in hidden:
+        joined = joined.withColumn(h, F.coalesce(F.col(h), F.col(h + "__r"))).drop(h + "__r")
+    return joined
+
+
 class BGP:
     def __init__(self, quads: DataFrame, track_types: bool = False):
         """``track_types``: carry hidden ``<var>__type/__datatype/__lang``
@@ -69,61 +113,18 @@ class BGP:
                     ]
         return df.select(*out)
 
-    def _join_shared(self, left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
-        """Join on shared BASE variable names only.
-
-        Hidden ``__type/__datatype/__lang`` columns must never be join keys:
-        they are NULL for IRIs / plain literals (and whenever only one side
-        bound the variable in object position), and ``NULL = NULL`` is false
-        in a Spark equi-join — joining on them silently empties the result
-        for any variable shared between two object positions. Instead the
-        hidden columns are reconciled after the join: inner joins require
-        null-safe equality (same binding ⇒ same term kind), then the
-        duplicates are coalesced into one column.
-        """
-        shared = set(left.columns) & set(right.columns)
-        base = sorted(c for c in shared if not c.endswith(_HIDDEN_SUFFIXES))
-        hidden = sorted(c for c in shared if c.endswith(_HIDDEN_SUFFIXES))
-        if not base:
-            if how != "inner":
-                raise ValueError("OPTIONAL block shares no variables with base")
-            return left.crossJoin(right)
-        if not hidden:
-            return left.join(right, on=base, how=how)
-        # Rename every shared right-side column so the join condition can be
-        # expressed by name, then fold the duplicates back after the join.
-        right2 = right
-        for c in base + hidden:
-            right2 = right2.withColumnRenamed(c, c + "__r")
-        cond = F.lit(True)
-        for c in base:
-            cond = cond & (F.col(c) == F.col(c + "__r"))
-        for h in hidden:
-            # Same variable bound to the same value in two object positions
-            # must also agree on term kind; `<=>` treats NULL (plain
-            # literal / IRI) as a definite, comparable state. Putting this
-            # in the join condition (not a post-filter) keeps OPTIONAL
-            # semantics: a kind mismatch is a non-match, not a dropped row.
-            cond = cond & F.col(h).eqNullSafe(F.col(h + "__r"))
-        joined = left.join(right2, on=cond, how=how)
-        for c in base:
-            joined = joined.drop(c + "__r")
-        for h in hidden:
-            joined = joined.withColumn(h, F.coalesce(F.col(h), F.col(h + "__r"))).drop(h + "__r")
-        return joined
-
     def compile(self, patterns: Sequence[Pattern]) -> DataFrame:
         """Inner-join all patterns on their shared variables."""
         if not patterns:
             raise ValueError("empty BGP")
         result = self._pattern_df(patterns[0])
         for pattern in patterns[1:]:
-            result = self._join_shared(result, self._pattern_df(pattern))
+            result = join_on_shared(result, self._pattern_df(pattern))
         return result
 
     def optional(self, base: DataFrame, patterns: Sequence[Pattern]) -> DataFrame:
         """OPTIONAL { patterns }: left outer join on shared variables."""
-        return self._join_shared(base, self.compile(patterns), how="left")
+        return join_on_shared(base, self.compile(patterns), how="left")
 
     @staticmethod
     def union(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -8,14 +8,19 @@ front door for the §2.3 contract:
 
     SELECT [DISTINCT] ?v… | (AGG(?v) AS ?alias)…
     WHERE { triples · GRAPH ?g {…} · OPTIONAL {…} · {…} UNION {…} ·
-            FILTER(expr) }   with ';'/','/'a' sugar, property paths
-            p1/p2 (desugared to a chained pattern) and p* (reflexive-
-            transitive closure via operators/closure.py)
-    GROUP BY ?v… · ORDER BY [ASC|DESC](?v) · LIMIT n · OFFSET n
+            { SELECT … } nested subqueries · BIND(expr AS ?v) ·
+            VALUES ?v {…} / VALUES (?a ?b) {(…)…} · MINUS {…} ·
+            FILTER(expr) · FILTER [NOT] EXISTS {…} }
+            with ';'/','/'a' sugar and property paths: sequences p1/p2
+            (desugared to chained patterns), alternation p1|p2, and
+            closures p* / p+ (via operators/closure.py; `*` is reflexive
+            over the store's term universe, RDF4J ZeroLengthPath parity)
+    GROUP BY ?v… · ORDER BY [ASC|DESC](?v | AGG(?v)) · LIMIT n · OFFSET n
     ASK {…}
     CONSTRUCT { template } WHERE {…}       → quads DataFrame
     INSERT DATA {…} · DELETE DATA {…} ·    → Diff for update/updater
-    DELETE WHERE {…}                         (GRAPH blocks supported)
+    DELETE WHERE {…} ·
+    [DELETE {tmpl}] [INSERT {tmpl}] WHERE {…}  (GRAPH blocks supported)
 
 No rdflib in the runtime, so the parser is a small hand-written
 recursive-descent over a regex token stream. Compilation is entirely
@@ -35,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ..operators.closure import transitive_closure
 from ..rdf.model import V
-from .patterns import BGP
+from .patterns import BGP, join_on_shared
 
 BUILTIN_PREFIXES = {
     "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
@@ -56,9 +61,9 @@ _TOKEN_RE = re.compile(
   | (?P<PNAME>\w[\w.-]*:[\w.-]*)
   | (?P<KW>(?i:PREFIX|SELECT|ASK|CONSTRUCT|DESCRIBE|INSERT|DELETE|DATA|DISTINCT
        |WHERE|GRAPH|OPTIONAL|UNION|FILTER|GROUP|ORDER|BY|ASC|DESC|LIMIT|OFFSET
-       |AS|IN|NOT|COUNT|SUM|MIN|MAX|AVG|SAMPLE)\b)
+       |AS|IN|NOT|COUNT|SUM|MIN|MAX|AVG|SAMPLE|BIND|VALUES|MINUS|EXISTS|UNDEF)\b)
   | (?P<A>\ba\b)
-  | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,*/=<>!])
+  | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,*/=<>!|+])
     """,
     re.VERBOSE,
 )
@@ -89,7 +94,7 @@ Term = tuple  # ("var", name) | ("iri", value) | ("lit", value) | ("num", float)
 @dataclass
 class Triple:
     s: Term
-    p: Term  # plus ("path*", iri) for reflexive-transitive closure
+    p: Term  # plus ("path", ast) for star/plus/alternation property paths
     o: Term
     g: Term | None = None
 
@@ -111,6 +116,34 @@ class Filter_:
 
 
 @dataclass
+class Bind_:
+    expr: tuple  # value-expression AST
+    var: str
+
+
+@dataclass
+class Values_:
+    vars: list[str]
+    rows: list[list]  # lexical strings / None for UNDEF, one list per row
+
+
+@dataclass
+class Minus_:
+    group: "Group"
+
+
+@dataclass
+class Exists_:
+    group: "Group"
+    positive: bool  # FILTER EXISTS vs FILTER NOT EXISTS
+
+
+@dataclass
+class SubSelect:
+    query: "SelectQuery"
+
+
+@dataclass
 class Group:
     elements: list = field(default_factory=list)
 
@@ -121,7 +154,8 @@ class SelectQuery:
     group: Group
     distinct: bool = False
     group_by: list[str] = field(default_factory=list)
-    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
+    # (spec, asc) — spec is a var name or an ("agg", fn, distinct, arg) tuple
+    order_by: list[tuple] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
     ask: bool = False
@@ -196,10 +230,39 @@ class _Parser:
         while not self.accept("OP", "}"):
             if self.accept("KW", "OPTIONAL"):
                 group.elements.append(Optional_(self.parse_group()))
+            elif self.accept("KW", "MINUS"):
+                group.elements.append(Minus_(self.parse_group()))
             elif self.accept("KW", "FILTER"):
+                if self.accept("KW", "EXISTS"):
+                    group.elements.append(Exists_(self.parse_group(), True))
+                elif self.peek() == ("KW", "NOT") and self.peek(1) == ("KW", "EXISTS"):
+                    self.next()
+                    self.next()
+                    group.elements.append(Exists_(self.parse_group(), False))
+                else:
+                    self.expect("OP", "(")
+                    if self.accept("KW", "EXISTS"):
+                        inner = Exists_(self.parse_group(), True)
+                        self.expect("OP", ")")
+                        group.elements.append(inner)
+                    elif self.peek() == ("KW", "NOT") and self.peek(1) == ("KW", "EXISTS"):
+                        self.next()
+                        self.next()
+                        inner = Exists_(self.parse_group(), False)
+                        self.expect("OP", ")")
+                        group.elements.append(inner)
+                    else:
+                        group.elements.append(Filter_(self.parse_expr()))
+                        self.expect("OP", ")")
+            elif self.accept("KW", "BIND"):
                 self.expect("OP", "(")
-                group.elements.append(Filter_(self.parse_expr()))
+                expr = self.parse_value_expr()
+                self.expect("KW", "AS")
+                var = self.expect("VAR")[1:]
                 self.expect("OP", ")")
+                group.elements.append(Bind_(expr, var))
+            elif self.accept("KW", "VALUES"):
+                group.elements.append(self._parse_values())
             elif self.accept("KW", "GRAPH"):
                 g = self.parse_term()
                 inner = self.parse_group()
@@ -207,6 +270,11 @@ class _Parser:
                     if isinstance(el, Triple) and el.g is None:
                         el.g = g
                 group.elements.extend(inner.elements)
+            elif self.peek() == ("OP", "{") and self.peek(1) == ("KW", "SELECT"):
+                # nested subquery (PrimaryFacetEnricher.scala:20-27 shape)
+                self.next()
+                group.elements.append(SubSelect(self.parse_select_body()))
+                self.expect("OP", "}")
             elif self.peek() == ("OP", "{"):
                 sub = self.parse_group()
                 while self.accept("KW", "UNION"):
@@ -217,41 +285,99 @@ class _Parser:
             self.accept("OP", ".")
         return group
 
+    def _parse_values(self) -> Values_:
+        """VALUES ?v { t… } | VALUES (?a ?b …) { (t…)… } with UNDEF."""
+
+        def data_term():
+            if self.accept("KW", "UNDEF"):
+                return None
+            kind, val = self.parse_term()
+            if kind == "var":
+                raise SyntaxError("SPARQL: variables are not allowed in VALUES data")
+            return str(val) if kind == "num" else val
+
+        if self.peek()[0] == "VAR":
+            var = self.next()[1][1:]
+            self.expect("OP", "{")
+            rows = []
+            while not self.accept("OP", "}"):
+                rows.append([data_term()])
+            return Values_([var], rows)
+        self.expect("OP", "(")
+        vars_: list[str] = []
+        while self.peek()[0] == "VAR":
+            vars_.append(self.next()[1][1:])
+        self.expect("OP", ")")
+        self.expect("OP", "{")
+        rows = []
+        while not self.accept("OP", "}"):
+            self.expect("OP", "(")
+            row = []
+            while not self.accept("OP", ")"):
+                row.append(data_term())
+            if len(row) != len(vars_):
+                raise SyntaxError("SPARQL: VALUES row arity mismatch")
+            rows.append(row)
+        return Values_(vars_, rows)
+
     def parse_triples_block(self) -> list[Triple]:
         triples: list[Triple] = []
         subject = self.parse_term()
         while True:
-            pred, star = self.parse_path()
+            path = self.parse_path_expr()
             obj_terms = [self.parse_term()]
             while self.accept("OP", ","):
                 obj_terms.append(self.parse_term())
             for obj in obj_terms:
-                if isinstance(pred, list):  # p1/p2/… sequence: chain fresh vars
-                    cur = subject
-                    for step, (p, st) in enumerate(pred):
-                        nxt = obj if step == len(pred) - 1 else self._fresh_var()
-                        triples.append(Triple(cur, ("path*", p[1]) if st else p, nxt))
-                        cur = nxt
-                else:
-                    triples.append(Triple(subject, ("path*", pred[1]) if star else pred, obj))
+                self._desugar_path(subject, path, obj, triples)
             if not self.accept("OP", ";"):
                 break
             if self.peek() in (("OP", "."), ("OP", "}")):
                 break
         return triples
 
-    def parse_path(self):
-        """IRI, IRI* or IRI/IRI/… (each step may carry *). Returns either
-        (term, star) or a list of (term, star) steps."""
-        p = self.parse_term()
-        star = self.accept("OP", "*")
-        if self.peek() == ("OP", "/"):
-            steps = [(p, star)]
-            while self.accept("OP", "/"):
-                q = self.parse_term()
-                steps.append((q, self.accept("OP", "*")))
-            return steps, False
-        return p, star
+    # -- property paths: alternation over sequences of (possibly closed) atoms
+    def parse_path_expr(self):
+        """path := seq ('|' seq)* — returns ("pred", term) | ("seq", [..]) |
+        ("alt", [..]) | ("star"|"plus", sub)."""
+        alts = [self._parse_path_seq()]
+        while self.accept("OP", "|"):
+            alts.append(self._parse_path_seq())
+        return alts[0] if len(alts) == 1 else ("alt", alts)
+
+    def _parse_path_seq(self):
+        steps = [self._parse_path_atom()]
+        while self.accept("OP", "/"):
+            steps.append(self._parse_path_atom())
+        return steps[0] if len(steps) == 1 else ("seq", steps)
+
+    def _parse_path_atom(self):
+        if self.accept("OP", "("):
+            p = self.parse_path_expr()
+            self.expect("OP", ")")
+        else:
+            p = ("pred", self.parse_term())
+        if self.accept("OP", "*"):
+            return ("star", p)
+        if self.accept("OP", "+"):
+            return ("plus", p)
+        return p
+
+    def _desugar_path(self, subject, path, obj, out: list[Triple]) -> None:
+        """Sequences chain through fresh variables; star/plus/alt survive as
+        ("path", ast) predicates for the compiler's closure/union handling."""
+        kind = path[0]
+        if kind == "pred":
+            out.append(Triple(subject, path[1], obj))
+        elif kind == "seq":
+            cur = subject
+            steps = path[1]
+            for i, step in enumerate(steps):
+                nxt = obj if i == len(steps) - 1 else self._fresh_var()
+                self._desugar_path(cur, step, nxt, out)
+                cur = nxt
+        else:  # star / plus / alt
+            out.append(Triple(subject, ("path", path), obj))
 
     # -- expressions (FILTER)
     def parse_expr(self):
@@ -293,6 +419,46 @@ class _Parser:
         self.expect("OP", ")")
         return items
 
+    # -- value expressions (BIND): terms, arithmetic, registered functions
+    def parse_value_expr(self):
+        left = self._parse_value_mul()
+        while True:
+            if self.accept("OP", "+"):
+                left = ("+", left, self._parse_value_mul())
+            elif self.peek()[0] == "NUMBER" and self.peek()[1].startswith("-"):
+                # the tokenizer folds the sign into the literal: `?x - 3`
+                # arrives as VAR NUMBER(-3); treat as addition of a negative
+                left = ("+", left, ("term", self.parse_term()))
+            else:
+                return left
+
+    def _parse_value_mul(self):
+        left = self._parse_value_atom()
+        while True:
+            if self.accept("OP", "*"):
+                left = ("*", left, self._parse_value_atom())
+            elif self.accept("OP", "/"):
+                left = ("/", left, self._parse_value_atom())
+            else:
+                return left
+
+    def _parse_value_atom(self):
+        if self.accept("OP", "("):
+            inner = self.parse_value_expr()
+            self.expect("OP", ")")
+            return inner
+        if self.peek()[0] in ("PNAME", "IRIREF") and self.peek(1) == ("OP", "("):
+            fn_iri = self.parse_term()[1]
+            self.expect("OP", "(")
+            args = []
+            if self.peek() != ("OP", ")"):
+                args.append(self.parse_value_expr())
+                while self.accept("OP", ","):
+                    args.append(self.parse_value_expr())
+            self.expect("OP", ")")
+            return ("call", fn_iri, args)
+        return ("term", self.parse_term())
+
     # -- CONSTRUCT / UPDATE
     def parse_construct(self) -> tuple[list[Triple], "SelectQuery"]:
         self.parse_prologue()
@@ -324,18 +490,32 @@ class _Parser:
         return triples
 
     def parse_update(self) -> list[tuple[str, object]]:
-        """INSERT DATA / DELETE DATA / DELETE WHERE operations (';'-chained).
-        Returns [(op, payload)]: ('insert_data'|'delete_data', [Triple]) with
-        ground triples, or ('delete_where', Group)."""
+        """INSERT DATA / DELETE DATA / DELETE WHERE / modify-form operations
+        (';'-chained). Returns [(op, payload)]:
+        ('insert_data'|'delete_data', [Triple]) with ground triples,
+        ('delete_where', Group), or
+        ('modify', (delete_template | None, insert_template | None, Group))
+        for [DELETE {tmpl}] [INSERT {tmpl}] WHERE {pattern}."""
         self.parse_prologue()
         ops: list[tuple[str, object]] = []
         while self.peek()[0] != "EOF":
             if self.accept("KW", "INSERT"):
-                self.expect("KW", "DATA")
-                ops.append(("insert_data", self._parse_template_block()))
+                if self.accept("KW", "DATA"):
+                    ops.append(("insert_data", self._parse_template_block()))
+                else:
+                    ins = self._parse_template_block()
+                    self.expect("KW", "WHERE")
+                    ops.append(("modify", (None, ins, self.parse_group())))
             elif self.accept("KW", "DELETE"):
                 if self.accept("KW", "DATA"):
                     ops.append(("delete_data", self._parse_template_block()))
+                elif self.peek() == ("OP", "{"):
+                    dele = self._parse_template_block()
+                    ins = None
+                    if self.accept("KW", "INSERT"):
+                        ins = self._parse_template_block()
+                    self.expect("KW", "WHERE")
+                    ops.append(("modify", (dele, ins, self.parse_group())))
                 else:
                     self.expect("KW", "WHERE")
                     ops.append(("delete_where", self.parse_group()))
@@ -373,6 +553,25 @@ class _Parser:
         self.parse_prologue()
         if self.accept("KW", "ASK"):
             return SelectQuery(projections=[], group=self.parse_group(), ask=True)
+        q = self.parse_select_body()
+        if self.peek()[0] != "EOF":
+            raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()[1]!r}")
+        return q
+
+    def _parse_order_agg(self):
+        """COUNT/SUM/… ( [DISTINCT] ?v | * ) inside ORDER BY ASC()/DESC()."""
+        fn = self.expect("KW")
+        if fn not in ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE"):
+            raise SyntaxError(f"SPARQL: unsupported aggregate {fn}")
+        self.expect("OP", "(")
+        distinct = self.accept("KW", "DISTINCT")
+        arg = "*" if self.accept("OP", "*") else self.expect("VAR")[1:]
+        self.expect("OP", ")")
+        return ("agg", fn, distinct, arg)
+
+    def parse_select_body(self) -> SelectQuery:
+        """SELECT …  WHERE {…} [GROUP/ORDER/LIMIT/OFFSET] — shared by the
+        top-level query and `{ SELECT … }` subqueries (which stop at '}')."""
         self.expect("KW", "SELECT")
         q = SelectQuery(projections=[], group=Group())
         q.distinct = self.accept("KW", "DISTINCT")
@@ -429,20 +628,25 @@ class _Parser:
                 if (k, v) == ("KW", "ASC") or (k, v) == ("KW", "DESC"):
                     self.next()
                     self.expect("OP", "(")
-                    var = self.expect("VAR")[1:]
+                    if self.peek()[0] == "KW":
+                        # ORDER BY DESC(COUNT(?p)) — aggregate sort key
+                        # (PrimaryFacetEnricher.scala:20-27)
+                        spec = self._parse_order_agg()
+                    else:
+                        spec = self.expect("VAR")[1:]
                     self.expect("OP", ")")
-                    q.order_by.append((var, v == "ASC"))
+                    q.order_by.append((spec, v == "ASC"))
                 elif k == "VAR":
                     self.next()
                     q.order_by.append((v[1:], True))
+                elif k == "KW" and v in ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE"):
+                    q.order_by.append((self._parse_order_agg(), True))
                 else:
                     break
         if self.accept("KW", "LIMIT"):
             q.limit = int(self.expect("NUMBER"))
         if self.accept("KW", "OFFSET"):
             q.offset = int(self.expect("NUMBER"))
-        if self.peek()[0] != "EOF":
-            raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()[1]!r}")
         return q
 
 
@@ -458,27 +662,46 @@ def _bgp_term(term: Term):
     return val  # iri / lit → compare against the lexical column
 
 
+_BASE_HIDDEN = ("__type", "__datatype", "__lang")
+
+
+def _base_cols(cols) -> list[str]:
+    return [c for c in cols if not c.endswith(_BASE_HIDDEN)]
+
+
 class _Compiler:
-    def __init__(self, quads: DataFrame, track_types: bool = False):
+    def __init__(
+        self,
+        quads: DataFrame,
+        track_types: bool = False,
+        bindings: dict[str, str] | None = None,
+    ):
         self.quads = quads
         self.bgp = BGP(quads, track_types=track_types)
+        self.track_types = track_types
+        self.bindings = bindings
 
     def compile_group(self, group: Group) -> DataFrame:
-        dfs: list[DataFrame] = []
-        optionals: list[Group] = []
+        """Sequential (left-to-right) group evaluation; FILTERs apply to the
+        whole group's solutions per SPARQL scoping."""
+        result: DataFrame | None = None
         filters: list[tuple] = []
         plain: list[tuple] = []
 
-        def flush_plain():
+        def merge(df: DataFrame, how: str = "inner") -> None:
+            nonlocal result
+            result = df if result is None else join_on_shared(result, df, how=how)
+
+        def flush_plain() -> None:
             if plain:
-                dfs.append(self.bgp.compile(list(plain)))
+                merge(self.bgp.compile(list(plain)))
                 plain.clear()
 
         for el in group.elements:
             if isinstance(el, Triple):
-                if isinstance(el.p, tuple) and el.p[0] == "path*":
+                if isinstance(el.p, tuple) and el.p[0] == "path":
                     flush_plain()
-                    dfs.append(self._path_star_df(el))
+                    merge(self._path_df(el))
                 else:
                     pat = tuple(
                         _bgp_term(t) for t in ((el.s, el.p, el.o, el.g) if el.g else (el.s, el.p, el.o))
@@ -486,46 +709,180 @@ class _Compiler:
                     plain.append(pat)
             elif isinstance(el, Union_):
                 flush_plain()
-                dfs.append(
-                    BGP.union(self.compile_group(el.left), self.compile_group(el.right))
+                merge(BGP.union(self.compile_group(el.left), self.compile_group(el.right)))
+            elif isinstance(el, SubSelect):
+                flush_plain()
+                merge(
+                    _run_select(
+                        self.quads, el.query, bindings=self.bindings,
+                        keep_term_types=self.track_types,
+                    )
                 )
+            elif isinstance(el, Values_):
+                flush_plain()
+                merge(self._values_df(el))
             elif isinstance(el, Optional_):
-                optionals.append(el.group)
+                flush_plain()
+                if result is None:
+                    raise SyntaxError("SPARQL: OPTIONAL shares no variables with base")
+                result = join_on_shared(result, self.compile_group(el.group), how="left")
+            elif isinstance(el, Minus_):
+                flush_plain()
+                if result is not None:
+                    result = self._apply_minus(result, el.group)
+            elif isinstance(el, Exists_):
+                flush_plain()
+                if result is not None:
+                    result = self._apply_exists(result, el.group, el.positive)
+            elif isinstance(el, Bind_):
+                flush_plain()
+                if result is None:
+                    raise SyntaxError("SPARQL: BIND needs preceding patterns")
+                result = self._apply_bind(result, el)
             elif isinstance(el, Filter_):
                 filters.append(el.expr)
         flush_plain()
 
-        if not dfs:
+        if result is None:
             raise SyntaxError("SPARQL: empty group pattern")
-        result = dfs[0]
-        for df in dfs[1:]:
-            shared = sorted(set(result.columns) & set(df.columns))
-            result = result.join(df, on=shared) if shared else result.crossJoin(df)
-        for opt in optionals:
-            opt_df = self.compile_group(opt)
-            shared = sorted(set(result.columns) & set(opt_df.columns))
-            if not shared:
-                raise SyntaxError("SPARQL: OPTIONAL shares no variables with base")
-            result = result.join(opt_df, on=shared, how="left")
         for expr in filters:
             result = result.filter(self._expr_col(expr, result))
         return result
 
-    def _path_star_df(self, t: Triple) -> DataFrame:
-        """p* reflexive-transitive closure pattern (SURVEY §2.3: sameAs*)."""
-        pred = t.p[1]
-        edges = self.quads.filter(F.col("predicate") == pred).select(
+    # -- property paths (star / plus / alternation)
+
+    def _path_pred_iris(self, ast) -> list[str]:
+        kind = ast[0]
+        if kind == "pred":
+            if ast[1][0] != "iri":
+                raise SyntaxError("SPARQL: property-path predicates must be IRIs")
+            return [ast[1][1]]
+        if kind == "alt":
+            return [iri for sub in ast[1] for iri in self._path_pred_iris(sub)]
+        raise SyntaxError("SPARQL: unsupported nested property path")
+
+    def _path_df(self, t: Triple) -> DataFrame:
+        """star/plus closures and alternation. `p*` is reflexive over the
+        store's term universe (RDF4J ZeroLengthPath parity: a term with no
+        `p` edge still reaches itself); `p+` is edges ∘ closure. Alternation
+        compiles to a union of single-predicate patterns so hidden term-kind
+        columns survive under track_types."""
+        ast = t.p[1]
+        kind = ast[0]
+        if kind == "alt":
+            parts = []
+            for iri in self._path_pred_iris(ast):
+                pat = (t.s, ("iri", iri), t.o, *((t.g,) if t.g else ()))
+                parts.append(self.bgp.compile([tuple(_bgp_term(x) for x in pat)]))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p, allowMissingColumns=True)
+            return out
+        # star / plus over a predicate or an alternation of predicates
+        iris = self._path_pred_iris(ast[1])
+        pred_filter = (
+            F.col("predicate") == iris[0] if len(iris) == 1 else F.col("predicate").isin(iris)
+        )
+        edges = self.quads.filter(pred_filter).select(
             F.col("subject").alias("src"), F.col("object_value").alias("dst")
         )
         closure = transitive_closure(edges)
+        if kind == "plus":
+            # length ≥ 1: one real edge composed with the closure
+            hop = closure.withColumnRenamed("src", "mid")
+            closure = (
+                edges.withColumnRenamed("dst", "mid")
+                .join(hop, "mid")
+                .select("src", "dst")
+                .dropDuplicates()
+            )
+        else:
+            # zero-length paths hold for EVERY term, not just edge endpoints
+            universe = (
+                self.quads.select(F.col("subject").alias("node"))
+                .unionByName(
+                    self.quads.filter(F.col("object_type") == "iri").select(
+                        F.col("object_value").alias("node")
+                    )
+                )
+                .dropDuplicates()
+            )
+            closure = closure.unionByName(
+                universe.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+            ).dropDuplicates()
         out_cols = []
         for term, col in ((t.s, "src"), (t.o, "dst")):
-            kind, val = term
-            if kind == "var":
+            kind2, val = term
+            if kind2 == "var":
                 out_cols.append(F.col(col).alias(val))
             else:
-                closure = closure.filter(F.col(col) == (str(val) if kind == "num" else val))
-        return closure.select(*out_cols) if out_cols else closure
+                closure = closure.filter(F.col(col) == (str(val) if kind2 == "num" else val))
+        return closure.select(*out_cols).dropDuplicates() if out_cols else closure
+
+    # -- VALUES / MINUS / EXISTS / BIND
+
+    def _values_df(self, el: Values_) -> DataFrame:
+        ddl = ", ".join(f"`{v}` string" for v in el.vars)
+        return self.quads.sparkSession.createDataFrame(
+            [tuple(row) for row in el.rows], ddl
+        )
+
+    def _apply_minus(self, result: DataFrame, group: Group) -> DataFrame:
+        mdf = self.compile_group(group)
+        shared = sorted(set(_base_cols(result.columns)) & set(_base_cols(mdf.columns)))
+        if not shared:
+            # disjoint domains: MINUS removes nothing (SPARQL semantics)
+            return result
+        return result.join(mdf.select(*shared).dropDuplicates(), on=shared, how="left_anti")
+
+    def _apply_exists(self, result: DataFrame, group: Group, positive: bool) -> DataFrame:
+        edf = self.compile_group(group)
+        shared = sorted(set(_base_cols(result.columns)) & set(_base_cols(edf.columns)))
+        if not shared:
+            non_empty = len(edf.take(1)) > 0
+            keep = non_empty if positive else not non_empty
+            return result if keep else result.limit(0)
+        how = "left_semi" if positive else "left_anti"
+        return result.join(edf.select(*shared).dropDuplicates(), on=shared, how=how)
+
+    def _apply_bind(self, result: DataFrame, el: Bind_) -> DataFrame:
+        if el.var in result.columns:
+            raise SyntaxError(f"SPARQL: BIND re-binds ?{el.var}")
+        result = result.withColumn(el.var, self._value_col(el.expr, result))
+        if not self.track_types:
+            return result
+        # carry term-kind metadata so serializers/templates emit the right kind
+        if el.expr[0] == "term" and el.expr[1][0] == "var":
+            src = el.expr[1][1]
+            if f"{src}__type" in result.columns:
+                for sfx in _BASE_HIDDEN:
+                    result = result.withColumn(f"{el.var}{sfx}", F.col(f"{src}{sfx}"))
+                return result
+            return result  # var bound in s/p/g position → IRI fallback applies
+        dt = dict(result.dtypes)[el.var]
+        xsd = {"bigint": "integer", "int": "integer", "double": "double", "float": "double"}.get(
+            dt, "string"
+        )
+        result = result.withColumn(f"{el.var}__type", F.lit("literal"))
+        result = result.withColumn(f"{el.var}__datatype", F.lit(_XSD + xsd))
+        result = result.withColumn(f"{el.var}__lang", F.lit(None).cast("string"))
+        return result
+
+    def _value_col(self, expr: tuple, df: DataFrame) -> Column:
+        kind = expr[0]
+        if kind == "term":
+            tkind, val = expr[1]
+            if tkind == "var":
+                return F.col(val)
+            return F.lit(val)
+        if kind == "call":
+            builder = SPARQL_FUNCTIONS.get(expr[1])
+            if builder is None:
+                raise SyntaxError(f"SPARQL: unknown function <{expr[1]}>")
+            return builder(*[self._value_col(a, df) for a in expr[2]])
+        a, b = self._value_col(expr[1], df), self._value_col(expr[2], df)
+        a, b = a.cast("double"), b.cast("double")
+        return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[kind]
 
     def _expr_col(self, expr: tuple, df: DataFrame) -> Column:
         op = expr[0]
@@ -603,6 +960,92 @@ def _apply_bindings(df: DataFrame, bindings: dict[str, str] | None) -> DataFrame
     return df
 
 
+def _agg_col(fn: str, distinct: bool, arg: str) -> Column:
+    if fn == "COUNT" and arg == "*":
+        return F.count(F.lit(1))
+    c = F.col(arg)
+    if fn in ("SUM", "AVG"):
+        return _AGGS[fn](c.cast("double"))
+    if distinct and fn == "COUNT":
+        return F.count_distinct(c)
+    return _AGGS[fn](c)
+
+
+def _run_select(
+    quads: DataFrame,
+    q: SelectQuery,
+    bindings: dict[str, str] | None = None,
+    keep_term_types: bool = False,
+) -> DataFrame:
+    """Compile a parsed SELECT (top-level or nested subquery) to a DataFrame."""
+    df = _apply_bindings(
+        _Compiler(quads, track_types=keep_term_types, bindings=bindings).compile_group(
+            q.group
+        ),
+        bindings,
+    )
+
+    has_agg = any(p[0] == "agg" for p in q.projections)
+    fn_projections = [p for p in q.projections if p[0] == "fn"]
+    if fn_projections and has_agg:
+        raise SyntaxError("SPARQL: function calls cannot mix with aggregates")
+    for _, fn_iri, args, alias in fn_projections:
+        builder = SPARQL_FUNCTIONS.get(fn_iri)
+        if builder is None:
+            raise SyntaxError(f"SPARQL: unknown function <{fn_iri}>")
+        df = df.withColumn(alias, builder(*[F.col(a) for a in args]))
+
+    # ORDER BY aggregate sort keys become hidden agg columns (the reference's
+    # primary-facet query sorts grouped rows by an unprojected COUNT)
+    order_cols: list[Column] = []
+    hidden_order_aggs: list[Column] = []
+    for i, (spec, asc) in enumerate(q.order_by):
+        if isinstance(spec, str):
+            order_cols.append(F.asc(spec) if asc else F.desc(spec))
+        else:
+            alias = f"__ord{i}"
+            _, fn, distinct, arg = spec
+            hidden_order_aggs.append(_agg_col(fn, distinct, arg).alias(alias))
+            order_cols.append(F.asc(alias) if asc else F.desc(alias))
+
+    if has_agg or q.group_by:
+        aggs = [
+            _agg_col(p[1], p[2], p[3]).alias(p[4]) for p in q.projections if p[0] == "agg"
+        ] + hidden_order_aggs
+        keys = q.group_by or [p[1] for p in q.projections if p[0] == "var"]
+        if aggs:
+            df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+        else:
+            df = df.select(*keys).dropDuplicates()
+        names = [p[1] if p[0] == "var" else p[4] for p in q.projections]
+        df = df.select(*names, *[F.col(f"__ord{i}") for i, (s, _) in enumerate(q.order_by) if not isinstance(s, str)])
+    else:
+        if hidden_order_aggs:
+            raise SyntaxError("SPARQL: aggregate ORDER BY needs GROUP BY or aggregates")
+        if not any(p[0] == "star" for p in q.projections):
+            names = [p[3] if p[0] == "fn" else p[1] for p in q.projections]
+            cols = list(names)
+            if keep_term_types:
+                cols += [
+                    f"{n}{suffix}"
+                    for n in names
+                    for suffix in ("__type", "__datatype", "__lang")
+                    if f"{n}{suffix}" in df.columns
+                ]
+            df = df.select(*cols)
+    if q.distinct:
+        df = df.dropDuplicates()
+    if order_cols:
+        df = df.orderBy(*order_cols)
+    if hidden_order_aggs:
+        df = df.drop(*[f"__ord{i}" for i, (s, _) in enumerate(q.order_by) if not isinstance(s, str)])
+    if q.offset:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df
+
+
 def sparql_select(
     quads: DataFrame,
     text: str,
@@ -618,61 +1061,7 @@ def sparql_select(
     q = _Parser(text).parse_query()
     if q.ask:
         raise ValueError("use sparql_ask for ASK queries")
-    df = _apply_bindings(
-        _Compiler(quads, track_types=keep_term_types).compile_group(q.group), bindings
-    )
-
-    has_agg = any(p[0] == "agg" for p in q.projections)
-    fn_projections = [p for p in q.projections if p[0] == "fn"]
-    if fn_projections and has_agg:
-        raise SyntaxError("SPARQL: function calls cannot mix with aggregates")
-    for _, fn_iri, args, alias in fn_projections:
-        builder = SPARQL_FUNCTIONS.get(fn_iri)
-        if builder is None:
-            raise SyntaxError(f"SPARQL: unknown function <{fn_iri}>")
-        df = df.withColumn(alias, builder(*[F.col(a) for a in args]))
-    if has_agg:
-        aggs = []
-        for p in q.projections:
-            if p[0] != "agg":
-                continue
-            _, fn, distinct, arg, alias = p
-            if fn == "COUNT" and arg == "*":
-                col = F.count(F.lit(1))
-            else:
-                c = F.col(arg)
-                if distinct:
-                    col = F.count_distinct(c) if fn == "COUNT" else _AGGS[fn](c)
-                else:
-                    col = _AGGS[fn](c)
-            if fn in ("SUM", "AVG"):
-                col = _AGGS[fn](F.col(arg).cast("double"))
-            aggs.append(col.alias(alias))
-        keys = q.group_by or [p[1] for p in q.projections if p[0] == "var"]
-        df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
-        names = [p[1] if p[0] == "var" else p[4] for p in q.projections]
-        df = df.select(*names)
-    else:
-        if not any(p[0] == "star" for p in q.projections):
-            names = [p[3] if p[0] == "fn" else p[1] for p in q.projections]
-            cols = list(names)
-            if keep_term_types:
-                cols += [
-                    f"{n}{suffix}"
-                    for n in names
-                    for suffix in ("__type", "__datatype", "__lang")
-                    if f"{n}{suffix}" in df.columns
-                ]
-            df = df.select(*cols)
-    if q.distinct:
-        df = df.dropDuplicates()
-    if q.order_by:
-        df = df.orderBy(*[F.asc(v) if asc else F.desc(v) for v, asc in q.order_by])
-    if q.offset:
-        df = df.offset(q.offset)
-    if q.limit is not None:
-        df = df.limit(q.limit)
-    return df
+    return _run_select(quads, q, bindings=bindings, keep_term_types=keep_term_types)
 
 
 def sparql_ask(quads: DataFrame, text: str, bindings: dict[str, str] | None = None) -> bool:
@@ -759,7 +1148,7 @@ def _instantiate(template: list[Triple], df: DataFrame, default_graph: str | Non
     parts = []
     g_default = F.lit(default_graph) if default_graph is not None else _null_s()
     for t in template:
-        if isinstance(t.p, tuple) and t.p[0] == "path*":
+        if isinstance(t.p, tuple) and t.p[0] == "path":
             raise SyntaxError("SPARQL: property paths are not allowed in templates")
         value, otype, dtype, lang = _template_obj_cols(t.o, df)
         parts.append(
@@ -837,6 +1226,15 @@ def sparql_update_diff(quads: DataFrame, text: str):
             added = added.unionByName(ground_rows(payload))
         elif op == "delete_data":
             removed = removed.unionByName(ground_rows(payload))
+        elif op == "modify":
+            # [DELETE {tmpl}] [INSERT {tmpl}] WHERE {pattern}: one solution
+            # relation instantiates both templates
+            del_tmpl, ins_tmpl, group = payload
+            df = _Compiler(quads, track_types=True).compile_group(group)
+            if del_tmpl:
+                removed = removed.unionByName(_instantiate(del_tmpl, df, None))
+            if ins_tmpl:
+                added = added.unionByName(_instantiate(ins_tmpl, df, None))
         else:  # delete_where: instantiate the pattern itself from matches
             group: Group = payload
             df = _Compiler(quads, track_types=True).compile_group(group)
