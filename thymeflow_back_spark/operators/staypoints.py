@@ -34,7 +34,10 @@ def extract_stays(
     """locations(user, ts_us, lon, lat, accuracy_m) → stays per user."""
 
     def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_us_col]).reset_index(drop=True)
+        # secondary keys make tie order deterministic across runs (the fold
+        # is order-dependent; equal-timestamp rows would otherwise keep
+        # arbitrary partition order)
+        pdf = pdf.sort_values([ts_us_col, lon_col, lat_col]).reset_index(drop=True)
         stays = algo.extract_stays(
             pdf[ts_us_col].to_numpy(),
             pdf[lon_col].to_numpy(dtype=float),

@@ -178,17 +178,97 @@ def _synthetic_track(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_staypoints",
-    oracle=None,
+    oracle="""
+    WITH RECURSIVE raw AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             2.30 + (event_id % 3) * 0.05 + ((event_id % 7) - 3) * 1e-5 AS lon,
+             48.80 + (event_id % 3) * 0.05 + ((event_id % 7) - 3) * 1e-5 AS lat
+      FROM events
+    ),
+    proj AS (
+      SELECT user_id, ts_us, lon, lat,
+             lon * 111320.0 * cos(radians(median(lat) OVER (PARTITION BY user_id))) AS x,
+             lat * 111320.0 AS y
+      FROM raw
+    ),
+    obs AS (
+      SELECT user_id, ts_us, x, y,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts_us, lon, lat) AS i
+      FROM proj
+    ),
+    counts AS (SELECT user_id, COUNT(*) AS n FROM obs GROUP BY user_id),
+    -- per-user sequential fold (TimeSequentialClusterEstimator semantics):
+    -- state = full member list + emitted stays; each step window-filters the
+    -- members, tests the observation's Hellinger distance against the
+    -- running Gaussian, and either merges or flushes
+    walk(user_id, i, mem, stays) AS (
+      SELECT user_id, 1,
+             [{'ts': ts_us, 'x': x, 'y': y}],
+             CAST([] AS STRUCT(s BIGINT, e BIGINT, n INTEGER)[])
+      FROM obs WHERE i = 1
+      UNION ALL
+      SELECT user_id, i,
+             CASE WHEN ok THEN list_append(mem, obs_s) ELSE [obs_s] END,
+             CASE WHEN ok THEN stays
+                  WHEN mem[-1].ts - mem[1].ts >= 900000000
+                    THEN list_append(stays, {'s': mem[1].ts, 'e': mem[-1].ts,
+                                             'n': CAST(len(mem) AS INTEGER)})
+                  ELSE stays END
+      FROM (
+        SELECT *,
+               (len(recent) > 0 AND sqrt(greatest(0.0,
+                  1.0 - (2 * s1 * 20.0 / (s1 * s1 + 400.0))
+                      * exp(-((obs_s.x - mux) * (obs_s.x - mux)
+                            + (obs_s.y - muy) * (obs_s.y - muy))
+                            / (4 * (s1 * s1 + 400.0))))) <= 0.95) AS ok
+        FROM (
+          SELECT *,
+                 greatest(sqrt(list_aggregate(
+                   [(m.x - mux) * (m.x - mux) + (m.y - muy) * (m.y - muy)
+                    FOR m IN recent], 'avg')), 20.0) AS s1
+          FROM (
+            SELECT *,
+                   list_aggregate([m.x FOR m IN recent], 'avg') AS mux,
+                   list_aggregate([m.y FOR m IN recent], 'avg') AS muy
+            FROM (
+              SELECT w.user_id, w.i + 1 AS i, w.mem AS mem, w.stays AS stays,
+                     {'ts': o.ts_us, 'x': o.x, 'y': o.y} AS obs_s,
+                     [m FOR m IN w.mem IF o.ts_us - m.ts <= 3600000000] AS recent
+              FROM walk w
+              JOIN obs o ON o.user_id = w.user_id AND o.i = w.i + 1
+            )
+          )
+        )
+      )
+    ),
+    final AS (
+      SELECT w.user_id,
+             CASE WHEN w.mem[-1].ts - w.mem[1].ts >= 900000000
+                  THEN list_append(w.stays, {'s': w.mem[1].ts, 'e': w.mem[-1].ts,
+                                             'n': CAST(len(w.mem) AS INTEGER)})
+                  ELSE w.stays END AS stays
+      FROM walk w JOIN counts c ON c.user_id = w.user_id AND w.i = c.n
+    ),
+    flat AS (SELECT user_id, unnest(stays) AS st FROM final)
+    SELECT user_id, st.s AS start_us, st.e AS end_us, st.n AS n_obs
+    FROM flat ORDER BY user_id, start_us
+    """,
     doc="Stay-point clustering (Hellinger-merged Gaussian clusters, "
-    "λ=0.95, 15-min minimum stay) over per-user time-sorted tracks via "
-    "applyInPandas — reference TimeSequentialClusterEstimator.scala:49-106; "
-    "rows-only driver check, golden values in pytest.",
+    "λ=0.95, 15-min minimum stay, 60-min lookback) over per-user "
+    "time-sorted tracks via applyInPandas — reference "
+    "TimeSequentialClusterEstimator.scala:49-106. The oracle replays the "
+    "same per-user sequential fold as a DuckDB recursive CTE carrying the "
+    "member list as state; output is the integer cluster structure "
+    "(bounds + size) so the hash compare is float-robust — centroid "
+    "golden values live in pytest (tests/test_er_staypoints.py).",
 )
 def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.staypoints import extract_stays
 
-    return extract_stays(_synthetic_track(spark, sf_dir)).orderBy(
-        "user_id", "start_us"
+    return (
+        extract_stays(_synthetic_track(spark, sf_dir))
+        .select("user_id", "start_us", "end_us", "n_obs")
+        .orderBy("user_id", "start_us")
     )
 
 

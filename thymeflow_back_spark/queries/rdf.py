@@ -315,3 +315,156 @@ def q_rdf_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("predicate") == vocab.RDF_TYPE
     ).select(F.col("subject").alias("entity"), F.col("object_value").alias("type"))
     return all_types.dropDuplicates().orderBy("entity", "type")
+
+
+# --- Q: Simple-OWL forward chaining (inverseOf + transitive + axioms) ---------
+
+_OWL = "http://www.w3.org/2002/07/owl#"
+
+
+@query(
+    "q_owl_closure",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT 'n:' || c_nationkey AS subject,
+             'p:hasCitizen' AS predicate,
+             'c:' || c_custkey AS object_value
+      FROM customer
+      UNION ALL
+      SELECT 'c:' || c_custkey, 'p:locatedIn', 'r:' || n_regionkey
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT 'p:hasCitizen', '{_OWL}inverseOf', 'p:inNation'
+    )
+    ORDER BY subject, predicate, object_value
+    """,
+    doc="Simple-OWL forward chaining to fixpoint (enrichers/owl.py; reference "
+    "ForwardChainingSimpleOWLInferencerConnection.scala:23-170): "
+    "p:inNation owl:inverseOf p:hasCitizen derives the inverse edges, "
+    "p:locatedIn (customer→nation ∪ nation→region) declared "
+    "owl:TransitiveProperty derives the customer→region chain, and the "
+    "owl:inverseOf symmetry axiom derives the flipped declaration. The "
+    "oracle inlines each rule's one-step relational consequence — the "
+    "fixpoint adds nothing further on this shape, so the full derived set "
+    "is checkable.",
+)
+def q_owl_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..enrichers.owl import (
+        INVERSE_OF,
+        TRANSITIVE_PROPERTY,
+        owl_enricher,
+    )
+    from ..rdf import vocab
+    from ..rdf.model import QUAD_SCHEMA
+    from ..rdf.store import Diff, StatementStore
+
+    base = tpch.tpch_quads(spark, sf_dir)
+    located = base.filter(
+        F.col("predicate").isin(tpch.IN_NATION, tpch.IN_REGION)
+    ).withColumn("predicate", F.lit("p:locatedIn"))
+    schema_df = spark.createDataFrame(
+        [
+            ("p:locatedIn", vocab.RDF_TYPE, TRANSITIVE_PROPERTY, "iri", None, None, "g:onto"),
+            ("p:inNation", INVERSE_OF, "p:hasCitizen", "iri", None, None, "g:onto"),
+        ],
+        QUAD_SCHEMA,
+    )
+    quads = base.unionByName(located).unionByName(schema_df)
+    store = StatementStore(quads)
+    diff = owl_enricher(store, Diff(added=quads, removed=quads.limit(0)))
+    return (
+        diff.added.select("subject", "predicate", "object_value")
+        .orderBy("subject", "predicate", "object_value")
+    )
+
+
+# --- Q: primary-facet election over the sameAs closure ------------------------
+
+
+@query(
+    "q_primary_facet",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT 'c:' || a.c_custkey AS a_id, 'c:' || b.c_custkey AS b_id
+      FROM customer a
+      JOIN customer b
+        ON a.c_custkey % {_PB} = b.c_custkey % {_PB}
+       AND 'c:' || a.c_custkey < 'c:' || b.c_custkey
+    ),
+    edges AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION
+      SELECT b_id AS s, a_id AS d FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS node, MIN(d) AS component FROM reach GROUP BY s),
+    ndesc AS (
+      SELECT 'c:' || c.c_custkey AS node,
+             5 + CASE WHEN c.c_acctbal > {tpch.BIG_SPENDER_MIN_ACCTBAL} THEN 1 ELSE 0 END
+               + (SELECT COUNT(*) FROM pairs p WHERE p.a_id = 'c:' || c.c_custkey)
+               AS n_desc
+      FROM customer c
+    ),
+    ranked AS (
+      SELECT comp.node, comp.component, ndesc.n_desc,
+             ROW_NUMBER() OVER (
+               PARTITION BY component ORDER BY n_desc DESC, comp.node
+             ) AS rk
+      FROM comp JOIN ndesc ON comp.node = ndesc.node
+    ),
+    heads AS (SELECT component, node AS head FROM ranked WHERE rk = 1)
+    SELECT r.node, h.head AS primary_facet
+    FROM ranked r JOIN heads h ON r.component = h.component
+    ORDER BY node
+    """,
+    doc="Primary-facet election (enrichers/primary_facet.py; reference "
+    "PrimaryFacetEnricher.scala:18-108): sameAs edges from the IFP phone "
+    "bucket feed connected components; within each equivalence class the "
+    "facet with the most descriptive triples (tie: smallest IRI) is "
+    "elected, and every member points at it. The oracle recomputes the "
+    "components by recursive CTE and the per-facet triple counts directly "
+    "from the customer table (5 base quads + optional bigSpender + its "
+    "subject-side sameAs edges).",
+)
+def q_primary_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..enrichers.primary_facet import primary_facet_enricher
+    from ..rdf import vocab
+    from ..rdf.store import Diff, StatementStore
+
+    base = tpch.tpch_quads(spark, sf_dir)
+    bgp = BGP(base)
+    pairs = (
+        bgp.compile(
+            [
+                (V("a_id"), tpch.PHONE, V("v")),
+                (V("b_id"), tpch.PHONE, V("v")),
+            ]
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates()
+    )
+    sameas = pairs.select(
+        F.col("a_id").alias("subject"),
+        F.lit(vocab.SAME_AS).alias("predicate"),
+        F.col("b_id").alias("object_value"),
+        F.lit("iri").alias("object_type"),
+        F.lit(None).cast("string").alias("object_datatype"),
+        F.lit(None).cast("string").alias("object_lang"),
+        F.lit("g:ifp").alias("graph"),
+    )
+    store = StatementStore(base.unionByName(sameas))
+    diff = primary_facet_enricher(
+        store, Diff(added=sameas, removed=sameas.limit(0))
+    )
+    return (
+        diff.added.select(
+            F.col("subject").alias("node"),
+            F.col("object_value").alias("primary_facet"),
+        )
+        .orderBy("node")
+    )
