@@ -468,3 +468,70 @@ def q_primary_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# --- Q: primary-facet ranking through the SPARQL TEXT front door --------------
+
+
+@query(
+    "q_rdf_facet_rank",
+    oracle=f"""
+    SELECT 'c:' || c_custkey AS facet,
+           5 + CASE WHEN c_acctbal > {tpch.BIG_SPENDER_MIN_ACCTBAL} THEN 1 ELSE 0 END
+             + (SELECT COUNT(*) - 1 FROM customer b WHERE b.c_custkey % {_PB} = 1)
+             AS n_desc
+    FROM customer
+    WHERE c_custkey % {_PB} = 1
+    ORDER BY n_desc DESC, facet
+    """,
+    doc="The reference's primary-facet query shape through the SPARQL TEXT "
+    "front end (PrimaryFacetEnricher.scala:20-27): a nested SELECT subquery "
+    "over the sameAs* closure (RDF4J-style zero-length-path reflexivity), "
+    "an outer variable-predicate description count, GROUP BY with ORDER BY "
+    "DESC(COUNT(...)), and an RDF4J-setBinding-style parameter for the "
+    "start facet. sameAs edges are the symmetric IFP phone-bucket pairs; "
+    "the oracle enumerates the bucket of the bound start facet and counts "
+    "each member's triples directly (5 base + optional bigSpender + its "
+    "sameAs degree).",
+)
+def q_rdf_facet_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.sparql import sparql_select
+    from ..rdf import vocab
+
+    base = tpch.tpch_quads(spark, sf_dir)
+    bgp = BGP(base)
+    pairs = (
+        bgp.compile(
+            [
+                (V("a_id"), tpch.PHONE, V("v")),
+                (V("b_id"), tpch.PHONE, V("v")),
+            ]
+        )
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates()
+    )
+    sameas = pairs.select(
+        F.col("a_id").alias("subject"),
+        F.lit(vocab.SAME_AS).alias("predicate"),
+        F.col("b_id").alias("object_value"),
+        F.lit("iri").alias("object_type"),
+        F.lit(None).cast("string").alias("object_datatype"),
+        F.lit(None).cast("string").alias("object_lang"),
+        F.lit("g:ifp").alias("graph"),
+    )
+    quads = base.unionByName(sameas)
+    return sparql_select(
+        quads,
+        f"""
+        SELECT ?facet (COUNT(?descriptionProperty) AS ?n_desc) WHERE {{
+          {{
+            SELECT ?facet {{
+              ?facet <{vocab.SAME_AS}>* ?startFacet .
+            }}
+          }}
+          ?facet ?descriptionProperty ?descriptionValue .
+        }} GROUP BY ?facet ORDER BY DESC(COUNT(?descriptionProperty))
+        """,
+        bindings={"startFacet": "c:1"},
+    )
