@@ -381,7 +381,6 @@ def agent_match_pairs(
 
     if solve_mode == "vanilla":
         term_weights = _term_weights_vanilla(tokenized)
-        scoring = tokenized.select("rep", "names")
     else:
         typed = name_part_types(store, rep_map)
         parts = deduplicated_parts(tokenized, typed, dedup_distance_threshold)
@@ -390,12 +389,56 @@ def agent_match_pairs(
             eligible = filter_agents_by_part_types(parts, type_weights)
             parts = parts.join(eligible, "rep", "left_semi")
         term_weights = parts.select("rep", F.col("token").alias("term"), "weight")
-        scoring = parts.groupBy("rep").agg(
-            F.collect_list(F.struct(F.col("token"), F.col("weight"))).alias("parts")
+
+    # IDF weights ride with the rows (join on term) instead of a collected
+    # driver-side dict — the scoring UDF rebuilds the map per pair, so the
+    # plan holds at document-scale vocabularies (VERDICT r2 scale item).
+    idf_df = _idf(term_weights)
+
+    if solve_mode == "vanilla":
+        # re-nest names with positionally-aligned per-token idf arrays
+        names_x = tokenized.select("rep", F.posexplode("names").alias("npos", "name"))
+        toks = names_x.select(
+            "rep", "npos", F.col("name.weight").alias("weight"),
+            F.posexplode("name.tokens").alias("tpos", "token"),
+        )
+        with_idf = toks.join(
+            idf_df.withColumnRenamed("term", "token"), "token", "left"
+        ).withColumn("idf", F.coalesce(F.col("idf"), F.lit(0.0)))
+        name_built = with_idf.groupBy("rep", "npos", "weight").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "token"))),
+                lambda s: s["token"],
+            ).alias("tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "idf"))),
+                lambda s: s["idf"],
+            ).alias("token_idf"),
+        )
+        scoring = name_built.groupBy("rep").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("npos", "tokens", "token_idf", "weight"))
+                ),
+                lambda s: F.struct(
+                    s["tokens"].alias("tokens"),
+                    s["token_idf"].alias("token_idf"),
+                    s["weight"].alias("weight"),
+                ),
+            ).alias("names")
+        )
+    else:
+        scoring = (
+            parts.join(idf_df.withColumnRenamed("term", "token"), "token", "left")
+            .withColumn("idf", F.coalesce(F.col("idf"), F.lit(0.0)))
+            .groupBy("rep")
+            .agg(
+                F.collect_list(F.struct(F.col("token"), F.col("weight"), F.col("idf"))).alias(
+                    "parts"
+                )
+            )
         )
 
-    idf_map = {r["term"]: r["idf"] for r in _idf(term_weights).collect()}
-    idf_bc = store.quads.sparkSession.sparkContext.broadcast(idf_map)
     cands = _candidates(term_weights, max_token_df)
 
     if solve_mode == "vanilla":
@@ -406,9 +449,11 @@ def agent_match_pairs(
 
         @pandas_udf("double")
         def score(a_names: pd.Series, b_names: pd.Series) -> pd.Series:
-            idf = idf_bc.value
             out = []
             for an, bn in zip(a_names, b_names):
+                idf = {}
+                for x in list(an) + list(bn):
+                    idf.update(zip(x["tokens"], x["token_idf"]))
                 n1 = [(list(x["tokens"]), float(x["weight"])) for x in an]
                 n2 = [(list(x["tokens"]), float(x["weight"])) for x in bn]
                 out.append(names_equality_probability(n1, n2, idf, distance_threshold))
@@ -423,9 +468,9 @@ def agent_match_pairs(
 
         @pandas_udf("double")
         def score(a_parts: pd.Series, b_parts: pd.Series) -> pd.Series:
-            idf = idf_bc.value
             out = []
             for ap, bp in zip(a_parts, b_parts):
+                idf = {x["token"]: float(x["idf"]) for x in list(ap) + list(bp)}
                 t1 = [(x["token"], float(x["weight"])) for x in ap]
                 t2 = [(x["token"], float(x["weight"])) for x in bp]
                 out.append(name_terms_equality_probability(t1, t2, idf, distance_threshold))

@@ -83,6 +83,27 @@ def token_idf(prepared: DataFrame) -> DataFrame:
     )
 
 
+def attach_token_idf(prepared: DataFrame, idf: DataFrame) -> DataFrame:
+    """(agent_id, tokens) → (agent_id, tokens, token_idf) with ``token_idf``
+    positionally aligned with ``tokens``.
+
+    This is the JOIN-based alternative to collecting the IDF vocabulary to
+    the driver: weights ship with the rows, so the scoring UDF needs no
+    broadcast dict and the plan scales to document-sized vocabularies
+    (the reference's equivalent state lives in its Elasticsearch index)."""
+    exploded = prepared.select(
+        "agent_id", "tokens", F.posexplode("tokens").alias("pos", "token")
+    )
+    joined = exploded.join(idf, "token", "left").withColumn(
+        "idf", F.coalesce(F.col("idf"), F.lit(0.0))
+    )
+    return joined.groupBy("agent_id", "tokens").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "idf"))), lambda s: s["idf"]
+        ).alias("token_idf")
+    )
+
+
 def candidate_pairs(prepared: DataFrame, max_token_df: int = 10_000) -> DataFrame:
     """Blocking join: pairs sharing ≥1 token PREFIX (first 4 chars).
 
@@ -91,10 +112,13 @@ def candidate_pairs(prepared: DataFrame, max_token_df: int = 10_000) -> DataFram
     staying a pure equi-join; Jaro-Winkler's prefix emphasis means true
     matches almost always share a 4-prefix. Hot keys are capped at
     ``max_token_df`` (the ES 10k-hits cap analogue) to bound skew.
-    """
+
+    If ``prepared`` carries a ``token_idf`` column (attach_token_idf), the
+    per-token weights ride along as ``a_idf`` / ``b_idf``."""
+    carry = [c for c in ("tokens", "token_idf") if c in prepared.columns]
     exploded = prepared.select(
         "agent_id",
-        "tokens",
+        *carry,
         F.explode(
             F.array_distinct(F.transform("tokens", lambda t: F.substring(t, 1, 4)))
         ).alias("token"),
@@ -106,28 +130,51 @@ def candidate_pairs(prepared: DataFrame, max_token_df: int = 10_000) -> DataFram
         .select("token")
     )
     blocked = exploded.join(rare, "token")
+    renames_a = {"agent_id": "a_id", "tokens": "a_tokens", "token_idf": "a_idf"}
+    renames_b = {"agent_id": "b_id", "tokens": "b_tokens", "token_idf": "b_idf"}
     a = blocked.select(
-        F.col("token"), F.col("agent_id").alias("a_id"), F.col("tokens").alias("a_tokens")
+        "token", *[F.col(c).alias(renames_a[c]) for c in ("agent_id", *carry)]
     )
     b = blocked.select(
-        F.col("token"), F.col("agent_id").alias("b_id"), F.col("tokens").alias("b_tokens")
+        "token", *[F.col(c).alias(renames_b[c]) for c in ("agent_id", *carry)]
     )
+    out_cols = ["a_id", "b_id"] + [renames_a[c] for c in carry] + [renames_b[c] for c in carry]
     return (
         a.join(b, "token")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_tokens", "b_tokens")
+        .select(*out_cols)
         .dropDuplicates(["a_id", "b_id"])
     )
 
 
-def score_pairs(pairs: DataFrame, idf: DataFrame, theta: float = THETA) -> DataFrame:
+def score_pairs(pairs: DataFrame, idf: DataFrame | None = None, theta: float = THETA) -> DataFrame:
     """Attach soft-TF-IDF scores to candidate pairs.
 
-    The IDF table is broadcast as a plain dict captured by the UDF closure —
-    token vocabularies are small relative to data (they are name tokens).
-    For very large vocabularies, switch to a join that attaches per-token
-    idf arrays instead.
-    """
+    Default path: pairs carry ``a_idf``/``b_idf`` arrays (attach_token_idf →
+    candidate_pairs) and the per-pair IDF map is rebuilt row-locally inside
+    the UDF — no driver-side vocabulary collect, no broadcast. The legacy
+    dict path (pass ``idf``) remains for small fixed vocabularies."""
+    if "a_idf" in pairs.columns:
+
+        @pandas_udf("double")
+        def score_joined(
+            a_tokens: pd.Series, b_tokens: pd.Series, a_idf: pd.Series, b_idf: pd.Series
+        ) -> pd.Series:
+            out = []
+            for at, bt, ai, bi in zip(a_tokens, b_tokens, a_idf, b_idf):
+                at = list(at) if at is not None else []
+                bt = list(bt) if bt is not None else []
+                local = dict(zip(at, ai if ai is not None else []))
+                local.update(zip(bt, bi if bi is not None else []))
+                out.append(soft_tfidf(at, bt, local, theta))
+            return pd.Series(out)
+
+        return pairs.withColumn(
+            "score", score_joined("a_tokens", "b_tokens", "a_idf", "b_idf")
+        )
+
+    if idf is None:
+        raise ValueError("score_pairs needs a_idf/b_idf columns or an idf table")
     idf_map = {r["token"]: r["idf"] for r in idf.collect()}
     spark = pairs.sparkSession
     idf_bc = spark.sparkContext.broadcast(idf_map)
@@ -157,9 +204,12 @@ def resolve_agents(
     threshold: float = DEFAULT_THRESHOLD,
     max_token_df: int = 10_000,
 ) -> DataFrame:
-    """Full ER pipeline → sameAs pairs (a_id, b_id, score ≥ threshold)."""
+    """Full ER pipeline → sameAs pairs (a_id, b_id, score ≥ threshold).
+
+    The IDF weights travel with the rows (attach_token_idf join) — the
+    default path never collects the vocabulary to the driver."""
     prepared = prepare_agents(agents, id_col, name_col)
     idf = token_idf(prepared)
-    pairs = candidate_pairs(prepared, max_token_df)
-    scored = score_pairs(pairs, idf)
+    pairs = candidate_pairs(attach_token_idf(prepared, idf), max_token_df)
+    scored = score_pairs(pairs)
     return scored.filter(F.col("score") >= threshold).select("a_id", "b_id", "score")
