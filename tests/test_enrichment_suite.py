@@ -385,3 +385,118 @@ def test_sameas_negation_special_pair(spark):
     rows3 = {(r.subject, r.predicate, r.object_value) for r in store3.quads.collect()}
     assert ("a", vocab.SAME_AS, "b") in rows3
     assert ("a", vocab.DIFFERENT_FROM, "b") not in rows3
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Pure-stdlib PNG codec: encode→decode round-trips exactly; the decoder
+    reconstructs every scanline filter type and the non-RGB color types."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from thymeflow_back_spark.multimodal.png import (
+        PNG_SIGNATURE,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+    # hand-filtered stream covering filters 0-4 (the encoder only emits 0)
+    def chunk(ctype, body):
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(
+            ">I", zlib.crc32(ctype + body) & 0xFFFFFFFF
+        )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    h, w, bpp = 5, 4, 3
+    img2 = rng.randint(0, 256, size=(h, w, bpp), dtype=np.uint8)
+    raw = bytearray()
+    prev = [0] * (w * bpp)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        line = [int(v) for v in img2[y].reshape(-1)]
+        raw.append(ftype)
+        for x in range(w * bpp):
+            left = line[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                f = line[x]
+            elif ftype == 1:
+                f = line[x] - left
+            elif ftype == 2:
+                f = line[x] - up
+            elif ftype == 3:
+                f = line[x] - (left + up) // 2
+            else:
+                f = line[x] - paeth(left, up, ul)
+            raw.append(f % 256)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), img2)
+
+    # grayscale (color type 0) and palette (color type 3)
+    gray = rng.randint(0, 256, size=(3, 4), dtype=np.uint8)
+    raw_g = b"".join(b"\x00" + gray[y].tobytes() for y in range(3))
+    data_g = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw_g))
+        + chunk(b"IEND", b"")
+    )
+    out_g = decode_png(data_g)
+    assert np.array_equal(out_g, np.repeat(gray[:, :, None], 3, axis=2))
+
+    palette = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, size=(3, 4), dtype=np.uint8)
+    raw_p = b"".join(b"\x00" + idx[y].tobytes() for y in range(3))
+    data_p = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw_p))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data_p), palette[idx])
+
+    # unsupported shapes fail loudly
+    import pytest
+
+    bad = PNG_SIGNATURE + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 3, 16, 2, 0, 0, 0)
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bad)
+
+
+def test_extract_features_real_png(spark):
+    """decode_image dispatches PNG bytes to the real codec — features come
+    from the actual pixels, no fake flag needed."""
+    import numpy as np
+
+    from thymeflow_back_spark.multimodal.png import encode_png
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(24, 18, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", encode_png(img), {})],
+        "media_id long, kind string, mime string, content binary, meta map<string,string>",
+    )
+    [feat] = extract_image_features(media).collect()
+    assert (feat.width, feat.height) == (18, 24)
+    assert abs(feat.mean_luma - float(img.mean())) < 1e-9
+    resized = resize_images(media, 8, 8).collect()
+    assert len(bytes(resized[0].content)) == 8 * 8 * 3

@@ -6,11 +6,13 @@ known); all media operators are ``mapInPandas`` stages with Arrow-batched
 binary transfer, so the Spark-side plumbing (schema, batching, partition
 sizing) is identical whether the inner decode is a real codec or a stub.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this runtime, so
-``decode_image`` raises NotImplementedError unless ``fake=True`` — the
-deterministic fake decoder (content-hash-seeded pseudo-pixels) exercises
-every batch/shape/partition path honestly; swapping in a real decoder
-changes one function.
+PNG decodes for real — a pure-stdlib codec (zlib inflate + numpy filter
+reconstruction, multimodal/png.py), no external image library. Other
+formats (JPEG/video/audio) still need codecs that are NOT in this runtime,
+so ``decode_image`` raises NotImplementedError for them unless ``fake=True``
+— the deterministic fake decoder (content-hash-seeded pseudo-pixels)
+exercises every batch/shape/partition path honestly; swapping in a real
+decoder changes one function.
 
 Partitioning note: media rows are large — repartition by size budget
 (``spark.sql.files.maxPartitionBytes`` for scans, explicit repartition
@@ -39,15 +41,20 @@ FRAMES_SCHEMA = "media_id long, frame_index int, t_ms long, content binary"
 def decode_image(content: bytes, fake: bool = False) -> np.ndarray:
     """bytes → HxWx3 uint8 array.
 
-    Real decoding needs an image codec that is not installed in this
-    runtime; the deterministic fake derives shape and pixels from the
-    content hash (same bytes → same "image"), keeping every downstream
-    shape/batch path real.
+    PNG bytes decode for real (pure-stdlib codec, multimodal/png.py).
+    Other formats need a codec not installed in this runtime; the
+    deterministic fake derives shape and pixels from the content hash
+    (same bytes → same "image"), keeping every downstream shape/batch
+    path real.
     """
+    from .png import PNG_SIGNATURE, decode_png
+
+    if bytes(content[:8]) == PNG_SIGNATURE:
+        return decode_png(bytes(content))
     if not fake:
         raise NotImplementedError(
-            "image codec not available in this runtime; pass fake=True for the "
-            "deterministic stub or inject a real decoder"
+            "non-PNG image codec not available in this runtime; pass fake=True "
+            "for the deterministic stub or inject a real decoder"
         )
     digest = hashlib.sha256(content).digest()
     h = 32 + digest[0] % 32

@@ -8,6 +8,10 @@ WGS84SphereHaversinePointMetric) over a deterministic synthetic track.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -290,18 +294,34 @@ def q_movement_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_multimodal_features",
     oracle=None,
-    doc="Multimodal column plumbing: binary media content → Arrow-batched "
-    "mapInPandas feature extraction (dimensions, mean luma, perceptual "
-    "hash). The codec is the documented deterministic fake (no image "
-    "library in this runtime); schema, batching, and hash math are the "
-    "real production path. Rows-only driver check.",
+    doc="Multimodal column plumbing on REAL encoded bytes: each document's "
+    "text is rendered to a deterministic RGB image, PNG-encoded, and the "
+    "feature extractor (Arrow-batched mapInPandas) decodes it back with "
+    "the pure-stdlib PNG codec (zlib inflate + numpy filter "
+    "reconstruction, multimodal/png.py) before computing dimensions, "
+    "mean luma, and a perceptual hash. Rows-only driver check; "
+    "encode/decode round-trip goldens in pytest.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
     from ..multimodal.ops import extract_image_features
+    from ..multimodal.png import encode_png
+
+    @pandas_udf("binary")
+    def to_png(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            digest = hashlib.sha256((t or "").encode()).digest()
+            h = 16 + digest[0] % 17
+            w = 16 + digest[1] % 17
+            rng = np.random.RandomState(int.from_bytes(digest[2:6], "big"))
+            out.append(encode_png(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)))
+        return pd.Series(out)
 
     docs = load(spark, sf_dir, "documents").limit(200)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
-        F.encode(F.col("text"), "UTF-8").alias("content"),
+        to_png(F.col("text")).alias("content"),
     )
-    return extract_image_features(media, fake_decode=True).orderBy("media_id")
+    return extract_image_features(media).orderBy("media_id")
