@@ -14,6 +14,7 @@ whole-stage codegen with no UDF.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves the karney_m UDF's type hints
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -117,6 +118,29 @@ def vincenty_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column, iteration
     return F.aggregate(
         F.sequence(F.lit(1), F.lit(iterations)), big_l.cast("double"), step, finish
     )
+
+
+def karney_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """WGS84 geodesic distance via the Karney formulation (exact integrals,
+    algorithms/geodesic.py) — the reference's most accurate metric
+    (KarneyGeodeticCalculator.scala wraps GeographicLib). Arrow-batched
+    pandas UDF: per-row root-finding cannot be a column expression; use
+    ``vincenty_m`` (mm-accurate, codegen-friendly) on hot paths and this
+    where antipodal robustness or GeographicLib parity matters."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..algorithms.geodesic import karney_inverse_m
+
+    @pandas_udf("double")
+    def _karney(a1: pd.Series, o1: pd.Series, a2: pd.Series, o2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                karney_inverse_m(float(w), float(x), float(y), float(z))
+                for w, x, y, z in zip(a1, o1, a2, o2)
+            ]
+        )
+
+    return _karney(lat1, lon1, lat2, lon2)
 
 
 # geo:lat,lon[,alt][;u=acc]  (RFC 5870 subset, same shape the reference emits)
