@@ -78,23 +78,28 @@ def refine_centroids(
     centroids: list[list[float]],
     iterations: int = 1,
 ) -> list[list[float]]:
-    """Fixed Lloyd iterations: one shuffle each (explode → per-(cell, dim)
-    mean); only the k×d means are collected. Empty cells keep their
-    previous centroid."""
+    """Fixed Lloyd iterations. Per-cell means come from d per-dimension SUM
+    aggregates over unexploded rows — one shuffle of n rows (k rows × d
+    columns after map-side partial aggregation), not the n·d row blow-up a
+    posexplode would shuffle. Only the k×d means are collected. Empty cells
+    keep their previous centroid."""
     dims = len(centroids[0])
     for _ in range(iterations):
         assigned = corpus.select(
             as_double_array(F.col(vec_col)).alias("v"),
             _cell_scores(as_double_array(F.col(vec_col)), centroids).alias("scores"),
-        ).select(_argmax_cell(F.col("scores")).alias("cell"), F.posexplode("v").alias("dim", "x"))
-        means = (
-            assigned.groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
+        ).select("v", _argmax_cell(F.col("scores")).alias("cell"))
+        sums = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dims)],
+            )
             .collect()
         )
         new = [list(c) for c in centroids]
-        for r in means:
-            new[r.cell][r.dim] = r.m
+        for r in sums:
+            new[r["cell"]] = [r[f"s{i}"] / r["n"] for i in range(dims)]
         centroids = new
         assert all(len(c) == dims for c in centroids)
     return centroids
