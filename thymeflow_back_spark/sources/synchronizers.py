@@ -200,17 +200,29 @@ class _DavWriteBackMixin:
 
     apply_diff_fn: Callable
 
-    def write_back(self, graph: str, added: DataFrame, removed: DataFrame) -> bool:
+    def write_back_rows(
+        self,
+        graph: str,
+        adds: list[tuple[str, str, str]],
+        removes: list[tuple[str, str, str]],
+    ) -> bool:
+        """Row-level batch hook (the Updater collects the whole sync diff in
+        one job and calls this per graph — no Spark work in here)."""
         if not self.owns_graph(graph):
             return False
         directory, _, path = graph.rpartition("#")
         etag, body = self.transport.get(directory, path)
-        adds = [(r.subject, r.predicate, r.object_value) for r in added.collect()]
-        removes = [(r.subject, r.predicate, r.object_value) for r in removed.collect()]
         new_text, results = type(self).apply_diff_fn(body.decode("utf-8"), adds, removes)
         if results["rejected"]:
             return False
         return self.transport.put(directory, path, new_text.encode("utf-8"), etag) is not None
+
+    def write_back(self, graph: str, added: DataFrame, removed: DataFrame) -> bool:
+        return self.write_back_rows(
+            graph,
+            [(r.subject, r.predicate, r.object_value) for r in added.collect()],
+            [(r.subject, r.predicate, r.object_value) for r in removed.collect()],
+        )
 
 
 class CalDavSynchronizer(_DavWriteBackMixin, BaseDavSynchronizer):

@@ -116,20 +116,45 @@ def apply_update(
     # rejected adds in personal:userData)
     failed_removals, failed_adds, ok_adds = sync_removed, sync_added, None
     if write_back is not None:
-        wb_graphs = (
-            sync_removed.select("graph")
-            .unionByName(sync_added.select("graph"))
-            .distinct()
+        # ONE job materializes the whole sync diff (update diffs are
+        # user-scale); grouping by graph happens driver-side, so a bulk
+        # update touching many graphs costs one Spark job, not 2×G filter
+        # jobs re-running the diff pipeline per graph
+        tagged = (
+            sync_added.select(*QUAD_COLUMNS).withColumn("__op", F.lit("add"))
+            .unionByName(
+                sync_removed.select(*QUAD_COLUMNS).withColumn("__op", F.lit("rm"))
+            )
             .collect()
         )
+        by_graph: dict[str, tuple[list, list]] = {}
+        for r in tagged:
+            slot = by_graph.setdefault(r["graph"], ([], []))
+            (slot[0] if r["__op"] == "add" else slot[1]).append(r)
+        # synchronizers may expose the row-level batch hook (no Spark work
+        # inside); plain callbacks get small local DataFrames instead
+        rows_fn = getattr(write_back, "write_back_rows", None)
+        if rows_fn is None and hasattr(write_back, "__self__"):
+            rows_fn = getattr(write_back.__self__, "write_back_rows", None)
+        spark = store.quads.sparkSession
+        ddl = ", ".join(f"{c} string" for c in QUAD_COLUMNS)
         accepted_graphs = []
-        for r in wb_graphs:
-            g = r.graph
-            ok = write_back(
-                g,
-                sync_added.filter(F.col("graph") == g),
-                sync_removed.filter(F.col("graph") == g),
-            )
+        for g in sorted(by_graph):
+            adds, rms = by_graph[g]
+            if rows_fn is not None:
+                ok = rows_fn(
+                    g,
+                    [(r["subject"], r["predicate"], r["object_value"]) for r in adds],
+                    [(r["subject"], r["predicate"], r["object_value"]) for r in rms],
+                )
+            else:
+                added_df = spark.createDataFrame(
+                    [tuple(r[c] for c in QUAD_COLUMNS) for r in adds], ddl
+                )
+                removed_df = spark.createDataFrame(
+                    [tuple(r[c] for c in QUAD_COLUMNS) for r in rms], ddl
+                )
+                ok = write_back(g, added_df, removed_df)
             if ok:
                 accepted_graphs.append(g)
         if accepted_graphs:
