@@ -435,3 +435,64 @@ OPTIONAL{{ ?s <http://schema.org/name> ?name }}
     }} GROUP BY ?facet ORDER BY DESC(COUNT(?descriptionProperty))"""
     rows = sparql_select(quads, primary_facet, bindings={"startFacet": "a:2"}).collect()
     assert [r.facet for r in rows] == ["a:1"]
+
+
+def test_filter_builtins(quads):
+    # REGEX with case-insensitive flag
+    rows = sparql_select(
+        quads,
+        PFX + 'SELECT ?who WHERE { ?who schema:name ?n . FILTER regex(?n, "^ali", "i") }',
+    ).collect()
+    assert [r.who for r in rows] == ["p:alice"]
+    # CONTAINS / STRSTARTS / STRLEN / LCASE
+    rows = sparql_select(
+        quads,
+        PFX + 'SELECT ?n WHERE { ?x schema:name ?n . FILTER (CONTAINS(?n, "aro") && STRLEN(?n) = 5) }',
+    ).collect()
+    assert [r.n for r in rows] == ["Carol"]
+    rows = sparql_select(
+        quads,
+        PFX + 'SELECT ?n WHERE { ?x schema:name ?n . FILTER (LCASE(?n) = "bob") }',
+    ).collect()
+    assert [r.n for r in rows] == ["Bob"]
+    # STRSTARTS standalone (truthy builtin, no comparator)
+    rows = sparql_select(
+        quads,
+        PFX + 'SELECT ?n WHERE { ?x schema:name ?n . FILTER STRSTARTS(?n, "A") }',
+    ).collect()
+    assert [r.n for r in rows] == ["Alice"]
+    # BOUND with OPTIONAL
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?who WHERE {
+          ?who a c:Person . OPTIONAL { ?who schema:email ?e }
+          FILTER (!BOUND(?e))
+        }
+        """,
+    ).collect()
+    assert [r.who for r in rows] == ["p:bob"]
+    # BIND over a builtin
+    rows = sparql_select(
+        quads,
+        PFX + 'SELECT ?u WHERE { <p:alice> schema:name ?n . BIND(UCASE(?n) AS ?u) }',
+    ).collect()
+    assert [r.u for r in rows] == ["ALICE"]
+    with pytest.raises(SyntaxError):
+        sparql_select(quads, 'SELECT ?x WHERE { ?x <urn:p> ?n . FILTER NOPE(?n) }')
+
+
+def test_values_undef_wildcard(quads):
+    """An UNDEF cell is a per-row wildcard, not an equality constraint."""
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?who ?name WHERE {
+          ?who schema:name ?name .
+          VALUES (?who ?name) { (p:alice UNDEF) (p:bob "nope") }
+        }
+        """,
+    ).collect()
+    assert [(r.who, r.name) for r in rows] == [("p:alice", "Alice")]

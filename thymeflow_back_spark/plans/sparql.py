@@ -63,6 +63,7 @@ _TOKEN_RE = re.compile(
        |WHERE|GRAPH|OPTIONAL|UNION|FILTER|GROUP|ORDER|BY|ASC|DESC|LIMIT|OFFSET
        |AS|IN|NOT|COUNT|SUM|MIN|MAX|AVG|SAMPLE|BIND|VALUES|MINUS|EXISTS|UNDEF)\b)
   | (?P<A>\ba\b)
+  | (?P<IDENT>\w+)
   | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,*/=<>!|+])
     """,
     re.VERBOSE,
@@ -217,6 +218,8 @@ class _Parser:
             return ("num", float(val) if "." in val else int(val))
         if kind == "A":
             return ("iri", BUILTIN_PREFIXES["rdf"] + "type")
+        if kind == "IDENT" and val.lower() in ("true", "false"):
+            return ("lit", val.lower())
         raise SyntaxError(f"SPARQL: unexpected term {val!r}")
 
     def _fresh_var(self) -> Term:
@@ -239,6 +242,13 @@ class _Parser:
                     self.next()
                     self.next()
                     group.elements.append(Exists_(self.parse_group(), False))
+                elif (
+                    self.peek()[0] == "IDENT"
+                    and self.peek()[1].upper() in self._BUILTINS
+                    and self.peek(1) == ("OP", "(")
+                ):
+                    # FILTER regex(?n, "x") — bare builtin-call constraint
+                    group.elements.append(Filter_(self.parse_expr()))
                 else:
                     self.expect("OP", "(")
                     if self.accept("KW", "EXISTS"):
@@ -392,6 +402,27 @@ class _Parser:
             left = ("and", left, self.parse_cmp())
         return left
 
+    # SPARQL builtin functions accepted in FILTER / BIND expressions
+    _BUILTINS = {
+        "BOUND", "REGEX", "CONTAINS", "STRSTARTS", "STRENDS", "STR",
+        "LANG", "DATATYPE", "LCASE", "UCASE", "STRLEN",
+    }
+
+    def parse_primary(self):
+        """A term or a builtin-function call (args are primaries too)."""
+        k, v = self.peek()
+        if k == "IDENT" and v.upper() in self._BUILTINS and self.peek(1) == ("OP", "("):
+            self.next()
+            self.expect("OP", "(")
+            args = []
+            if self.peek() != ("OP", ")"):
+                args.append(self.parse_primary())
+                while self.accept("OP", ","):
+                    args.append(self.parse_primary())
+            self.expect("OP", ")")
+            return ("builtin", v.upper(), args)
+        return self.parse_term()
+
     def parse_cmp(self):
         if self.accept("OP", "("):
             inner = self.parse_expr()
@@ -399,7 +430,7 @@ class _Parser:
             return inner
         if self.accept("OP", "!"):
             return ("not", self.parse_cmp())
-        left = self.parse_term()
+        left = self.parse_primary()
         if self.accept("KW", "NOT"):
             self.expect("KW", "IN")
             return ("not", ("in", left, self._parse_in_list()))
@@ -408,7 +439,9 @@ class _Parser:
         k, v = self.peek()
         if k == "OP" and v in ("=", "!=", "<", "<=", ">", ">="):
             self.next()
-            return (v, left, self.parse_term())
+            return (v, left, self.parse_primary())
+        if left[0] == "builtin":
+            return ("truthy", left)  # boolean-valued builtin used standalone
         return ("bound", left)
 
     def _parse_in_list(self):
@@ -447,6 +480,9 @@ class _Parser:
             inner = self.parse_value_expr()
             self.expect("OP", ")")
             return inner
+        k, v = self.peek()
+        if k == "IDENT" and v.upper() in self._BUILTINS and self.peek(1) == ("OP", "("):
+            return self.parse_primary()
         if self.peek()[0] in ("PNAME", "IRIREF") and self.peek(1) == ("OP", "("):
             fn_iri = self.parse_term()[1]
             self.expect("OP", "(")
@@ -720,7 +756,8 @@ class _Compiler:
                 )
             elif isinstance(el, Values_):
                 flush_plain()
-                merge(self._values_df(el))
+                vdf = self._values_df(el)
+                result = vdf if result is None else self._join_values(result, vdf)
             elif isinstance(el, Optional_):
                 flush_plain()
                 if result is None:
@@ -827,6 +864,24 @@ class _Compiler:
             [tuple(row) for row in el.rows], ddl
         )
 
+    def _join_values(self, result: DataFrame, vdf: DataFrame) -> DataFrame:
+        """Join inline VALUES data: an UNDEF cell (NULL) is a wildcard for
+        that row's variable, not an equality constraint — a plain equi-join
+        would silently drop every UNDEF row (NULL never equi-matches)."""
+        shared = [c for c in vdf.columns if c in result.columns]
+        if not shared:
+            return result.crossJoin(vdf)
+        vdf2 = vdf
+        for c in shared:
+            vdf2 = vdf2.withColumnRenamed(c, c + "__val")
+        cond = F.lit(True)
+        for c in shared:
+            cond = cond & (F.col(c + "__val").isNull() | (F.col(c + "__val") == F.col(c)))
+        joined = result.join(vdf2, on=cond, how="inner")
+        for c in shared:
+            joined = joined.drop(c + "__val")
+        return joined
+
     def _apply_minus(self, result: DataFrame, group: Group) -> DataFrame:
         mdf = self.compile_group(group)
         shared = sorted(set(_base_cols(result.columns)) & set(_base_cols(mdf.columns)))
@@ -870,6 +925,8 @@ class _Compiler:
 
     def _value_col(self, expr: tuple, df: DataFrame) -> Column:
         kind = expr[0]
+        if kind == "builtin":
+            return self._builtin_col(expr, df)
         if kind == "term":
             tkind, val = expr[1]
             if tkind == "var":
@@ -893,18 +950,23 @@ class _Compiler:
         if op == "not":
             return ~self._expr_col(expr[1], df)
         if op == "bound":
-            return self._operand(expr[1]).isNotNull()
+            return self._operand(expr[1], df=df).isNotNull()
+        if op == "truthy":
+            return self._builtin_col(expr[1], df)
         if op == "in":
             _, left, items = expr
-            return self._operand(left).isin(*[i[1] for i in items])
+            return self._operand(left, df=df).isin(*[i[1] for i in items])
         _, left, right = expr
-        lc, rc = self._operand(left, right), self._operand(right, left)
+        lc = self._operand(left, right, df=df)
+        rc = self._operand(right, left, df=df)
         return {
             "=": lc == rc, "!=": lc != rc,
             "<": lc < rc, "<=": lc <= rc, ">": lc > rc, ">=": lc >= rc,
         }[op]
 
-    def _operand(self, term: Term, other: Term | None = None) -> Column:
+    def _operand(self, term: Term, other: Term | None = None, df: DataFrame | None = None) -> Column:
+        if term[0] == "builtin":
+            return self._builtin_col(term, df)
         kind, val = term
         if kind == "var":
             col = F.col(val)
@@ -915,6 +977,48 @@ class _Compiler:
         if kind == "num":
             return F.lit(val)
         return F.lit(val)
+
+    def _builtin_col(self, expr: tuple, df: DataFrame | None) -> Column:
+        """SPARQL builtin calls (the subset RDF4J users hit first). LANG /
+        DATATYPE read the hidden term-kind columns when track_types carried
+        them; otherwise plain-literal defaults apply ("" / xsd:string)."""
+        _, fn, args = expr
+
+        def arg(i):
+            return self._operand(args[i], df=df)
+
+        def hidden(i, suffix, default):
+            t = args[i]
+            if t[0] == "var" and df is not None and f"{t[1]}{suffix}" in df.columns:
+                return F.coalesce(F.col(f"{t[1]}{suffix}"), F.lit(default))
+            return F.lit(default)
+
+        if fn == "BOUND":
+            return arg(0).isNotNull()
+        if fn == "STR":
+            return arg(0).cast("string")  # columns hold the lexical form
+        if fn == "REGEX":
+            pattern = arg(1)
+            if len(args) > 2 and args[2][0] == "lit" and "i" in args[2][1]:
+                pattern = F.concat(F.lit("(?i)"), arg(1))
+            return F.regexp_like(arg(0), pattern)
+        if fn == "CONTAINS":
+            return arg(0).contains(arg(1))
+        if fn == "STRSTARTS":
+            return arg(0).startswith(arg(1))
+        if fn == "STRENDS":
+            return arg(0).endswith(arg(1))
+        if fn == "LANG":
+            return hidden(0, "__lang", "")
+        if fn == "DATATYPE":
+            return hidden(0, "__datatype", _XSD + "string")
+        if fn == "LCASE":
+            return F.lower(arg(0))
+        if fn == "UCASE":
+            return F.upper(arg(0))
+        if fn == "STRLEN":
+            return F.length(arg(0))
+        raise SyntaxError(f"SPARQL: unsupported builtin {fn}")
 
 
 _AGGS = {
