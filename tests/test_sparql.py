@@ -496,3 +496,21 @@ def test_values_undef_wildcard(quads):
         """,
     ).collect()
     assert [(r.who, r.name) for r in rows] == [("p:alice", "Alice")]
+
+
+def test_construct_where_shorthand(quads):
+    """SPARQL 1.1 CONSTRUCT WHERE { … }: the pattern doubles as template."""
+    out = sparql_construct(
+        quads,
+        PFX + "CONSTRUCT WHERE { ?x schema:name ?n }",
+    ).collect()
+    assert {(r.subject, r.predicate, r.object_value) for r in out} == {
+        ("p:alice", "schema:name", "Alice"),
+        ("p:bob", "schema:name", "Bob"),
+        ("p:carol", "schema:name", "Carol"),
+    }
+    assert all(r.object_type == "literal" for r in out)
+    with pytest.raises(SyntaxError):
+        sparql_construct(
+            quads, PFX + "CONSTRUCT WHERE { ?x schema:name ?n . FILTER (?n = \"x\") }"
+        )

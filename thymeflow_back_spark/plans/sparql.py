@@ -499,9 +499,21 @@ class _Parser:
     def parse_construct(self) -> tuple[list[Triple], "SelectQuery"]:
         self.parse_prologue()
         self.expect("KW", "CONSTRUCT")
-        template = self._parse_template_block()
-        self.accept("KW", "WHERE")
-        q = SelectQuery(projections=[("star", "*")], group=self.parse_group())
+        if self.peek() == ("KW", "WHERE"):
+            # SPARQL 1.1 `CONSTRUCT WHERE { … }` shorthand: the pattern is
+            # the template (triple patterns only, per spec)
+            self.next()
+            group = self.parse_group()
+            template = [el for el in group.elements if isinstance(el, Triple)]
+            if len(template) != len(group.elements):
+                raise SyntaxError(
+                    "SPARQL: CONSTRUCT WHERE shorthand allows only triple patterns"
+                )
+            q = SelectQuery(projections=[("star", "*")], group=group)
+        else:
+            template = self._parse_template_block()
+            self.accept("KW", "WHERE")
+            q = SelectQuery(projections=[("star", "*")], group=self.parse_group())
         if self.accept("KW", "LIMIT"):
             q.limit = int(self.expect("NUMBER"))
         if self.peek()[0] != "EOF":
