@@ -500,3 +500,46 @@ def test_extract_features_real_png(spark):
     assert abs(feat.mean_luma - float(img.mean())) < 1e-9
     resized = resize_images(media, 8, 8).collect()
     assert len(bytes(resized[0].content)) == 8 * 8 * 3
+
+
+def test_png_malformed_raises_valueerror():
+    """Damaged PNG streams raise ValueError per the module contract — zlib,
+    struct, and palette-indexing errors never leak."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from thymeflow_back_spark.multimodal.png import (
+        PNG_SIGNATURE,
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(ctype, body):
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(
+            ">I", zlib.crc32(ctype + body) & 0xFFFFFFFF
+        )
+
+    # corrupt IDAT payload → zlib error path
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    corrupt = good.replace(b"IDAT", b"IDAT")[:40] + b"\x00garbage\xff" + good[50:]
+    with pytest.raises(ValueError):
+        decode_png(corrupt)
+    # truncated IHDR body → struct error path
+    bad_ihdr = PNG_SIGNATURE + chunk(b"IHDR", b"\x00\x01") + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bad_ihdr)
+    # palette index out of range → indexing error path
+    palette = bytes(3)  # single black entry
+    idx = zlib.compress(b"\x00\x05")  # filter 0, index 5 > 0
+    bad_plte = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", idx)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad_plte)

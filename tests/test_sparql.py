@@ -514,3 +514,74 @@ def test_construct_where_shorthand(quads):
         sparql_construct(
             quads, PFX + "CONSTRUCT WHERE { ?x schema:name ?n . FILTER (?n = \"x\") }"
         )
+
+
+def test_filter_exists_group_scope(quads):
+    """FILTER [NOT] EXISTS applies to the WHOLE group regardless of textual
+    position (SPARQL filter scoping) — a leading one must not be dropped."""
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?who WHERE {
+          FILTER NOT EXISTS { ?who schema:email ?e }
+          ?who a c:Person .
+        }
+        """,
+    ).collect()
+    assert [r.who for r in rows] == ["p:bob"]
+
+
+def test_values_first_undef(quads):
+    """A leading VALUES with UNDEF keeps wildcard semantics (deferred to
+    the first pattern merge, not equi-joined on NULL)."""
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?who ?name WHERE {
+          VALUES (?who ?name) { (p:alice UNDEF) }
+          ?who schema:name ?name .
+        }
+        """,
+    ).collect()
+    assert [(r.who, r.name) for r in rows] == [("p:alice", "Alice")]
+
+
+def test_graph_scoped_star_path(spark):
+    """GRAPH <g> { ?a p* ?b }: the closure must only use edges (and the
+    zero-length universe) of that graph."""
+    from thymeflow_back_spark.rdf.model import make_quads
+
+    quads = make_quads(
+        spark,
+        [
+            ("a", "p:knows", "b", "iri", None, None, "g:one"),
+            ("b", "p:knows", "c", "iri", None, None, "g:two"),
+        ],
+    )
+    rows = sparql_select(
+        quads,
+        'PREFIX p: <p:> PREFIX g: <g:> '
+        "SELECT ?x WHERE { GRAPH <g:one> { <a> p:knows* ?x } } ORDER BY ?x",
+    ).collect()
+    # b→c lives in g:two — the scoped closure must stop at b
+    assert [r.x for r in rows] == ["a", "b"]
+
+
+def test_star_path_reflexive_over_literals(quads):
+    """Zero-length paths hold for literal terms too (RDF4J ZeroLengthPath):
+    ?x p* "Alice" with no p edges yields x = "Alice"."""
+    rows = sparql_select(
+        quads,
+        PFX + 'SELECT ?x WHERE { ?x <p:nonexistent>* "Alice" }',
+    ).collect()
+    assert [r.x for r in rows] == ["Alice"]
+
+
+def test_bind_subtraction(quads):
+    rows = sparql_select(
+        quads,
+        PFX + "SELECT ?d WHERE { ?who p:age ?age . BIND((?age - 2) AS ?d) }",
+    ).collect()
+    assert [r.d for r in rows] == [3.0]

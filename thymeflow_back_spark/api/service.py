@@ -111,7 +111,7 @@ def execute_sparql(
 # suffixes of the hidden term-kind columns (plans.patterns emits them under
 # track_types); an explicit suffix set, NOT a '__' substring test, so a
 # legitimately projected variable whose name contains '__' is kept
-_HIDDEN_COL_SUFFIXES = ("__type", "__datatype", "__lang")
+from ..plans.patterns import HIDDEN_SUFFIXES as _HIDDEN_COL_SUFFIXES  # noqa: E402
 
 
 def _solution_columns(pdf: pd.DataFrame) -> list[str]:

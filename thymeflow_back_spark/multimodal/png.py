@@ -82,7 +82,18 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → HxWx3 uint8 RGB array."""
+    """PNG bytes → HxWx3 uint8 RGB array. Malformed input of any kind
+    raises ValueError (the module contract) — zlib/struct/indexing errors
+    from damaged streams are wrapped, never leaked."""
+    try:
+        return _decode_png(data)
+    except ValueError:
+        raise
+    except (zlib.error, struct.error, IndexError, OverflowError) as e:
+        raise ValueError(f"PNG: malformed stream ({e})") from e
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if data[:8] != PNG_SIGNATURE:
         raise ValueError("PNG: bad signature")
     width = height = None

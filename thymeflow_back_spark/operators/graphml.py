@@ -77,14 +77,16 @@ def graphml_lines(
     )
     footer = ["</graph>", "</graphml>"]
 
+    # header sections grow with the attribute count — keep node/edge/footer
+    # sections far above any possible header length so they never interleave
     header_df = spark.createDataFrame(
-        [(i, l) for i, l in enumerate(header)], "section int, line string"
+        [(i, l) for i, l in enumerate(header)], "section long, line string"
     )
     footer_df = spark.createDataFrame(
-        [(1000 + i, l) for i, l in enumerate(footer)], "section int, line string"
+        [(3_000_000_000 + i, l) for i, l in enumerate(footer)], "section long, line string"
     )
     node_lines = nodes.select(
-        F.lit(100).alias("section"),
+        F.lit(1_000_000_000).alias("section"),
         F.concat(
             F.lit('<node id="'),
             _xml_escape(F.col(node_id)),
@@ -94,7 +96,7 @@ def graphml_lines(
         ).alias("line"),
     )
     edge_lines = edges.select(
-        F.lit(200).alias("section"),
+        F.lit(2_000_000_000).alias("section"),
         F.concat(
             F.lit('<edge id="'),
             _xml_escape(F.concat(F.col(src), F.lit("--"), F.col(dst))),

@@ -29,8 +29,10 @@ from ..rdf.model import V
 # pattern position → quads column
 _POSITIONS = ("subject", "predicate", "object_value", "graph")
 
-# suffixes of the hidden term-kind columns emitted under track_types
-_HIDDEN_SUFFIXES = ("__type", "__datatype", "__lang")
+# suffixes of the hidden term-kind columns emitted under track_types —
+# the single authority; plans.sparql and api.service import it
+HIDDEN_SUFFIXES = ("__type", "__datatype", "__lang")
+_HIDDEN_SUFFIXES = HIDDEN_SUFFIXES
 
 Pattern = tuple  # (s, p, o) or (s, p, o, g); each term str constant or V
 
@@ -83,9 +85,10 @@ class BGP:
     def __init__(self, quads: DataFrame, track_types: bool = False):
         """``track_types``: carry hidden ``<var>__type/__datatype/__lang``
         columns for variables bound in OBJECT position, so CONSTRUCT can
-        re-emit solutions as quads without guessing term kinds. Shared-
-        variable joins include the hidden columns (same binding → same quad
-        value → same type), so join semantics are unchanged."""
+        re-emit solutions as quads without guessing term kinds. Hidden
+        columns are NEVER equi-join keys (they are NULL for IRIs / plain
+        literals and NULL = NULL is false) — ``join_on_shared`` joins on
+        base variable names and reconciles term kinds null-safely."""
         self.quads = quads
         self.track_types = track_types
 

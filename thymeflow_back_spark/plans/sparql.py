@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ..operators.closure import transitive_closure
 from ..rdf.model import V
-from .patterns import BGP, join_on_shared
+from .patterns import BGP, HIDDEN_SUFFIXES, join_on_shared
 
 BUILTIN_PREFIXES = {
     "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
@@ -64,7 +64,7 @@ _TOKEN_RE = re.compile(
        |AS|IN|NOT|COUNT|SUM|MIN|MAX|AVG|SAMPLE|BIND|VALUES|MINUS|EXISTS|UNDEF)\b)
   | (?P<A>\ba\b)
   | (?P<IDENT>\w+)
-  | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,*/=<>!|+])
+  | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,*/=<>!|+-])
     """,
     re.VERBOSE,
 )
@@ -458,8 +458,10 @@ class _Parser:
         while True:
             if self.accept("OP", "+"):
                 left = ("+", left, self._parse_value_mul())
+            elif self.accept("OP", "-"):
+                left = ("-", left, self._parse_value_mul())
             elif self.peek()[0] == "NUMBER" and self.peek()[1].startswith("-"):
-                # the tokenizer folds the sign into the literal: `?x - 3`
+                # the tokenizer folds the sign into the literal: `?x -3`
                 # arrives as VAR NUMBER(-3); treat as addition of a negative
                 left = ("+", left, ("term", self.parse_term()))
             else:
@@ -710,7 +712,7 @@ def _bgp_term(term: Term):
     return val  # iri / lit → compare against the lexical column
 
 
-_BASE_HIDDEN = ("__type", "__datatype", "__lang")
+_BASE_HIDDEN = HIDDEN_SUFFIXES
 
 
 def _base_cols(cols) -> list[str]:
@@ -730,15 +732,24 @@ class _Compiler:
         self.bindings = bindings
 
     def compile_group(self, group: Group) -> DataFrame:
-        """Sequential (left-to-right) group evaluation; FILTERs apply to the
-        whole group's solutions per SPARQL scoping."""
+        """Sequential (left-to-right) group evaluation. FILTERs — including
+        FILTER [NOT] EXISTS — apply to the WHOLE group's solutions per SPARQL
+        filter scoping, regardless of where they appear in the text; VALUES
+        written before any pattern is deferred to the first merge so UNDEF
+        keeps its wildcard-join semantics. MINUS is positional (SPARQL
+        algebra folds it left-to-right; a leading MINUS subtracts from the
+        unit table, which removes nothing)."""
         result: DataFrame | None = None
         filters: list[tuple] = []
+        exists: list[Exists_] = []
+        pending_values: list[DataFrame] = []
         plain: list[tuple] = []
 
         def merge(df: DataFrame, how: str = "inner") -> None:
             nonlocal result
             result = df if result is None else join_on_shared(result, df, how=how)
+            while pending_values:
+                result = self._join_values(result, pending_values.pop(0))
 
         def flush_plain() -> None:
             if plain:
@@ -769,7 +780,10 @@ class _Compiler:
             elif isinstance(el, Values_):
                 flush_plain()
                 vdf = self._values_df(el)
-                result = vdf if result is None else self._join_values(result, vdf)
+                if result is None:
+                    pending_values.append(vdf)
+                else:
+                    result = self._join_values(result, vdf)
             elif isinstance(el, Optional_):
                 flush_plain()
                 if result is None:
@@ -780,9 +794,7 @@ class _Compiler:
                 if result is not None:
                     result = self._apply_minus(result, el.group)
             elif isinstance(el, Exists_):
-                flush_plain()
-                if result is not None:
-                    result = self._apply_exists(result, el.group, el.positive)
+                exists.append(el)
             elif isinstance(el, Bind_):
                 flush_plain()
                 if result is None:
@@ -792,8 +804,14 @@ class _Compiler:
                 filters.append(el.expr)
         flush_plain()
 
+        if result is None and pending_values:
+            result = pending_values.pop(0)
+            while pending_values:
+                result = self._join_values(result, pending_values.pop(0))
         if result is None:
             raise SyntaxError("SPARQL: empty group pattern")
+        for ex in exists:
+            result = self._apply_exists(result, ex.group, ex.positive)
         for expr in filters:
             result = result.filter(self._expr_col(expr, result))
         return result
@@ -827,12 +845,21 @@ class _Compiler:
             for p in parts[1:]:
                 out = out.unionByName(p, allowMissingColumns=True)
             return out
-        # star / plus over a predicate or an alternation of predicates
+        # star / plus over a predicate or an alternation of predicates;
+        # GRAPH scoping restricts both the edge set and the zero-length
+        # universe (the alt branch above scopes through the pattern itself)
+        scoped = self.quads
+        if t.g is not None:
+            if t.g[0] != "iri":
+                raise SyntaxError(
+                    "SPARQL: property-path closure inside GRAPH ?var is not supported"
+                )
+            scoped = scoped.filter(F.col("graph") == t.g[1])
         iris = self._path_pred_iris(ast[1])
         pred_filter = (
             F.col("predicate") == iris[0] if len(iris) == 1 else F.col("predicate").isin(iris)
         )
-        edges = self.quads.filter(pred_filter).select(
+        edges = scoped.filter(pred_filter).select(
             F.col("subject").alias("src"), F.col("object_value").alias("dst")
         )
         closure = transitive_closure(edges)
@@ -846,14 +873,11 @@ class _Compiler:
                 .dropDuplicates()
             )
         else:
-            # zero-length paths hold for EVERY term, not just edge endpoints
+            # zero-length paths hold for EVERY term — subjects and objects of
+            # any kind, literals included (RDF4J ZeroLengthPath parity)
             universe = (
-                self.quads.select(F.col("subject").alias("node"))
-                .unionByName(
-                    self.quads.filter(F.col("object_type") == "iri").select(
-                        F.col("object_value").alias("node")
-                    )
-                )
+                scoped.select(F.col("subject").alias("node"))
+                .unionByName(scoped.select(F.col("object_value").alias("node")))
                 .dropDuplicates()
             )
             closure = closure.unionByName(
