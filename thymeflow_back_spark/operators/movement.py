@@ -28,7 +28,9 @@ def segment_movement(
     switch_cost: float = 2.0,
 ) -> DataFrame:
     def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_us_col).reset_index(drop=True)
+        # secondary keys make tie order deterministic (the DP is
+        # order-dependent, same discipline as stay extraction)
+        pdf = pdf.sort_values([ts_us_col, lon_col, lat_col]).reset_index(drop=True)
         if len(pdf) < 2:
             return pd.DataFrame(
                 columns=["user_id", "state", "start_us", "end_us", "n_points", "mean_speed_mps"]

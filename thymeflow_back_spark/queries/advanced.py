@@ -278,16 +278,110 @@ def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_movement_smoothing",
-    oracle=None,
+    oracle="""
+    WITH RECURSIVE raw AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             2.30 + (event_id % 3) * 0.05 + ((event_id % 7) - 3) * 1e-5 AS lon,
+             48.80 + (event_id % 3) * 0.05 + ((event_id % 7) - 3) * 1e-5 AS lat
+      FROM events
+    ),
+    proj AS (
+      SELECT user_id, ts_us, lon, lat,
+             lon * 111320.0 * cos(radians(median(lat) OVER (PARTITION BY user_id))) AS x,
+             lat * 111320.0 AS y
+      FROM raw
+    ),
+    pts AS (
+      SELECT user_id, ts_us, x, y,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts_us, lon, lat) AS i
+      FROM proj
+    ),
+    counts AS (SELECT user_id, COUNT(*) AS n FROM pts GROUP BY user_id),
+    gaps AS (
+      SELECT p2.user_id AS user_id, p1.i AS g,
+             sqrt((p2.x - p1.x) * (p2.x - p1.x) + (p2.y - p1.y) * (p2.y - p1.y))
+               / greatest((p2.ts_us - p1.ts_us) / 1e6, 1e-3) AS speed
+      FROM pts p1 JOIN pts p2 ON p2.user_id = p1.user_id AND p2.i = p1.i + 1
+    ),
+    -- 2-state Viterbi forward pass carrying (cost, best path) per end state;
+    -- emissions mirror algorithms/trellis.py: stationary 0.1 + capped
+    -- quadratic over still_speed 1.5, moving 0.6 + capped low-speed penalty,
+    -- switch cost 2.0; ties prefer STATIONARY (first state examined)
+    walk(user_id, g, cost_s, cost_m, path_s, path_m) AS (
+      SELECT user_id, 1,
+             0.1 + least(4.0, greatest(0.0, speed - 1.5) ** 2 / 8.0),
+             0.6 + least(4.0, 1.5 * greatest(0.0, 1.5 - speed) ** 2),
+             [0], [1]
+      FROM gaps WHERE g = 1
+      UNION ALL
+      SELECT user_id, g,
+             least(cost_s, cost_m + 2.0)
+               + 0.1 + least(4.0, greatest(0.0, speed - 1.5) ** 2 / 8.0),
+             least(cost_s + 2.0, cost_m)
+               + 0.6 + least(4.0, 1.5 * greatest(0.0, 1.5 - speed) ** 2),
+             CASE WHEN cost_m + 2.0 < cost_s
+                  THEN list_append(path_m, 0) ELSE list_append(path_s, 0) END,
+             CASE WHEN cost_m < cost_s + 2.0
+                  THEN list_append(path_m, 1) ELSE list_append(path_s, 1) END
+      FROM (
+        SELECT w.user_id, o.g, w.cost_s, w.cost_m, w.path_s, w.path_m, o.speed
+        FROM walk w JOIN gaps o ON o.user_id = w.user_id AND o.g = w.g + 1
+      )
+    ),
+    fin AS (
+      SELECT w.user_id,
+             CASE WHEN w.cost_m < w.cost_s THEN w.path_m ELSE w.path_s END AS states
+      FROM walk w JOIN counts c ON c.user_id = w.user_id AND w.g = c.n - 1
+    ),
+    st AS (
+      SELECT user_id, u.st AS state, u.i AS idx
+      FROM (
+        SELECT user_id,
+               unnest([{'st': states[i], 'i': i}
+                       FOR i IN generate_series(1, len(states))]) AS u
+        FROM fin
+      )
+    ),
+    marked AS (
+      SELECT user_id, state, idx,
+             CASE WHEN LAG(state) OVER (PARTITION BY user_id ORDER BY idx)
+                       IS DISTINCT FROM state THEN 1 ELSE 0 END AS brk
+      FROM st
+    ),
+    seg AS (
+      SELECT user_id, state, idx,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY idx) AS seg_id
+      FROM marked
+    ),
+    bounds AS (
+      SELECT user_id, MIN(state) AS state_i, MIN(idx) AS g_start,
+             MAX(idx) AS g_end, COUNT(*) AS n_gaps
+      FROM seg GROUP BY user_id, seg_id
+    )
+    SELECT b.user_id AS user_id,
+           CASE WHEN b.state_i = 0 THEN 'stationary' ELSE 'moving' END AS state,
+           p1.ts_us AS start_us, p2.ts_us AS end_us,
+           CAST(b.n_gaps + 1 AS INTEGER) AS n_points
+    FROM bounds b
+    JOIN pts p1 ON p1.user_id = b.user_id AND p1.i = b.g_start
+    JOIN pts p2 ON p2.user_id = b.user_id AND p2.i = b.g_end + 1
+    ORDER BY b.user_id, start_us
+    """,
     doc="Movement/stay trellis smoothing (Viterbi min-cost state path per "
-    "user — reference StateEstimator.scala:19-96) via applyInPandas; "
-    "rows-only driver check, golden values in pytest.",
+    "user — reference StateEstimator.scala:19-96) via applyInPandas. The "
+    "oracle replays the 2-state Viterbi as a DuckDB recursive CTE carrying "
+    "(cost, best-path) per end state, then segments the decoded states "
+    "with a gaps-and-islands pass; output is the integer segment "
+    "structure (bounds, size, state label) so the hash compare is "
+    "float-robust — mean-speed goldens live in pytest.",
 )
 def q_movement_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.movement import segment_movement
 
-    return segment_movement(_synthetic_track(spark, sf_dir)).orderBy(
-        "user_id", "start_us"
+    return (
+        segment_movement(_synthetic_track(spark, sf_dir))
+        .select("user_id", "state", "start_us", "end_us", "n_points")
+        .orderBy("user_id", "start_us")
     )
 
 
