@@ -585,3 +585,28 @@ def test_bind_subtraction(quads):
         PFX + "SELECT ?d WHERE { ?who p:age ?age . BIND((?age - 2) AS ?d) }",
     ).collect()
     assert [r.d for r in rows] == [3.0]
+
+
+def test_property_path_inverse_and_optional(quads):
+    # ^p inverse: who is known BY bob (i.e. alice knows bob)
+    rows = sparql_select(
+        quads, PFX + "SELECT ?x WHERE { p:bob ^p:knows ?x }"
+    ).collect()
+    assert [r.x for r in rows] == ["p:alice"]
+    # p? zero-or-one: bob plus bob's direct acquaintances
+    rows = sparql_select(
+        quads, PFX + "SELECT ?x WHERE { p:bob p:knows? ?x } ORDER BY ?x"
+    ).collect()
+    assert [r.x for r in rows] == ["p:bob", "p:carol"]
+    # symmetric closure (p|^p)*: alice's whole knows-component
+    rows = sparql_select(
+        quads,
+        PFX + "SELECT ?x WHERE { p:carol (p:knows|^p:knows)* ?x } ORDER BY ?x",
+    ).collect()
+    assert [r.x for r in rows] == ["p:alice", "p:bob", "p:carol"]
+    # inverse inside a sequence: alice knows bob; bob known-by alice
+    rows = sparql_select(
+        quads,
+        PFX + "SELECT ?x WHERE { p:alice p:knows/^p:knows ?x }",
+    ).collect()
+    assert [r.x for r in rows] == ["p:alice"]

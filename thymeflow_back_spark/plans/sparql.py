@@ -64,7 +64,7 @@ _TOKEN_RE = re.compile(
        |AS|IN|NOT|COUNT|SUM|MIN|MAX|AVG|SAMPLE|BIND|VALUES|MINUS|EXISTS|UNDEF)\b)
   | (?P<A>\ba\b)
   | (?P<IDENT>\w+)
-  | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,*/=<>!|+-])
+  | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,*/=<>!|+^?-])
     """,
     re.VERBOSE,
 )
@@ -346,10 +346,11 @@ class _Parser:
                 break
         return triples
 
-    # -- property paths: alternation over sequences of (possibly closed) atoms
+    # -- property paths: alternation over sequences of (possibly closed,
+    # possibly inverted) atoms
     def parse_path_expr(self):
         """path := seq ('|' seq)* — returns ("pred", term) | ("seq", [..]) |
-        ("alt", [..]) | ("star"|"plus", sub)."""
+        ("alt", [..]) | ("inv", sub) | ("star"|"plus"|"opt", sub)."""
         alts = [self._parse_path_seq()]
         while self.accept("OP", "|"):
             alts.append(self._parse_path_seq())
@@ -362,6 +363,8 @@ class _Parser:
         return steps[0] if len(steps) == 1 else ("seq", steps)
 
     def _parse_path_atom(self):
+        if self.accept("OP", "^"):
+            return ("inv", self._parse_path_atom())
         if self.accept("OP", "("):
             p = self.parse_path_expr()
             self.expect("OP", ")")
@@ -371,14 +374,19 @@ class _Parser:
             return ("star", p)
         if self.accept("OP", "+"):
             return ("plus", p)
+        if self.accept("OP", "?"):
+            return ("opt", p)
         return p
 
     def _desugar_path(self, subject, path, obj, out: list[Triple]) -> None:
-        """Sequences chain through fresh variables; star/plus/alt survive as
-        ("path", ast) predicates for the compiler's closure/union handling."""
+        """Sequences chain through fresh variables; an inverse swaps the
+        endpoints; star/plus/opt/alt survive as ("path", ast) predicates for
+        the compiler's closure/union handling."""
         kind = path[0]
         if kind == "pred":
             out.append(Triple(subject, path[1], obj))
+        elif kind == "inv":
+            self._desugar_path(obj, path[1], subject, out)
         elif kind == "seq":
             cur = subject
             steps = path[1]
@@ -386,7 +394,7 @@ class _Parser:
                 nxt = obj if i == len(steps) - 1 else self._fresh_var()
                 self._desugar_path(cur, step, nxt, out)
                 cur = nxt
-        else:  # star / plus / alt
+        else:  # star / plus / opt / alt
             out.append(Triple(subject, ("path", path), obj))
 
     # -- expressions (FILTER)
@@ -816,38 +824,65 @@ class _Compiler:
             result = result.filter(self._expr_col(expr, result))
         return result
 
-    # -- property paths (star / plus / alternation)
+    # -- property paths (star / plus / opt / alternation / inverse)
 
-    def _path_pred_iris(self, ast) -> list[str]:
+    def _path_atoms(self, ast) -> list[tuple[str, bool]]:
+        """Flatten a pred/inv/alt tree into (iri, inverted) atoms."""
         kind = ast[0]
         if kind == "pred":
             if ast[1][0] != "iri":
                 raise SyntaxError("SPARQL: property-path predicates must be IRIs")
-            return [ast[1][1]]
+            return [(ast[1][1], False)]
+        if kind == "inv":
+            return [(iri, not inv) for iri, inv in self._path_atoms(ast[1])]
         if kind == "alt":
-            return [iri for sub in ast[1] for iri in self._path_pred_iris(sub)]
+            return [pair for sub in ast[1] for pair in self._path_atoms(sub)]
         raise SyntaxError("SPARQL: unsupported nested property path")
 
+    def _path_edges(self, scoped: DataFrame, atoms: list[tuple[str, bool]]) -> DataFrame:
+        """(src, dst) edge relation of an atom set; inverted atoms flip."""
+        fwd = [iri for iri, inv in atoms if not inv]
+        bwd = [iri for iri, inv in atoms if inv]
+        parts = []
+        if fwd:
+            parts.append(
+                scoped.filter(F.col("predicate").isin(fwd)).select(
+                    F.col("subject").alias("src"), F.col("object_value").alias("dst")
+                )
+            )
+        if bwd:
+            parts.append(
+                scoped.filter(F.col("predicate").isin(bwd)).select(
+                    F.col("object_value").alias("src"), F.col("subject").alias("dst")
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _path_df(self, t: Triple) -> DataFrame:
-        """star/plus closures and alternation. `p*` is reflexive over the
-        store's term universe (RDF4J ZeroLengthPath parity: a term with no
-        `p` edge still reaches itself); `p+` is edges ∘ closure. Alternation
-        compiles to a union of single-predicate patterns so hidden term-kind
-        columns survive under track_types."""
+        """star/plus/opt closures and alternation. `p*` is reflexive over
+        the store's term universe (RDF4J ZeroLengthPath parity: a term with
+        no `p` edge still reaches itself); `p+` is edges ∘ closure; `p?` is
+        edges ∪ the reflexive universe. Alternation compiles to a union of
+        single-predicate patterns so hidden term-kind columns survive under
+        track_types; inverted atoms swap subject/object."""
         ast = t.p[1]
         kind = ast[0]
         if kind == "alt":
             parts = []
-            for iri in self._path_pred_iris(ast):
-                pat = (t.s, ("iri", iri), t.o, *((t.g,) if t.g else ()))
+            for iri, inv in self._path_atoms(ast):
+                s, o = (t.o, t.s) if inv else (t.s, t.o)
+                pat = (s, ("iri", iri), o, *((t.g,) if t.g else ()))
                 parts.append(self.bgp.compile([tuple(_bgp_term(x) for x in pat)]))
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p, allowMissingColumns=True)
             return out
-        # star / plus over a predicate or an alternation of predicates;
-        # GRAPH scoping restricts both the edge set and the zero-length
-        # universe (the alt branch above scopes through the pattern itself)
+        # star / plus / opt over an atom set; GRAPH scoping restricts both
+        # the edge set and the zero-length universe (the alt branch above
+        # scopes through the pattern itself)
         scoped = self.quads
         if t.g is not None:
             if t.g[0] != "iri":
@@ -855,24 +890,9 @@ class _Compiler:
                     "SPARQL: property-path closure inside GRAPH ?var is not supported"
                 )
             scoped = scoped.filter(F.col("graph") == t.g[1])
-        iris = self._path_pred_iris(ast[1])
-        pred_filter = (
-            F.col("predicate") == iris[0] if len(iris) == 1 else F.col("predicate").isin(iris)
-        )
-        edges = scoped.filter(pred_filter).select(
-            F.col("subject").alias("src"), F.col("object_value").alias("dst")
-        )
-        closure = transitive_closure(edges)
-        if kind == "plus":
-            # length ≥ 1: one real edge composed with the closure
-            hop = closure.withColumnRenamed("src", "mid")
-            closure = (
-                edges.withColumnRenamed("dst", "mid")
-                .join(hop, "mid")
-                .select("src", "dst")
-                .dropDuplicates()
-            )
-        else:
+        edges = self._path_edges(scoped, self._path_atoms(ast[1]))
+
+        def reflexive_universe() -> DataFrame:
             # zero-length paths hold for EVERY term — subjects and objects of
             # any kind, literals included (RDF4J ZeroLengthPath parity)
             universe = (
@@ -880,9 +900,26 @@ class _Compiler:
                 .unionByName(scoped.select(F.col("object_value").alias("node")))
                 .dropDuplicates()
             )
-            closure = closure.unionByName(
-                universe.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-            ).dropDuplicates()
+            return universe.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+
+        if kind == "plus":
+            # length ≥ 1: one real edge composed with the closure
+            hop = transitive_closure(edges).withColumnRenamed("src", "mid")
+            closure = (
+                edges.withColumnRenamed("dst", "mid")
+                .join(hop, "mid")
+                .select("src", "dst")
+                .dropDuplicates()
+            )
+        elif kind == "opt":
+            # zero-or-one: one hop or stay put
+            closure = edges.unionByName(reflexive_universe()).dropDuplicates()
+        else:  # star
+            closure = (
+                transitive_closure(edges)
+                .unionByName(reflexive_universe())
+                .dropDuplicates()
+            )
         out_cols = []
         for term, col in ((t.s, "src"), (t.o, "dst")):
             kind2, val = term
