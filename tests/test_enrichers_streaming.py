@@ -392,3 +392,68 @@ def test_streaming_pipeline_with_debounce(spark, tmp_path):
         assert pipe.store.quads.filter(F.col("predicate") == vocab.SAME_AS).count() == 2
     finally:
         query.stop()
+
+
+def test_streaming_stays_incremental(spark, tmp_path):
+    """Stateful streaming stay extraction: closed clusters emit as soon as a
+    later observation breaks them; the open cluster flushes on the
+    quiet-period timeout; the union equals the batch operator's output."""
+    import time
+
+    from thymeflow_back_spark.operators.staypoints import extract_stays
+    from thymeflow_back_spark.streaming.jobs import streaming_stays
+
+    staging = tmp_path / "locs"
+    ckpt = tmp_path / "ck2"
+    staging.mkdir()
+    schema = "user_id long, ts_us long, lon double, lat double, accuracy_m double"
+    minute = 60_000_000
+    # cluster A: 20 min dwell; jump; cluster B: 20 min dwell
+    batch1 = [(1, i * minute, 2.30, 48.80, 20.0) for i in range(0, 21, 5)]
+    batch2 = [(1, (60 + i) * minute, 2.50, 48.95, 20.0) for i in range(0, 21, 5)]
+    all_rows = batch1 + batch2
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(str(staging))
+
+    stream = spark.readStream.schema(schema).parquet(str(staging))
+    query = (
+        streaming_stays(stream, quiet_period_ms=4000)
+        .writeStream.format("memory")
+        .queryName("stays_stream")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        time.sleep(2.0)
+        # cluster A is still open — nothing must have been emitted yet
+        assert spark.sql("select * from stays_stream").count() == 0
+        spark.createDataFrame(batch2, schema).write.mode("append").parquet(str(staging))
+        # batch2 breaks cluster A → its stay emits WITHOUT waiting for the
+        # timeout; cluster B stays open until the quiet period passes
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("select * from stays_stream").count() >= 1:
+                break
+            time.sleep(0.5)
+        assert spark.sql("select * from stays_stream").count() == 1
+        # quiet period → cluster B flushes via the state timeout
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("select * from stays_stream").count() >= 2:
+                break
+            time.sleep(0.5)
+        got = [
+            (r.user_id, r.start_us, r.end_us, r.n_obs)
+            for r in spark.sql(
+                "select * from stays_stream order by start_us"
+            ).collect()
+        ]
+        batch_rows = [
+            (r.user_id, r.start_us, r.end_us, r.n_obs)
+            for r in extract_stays(spark.createDataFrame(all_rows, schema))
+            .orderBy("start_us")
+            .collect()
+        ]
+        assert got == batch_rows and len(got) == 2
+    finally:
+        query.stop()

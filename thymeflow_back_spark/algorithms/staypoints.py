@@ -53,11 +53,19 @@ def extract_stays(
     min_stay_us: int = MIN_STAY_US,
     window_us: int = WINDOW_US,
     lam: float = LAMBDA,
-) -> list[Stay]:
-    """Extract stays from one user's time-sorted track (arrays same length)."""
+    flush_tail: bool = True,
+):
+    """Extract stays from one user's time-sorted track (arrays same length).
+
+    ``flush_tail=False`` is the STREAMING form: the trailing open cluster is
+    NOT flushed (more observations may still join it); the return value is
+    ``(closed_stays, open_start)`` where ``open_start`` is the index of the
+    first observation still held by the open cluster (== n when none) — the
+    caller keeps ``track[open_start:]`` as state for the next micro-batch.
+    """
     n = len(t_us)
     if n == 0:
-        return []
+        return [] if flush_tail else ([], 0)
     lat0 = float(np.median(lat))
     m_per_deg_lon = _M_PER_DEG_LAT * np.cos(np.radians(lat0))
     x = lon * m_per_deg_lon
@@ -110,5 +118,10 @@ def extract_stays(
         else:
             flush(members)
             members = [i]
+    if not flush_tail:
+        # members is always a contiguous suffix (every index either joins
+        # the running cluster or restarts it), so its first index is the
+        # open-tail boundary
+        return stays, (members[0] if members else n)
     flush(members)
     return stays

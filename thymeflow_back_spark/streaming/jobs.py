@@ -103,6 +103,112 @@ def debounce_quads(quads: DataFrame, quiet_period_ms: int = 10_000) -> DataFrame
     )
 
 
+def streaming_stays(
+    locations: DataFrame,
+    quiet_period_ms: int = 60_000,
+    min_stay_us: int | None = None,
+    window_us: int | None = None,
+    lam: float | None = None,
+) -> DataFrame:
+    """Stay-point extraction as a stateful stream (the continuous form of
+    operators/staypoints.py — the reference runs the same estimator inside
+    its Akka pipeline, LocationStayEnricher over the incremental diff).
+
+    Keyed by user via ``applyInPandasWithState``: each micro-batch appends
+    the user's new observations to the buffered open tail, re-runs the
+    time-sequential fold, EMITS only clusters that are definitively closed
+    (a later observation broke them), and keeps the open cluster in state —
+    so results are append-only and identical to the batch operator over the
+    same prefix. A user gone quiet for ``quiet_period_ms`` flushes the open
+    cluster via the processing-time timeout (the DelayedBatch discipline).
+
+    Late data bounded like a watermark: rows older than the open tail fold
+    into it; rows older than an already-emitted stay cannot revise it.
+    """
+    from ..algorithms import staypoints as algo
+
+    kw = {}
+    if min_stay_us is not None:
+        kw["min_stay_us"] = min_stay_us
+    if window_us is not None:
+        kw["window_us"] = window_us
+    if lam is not None:
+        kw["lam"] = lam
+
+    import numpy as np
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        cols = ["user_id", "start_us", "end_us", "lon", "lat", "n_obs"]
+
+        def stays_frame(stays):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(stays),
+                    "start_us": [s.start_us for s in stays],
+                    "end_us": [s.end_us for s in stays],
+                    "lon": [s.lon for s in stays],
+                    "lat": [s.lat for s in stays],
+                    "n_obs": [s.n_obs for s in stays],
+                },
+                columns=cols,
+            )
+
+        if state.hasTimedOut:
+            t, lon, lat, acc = state.get
+            state.remove()
+            stays = algo.extract_stays(
+                np.asarray(t, dtype=np.int64),
+                np.asarray(lon, dtype=float),
+                np.asarray(lat, dtype=float),
+                np.asarray(acc, dtype=float),
+                **kw,
+            )
+            yield stays_frame(stays)
+            return
+        prev = state.get if state.exists else ([], [], [], [])
+        frames = [
+            pd.DataFrame(
+                {"ts_us": prev[0], "lon": prev[1], "lat": prev[2], "accuracy_m": prev[3]}
+            )
+        ] + [pdf[["ts_us", "lon", "lat", "accuracy_m"]] for pdf in pdfs]
+        track = (
+            pd.concat(frames, ignore_index=True)
+            .sort_values(["ts_us", "lon", "lat"])
+            .reset_index(drop=True)
+        )
+        stays, open_start = algo.extract_stays(
+            track["ts_us"].to_numpy(dtype=np.int64),
+            track["lon"].to_numpy(dtype=float),
+            track["lat"].to_numpy(dtype=float),
+            track["accuracy_m"].to_numpy(dtype=float),
+            flush_tail=False,
+            **kw,
+        )
+        tail = track.iloc[open_start:]
+        state.update(
+            (
+                [int(x) for x in tail["ts_us"]],
+                [float(x) for x in tail["lon"]],
+                [float(x) for x in tail["lat"]],
+                [float(x) for x in tail["accuracy_m"]],
+            )
+        )
+        state.setTimeoutDuration(quiet_period_ms)
+        yield stays_frame(stays)
+
+    return locations.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "user_id long, start_us long, end_us long, lon double, lat double, n_obs int"
+        ),
+        stateStructType=(
+            "ts_us array<long>, lon array<double>, lat array<double>, acc array<double>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "10 minutes",
