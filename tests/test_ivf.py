@@ -57,3 +57,39 @@ def test_ivf_deterministic(spark):
     r2 = refine_centroids(emb, "vec_id", "embedding", c2, iterations=1)
     assert r1 == r2
     assert r1 != c1  # refinement moved the means
+
+
+def test_ivf_partitioned_index_prunes_and_matches(spark, tmp_path):
+    """The materialized cell-partitioned index returns the same top-k as the
+    in-memory path, and the probe's scan carries a partition filter on cell
+    (only the probed partitions are read — the 100 TB layout)."""
+    import random
+
+    from thymeflow_back_spark.operators.ivf import (
+        ivf_probe_index,
+        ivf_topk,
+        ivf_write_index,
+    )
+
+    rnd = random.Random(3)
+    corpus = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.limit(5)
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(corpus, "vec_id", "embedding", path, n_cells=8, refine_iters=1)
+
+    got = ivf_probe_index(
+        spark, path, queries, "vec_id", "embedding", k=3, n_probe=2
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    expect = ivf_topk(
+        corpus, queries, "vec_id", "embedding", k=3, n_cells=8, n_probe=2,
+        refine_iters=1,
+    )
+    a = {(r.q_id, r.c_id, r.rank) for r in got.collect()}
+    b = {(r.q_id, r.c_id, r.rank) for r in expect.collect()}
+    assert a == b and len(a) == 15
