@@ -182,3 +182,42 @@ def test_graphml_serialization(spark):
     assert c_data == {"weight": "2"}
     edge_els = {(e.get("source"), e.get("target")) for e in graph.findall(f"{ns}edge")}
     assert edge_els == {("a", "b"), ("b", "c")}
+
+
+def test_salted_join_and_agg_match_plain(spark):
+    """Salting preserves semantics: a skewed fact×dim join and a skewed
+    aggregation produce exactly the plain results, just spread over more
+    reducers (the salt sub-key scatters the hot key)."""
+    from thymeflow_back_spark.operators.skew import salted_agg, salted_join
+
+    # 90% of fact rows hit one hot key
+    facts = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}", float(i)) for i in range(1000)],
+        "id long, k string, v double",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i * 10}", f"D{i}") for i in range(100)],
+        "k string, label string",
+    )
+    plain = {(r.id, r.label) for r in facts.join(dim, "k").collect()}
+    salted = {(r.id, r.label) for r in salted_join(facts, dim, ["k"], salt=8).collect()}
+    assert salted == plain and len(plain) > 900
+
+    # sums rounded: the two-phase combine adds in a different order, so
+    # bit-exact equality is not guaranteed for floats — semantics are
+    agg_plain = {
+        (r.k, r.n, round(r.sum_v, 6), r.min_v)
+        for r in facts.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"), F.min("v").alias("min_v"))
+        .collect()
+    }
+    agg_salted = {
+        (r.k, r.n, round(r.sum_v, 6), r.min_v)
+        for r in salted_agg(
+            facts,
+            ["k"],
+            {"n": F.count("*"), "sum_v": F.sum("v"), "min_v": F.min("v")},
+            salt=8,
+        ).collect()
+    }
+    assert agg_salted == agg_plain

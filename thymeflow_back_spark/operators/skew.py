@@ -1,0 +1,66 @@
+"""Skew mitigation primitives.
+
+AQE's skew-join splitting (enabled in session.RUNTIME_CONFS) handles
+sort-merge join skew at runtime; these helpers cover the cases AQE cannot
+re-plan: replicated-broadcast salting for a join whose hot keys must stay
+co-partitioned with downstream keyed work, and two-phase salted
+aggregation for high-cardinality-per-key aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join with the LEFT side scattered over ``salt`` sub-keys and the
+    right side replicated once per sub-key. A hot join key's rows spread
+    over ``salt`` reducers instead of hammering one; the cost is a
+    ``salt``× blow-up of the right side, so use with a small-to-medium
+    right relation (the classic skewed-fact × dimension shape)."""
+    if salt < 2:
+        return left.join(right, on=on, how=how)
+    l_salted = left.withColumn(
+        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt))
+    )
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l_salted.join(r_salted, on=[*on, "__salt"], how=how).drop("__salt")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: partial-aggregate on
+    (keys, salt), then combine per key. ``aggs`` maps output column name →
+    aggregate Column over the INPUT; only decomposable aggregates (sum,
+    count via sum, min, max) are sound here — the second phase re-combines
+    with sum/min/max by name prefix convention (sum_/min_/max_/count)."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt))
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[c.alias(name) for name, c in aggs.items()]
+    )
+
+    def combine(name: str) -> Column:
+        if name.startswith("min_"):
+            return F.min(name)
+        if name.startswith("max_"):
+            return F.max(name)
+        return F.sum(name)  # sums and counts re-combine by summing
+
+    return partial.groupBy(*keys).agg(
+        *[combine(name).alias(name) for name in aggs]
+    )
