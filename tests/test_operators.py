@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from thymeflow_back_spark.operators.closure import connected_components, transitive_closure
@@ -206,18 +207,44 @@ def test_salted_join_and_agg_match_plain(spark):
     # sums rounded: the two-phase combine adds in a different order, so
     # bit-exact equality is not guaranteed for floats — semantics are
     agg_plain = {
-        (r.k, r.n, round(r.sum_v, 6), r.min_v)
+        (r.k, r.count_n, round(r.sum_v, 6), r.min_v)
         for r in facts.groupBy("k")
-        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"), F.min("v").alias("min_v"))
+        .agg(F.count("*").alias("count_n"), F.sum("v").alias("sum_v"), F.min("v").alias("min_v"))
         .collect()
     }
     agg_salted = {
-        (r.k, r.n, round(r.sum_v, 6), r.min_v)
+        (r.k, r.count_n, round(r.sum_v, 6), r.min_v)
         for r in salted_agg(
             facts,
             ["k"],
-            {"n": F.count("*"), "sum_v": F.sum("v"), "min_v": F.min("v")},
+            {"count_n": F.count("*"), "sum_v": F.sum("v"), "min_v": F.min("v")},
             salt=8,
         ).collect()
     }
     assert agg_salted == agg_plain
+
+
+def test_salted_join_rejects_right_preserving_how(spark):
+    """right/full outer through a salted join would emit every unmatched
+    right row once per salt copy — rejected loudly (round-3 ADVICE)."""
+    from thymeflow_back_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([("k1", 1)], "k string, v int")
+    b = spark.createDataFrame([("k2", 2)], "k string, w int")
+    for how in ("right", "right_outer", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(a, b, ["k"], how=how)
+    # left outer stays sound: the left side is salted, not replicated
+    rows = salted_join(a, b, ["k"], how="left", salt=4).collect()
+    assert [(r.k, r.v, r.w) for r in rows] == [("k1", 1, None)]
+
+
+def test_salted_agg_rejects_non_decomposable_names(spark):
+    """avg/count_distinct partials cannot be re-combined by SUM across
+    salt buckets; names outside the sum_/min_/max_/count convention raise
+    instead of silently producing wrong values (round-3 ADVICE)."""
+    from thymeflow_back_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([("k", 1.0), ("k", 3.0)], "k string, v double")
+    with pytest.raises(ValueError, match="avg"):
+        salted_agg(df, ["k"], {"avg_v": F.avg("v")})

@@ -610,3 +610,94 @@ def test_property_path_inverse_and_optional(quads):
         PFX + "SELECT ?x WHERE { p:alice p:knows/^p:knows ?x }",
     ).collect()
     assert [r.x for r in rows] == ["p:alice"]
+
+
+def test_union_subject_position_binding_under_track_types(quads):
+    """A UNION branch that binds the shared variable in SUBJECT position
+    must still join downstream patterns under keep_term_types: the branch
+    emits ?v__type='iri' instead of a null-filled column that the join's
+    kind check would treat as a mismatch (round-3 ADVICE, patterns.py)."""
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?v ?z WHERE {
+          { ?x p:knows ?v } UNION { ?v schema:name ?y }
+          ?z p:knows ?v .
+        } ORDER BY ?v ?z
+        """,
+        keep_term_types=True,
+    ).collect()
+    # branch 1 (object position): v∈{bob,carol}; branch 2 (subject
+    # position): v∈{alice,bob,carol}; join keeps v with an inbound knows
+    assert [(r.v, r.z) for r in rows] == [
+        ("p:bob", "p:alice"),
+        ("p:bob", "p:alice"),
+        ("p:carol", "p:bob"),
+        ("p:carol", "p:bob"),
+    ]
+
+
+def test_minus_unbound_shared_var_compatibility(quads):
+    """MINUS compatibility semantics: a MINUS solution with an UNBOUND
+    shared variable is compatible with any binding of it, so it still
+    removes left solutions it agrees with on the bound overlap (SPARQL
+    1.1 §8.3; a plain equi anti-join would keep them)."""
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?who ?name WHERE {
+          ?who schema:name ?name .
+          MINUS { ?who a c:Person . OPTIONAL { ?who p:age ?name } }
+        }
+        """,
+    ).collect()
+    # minus solutions: (alice, NULL), (bob, NULL) — ?name unbound.
+    # Unbound ?name is compatible with "Alice"/"Bob", overlap on ?who
+    # ⇒ alice and bob are removed; carol (a Robot) survives.
+    assert [(r.who, r.name) for r in rows] == [("p:carol", "Carol")]
+
+
+def test_minus_all_bound_still_equi(quads):
+    """The common all-bound MINUS case is unchanged by the compatibility
+    upgrade (it runs through the equi anti-join fast path)."""
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?who WHERE {
+          ?who schema:name ?name .
+          MINUS { ?who schema:email ?e }
+        } ORDER BY ?who
+        """,
+    ).collect()
+    assert [r.who for r in rows] == ["p:bob", "p:carol"]
+
+
+def test_fn_projection_with_group_by_is_syntax_error(quads):
+    """(fn(...) AS ?x) mixed with GROUP BY or aggregates is rejected at
+    parse/compile time (SyntaxError → HTTP 400), not an IndexError deep
+    in the grouped projection (round-3 ADVICE, sparql.py)."""
+    with pytest.raises(SyntaxError, match="GROUP BY"):
+        sparql_select(
+            quads,
+            PFX
+            + """
+            PREFIX personal: <urn:personal:>
+            SELECT (personal:duration(?a, ?b) AS ?d) WHERE {
+              ?x <urn:p:start> ?a . ?x <urn:p:end> ?b .
+            } GROUP BY ?x
+            """,
+        )
+    with pytest.raises(SyntaxError, match="aggregates"):
+        sparql_select(
+            quads,
+            PFX
+            + """
+            PREFIX personal: <urn:personal:>
+            SELECT (personal:duration(?a, ?b) AS ?d) (COUNT(?x) AS ?n) WHERE {
+              ?x <urn:p:start> ?a . ?x <urn:p:end> ?b .
+            }
+            """,
+        )

@@ -64,11 +64,16 @@ def decode_image(content: bytes, fake: bool = False) -> np.ndarray:
 
 
 def _phash(img: np.ndarray) -> str:
-    """Tiny perceptual hash: 8×8 luma mean threshold → 64-bit hex."""
+    """Tiny perceptual hash: 8×8 luma mean threshold → 64-bit hex.
+
+    The threshold carries a tiny epsilon so blocks EQUAL to the mean hash
+    to 0: on a constant image, pairwise float summation can put the
+    computed mean an ulp below the block value, and a strict `>` would
+    flip the whole hash to all-ones on rounding noise."""
     luma = img.mean(axis=2)
     hh, ww = luma.shape
     blocks = luma[: hh - hh % 8, : ww - ww % 8].reshape(8, (hh - hh % 8) // 8, 8, -1).mean(axis=(1, 3))
-    bits = (blocks > blocks.mean()).flatten()
+    bits = (blocks > blocks.mean() + 1e-6).flatten()
     return f"{int(''.join('1' if b else '0' for b in bits), 2):016x}"
 
 

@@ -24,7 +24,17 @@ def salted_join(
     right side replicated once per sub-key. A hot join key's rows spread
     over ``salt`` reducers instead of hammering one; the cost is a
     ``salt``× blow-up of the right side, so use with a small-to-medium
-    right relation (the classic skewed-fact × dimension shape)."""
+    right relation (the classic skewed-fact × dimension shape).
+
+    Only left-preserving joins are sound: the right side is replicated
+    ``salt`` times, so right/full outer joins would emit every unmatched
+    right row once per salt copy."""
+    allowed = ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross")
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not left-preserving; the replicated "
+            f"right side would duplicate unmatched right rows (allowed: inner/left/semi/anti)"
+        )
     if salt < 2:
         return left.join(right, on=on, how=how)
     l_salted = left.withColumn(
@@ -46,7 +56,19 @@ def salted_agg(
     (keys, salt), then combine per key. ``aggs`` maps output column name →
     aggregate Column over the INPUT; only decomposable aggregates (sum,
     count via sum, min, max) are sound here — the second phase re-combines
-    with sum/min/max by name prefix convention (sum_/min_/max_/count)."""
+    with sum/min/max by name prefix convention (sum_/min_/max_/count).
+    Names outside that convention (avg_, count_distinct_, …) are rejected
+    loudly: silently SUM-combining a non-decomposable partial aggregate
+    would produce wrong values."""
+    _ALLOWED = ("sum_", "min_", "max_", "count")
+    bad = [n for n in aggs if not n.startswith(_ALLOWED)]
+    if bad:
+        raise ValueError(
+            f"salted_agg: output names {bad} lack a decomposable prefix "
+            f"(sum_/min_/max_/count*); avg, count_distinct and friends cannot "
+            f"be re-combined across salt buckets — compute them unsalted or "
+            f"decompose (avg = sum_x / count)"
+        )
     salted = df.withColumn(
         "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt))
     )

@@ -41,13 +41,19 @@ def join_on_shared(left: DataFrame, right: DataFrame, how: str = "inner") -> Dat
     """Join two solution relations on their shared BASE variable names.
 
     Hidden ``__type/__datatype/__lang`` columns must never be join keys:
-    they are NULL for IRIs / plain literals (and whenever only one side
-    bound the variable in object position), and ``NULL = NULL`` is false
-    in a Spark equi-join — joining on them silently empties the result
-    for any variable shared between two object positions. Instead the
-    hidden columns are reconciled via null-safe equality in the join
-    condition (same binding ⇒ same term kind) and the duplicates are
-    coalesced into one column after the join.
+    ``__datatype``/``__lang`` are NULL for IRIs / plain literals, and
+    ``NULL = NULL`` is false in a Spark equi-join — joining on them
+    silently empties the result for any variable shared between two
+    object positions. Instead the hidden columns are reconciled inside
+    the join condition and the duplicates are coalesced afterwards.
+
+    A NULL ``__type`` means the term kind is UNKNOWN for that row (the
+    column was null-filled by a UNION over a branch that doesn't carry
+    it — e.g. a property-path closure output — or the variable is
+    unbound in that solution). Unknown kind must not veto a base-value
+    match, so the kind check is gated: it only applies when BOTH sides
+    know the kind, and then requires the full (type, datatype, lang)
+    trio to agree null-safely.
     """
     shared = set(left.columns) & set(right.columns)
     base = sorted(c for c in shared if not c.endswith(_HIDDEN_SUFFIXES))
@@ -66,13 +72,25 @@ def join_on_shared(left: DataFrame, right: DataFrame, how: str = "inner") -> Dat
     cond = F.lit(True)
     for c in base:
         cond = cond & (F.col(c) == F.col(c + "__r"))
+    by_var: dict[str, list[str]] = {}
     for h in hidden:
-        # Same variable bound to the same value in two object positions
-        # must also agree on term kind; `<=>` treats NULL (plain
-        # literal / IRI) as a definite, comparable state. Putting this
-        # in the join condition (not a post-filter) keeps OPTIONAL
-        # semantics: a kind mismatch is a non-match, not a dropped row.
-        cond = cond & F.col(h).eqNullSafe(F.col(h + "__r"))
+        for sfx in _HIDDEN_SUFFIXES:
+            if h.endswith(sfx):
+                by_var.setdefault(h[: -len(sfx)], []).append(h)
+                break
+    for var, cols in by_var.items():
+        t = f"{var}__type"
+        agree = F.lit(True)
+        for h in cols:
+            agree = agree & F.col(h).eqNullSafe(F.col(h + "__r"))
+        if t in cols:
+            # kind check applies only when both sides know the kind;
+            # keeping it in the join condition (not a post-filter)
+            # preserves OPTIONAL semantics: a kind mismatch is a
+            # non-match, not a dropped row.
+            cond = cond & (F.col(t).isNull() | F.col(t + "__r").isNull() | agree)
+        else:
+            cond = cond & agree
     joined = left.join(right2, on=cond, how=how)
     for c in base:
         joined = joined.drop(c + "__r")
@@ -84,11 +102,13 @@ def join_on_shared(left: DataFrame, right: DataFrame, how: str = "inner") -> Dat
 class BGP:
     def __init__(self, quads: DataFrame, track_types: bool = False):
         """``track_types``: carry hidden ``<var>__type/__datatype/__lang``
-        columns for variables bound in OBJECT position, so CONSTRUCT can
-        re-emit solutions as quads without guessing term kinds. Hidden
-        columns are NEVER equi-join keys (they are NULL for IRIs / plain
-        literals and NULL = NULL is false) — ``join_on_shared`` joins on
-        base variable names and reconciles term kinds null-safely."""
+        columns for every bound variable (object position reads them off
+        the quad row; subject/predicate/graph positions emit iri/bnode),
+        so CONSTRUCT can re-emit solutions as quads without guessing term
+        kinds. Hidden columns are NEVER equi-join keys (``__datatype`` /
+        ``__lang`` are NULL for IRIs / plain literals and NULL = NULL is
+        false) — ``join_on_shared`` joins on base variable names and
+        reconciles term kinds inside the join condition."""
         self.quads = quads
         self.track_types = track_types
 
@@ -113,6 +133,23 @@ class BGP:
                         F.col("object_type").alias(f"{name}__type"),
                         F.col("object_datatype").alias(f"{name}__datatype"),
                         F.col("object_lang").alias(f"{name}__lang"),
+                    ]
+                else:
+                    # subject/predicate/graph positions hold IRIs (or
+                    # bnode labels in subject position); emitting the
+                    # kind here keeps UNION branches that bind a shared
+                    # variable in different positions comparable instead
+                    # of null-filling __type and failing the kind check
+                    kind = (
+                        F.when(F.col(col).startswith("_:"), F.lit("bnode"))
+                        .otherwise(F.lit("iri"))
+                        if col == "subject"
+                        else F.lit("iri")
+                    )
+                    out += [
+                        kind.alias(f"{name}__type"),
+                        F.lit(None).cast("string").alias(f"{name}__datatype"),
+                        F.lit(None).cast("string").alias(f"{name}__lang"),
                     ]
         return df.select(*out)
 

@@ -956,12 +956,47 @@ class _Compiler:
         return joined
 
     def _apply_minus(self, result: DataFrame, group: Group) -> DataFrame:
+        """SPARQL MINUS with per-solution compatibility semantics: remove a
+        left solution when some MINUS solution agrees on every variable
+        bound in BOTH and the two share at least one bound variable
+        (SPARQL 1.1 §8.3 / RDF4J parity). An unbound shared variable is
+        compatible with anything, so a plain equi anti-join (NULL never
+        matches) would keep solutions RDF4J removes. The all-bound ×
+        all-bound case — the overwhelmingly common one — stays a shuffled
+        equi anti-join; only rows with NULL shared vars on either side go
+        through the theta anti-join, and those slices are typically empty
+        (Catalyst plans them as broadcast nested-loop over ~0 rows)."""
         mdf = self.compile_group(group)
         shared = sorted(set(_base_cols(result.columns)) & set(_base_cols(mdf.columns)))
         if not shared:
             # disjoint domains: MINUS removes nothing (SPARQL semantics)
             return result
-        return result.join(mdf.select(*shared).dropDuplicates(), on=shared, how="left_anti")
+        m = mdf.select(*shared).dropDuplicates()
+
+        def any_null(cols):
+            pred = F.lit(False)
+            for c in cols:
+                pred = pred | F.col(c).isNull()
+            return pred
+
+        m_bound = m.filter(~any_null(shared))
+        m_part = m.filter(any_null(shared))
+        l_bound = result.filter(~any_null(shared))
+        l_part = result.filter(any_null(shared))
+
+        def theta_anti(left: DataFrame, minus: DataFrame) -> DataFrame:
+            minus2 = minus
+            for c in shared:
+                minus2 = minus2.withColumnRenamed(c, c + "__m")
+            compat, overlap = F.lit(True), F.lit(False)
+            for c in shared:
+                l_c, m_c = F.col(c), F.col(c + "__m")
+                compat = compat & (l_c.isNull() | m_c.isNull() | (l_c == m_c))
+                overlap = overlap | (l_c.isNotNull() & m_c.isNotNull())
+            return left.join(minus2, on=compat & overlap, how="left_anti")
+
+        out = theta_anti(l_bound.join(m_bound, on=shared, how="left_anti"), m_part)
+        return out.unionByName(theta_anti(l_part, m))
 
     def _apply_exists(self, result: DataFrame, group: Group, positive: bool) -> DataFrame:
         edf = self.compile_group(group)
@@ -1164,8 +1199,12 @@ def _run_select(
 
     has_agg = any(p[0] == "agg" for p in q.projections)
     fn_projections = [p for p in q.projections if p[0] == "fn"]
-    if fn_projections and has_agg:
-        raise SyntaxError("SPARQL: function calls cannot mix with aggregates")
+    if fn_projections and (has_agg or q.group_by):
+        # explicit parse-time rejection: the grouped branch below projects
+        # p[4] of agg tuples, which a 4-element fn tuple doesn't have, and
+        # an fn alias is not a group key — surfacing that as SyntaxError
+        # keeps it a 400, not an internal error
+        raise SyntaxError("SPARQL: function-call projections cannot mix with GROUP BY or aggregates")
     for _, fn_iri, args, alias in fn_projections:
         builder = SPARQL_FUNCTIONS.get(fn_iri)
         if builder is None:

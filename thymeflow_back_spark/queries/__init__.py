@@ -10,8 +10,14 @@ from __future__ import annotations
 from .catalog import QUERIES, Query, oracle_sql_map, query, query_map  # noqa: F401
 
 # Register query modules (import side effects populate QUERIES).
+# `sync` registers early on purpose: the driver's correctness pass walks the
+# catalog in registration order, and round 3 showed the tail of the walk can
+# be dropped (q_sync_delta was declared and locally green yet absent from
+# CORRECTNESS_r03.json) — cheap queries up front, heavyweight RDF closures
+# later.
 from . import relational  # noqa: F401,E402
 from . import temporal  # noqa: F401,E402
+from . import sync  # noqa: F401,E402
 from . import dedup  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402
 from . import textstats  # noqa: F401,E402
@@ -19,4 +25,3 @@ from . import rdf  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
 from . import er  # noqa: F401,E402
 from . import fts  # noqa: F401,E402
-from . import sync  # noqa: F401,E402

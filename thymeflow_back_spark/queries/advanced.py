@@ -385,16 +385,49 @@ def q_movement_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HEXB = (
+    "(strpos('0123456789abcdef', substr(h,{o1},1))-1)*16 "
+    "+ (strpos('0123456789abcdef', substr(h,{o2},1))-1)"
+)
+
+
+def _hexbyte(i: int) -> str:
+    """DuckDB expression for byte ``i`` (0-indexed) of hex digest ``h``."""
+    return _HEXB.format(o1=2 * i + 1, o2=2 * i + 2)
+
+
 @query(
     "q_multimodal_features",
-    oracle=None,
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id, sha256(COALESCE(text, '')) AS h
+      FROM documents ORDER BY doc_id LIMIT 200
+    ),
+    b AS (
+      SELECT doc_id,
+             {_hexbyte(0)} AS b0, {_hexbyte(1)} AS b1,
+             {_hexbyte(2)} AS b2, {_hexbyte(3)} AS b3, {_hexbyte(4)} AS b4
+      FROM sel
+    )
+    SELECT doc_id AS media_id,
+           CAST(16 + b1 % 17 AS INTEGER) AS width,
+           CAST(16 + b0 % 17 AS INTEGER) AS height,
+           CAST(b2 + b3 + b4 AS DOUBLE) / 3 AS mean_luma,
+           '0000000000000000' AS phash
+    FROM b ORDER BY media_id
+    """,
     doc="Multimodal column plumbing on REAL encoded bytes: each document's "
-    "text is rendered to a deterministic RGB image, PNG-encoded, and the "
-    "feature extractor (Arrow-batched mapInPandas) decodes it back with "
-    "the pure-stdlib PNG codec (zlib inflate + numpy filter "
-    "reconstruction, multimodal/png.py) before computing dimensions, "
-    "mean luma, and a perceptual hash. Rows-only driver check; "
-    "encode/decode round-trip goldens in pytest.",
+    "text is rendered to a solid-color RGB image whose (height, width, "
+    "fill) derive from sha256(text) bytes, PNG-encoded, and the feature "
+    "extractor (Arrow-batched mapInPandas) decodes it back with the "
+    "pure-stdlib PNG codec (zlib inflate + numpy filter reconstruction, "
+    "multimodal/png.py) before computing dimensions, mean luma, and a "
+    "perceptual hash. Because the fill is solid, DuckDB re-derives every "
+    "feature from sha256() alone — dimensions and EXACT mean luma "
+    "((r+g+b)/3 is correctly-rounded IEEE division of the same rational "
+    "on both engines), and the phash of a constant image is all-zero — "
+    "so the real decode path is value-hash-checked end to end. "
+    "Codec round-trip goldens on arbitrary images live in pytest.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
@@ -409,11 +442,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             digest = hashlib.sha256((t or "").encode()).digest()
             h = 16 + digest[0] % 17
             w = 16 + digest[1] % 17
-            rng = np.random.RandomState(int.from_bytes(digest[2:6], "big"))
-            out.append(encode_png(rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)))
+            fill = np.frombuffer(digest[2:5], dtype=np.uint8)
+            out.append(encode_png(np.ascontiguousarray(np.broadcast_to(fill, (h, w, 3)))))
         return pd.Series(out)
 
-    docs = load(spark, sf_dir, "documents").limit(200)
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(200)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         to_png(F.col("text")).alias("content"),

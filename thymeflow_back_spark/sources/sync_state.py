@@ -105,7 +105,8 @@ def _reset_collections(previous: DataFrame, current: DataFrame) -> DataFrame:
 
 
 def snapshot_delta(previous: DataFrame, current: DataFrame) -> SyncDelta:
-    """Pure snapshot CDC: two anti-joins + the collection-reset expansion.
+    """Pure snapshot CDC: ONE full-outer join on the sync key + the
+    broadcast collection-reset expansion, classified per row.
 
     - fetch: current items that are new, whose item_version (etag) changed,
       or that live in a reset collection.
@@ -116,39 +117,53 @@ def snapshot_delta(previous: DataFrame, current: DataFrame) -> SyncDelta:
       folder/directory disappeared: all its items are removed (reference
       unsubscribes the folder and removes its messages on
       FolderNotFoundException).
+
+    Presence on each side is carried by an explicit flag, not version
+    nullability: a plain left join's NULL item_version would be ambiguous
+    between "no previous row" and "previous row with NULL version" (IMAP
+    items carry no item_version at all). One hash exchange per snapshot —
+    both delta classes and the reset expansion read the same joined
+    relation, so at 100 TB the pass costs a single co-partitioned shuffle
+    of item METADATA (the payload fetch stays out-of-band).
     """
     # collections are few relative to items (folders vs messages), so the
-    # reset set broadcasts — the item-level joins below stay the only
-    # shuffles, and they all hash on the same (source, collection, item_id)
-    # key, so one exchange per snapshot feeds every join
-    reset = F.broadcast(_reset_collections(previous, current))
-
-    # Membership and version change are decided by separate joins: a plain
-    # left join's NULL prev_item_version would be ambiguous between "no
-    # previous row" and "previous row with NULL version" (IMAP items carry
-    # no item_version at all).
-    new_items = current.join(previous.select(*_KEY), on=_KEY, how="left_anti")
-    changed_items = (
-        current.alias("c")
-        .join(previous.alias("p"), on=_KEY)
-        .filter(~F.col("c.item_version").eqNullSafe(F.col("p.item_version")))
-        .select("c.*")
+    # reset set broadcasts
+    reset = F.broadcast(
+        _reset_collections(previous, current).withColumn("__reset", F.lit(True))
     )
-    to_fetch = (
-        new_items.unionByName(changed_items)
-        .join(reset, on=["source", "collection"], how="left_anti")
-        .unionByName(current.join(reset, on=["source", "collection"], how="left_semi"))
+    p = previous.select(
+        *_KEY,
+        F.col("collection_version").alias("__p_cver"),
+        F.col("item_version").alias("__p_iver"),
+        F.lit(True).alias("__p"),
     )
-
-    gone = previous.join(current.select(*_KEY), on=_KEY, how="left_anti")
-    to_remove = (
-        gone.join(reset, on=["source", "collection"], how="left_anti")
-        .unionByName(previous.join(reset, on=["source", "collection"], how="left_semi"))
+    c = current.select(
+        *_KEY,
+        F.col("collection_version").alias("__c_cver"),
+        F.col("item_version").alias("__c_iver"),
+        F.lit(True).alias("__c"),
     )
-    return SyncDelta(
-        to_fetch=to_fetch.select(*SNAPSHOT_COLUMNS),
-        to_remove=to_remove.select(*SNAPSHOT_COLUMNS),
+    full = c.join(p, on=_KEY, how="full_outer").join(
+        reset, on=["source", "collection"], how="left"
     )
+    in_cur, in_prev = F.col("__c").isNotNull(), F.col("__p").isNotNull()
+    is_reset = F.col("__reset").isNotNull()
+    changed = ~F.col("__c_iver").eqNullSafe(F.col("__p_iver"))
+    to_fetch = full.filter(in_cur & (is_reset | ~in_prev | changed)).select(
+        "source",
+        "collection",
+        F.col("__c_cver").alias("collection_version"),
+        "item_id",
+        F.col("__c_iver").alias("item_version"),
+    )
+    to_remove = full.filter(in_prev & (is_reset | ~in_cur)).select(
+        "source",
+        "collection",
+        F.col("__p_cver").alias("collection_version"),
+        "item_id",
+        F.col("__p_iver").alias("item_version"),
+    )
+    return SyncDelta(to_fetch=to_fetch, to_remove=to_remove)
 
 
 def doc_iri_col(collection: Column, item_id: Column) -> Column:
