@@ -701,3 +701,49 @@ def test_fn_projection_with_group_by_is_syntax_error(quads):
             }
             """,
         )
+
+
+def test_grouped_sequence_closure(quads):
+    """(p1/p2)* and (p1/p2)+ — grouped sequences compose to one edge
+    relation before the closure loop (round-3 VERDICT item 3)."""
+    # (knows/knows) edges: alice->carol only; * adds the reflexive self
+    rows = sparql_select(
+        quads, PFX + "SELECT ?x WHERE { p:alice (p:knows/p:knows)* ?x } ORDER BY ?x"
+    ).collect()
+    assert [r.x for r in rows] == ["p:alice", "p:carol"]
+    # + requires at least one composed hop
+    rows = sparql_select(
+        quads, PFX + "SELECT ?x WHERE { p:alice (p:knows/p:knows)+ ?x }"
+    ).collect()
+    assert [r.x for r in rows] == ["p:carol"]
+    # inverse members inside the grouped sequence
+    rows = sparql_select(
+        quads, PFX + "SELECT ?x WHERE { p:carol (^p:knows/^p:knows)+ ?x }"
+    ).collect()
+    assert [r.x for r in rows] == ["p:alice"]
+    # nested closure inside the group: knows then optionally one more
+    rows = sparql_select(
+        quads, PFX + "SELECT ?x WHERE { p:alice (p:knows/p:knows?)+ ?x } ORDER BY ?x"
+    ).collect()
+    assert [r.x for r in rows] == ["p:bob", "p:carol"]
+
+
+def test_negated_property_sets(quads):
+    """!p and !(p1|^p2) (SPARQL 1.1 §9.1): forward members exclude forward
+    edges, ^-members exclude REVERSED edges."""
+    rows = sparql_select(
+        quads, PFX + "SELECT ?v WHERE { p:alice !p:knows ?v } ORDER BY ?v"
+    ).collect()
+    assert [r.v for r in rows] == ["Alice", "a@x.y", "c:Person"]
+    # inverse member: reversed edges into alice over non-knows predicates
+    rows = sparql_select(
+        quads, PFX + "SELECT ?v WHERE { ?v !(^p:knows) p:alice } ORDER BY ?v"
+    ).collect()
+    assert [r.v for r in rows] == ["Alice", "a@x.y", "c:Person"]
+    # parenthesized multi-member set
+    rows = sparql_select(
+        quads,
+        PFX + "SELECT ?v WHERE { p:alice !(p:knows|schema:email|<%s>) ?v } ORDER BY ?v"
+        % vocab.RDF_TYPE,
+    ).collect()
+    assert [r.v for r in rows] == ["Alice"]

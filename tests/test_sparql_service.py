@@ -258,3 +258,65 @@ def test_service_description_and_dashboard(spark, quads):
         assert doc == [{"source": "urn:src:inbox", "name": "inbox", "n_documents": 2}]
     finally:
         endpoint.stop()
+
+
+def test_select_tsv_term_encoding(quads):
+    from thymeflow_back_spark.api.service import select_tsv
+
+    df = sparql_select(
+        quads,
+        PFX + "SELECT ?who ?m ?n ?a WHERE { ?who schema:email ?m . ?who schema:name ?n . ?who schema:age ?a }",
+        keep_term_types=True,
+    )
+    lines = select_tsv(df).splitlines()
+    assert lines[0].split("\t") == ["?who", "?m", "?n", "?a"]
+    assert lines[1].split("\t") == [
+        "<urn:p:1>",
+        "<mailto:ada@x.org>",
+        '"Ada"',
+        f'"36"^^<{XSD_I}>',
+    ]
+    # language-tagged literal
+    df = sparql_select(
+        quads, PFX + "SELECT ?n WHERE { <urn:p:2> schema:name ?n }", keep_term_types=True
+    )
+    assert select_tsv(df).splitlines()[1] == '"Grace"@en'
+
+
+def test_endpoint_streams_line_formats_past_cap(quads):
+    """CSV/TSV stream through toLocalIterator with NO row cap (the piped-
+    writer parity path); document formats keep the 413 guard; disabling
+    stream_large restores the capped behavior for every format."""
+    endpoint = SparqlEndpoint(StatementStore(quads), max_rows=2)
+    big = "SELECT ?s ?p ?o WHERE { ?s ?p ?o }"
+    status, ctype, body = endpoint.handle(big, accept="text/csv")
+    assert status == 200 and not isinstance(body, str)
+    text = "".join(body)
+    assert len(text.splitlines()) == 1 + 5  # header + all 5 quads, no cap
+    status, ctype, body = endpoint.handle(big, accept="text/tab-separated-values")
+    assert status == 200
+    text = "".join(body)
+    assert text.splitlines()[0] == "?s\t?p\t?o" and len(text.splitlines()) == 6
+    # JSON still capped
+    status, _, body = endpoint.handle(big)
+    assert status == 413
+    # stream_large=False: CSV capped again
+    capped = SparqlEndpoint(StatementStore(quads), max_rows=2, stream_large=False)
+    status, _, body = capped.handle(big, accept="text/csv")
+    assert status == 413
+
+
+def test_http_streaming_no_content_length(quads):
+    endpoint = SparqlEndpoint(StatementStore(quads), max_rows=2)
+    port = endpoint.start()
+    base = f"http://127.0.0.1:{port}/sparql"
+    try:
+        q = urllib.parse.quote("SELECT ?s ?p ?o WHERE { ?s ?p ?o }")
+        req = urllib.request.Request(f"{base}?query={q}", headers={"Accept": "text/csv"})
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            assert resp.headers.get("Content-Length") is None
+            body = resp.read().decode()
+        assert len(body.splitlines()) == 6  # connection-close delimited, complete
+    finally:
+        endpoint.stop()

@@ -8,16 +8,16 @@ This module is that surface over the Spark engine:
 
 - ``execute_sparql`` — one entry point dispatching SELECT / ASK /
   CONSTRUCT / DESCRIBE / UPDATE to the compilers in plans/sparql.py.
-- SPARQL 1.1 result serializers: Results JSON, Results XML, CSV for
-  SELECT/ASK; N-Triples for CONSTRUCT/DESCRIBE graphs.
+- SPARQL 1.1 result serializers: Results JSON, Results XML, CSV and TSV
+  for SELECT/ASK; N-Triples for CONSTRUCT/DESCRIBE graphs.
 - ``SparqlEndpoint`` — a stdlib ThreadingHTTPServer endpoint holding a
   StatementStore; updates route through update/updater.apply_update (the
   reference intercepts update diffs into Updater.scala — §3.3).
 
-Serialization collects to the driver — serving results over HTTP is
-inherently a driver/edge concern (the reference streams through a piped
-thread the same way); the QUERY itself still runs distributed, and LIMIT
-belongs in the query for big results.
+Document formats (JSON/XML) collect to the driver under a row cap; the
+line formats (CSV/TSV) stream through ``toLocalIterator`` in chunks with
+no cap — the Spark analogue of the reference's piped background writer
+(SparqlService.scala:183-195). The QUERY itself always runs distributed.
 
 Term kinds in SELECT results are exact, not guessed: the compiler carries
 hidden ``__type/__datatype/__lang`` columns for object-bound variables
@@ -205,6 +205,88 @@ def select_csv(df) -> str:
     return pdf[cols].to_csv(index=False, lineterminator="\r\n")
 
 
+def _tsv_term(term: dict | None) -> str:
+    """One term in SPARQL 1.1 TSV encoding (Turtle-style): IRIs in <>,
+    bnodes as _:label, literals quoted with @lang / ^^<datatype>."""
+    if term is None:
+        return ""
+    if term["type"] == "uri":
+        return f"<{term['value']}>"
+    if term["type"] == "bnode":
+        v = term["value"]
+        return v if v.startswith("_:") else f"_:{v}"
+    value = (
+        term["value"]
+        .replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
+    if term.get("xml:lang"):
+        return f'"{value}"@{term["xml:lang"]}'
+    if term.get("datatype"):
+        return f'"{value}"^^<{term["datatype"]}>'
+    return f'"{value}"'
+
+
+def select_tsv(df) -> str:
+    """text/tab-separated-values (SPARQL 1.1 TSV) — the writer-registry
+    format the reference serves through RDF4J's
+    SPARQLResultsTSVWriter (api/SparqlService.scala writer registries)."""
+    cols, rows = _solutions(df)
+    lines = ["\t".join(f"?{c}" for c in cols)]
+    for row in rows:
+        lines.append("\t".join(_tsv_term(row.get(c)) for c in cols))
+    return "\n".join(lines) + "\n"
+
+
+_STREAMABLE = ("text/csv", "text/tab-separated-values")
+
+
+def _spark_kinds(df: DataFrame) -> dict[str, str]:
+    """numpy-style dtype kinds from the SPARK schema, so chunked
+    serialization types a column once instead of re-inferring per chunk
+    (a chunk whose int column holds a NULL would otherwise float-ify)."""
+    m = {"bigint": "i", "int": "i", "smallint": "i", "tinyint": "i",
+         "double": "f", "float": "f", "boolean": "b"}
+    return {name: m.get(dt, "O") for name, dt in df.dtypes}
+
+
+def iter_select(df: DataFrame, ctype: str, chunk_rows: int = 10_000):
+    """Stream SELECT solutions as CSV/TSV text chunks through
+    ``toLocalIterator`` — the Spark analogue of the reference's piped
+    background writer (SparqlService.scala:183-195): the driver holds one
+    partition + one chunk at a time, never the whole result, so arbitrarily
+    large SELECTs serve without a row cap."""
+    cols_all = df.columns
+    cols = [c for c in cols_all if not c.endswith(_HIDDEN_COL_SUFFIXES)]
+    kinds = _spark_kinds(df)
+    if ctype == "text/csv":
+        yield ",".join(cols) + "\r\n"
+    else:
+        yield "\t".join(f"?{c}" for c in cols) + "\n"
+
+    def flush(buf: list) -> str:
+        pdf = pd.DataFrame([r.asDict() for r in buf], columns=cols_all)
+        if ctype == "text/csv":
+            return pdf[cols].to_csv(index=False, header=False, lineterminator="\r\n")
+        lines = [
+            "\t".join(_tsv_term(_term(r, c, kinds[c])) for c in cols)
+            for _, r in pdf.iterrows()
+        ]
+        return "\n".join(lines) + "\n"
+
+    buf: list = []
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        buf.append(row)
+        if len(buf) >= chunk_rows:
+            yield flush(buf)
+            buf = []
+    if buf:
+        yield flush(buf)
+
+
 def ask_json(value: bool) -> str:
     return json.dumps({"head": {}, "boolean": value})
 
@@ -232,6 +314,7 @@ _SELECT_WRITERS = {
     "application/json": select_json,
     "application/sparql-results+xml": select_xml,
     "text/csv": select_csv,
+    "text/tab-separated-values": select_tsv,
 }
 
 
@@ -257,23 +340,33 @@ class SparqlEndpoint:
         store: StatementStore,
         write_back: WriteBack | None = None,
         max_rows: int = 100_000,
+        stream_large: bool = True,
     ):
-        """``max_rows`` bounds driver-side result materialization: a SELECT /
+        """``max_rows`` bounds driver-side result materialization for the
+        DOCUMENT formats (JSON/XML must be built whole): a SELECT /
         CONSTRUCT producing more rows gets HTTP 413 instead of OOMing the
-        driver (the reference streams but is equally unbounded,
-        SparqlService.scala:183-195 — at 100 TB a cap is the only safe
-        default). The limit is pushed into the plan (``LIMIT cap+1``), so
-        Spark never collects more than cap+1 rows."""
+        driver. The limit is pushed into the plan (``LIMIT cap+1``), so
+        Spark never collects more than cap+1 rows. With ``stream_large``
+        (default), the LINE formats — CSV and TSV — are exempt from the
+        cap: they stream through ``toLocalIterator`` in chunks, the Spark
+        analogue of the reference's piped background writer
+        (SparqlService.scala:183-195), so the driver never holds the full
+        result."""
         self.store = store
         self.write_back = write_back
         self.max_rows = max_rows
+        self.stream_large = stream_large
         self._lock = threading.Lock()
         self._server: ThreadingHTTPServer | None = None
 
     # -- request handling (transport-independent, used by the HTTP handler)
 
-    def handle(self, text: str, accept: str = "") -> tuple[int, str, str]:
-        """(status, content_type, body) for one SPARQL request string."""
+    def handle(self, text: str, accept: str = ""):
+        """(status, content_type, body) for one SPARQL request string.
+        ``body`` is a str, or an ITERATOR of str chunks when a large SELECT
+        streams (CSV/TSV with ``stream_large``); a mid-stream executor
+        failure truncates the body, exactly like the reference's piped
+        writer after headers are sent."""
         try:
             form = query_form(text)
         except SyntaxError as e:
@@ -287,6 +380,8 @@ class SparqlEndpoint:
             result = execute_sparql(self.store, text)
             if result.kind == "select":
                 ctype, writer = _negotiate(accept)
+                if self.stream_large and ctype in _STREAMABLE:
+                    return 200, ctype, iter_select(result.df, ctype)
                 pdf = result.df.limit(self.max_rows + 1).toPandas()
                 if len(pdf) > self.max_rows:
                     return 413, "text/plain", f"result exceeds max_rows={self.max_rows}"
@@ -317,6 +412,7 @@ class SparqlEndpoint:
             "   sd:resultFormat <http://www.w3.org/ns/formats/SPARQL_Results_JSON>,\n"
             "       <http://www.w3.org/ns/formats/SPARQL_Results_XML>,\n"
             "       <http://www.w3.org/ns/formats/SPARQL_Results_CSV>,\n"
+            "       <http://www.w3.org/ns/formats/SPARQL_Results_TSV>,\n"
             "       <http://www.w3.org/ns/formats/N-Triples> ;\n"
             "   sd:feature sd:UnionDefaultGraph .\n"
         )
@@ -362,13 +458,25 @@ class SparqlEndpoint:
             def log_message(self, *args):  # quiet test runs
                 pass
 
-            def _respond(self, status: int, ctype: str, body: str) -> None:
-                data = body.encode("utf-8")
+            def _respond(self, status: int, ctype: str, body) -> None:
+                if isinstance(body, str):
+                    data = body.encode("utf-8")
+                    self.send_response(status)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
+                # streamed body (iterator of str chunks): no Content-Length,
+                # connection-close delimited — chunks hit the socket as the
+                # local iterator drains partitions
                 self.send_response(status)
                 self.send_header("Content-Type", ctype)
-                self.send_header("Content-Length", str(len(data)))
+                self.send_header("Connection", "close")
                 self.end_headers()
-                self.wfile.write(data)
+                for chunk in body:
+                    self.wfile.write(chunk.encode("utf-8"))
+                    self.wfile.flush()
 
             def do_GET(self):
                 url = urlparse(self.path)

@@ -12,9 +12,11 @@ front door for the §2.3 contract:
             VALUES ?v {…} / VALUES (?a ?b) {(…)…} · MINUS {…} ·
             FILTER(expr) · FILTER [NOT] EXISTS {…} }
             with ';'/','/'a' sugar and property paths: sequences p1/p2
-            (desugared to chained patterns), alternation p1|p2, and
-            closures p* / p+ (via operators/closure.py; `*` is reflexive
-            over the store's term universe, RDF4J ZeroLengthPath parity)
+            (desugared to chained patterns), alternation p1|p2, inverse ^p,
+            closures p* / p+ / p? (via operators/closure.py; `*` is
+            reflexive over the store's term universe, RDF4J ZeroLengthPath
+            parity), grouped-sequence closures (p1/p2)*, and negated
+            property sets !p / !(p1|^p2)
     GROUP BY ?v… · ORDER BY [ASC|DESC](?v | AGG(?v)) · LIMIT n · OFFSET n
     ASK {…}
     CONSTRUCT { template } WHERE {…}       → quads DataFrame
@@ -365,7 +367,9 @@ class _Parser:
     def _parse_path_atom(self):
         if self.accept("OP", "^"):
             return ("inv", self._parse_path_atom())
-        if self.accept("OP", "("):
+        if self.accept("OP", "!"):
+            p = ("neg", self._parse_neg_set())
+        elif self.accept("OP", "("):
             p = self.parse_path_expr()
             self.expect("OP", ")")
         else:
@@ -378,10 +382,29 @@ class _Parser:
             return ("opt", p)
         return p
 
+    def _parse_neg_set(self) -> list[tuple[str, bool]]:
+        """'!' PathNegatedPropertySet (SPARQL 1.1 §9.1): a single, possibly
+        ^-inverted IRI or a parenthesized '|' set of them → [(iri, inverted)]."""
+
+        def one() -> tuple[str, bool]:
+            inv = self.accept("OP", "^")
+            t = self.parse_term()
+            if t[0] != "iri":
+                raise SyntaxError("SPARQL: negated property sets contain only IRIs")
+            return (t[1], inv)
+
+        if self.accept("OP", "("):
+            atoms = [one()]
+            while self.accept("OP", "|"):
+                atoms.append(one())
+            self.expect("OP", ")")
+            return atoms
+        return [one()]
+
     def _desugar_path(self, subject, path, obj, out: list[Triple]) -> None:
         """Sequences chain through fresh variables; an inverse swaps the
-        endpoints; star/plus/opt/alt survive as ("path", ast) predicates for
-        the compiler's closure/union handling."""
+        endpoints; star/plus/opt/alt/neg survive as ("path", ast) predicates
+        for the compiler's closure/union/edge-relation handling."""
         kind = path[0]
         if kind == "pred":
             out.append(Triple(subject, path[1], obj))
@@ -394,7 +417,7 @@ class _Parser:
                 nxt = obj if i == len(steps) - 1 else self._fresh_var()
                 self._desugar_path(cur, step, nxt, out)
                 cur = nxt
-        else:  # star / plus / opt / alt
+        else:  # star / plus / opt / alt / neg
             out.append(Triple(subject, ("path", path), obj))
 
     # -- expressions (FILTER)
@@ -826,18 +849,27 @@ class _Compiler:
 
     # -- property paths (star / plus / opt / alternation / inverse)
 
-    def _path_atoms(self, ast) -> list[tuple[str, bool]]:
-        """Flatten a pred/inv/alt tree into (iri, inverted) atoms."""
+    def _path_atoms(self, ast) -> list[tuple[str, bool]] | None:
+        """Flatten a pred/inv/alt tree into (iri, inverted) atoms, or None
+        when the tree contains grouped sequences / nested closures /
+        negated sets (those go through the recursive `_edges_ast`)."""
         kind = ast[0]
         if kind == "pred":
             if ast[1][0] != "iri":
                 raise SyntaxError("SPARQL: property-path predicates must be IRIs")
             return [(ast[1][1], False)]
         if kind == "inv":
-            return [(iri, not inv) for iri, inv in self._path_atoms(ast[1])]
+            sub = self._path_atoms(ast[1])
+            return None if sub is None else [(iri, not inv) for iri, inv in sub]
         if kind == "alt":
-            return [pair for sub in ast[1] for pair in self._path_atoms(sub)]
-        raise SyntaxError("SPARQL: unsupported nested property path")
+            out = []
+            for sub in ast[1]:
+                flat = self._path_atoms(sub)
+                if flat is None:
+                    return None
+                out.extend(flat)
+            return out
+        return None
 
     def _path_edges(self, scoped: DataFrame, atoms: list[tuple[str, bool]]) -> DataFrame:
         """(src, dst) edge relation of an atom set; inverted atoms flip."""
@@ -861,18 +893,108 @@ class _Compiler:
             out = out.unionByName(p)
         return out
 
+    def _reflexive_universe(self, scoped: DataFrame) -> DataFrame:
+        """Zero-length paths hold for EVERY term — subjects and objects of
+        any kind, literals included (RDF4J ZeroLengthPath parity)."""
+        universe = (
+            scoped.select(F.col("subject").alias("node"))
+            .unionByName(scoped.select(F.col("object_value").alias("node")))
+            .dropDuplicates()
+        )
+        return universe.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+
+    def _edges_ast(self, scoped: DataFrame, ast) -> DataFrame:
+        """(src, dst) edge relation of an ARBITRARY path AST — grouped
+        sequences compose by equi-join on the midpoint, alternations union,
+        nested closures recurse through transitive_closure, and negated
+        property sets scan with predicate NOT IN (SPARQL 1.1 §9.1: forward
+        members exclude forward edges, ^-members exclude reversed edges).
+        Flat pred/inv/alt trees short-circuit to the single predicate-set
+        scan so the common case stays one filtered pass over the quads."""
+        flat = self._path_atoms(ast)
+        if flat is not None:
+            return self._path_edges(scoped, flat)
+        kind = ast[0]
+        if kind == "inv":
+            e = self._edges_ast(scoped, ast[1])
+            return e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        if kind == "alt":
+            parts = [self._edges_ast(scoped, sub) for sub in ast[1]]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.dropDuplicates()
+        if kind == "seq":
+            out = self._edges_ast(scoped, ast[1][0])
+            for step in ast[1][1:]:
+                nxt = self._edges_ast(scoped, step).withColumnRenamed("src", "mid")
+                out = (
+                    out.withColumnRenamed("dst", "mid")
+                    .join(nxt, "mid")
+                    .select("src", "dst")
+                    .dropDuplicates()
+                )
+            return out
+        if kind == "neg":
+            fwd = [iri for iri, inv in ast[1] if not inv]
+            bwd = [iri for iri, inv in ast[1] if inv]
+            parts = []
+            if fwd:
+                parts.append(
+                    scoped.filter(~F.col("predicate").isin(fwd)).select(
+                        F.col("subject").alias("src"), F.col("object_value").alias("dst")
+                    )
+                )
+            if bwd:
+                parts.append(
+                    scoped.filter(~F.col("predicate").isin(bwd)).select(
+                        F.col("object_value").alias("src"), F.col("subject").alias("dst")
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+        if kind == "star":
+            return (
+                transitive_closure(self._edges_ast(scoped, ast[1]))
+                .unionByName(self._reflexive_universe(scoped))
+                .dropDuplicates()
+            )
+        if kind == "plus":
+            edges = self._edges_ast(scoped, ast[1])
+            hop = transitive_closure(edges).withColumnRenamed("src", "mid")
+            return (
+                edges.withColumnRenamed("dst", "mid")
+                .join(hop, "mid")
+                .select("src", "dst")
+                .dropDuplicates()
+            )
+        if kind == "opt":
+            return (
+                self._edges_ast(scoped, ast[1])
+                .unionByName(self._reflexive_universe(scoped))
+                .dropDuplicates()
+            )
+        raise SyntaxError(f"SPARQL: unsupported property-path node {kind!r}")
+
     def _path_df(self, t: Triple) -> DataFrame:
-        """star/plus/opt closures and alternation. `p*` is reflexive over
-        the store's term universe (RDF4J ZeroLengthPath parity: a term with
-        no `p` edge still reaches itself); `p+` is edges ∘ closure; `p?` is
-        edges ∪ the reflexive universe. Alternation compiles to a union of
-        single-predicate patterns so hidden term-kind columns survive under
-        track_types; inverted atoms swap subject/object."""
+        """star/plus/opt closures, alternation, and negated property sets.
+        `p*` is reflexive over the store's term universe (RDF4J
+        ZeroLengthPath parity: a term with no `p` edge still reaches
+        itself); `p+` is edges ∘ closure; `p?` is edges ∪ the reflexive
+        universe; `!set` is a predicate-NOT-IN scan. FLAT alternation
+        compiles to a union of single-predicate patterns so hidden
+        term-kind columns survive under track_types; everything else —
+        grouped sequences like `(p1/p2)*`, nested closures, negated sets —
+        goes through the recursive edge-relation builder (`_edges_ast`)
+        and binds endpoints without term-kind metadata (the null-tolerant
+        kind check in join_on_shared keeps those solutions joinable)."""
         ast = t.p[1]
         kind = ast[0]
-        if kind == "alt":
+        if kind == "alt" and (flat := self._path_atoms(ast)) is not None:
             parts = []
-            for iri, inv in self._path_atoms(ast):
+            for iri, inv in flat:
                 s, o = (t.o, t.s) if inv else (t.s, t.o)
                 pat = (s, ("iri", iri), o, *((t.g,) if t.g else ()))
                 parts.append(self.bgp.compile([tuple(_bgp_term(x) for x in pat)]))
@@ -880,9 +1002,9 @@ class _Compiler:
             for p in parts[1:]:
                 out = out.unionByName(p, allowMissingColumns=True)
             return out
-        # star / plus / opt over an atom set; GRAPH scoping restricts both
-        # the edge set and the zero-length universe (the alt branch above
-        # scopes through the pattern itself)
+        # closures / grouped paths / negated sets over an edge relation;
+        # GRAPH scoping restricts both the edge set and the zero-length
+        # universe (the flat-alt branch above scopes through the pattern)
         scoped = self.quads
         if t.g is not None:
             if t.g[0] != "iri":
@@ -890,44 +1012,15 @@ class _Compiler:
                     "SPARQL: property-path closure inside GRAPH ?var is not supported"
                 )
             scoped = scoped.filter(F.col("graph") == t.g[1])
-        edges = self._path_edges(scoped, self._path_atoms(ast[1]))
-
-        def reflexive_universe() -> DataFrame:
-            # zero-length paths hold for EVERY term — subjects and objects of
-            # any kind, literals included (RDF4J ZeroLengthPath parity)
-            universe = (
-                scoped.select(F.col("subject").alias("node"))
-                .unionByName(scoped.select(F.col("object_value").alias("node")))
-                .dropDuplicates()
-            )
-            return universe.select(F.col("node").alias("src"), F.col("node").alias("dst"))
-
-        if kind == "plus":
-            # length ≥ 1: one real edge composed with the closure
-            hop = transitive_closure(edges).withColumnRenamed("src", "mid")
-            closure = (
-                edges.withColumnRenamed("dst", "mid")
-                .join(hop, "mid")
-                .select("src", "dst")
-                .dropDuplicates()
-            )
-        elif kind == "opt":
-            # zero-or-one: one hop or stay put
-            closure = edges.unionByName(reflexive_universe()).dropDuplicates()
-        else:  # star
-            closure = (
-                transitive_closure(edges)
-                .unionByName(reflexive_universe())
-                .dropDuplicates()
-            )
+        rel = self._edges_ast(scoped, ast)
         out_cols = []
         for term, col in ((t.s, "src"), (t.o, "dst")):
             kind2, val = term
             if kind2 == "var":
                 out_cols.append(F.col(col).alias(val))
             else:
-                closure = closure.filter(F.col(col) == (str(val) if kind2 == "num" else val))
-        return closure.select(*out_cols).dropDuplicates() if out_cols else closure
+                rel = rel.filter(F.col(col) == (str(val) if kind2 == "num" else val))
+        return rel.select(*out_cols).dropDuplicates() if out_cols else rel
 
     # -- VALUES / MINUS / EXISTS / BIND
 

@@ -535,3 +535,79 @@ def q_rdf_facet_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         bindings={"startFacet": "c:1"},
     )
+
+
+# --- Q: grouped-sequence path closure + negated property set -----------------
+
+
+@query(
+    "q_rdf_grouped_path",
+    oracle="""
+    SELECT 'r:' || n_regionkey AS region, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_regionkey
+    ORDER BY region
+    """,
+    doc="Grouped-sequence property-path closure (p:inNation/p:inRegion)+ "
+    "through the SPARQL text front end (RDF4J accepts the full path "
+    "grammar, api/SparqlService.scala:78-98): the grouped sequence is "
+    "composed into a single (src, dst) edge relation by an equi-join on "
+    "the midpoint BEFORE the closure loop, so the iteration runs over "
+    "customer->region edges, not per-step quads. Oracle is the direct "
+    "customer x nation rollup.",
+)
+def q_rdf_grouped_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.sparql import sparql_select
+
+    quads = tpch.tpch_quads(spark, sf_dir)
+    return sparql_select(
+        quads,
+        """
+        PREFIX p: <p:>
+        PREFIX rdf: <rdf:>
+        PREFIX schema: <schema:>
+        SELECT ?region (COUNT(?c) AS ?n_customers) WHERE {
+          ?c rdf:type schema:Customer .
+          ?c (p:inNation/p:inRegion)+ ?region .
+        }
+        GROUP BY ?region
+        ORDER BY ?region
+        """,
+    )
+
+
+@query(
+    "q_rdf_negated_pathset",
+    oracle="""
+    SELECT r_name AS region_name, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    ORDER BY region_name
+    """,
+    doc="Negated property set !(...) (SPARQL 1.1 sec 9.1) through the text "
+    "front end: the customer->nation hop is reached by EXCLUDING every "
+    "other customer predicate (predicate NOT IN scan), then joined up the "
+    "region chain. Oracle is the direct relational rollup by region name.",
+)
+def q_rdf_negated_pathset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.sparql import sparql_select
+
+    quads = tpch.tpch_quads(spark, sf_dir)
+    return sparql_select(
+        quads,
+        """
+        PREFIX p: <p:>
+        PREFIX rdf: <rdf:>
+        PREFIX schema: <schema:>
+        SELECT ?region_name (COUNT(?c) AS ?n_customers) WHERE {
+          ?c rdf:type schema:Customer .
+          ?c !(p:phone|p:mktsegment|rdf:type|schema:name|p:bigSpender) ?n .
+          ?n p:inRegion ?r .
+          ?r schema:name ?region_name .
+        }
+        GROUP BY ?region_name
+        ORDER BY ?region_name
+        """,
+    )
