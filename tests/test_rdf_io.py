@@ -192,3 +192,170 @@ def test_load_nquads_lines(spark, tmp_path):
     df = load_nquads_lines(spark, str(p))
     assert df.count() == 100
     assert df.select("graph").distinct().count() == 3
+
+
+# --- RDF/XML + TriX (Rio bundle parity: rio-rdfxml / rio-trix) ---------------
+
+
+def test_rdfxml_basic_and_typed_nodes():
+    from thymeflow_back_spark.rdf.io import parse_rdfxml
+
+    text = """<?xml version="1.0"?>
+    <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+             xmlns:ex="http://ex.org/" xml:base="http://base.org/">
+      <rdf:Description rdf:about="http://ex.org/alice">
+        <ex:name>Alice</ex:name>
+        <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">30</ex:age>
+        <ex:label xml:lang="en">the alice</ex:label>
+        <ex:knows rdf:resource="http://ex.org/bob"/>
+      </rdf:Description>
+      <ex:Robot rdf:ID="r2d2">
+        <ex:name>R2D2</ex:name>
+      </ex:Robot>
+    </rdf:RDF>"""
+    quads = parse_rdfxml(text, "g")
+    by_pred = {}
+    for s, p, o, ot, dt, lang, g in quads:
+        by_pred.setdefault(p, []).append((s, o, ot, dt, lang))
+        assert g == "g"
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    assert by_pred["http://ex.org/name"] == [
+        ("http://ex.org/alice", "Alice", "literal", xsd + "string", None),
+        ("http://base.org/#r2d2", "R2D2", "literal", xsd + "string", None),
+    ]
+    assert by_pred["http://ex.org/age"] == [
+        ("http://ex.org/alice", "30", "literal", xsd + "integer", None)
+    ]
+    assert by_pred["http://ex.org/label"][0][4] == "en"
+    assert by_pred["http://ex.org/knows"] == [
+        ("http://ex.org/alice", "http://ex.org/bob", "iri", None, None)
+    ]
+    assert by_pred[rdf + "type"] == [
+        ("http://base.org/#r2d2", "http://ex.org/Robot", "iri", None, None)
+    ]
+
+
+def test_rdfxml_nested_parse_types_and_li():
+    from thymeflow_back_spark.rdf.io import parse_rdfxml
+
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    text = f"""<rdf:RDF xmlns:rdf="{rdf}" xmlns:ex="http://ex.org/">
+      <rdf:Description rdf:about="http://ex.org/a">
+        <ex:address rdf:parseType="Resource">
+          <ex:city>Paris</ex:city>
+        </ex:address>
+        <ex:friend><rdf:Description rdf:about="http://ex.org/b"/></ex:friend>
+        <ex:bag>
+          <rdf:Bag>
+            <rdf:li>one</rdf:li>
+            <rdf:li>two</rdf:li>
+          </rdf:Bag>
+        </ex:bag>
+        <ex:list rdf:parseType="Collection">
+          <rdf:Description rdf:about="http://ex.org/x"/>
+          <rdf:Description rdf:about="http://ex.org/y"/>
+        </ex:list>
+      </rdf:Description>
+    </rdf:RDF>"""
+    quads = parse_rdfxml(text, "g")
+    spo = {(q[0], q[1], q[2]) for q in quads}
+    # parseType=Resource: anonymous node holding the city literal
+    addr = [q[2] for q in quads if q[1] == "http://ex.org/address"]
+    assert len(addr) == 1 and addr[0].startswith("_:")
+    assert any(s == addr[0] and p == "http://ex.org/city" and o == "Paris" for s, p, o in spo)
+    # nested node element
+    assert ("http://ex.org/a", "http://ex.org/friend", "http://ex.org/b") in spo
+    # rdf:li expands to rdf:_1 / rdf:_2 on the Bag node
+    bag = [q[2] for q in quads if q[1] == "http://ex.org/bag"][0]
+    assert any(s == bag and p == rdf + "_1" and o == "one" for s, p, o in spo)
+    assert any(s == bag and p == rdf + "_2" and o == "two" for s, p, o in spo)
+    # Collection: first/rest chain ending in nil
+    firsts = [(q[0], q[2]) for q in quads if q[1] == rdf + "first"]
+    assert [o for _, o in firsts] == ["http://ex.org/x", "http://ex.org/y"]
+    rests = [q[2] for q in quads if q[1] == rdf + "rest"]
+    assert rests[-1] == rdf + "nil"
+
+
+def test_trix_graphs_and_terms():
+    from thymeflow_back_spark.rdf.io import parse_trix
+
+    text = """<?xml version="1.0"?>
+    <TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/"
+          xmlns:xml="http://www.w3.org/XML/1998/namespace">
+      <graph>
+        <uri>http://g.org/one</uri>
+        <triple>
+          <uri>http://ex.org/s</uri>
+          <uri>http://ex.org/p</uri>
+          <plainLiteral xml:lang="fr">bonjour</plainLiteral>
+        </triple>
+        <triple>
+          <id>b1</id>
+          <uri>http://ex.org/p</uri>
+          <typedLiteral datatype="http://www.w3.org/2001/XMLSchema#integer">5</typedLiteral>
+        </triple>
+      </graph>
+      <graph>
+        <triple>
+          <uri>http://ex.org/s2</uri>
+          <uri>http://ex.org/q</uri>
+          <uri>http://ex.org/o2</uri>
+        </triple>
+      </graph>
+    </TriX>"""
+    quads = parse_trix(text, "urn:default")
+    assert quads[0] == (
+        "http://ex.org/s", "http://ex.org/p", "bonjour", "literal",
+        "http://www.w3.org/2001/XMLSchema#string", "fr", "http://g.org/one",
+    )
+    assert quads[1] == (
+        "_:b1", "http://ex.org/p", "5", "literal",
+        "http://www.w3.org/2001/XMLSchema#integer", None, "http://g.org/one",
+    )
+    assert quads[2] == (
+        "http://ex.org/s2", "http://ex.org/q", "http://ex.org/o2", "iri",
+        None, None, "urn:default",
+    )
+
+
+def test_rdfxml_roundtrip_through_ntriples(spark):
+    """RDF/XML parse → quads DF → N-Triples serialize → TriG-superset
+    reparse: the two parsers agree on the triple set."""
+    from thymeflow_back_spark.rdf.io import parse_rdf, parse_rdfxml, serialize_ntriples
+    from thymeflow_back_spark.rdf.model import make_quads
+
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    text = f"""<rdf:RDF xmlns:rdf="{rdf}" xmlns:ex="http://ex.org/">
+      <ex:Person rdf:about="http://ex.org/alice">
+        <ex:name>Alice</ex:name>
+        <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">30</ex:age>
+        <ex:knows rdf:resource="http://ex.org/bob"/>
+      </ex:Person>
+    </rdf:RDF>"""
+    quads = parse_rdfxml(text, "urn:g")
+    df = make_quads(spark, quads)
+    nt = "\n".join(r.line for r in serialize_ntriples(df).collect())
+    reparsed = parse_rdf(nt, "urn:g")
+    strip = lambda qs: {(s, p, o, ot) for s, p, o, ot, _, _, _ in qs}
+    assert strip(reparsed) == strip(quads)
+
+
+def test_rdf_file_dispatch_by_extension(tmp_path, spark):
+    from thymeflow_back_spark.rdf.io import load_rdf
+
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    (tmp_path / "a.rdf").write_text(
+        f'<rdf:RDF xmlns:rdf="{rdf}" xmlns:ex="http://ex.org/">'
+        '<rdf:Description rdf:about="http://ex.org/s"><ex:p>v1</ex:p></rdf:Description>'
+        "</rdf:RDF>"
+    )
+    (tmp_path / "b.trix").write_text(
+        '<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/"><graph><triple>'
+        "<uri>http://ex.org/s2</uri><uri>http://ex.org/p2</uri><uri>http://ex.org/o2</uri>"
+        "</triple></graph></TriX>"
+    )
+    (tmp_path / "c.ttl").write_text("<http://ex.org/s3> <http://ex.org/p3> 7 .")
+    out = load_rdf(spark, str(tmp_path)).collect()
+    subjects = {r.subject for r in out}
+    assert subjects == {"http://ex.org/s", "http://ex.org/s2", "http://ex.org/s3"}

@@ -1,4 +1,5 @@
-"""RDF I/O: NTriples / NQuads / Turtle / TriG parsing and serialization.
+"""RDF I/O: NTriples / NQuads / Turtle / TriG / RDF/XML / TriX parsing
+and serialization.
 
 The reference delegates wire formats to RDF4J Rio (reference build.sbt:66-76;
 RepositoryFactory.scala:201-245 loads the bundled Turtle ontology at startup;
@@ -337,16 +338,210 @@ def parse_rdf(text: str, default_graph: str, base: str | None = None) -> list[tu
     return _Parser(text, default_graph, base).parse()
 
 
-RDF_EXTENSIONS = (".nt", ".nq", ".ttl", ".trig")
+# --- RDF/XML + TriX (the rest of the reference's Rio bundle,
+# build.sbt:66-76: rio-rdfxml / rio-trix) ------------------------------------
+
+_XML_NS = "http://www.w3.org/XML/1998/namespace"
+_TRIX_NS = "http://www.w3.org/2004/03/trix/trix-1/"
+
+
+def _xml_tag_iri(tag: str) -> str:
+    """ElementTree's '{ns}local' Clark notation → concatenated IRI."""
+    return tag[1:].replace("}", "", 1) if tag.startswith("{") else tag
+
+
+class _RdfXmlParser:
+    """RDF/XML subset parser (stdlib ElementTree — no external entity
+    resolution, so no XXE surface): rdf:RDF roots, rdf:Description and
+    typed node elements, rdf:about/ID/nodeID subjects, property elements
+    with rdf:resource/nodeID, nested node elements, parseType
+    Resource/Literal/Collection, rdf:li containers, rdf:datatype and
+    xml:lang literals, and property attributes. Covers what RDF4J's
+    rio-rdfxml emits; exotica (reification attributes rdf:ID on property
+    elements, rdf:aboutEach) are out of scope."""
+
+    def __init__(self, default_graph: str, base: str | None = None):
+        self.graph = default_graph
+        self.base = base or ""
+        self.quads: list[tuple] = []
+        self._n = 0
+
+    def _fresh(self) -> str:
+        self._n += 1
+        return f"_:rx{self._n}"
+
+    def _resolve(self, iri: str) -> str:
+        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+            return self.base + iri
+        return iri
+
+    def _emit(self, s, p, o, otype, dtype=None, lang=None) -> None:
+        self.quads.append(
+            (s, p, o, otype, dtype if otype == "literal" else None, lang, self.graph)
+        )
+
+    def parse(self, text: str) -> list[tuple]:
+        import xml.etree.ElementTree as ET
+
+        root = ET.fromstring(text)
+        if _xml_tag_iri(root.tag) == RDF_NS + "RDF":
+            base = root.get(f"{{{_XML_NS}}}base")
+            if base:
+                self.base = base
+            for child in root:
+                self._node_element(child)
+        else:
+            self._node_element(root)
+        return self.quads
+
+    def _subject_of(self, el) -> str:
+        about = el.get(f"{{{RDF_NS}}}about")
+        if about is not None:
+            return self._resolve(about)
+        rid = el.get(f"{{{RDF_NS}}}ID")
+        if rid is not None:
+            return self._resolve("#" + rid)
+        nid = el.get(f"{{{RDF_NS}}}nodeID")
+        if nid is not None:
+            return "_:" + nid
+        return self._fresh()
+
+    def _node_element(self, el) -> str:
+        s = self._subject_of(el)
+        tag = _xml_tag_iri(el.tag)
+        if tag != RDF_NS + "Description":
+            self._emit(s, RDF_NS + "type", tag, "iri")
+        for attr, value in el.attrib.items():
+            iri = _xml_tag_iri(attr)
+            if iri.startswith(RDF_NS) or iri.startswith(_XML_NS):
+                continue  # syntax attributes, xml:lang/base
+            # property attribute shorthand: <ex:Thing ex:name="x"/>
+            self._emit(s, iri, value, "literal", XSD_STRING)
+        self._property_elements(s, el)
+        return s
+
+    def _property_elements(self, s: str, el) -> None:
+        li_n = 0
+        for prop in el:
+            p = _xml_tag_iri(prop.tag)
+            if p == RDF_NS + "li":  # container membership sugar
+                li_n += 1
+                p = f"{RDF_NS}_{li_n}"
+            self._property_value(s, p, prop)
+
+    def _property_value(self, s: str, p: str, el) -> None:
+        import xml.etree.ElementTree as ET
+
+        res = el.get(f"{{{RDF_NS}}}resource")
+        if res is not None:
+            self._emit(s, p, self._resolve(res), "iri")
+            return
+        nid = el.get(f"{{{RDF_NS}}}nodeID")
+        if nid is not None:
+            self._emit(s, p, "_:" + nid, "bnode")
+            return
+        ptype = el.get(f"{{{RDF_NS}}}parseType")
+        children = list(el)
+        if ptype == "Resource":
+            b = self._fresh()
+            self._emit(s, p, b, "bnode")
+            self._property_elements(b, el)
+            return
+        if ptype == "Literal":
+            xml_text = (el.text or "") + "".join(
+                ET.tostring(c, encoding="unicode") for c in children
+            )
+            self._emit(s, p, xml_text, "literal", RDF_NS + "XMLLiteral")
+            return
+        if ptype == "Collection":
+            node = self._fresh() if children else RDF_NS + "nil"
+            self._emit(s, p, node, "bnode" if children else "iri")
+            for i, child in enumerate(children):
+                o = self._node_element(child)
+                self._emit(node, RDF_NS + "first", o, "bnode" if o.startswith("_:") else "iri")
+                last = i + 1 == len(children)
+                nxt = RDF_NS + "nil" if last else self._fresh()
+                self._emit(node, RDF_NS + "rest", nxt, "iri" if last else "bnode")
+                node = nxt
+            return
+        if children:  # nested node element
+            o = self._node_element(children[0])
+            self._emit(s, p, o, "bnode" if o.startswith("_:") else "iri")
+            return
+        dtype = el.get(f"{{{RDF_NS}}}datatype")
+        lang = el.get(f"{{{_XML_NS}}}lang")
+        self._emit(s, p, el.text or "", "literal", dtype or XSD_STRING, lang)
+
+
+def parse_rdfxml(text: str, default_graph: str, base: str | None = None) -> list[tuple]:
+    """Parse RDF/XML text into quad tuples (QUAD_COLUMNS order)."""
+    return _RdfXmlParser(default_graph, base).parse(text)
+
+
+def parse_trix(text: str, default_graph: str) -> list[tuple]:
+    """Parse TriX (W3C member submission XML quads format — RDF4J
+    rio-trix parity). Each <graph> holds an optional <uri> name followed
+    by <triple> elements of three terms: uri / id (bnode) /
+    plainLiteral [@xml:lang] / typedLiteral @datatype."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(text)
+    quads: list[tuple] = []
+
+    def term(el):
+        tag = _xml_tag_iri(el.tag).removeprefix(_TRIX_NS)
+        text_ = el.text or ""
+        if tag == "uri":
+            return (text_, "iri", None, None)
+        if tag == "id":
+            value = text_ if text_.startswith("_:") else "_:" + text_
+            return (value, "bnode", None, None)
+        if tag == "plainLiteral":
+            lang = el.get(f"{{{_XML_NS}}}lang")
+            return (text_, "literal", XSD_STRING, lang)
+        if tag == "typedLiteral":
+            return (text_, "literal", el.get("datatype"), None)
+        raise RdfParseError(f"TriX: unexpected term element {tag!r}")
+
+    graphs = [el for el in root if _xml_tag_iri(el.tag).removeprefix(_TRIX_NS) == "graph"]
+    for graph_el in graphs:
+        children = list(graph_el)
+        graph = default_graph
+        if children and _xml_tag_iri(children[0].tag).removeprefix(_TRIX_NS) == "uri":
+            graph = children[0].text or default_graph
+            children = children[1:]
+        for triple in children:
+            terms = [term(t) for t in triple]
+            if len(terms) != 3:
+                raise RdfParseError("TriX: triple needs exactly 3 terms")
+            (s, _, _, _), (pred, pkind, _, _), (o, otype, dtype, lang) = terms
+            if pkind != "iri":
+                raise RdfParseError("TriX: predicate must be a uri")
+            quads.append(
+                (s, pred, o, otype, dtype if otype == "literal" else None, lang, graph)
+            )
+    return quads
+
+
+RDF_EXTENSIONS = (".nt", ".nq", ".ttl", ".trig", ".rdf", ".rdfs", ".owl", ".trix")
 
 
 def rdf_file_to_quads(content: bytes, path: str) -> list[tuple]:
-    """Converter-registry entry: one RDF file → quads. Triples without an
-    explicit graph land in a per-document graph minted from the path (the
-    reference wraps each loaded file in a document context)."""
+    """Converter-registry entry: one RDF file → quads, format picked by
+    extension (.rdf/.rdfs/.owl → RDF/XML, .trix → TriX, rest → the TriG
+    superset). Triples without an explicit graph land in a per-document
+    graph minted from the path (the reference wraps each loaded file in a
+    document context)."""
     from ..sources.common import doc_graph
 
-    return parse_rdf(content.decode("utf-8"), default_graph=doc_graph(path))
+    text = content.decode("utf-8")
+    graph = doc_graph(path)
+    low = path.lower()
+    if low.endswith((".rdf", ".rdfs", ".owl")):
+        return parse_rdfxml(text, default_graph=graph)
+    if low.endswith(".trix"):
+        return parse_trix(text, default_graph=graph)
+    return parse_rdf(text, default_graph=graph)
 
 
 def load_rdf(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
