@@ -1,0 +1,128 @@
+"""Training-data pipeline operators: sampling, prefix sums, packing,
+contamination."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from thymeflow_back_spark.operators.dedup import benchmark_contamination
+from thymeflow_back_spark.operators.packing import distributed_prefix_sum, pack_chunks
+from thymeflow_back_spark.operators.sampling import (
+    bernoulli_sample,
+    stratified_sample,
+    train_test_split,
+)
+
+
+def _u(salt: str, key: int) -> float:
+    h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()
+    return int(h[:8], 16) / 2**32
+
+
+def test_bernoulli_sample_matches_reference_hash(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    got = {r.k for r in bernoulli_sample(df, "k", 0.3, salt="s1").collect()}
+    want = {k for k in range(500) if _u("s1", k) < 0.3}
+    assert got == want
+    # determinism across repartitioning
+    got2 = {
+        r.k for r in bernoulli_sample(df.repartition(7), "k", 0.3, salt="s1").collect()
+    }
+    assert got2 == want
+
+
+def test_stratified_sample_rates_and_default(spark):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    rates = {"0": 1.0, "1": 0.5}
+    got = {r.k for r in stratified_sample(df, "k", "g", rates, default_rate=0.0).collect()}
+    want = set()
+    for k in range(300):
+        g = str(k % 3)
+        rate = rates.get(g, 0.0)
+        if _u("sample", k) < rate:
+            want.add(k)
+    assert got == want
+    assert all(k % 3 == 0 or k % 3 == 1 for k in got)  # default stratum excluded
+    assert {k for k in got if k % 3 == 0} == {k for k in range(300) if k % 3 == 0}
+
+
+def test_train_test_split_stable_under_growth(spark):
+    small = spark.range(0, 200).withColumnRenamed("id", "k")
+    big = spark.range(0, 400).withColumnRenamed("id", "k")
+    split_small = {r.k: r.split for r in train_test_split(small, "k", 0.25).collect()}
+    split_big = {r.k: r.split for r in train_test_split(big, "k", 0.25).collect()}
+    for k, s in split_small.items():
+        assert split_big[k] == s  # growing the corpus never moves a doc
+    assert 0.1 < sum(s == "test" for s in split_big.values()) / 400 < 0.4
+
+
+def test_distributed_prefix_sum_matches_sequential(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(-5, 20)) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(13)
+    out = {
+        r.k: (r.prefix, r.v)
+        for r in distributed_prefix_sum(df, "k", "v", num_partitions=8).collect()
+    }
+    running = 0
+    for k, v in rows:
+        running += v
+        assert out[k] == (running, v), k
+    # exclusive variant
+    out_ex = {
+        r.k: r.prefix
+        for r in distributed_prefix_sum(
+            df, "k", "v", exclusive=True, num_partitions=8
+        ).collect()
+    }
+    running = 0
+    for k, v in rows:
+        assert out_ex[k] == running, k
+        running += v
+
+
+def test_pack_chunks_assigns_by_starting_token(spark):
+    rows = [(1, 100), (2, 50), (3, 80), (4, 10), (5, 300), (6, 1)]
+    df = spark.createDataFrame(rows, ["k", "tok"])
+    got = {r.k: r.chunk_id for r in pack_chunks(df, "k", "tok", 128).collect()}
+    # cumulative-before: 0, 100, 150, 230, 240, 540
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 4}
+
+
+def test_kmv_estimate_exact_below_k_and_plausible_above(spark):
+    from thymeflow_back_spark.operators.sketch import kmv_estimate
+
+    small = spark.range(0, 40).select(F.col("id").cast("string").alias("v"))
+    row = kmv_estimate(small, "v", 64).collect()[0]
+    assert row.k_used == 40 and row.est_distinct == 40.0  # exhaustive regime
+
+    big = spark.range(0, 20000).select((F.col("id") % 5000).cast("string").alias("v"))
+    row = kmv_estimate(big, "v", 256).collect()[0]
+    assert row.k_used == 256
+    assert 4000 < row.est_distinct < 6000  # ~5000 within KMV error bounds
+
+
+def test_benchmark_contamination(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # contains probe 4-gram
+            (2, "zeta eta theta iota kappa"),  # clean
+            (3, "x alpha beta gamma delta y"),  # same probe 4-gram mid-doc
+        ],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (101, "unrelated words only here")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_shared_shingles, r.n_benchmark_docs)
+        for r in benchmark_contamination(corpus, probe, "doc_id", "text", 4).collect()
+    }
+    assert got == {1: (1, 1), 3: (1, 1)}

@@ -66,18 +66,41 @@ def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).filter(F.col("tok") != "")
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    toks = df.selectExpr(
-        id_col, f"filter(split({text_col}, ' '), t -> t != '') as toks"
-    )
-    sh = (
-        f"transform("
+def shingle_array_sql(text_col: str, n: int) -> str:
+    """SQL expression: DISTINCT word n-gram shingles of ``text_col`` as an array.
+
+    Map-side only — the distinct is array_distinct inside the row, so no
+    shuffle is ever needed to get per-document shingle sets. At 100 TB this
+    is the load-bearing choice: every dedup variant starts from this
+    projection, and a per-(id, shingle) dropDuplicates here would be a full
+    corpus shuffle before any real work started.
+    """
+    toks = f"filter(split({text_col}, ' '), t -> t != '')"
+    # The token array is BOUND ONCE as a lambda variable (array(toks) ->
+    # transform) — naively referencing the filter(split(...)) subexpression
+    # at each use site gets inlined by Catalyst and re-tokenizes the document
+    # PER SHINGLE INDEX (measured 4.4× slower at sf0.1).
+    return (
+        f"array_distinct(flatten(transform(array({toks}), toks ->"
+        f" transform("
         f"  if(size(toks) >= {n}, sequence(0, size(toks) - {n}), cast(array() as array<int>)),"
-        f"  i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+        f"  i -> concat_ws(' ', slice(toks, i + 1, {n}))))))"
     )
-    return toks.selectExpr(id_col, f"explode({sh}) as shingle").dropDuplicates(
-        [id_col, "shingle"]
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """One row per document with its distinct shingle set: (id, sh array)."""
+    return df.selectExpr(id_col, f"{shingle_array_sql(text_col, n)} as sh")
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Exploded view of doc_shingles — distinctness comes from the in-row
+    array_distinct, so this is a pure narrow projection (no shuffle).
+    """
+    return doc_shingles(df, id_col, text_col, n).selectExpr(
+        id_col, "explode(sh) as shingle"
     )
 
 
@@ -90,6 +113,115 @@ def exact_dedup_summary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.sum("group_size").alias("n_docs"),
         F.count("*").alias("n_distinct"),
         (F.sum("group_size") - F.count("*")).alias("n_duplicates"),
+    )
+
+
+def jaccard_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """N-gram Jaccard similarity join, array-first plan.
+
+    Output: (a_id, b_id, n_common, jaccard) for pairs with jaccard >= threshold.
+
+    Shuffle budget (the 100 TB accounting):
+    - uncapped: ONE shuffle pair for the shingle-blocked self-join plus the
+      pair groupBy. Per-document shingle-set sizes ride along the exploded
+      rows (computed map-side as size(array_distinct(...))), so there are no
+      join-back-the-sizes shuffles and no pre-shuffle to dedupe shingles.
+    - capped (``max_doc_freq``): a document-frequency pass over the exploded
+      shingles prunes hot shingles from BLOCKING only; candidates re-verify
+      against full shingle sets via in-row array_intersect (exact Jaccard,
+      recall-only approximation — the standard stop-shingle trade-off).
+    """
+    docs_sh = doc_shingles(df, id_col, text_col, n).withColumn("n_sh", F.size("sh"))
+    if max_doc_freq is not None:
+        # the capped path re-reads doc arrays in the verify stage; anchor
+        # them behind an id exchange so verify reuses this tokenization
+        docs_sh = _by_id(docs_sh, id_col)
+    # Materialize ONE exchange keyed on the join key: both self-join sides
+    # are the same canonical subplan, so Spark reuses the shuffle output
+    # (ReusedExchange) and the corpus is tokenized exactly once. Without
+    # this the narrow projection is recomputed per join side.
+    ex = docs_sh.selectExpr(id_col, "n_sh", "explode(sh) as shingle").repartition(
+        F.col("shingle")
+    )
+    a = ex.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("a_n"), "shingle")
+    b = ex.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("b_n"), "shingle")
+    if max_doc_freq is None:
+        return (
+            a.join(b, "shingle")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(
+                F.count("*").alias("n_common"),
+                F.min("a_n").alias("a_n"),
+                F.min("b_n").alias("b_n"),
+            )
+            .withColumn(
+                "jaccard",
+                F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "n_common", "jaccard")
+        )
+    rare = (
+        ex.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("shingle")
+    )
+    cands = (
+        a.select("a_id", "shingle")
+        .join(rare, "shingle")
+        .join(b.select("b_id", "shingle"), "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return verify_candidates_arrays(docs_sh, cands, id_col, threshold)
+
+
+def _by_id(docs_sh: DataFrame, id_col: str) -> DataFrame:
+    """Anchor the (id, shingle-array) projection behind an id-keyed exchange.
+
+    Every consumer (a-side verify join, b-side verify join, signature pass)
+    then reads the SAME shuffle output instead of re-tokenizing the corpus —
+    one corpus-sized shuffle buys N reuses. Catalyst collapses duplicate
+    repartitions, so calling this on an already-anchored plan is a no-op.
+    """
+    return docs_sh.repartition(F.col(id_col))
+
+
+def verify_candidates_arrays(
+    docs_sh: DataFrame, cands: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via in-row array_intersect.
+
+    Two equi-joins pull each side's (distinct) shingle array onto the pair
+    row; n_common and the set sizes are then pure projections. Work is
+    proportional to |candidates| × shingles-per-doc with NO explode and NO
+    pair-level groupBy — this is the verify stage every blocked path (LSH
+    bands, doc-frequency blocking) funnels into.
+    """
+    anchored = _by_id(docs_sh, id_col)
+    a = anchored.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
+    b = anchored.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("n_common", F.size(F.array_intersect("a_sh", "b_sh")).cast("bigint"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("a_sh") + F.size("b_sh") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "n_common", "jaccard")
     )
 
 
@@ -214,25 +346,70 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def minhash_signatures_mapside(docs_sh: DataFrame, id_col: str) -> DataFrame:
+    """MinHash signature as a PURE PROJECTION over per-doc shingle arrays.
+
+    mh_i = array_min(transform(hs, h -> (a_i·h + b_i) mod P)) where hs is the
+    per-row vector of 32-bit shingle hashes — no explode, no groupBy, no
+    shuffle at all. The corpus is read once and signatures stream out of the
+    scan inside whole-stage codegen; at 100 TB the signature pass is
+    embarrassingly parallel. Documents with no shingles are dropped (they
+    have no signature — same semantics as the aggregate formulation, and it
+    keeps empty docs from all colliding into one degenerate band bucket).
+    """
+    hashed = docs_sh.selectExpr(
+        id_col,
+        f"transform(sh, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint)"
+        f" % {MERSENNE_P}) as hs",
+    ).filter(F.size("hs") > 0)
+    mins = [
+        f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {MERSENNE_P})) as mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return hashed.selectExpr(id_col, *mins)
+
+
+def lsh_band_rows(signatures: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, bkey) — one scan: the bands explode from an inline array
+    of structs instead of LSH_BANDS unioned passes over the signatures."""
+    structs = ", ".join(
+        f"struct({band} as band, concat_ws(',', "
+        + ", ".join(
+            f"cast(mh{band * ROWS_PER_BAND + r} as string)"
+            for r in range(ROWS_PER_BAND)
+        )
+        + ") as bkey)"
+        for band in range(LSH_BANDS)
+    )
+    return signatures.selectExpr(
+        id_col, f"inline(array({structs}))"
+    )
+
+
 def minhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
     """MinHash-LSH candidates verified with true Jaccard >= threshold.
 
-    Exact Jaccard is computed for CANDIDATE PAIRS ONLY
-    (verify_jaccard_candidates) — the verification cost is proportional to
-    the LSH collision count, not to the all-pairs shingle-blocked join,
-    which is the whole point of banding at corpus scale.
-
-    The shingle table feeds both the signature pass and the verification
-    join. Measured: recomputing the (column-pruned, codegen'd) shingle
-    explode per branch beats materializing it — persist() was tried and
-    was ~60% slower at sf0.1; at cluster scale stage the shingles to a
-    table only if the corpus is re-verified repeatedly.
+    Plan shape (the 100 TB story): one corpus scan computes shingle arrays
+    and signatures map-side (minhash_signatures_mapside — zero shuffles),
+    bands inline-explode from the signature row, and the ONLY data-sized
+    shuffle is the band-bucket self-join. Exact Jaccard is computed for
+    CANDIDATE PAIRS ONLY via in-row array_intersect
+    (verify_candidates_arrays) — verification cost is proportional to the
+    LSH collision count, never to an all-pairs blocked join.
     """
-    sh = word_shingles(df, id_col, text_col, n)
-    cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
-    return verify_jaccard_candidates(sh, cands, id_col, threshold)
+    docs_sh = _by_id(doc_shingles(df, id_col, text_col, n), id_col)
+    bands = lsh_band_rows(minhash_signatures_mapside(docs_sh, id_col), id_col)
+    a = bands.select(F.col(id_col).alias("a_id"), "band", "bkey")
+    b = bands.select(F.col(id_col).alias("b_id"), "band", "bkey")
+    cands = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return verify_candidates_arrays(docs_sh, cands, id_col, threshold)
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -287,6 +464,37 @@ def simhash_pairs(fps: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
     )
 
 
+def benchmark_contamination(
+    corpus: DataFrame, probe: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Flag corpus documents sharing word n-grams with a benchmark set.
+
+    Output: (id, n_shared_shingles, n_benchmark_docs) for contaminated docs —
+    the decontamination primitive of a training pipeline (drop or audit any
+    training document that overlaps an eval benchmark).
+
+    Scale shape: the corpus side streams (shingles explode map-side from
+    doc_shingles, no shuffle before the join); the probe side — benchmarks
+    are thousands of documents, not terabytes — is BROADCAST, so the join is
+    map-side too and the only shuffle is the per-document groupBy of hits.
+    """
+    corpus_sh = corpus.transform(
+        lambda d: doc_shingles(d, id_col, text_col, n)
+    ).selectExpr(id_col, "explode(sh) as shingle")
+    probe_sh = (
+        doc_shingles(probe, id_col, text_col, n)
+        .selectExpr(f"{id_col} as __probe_id", "explode(sh) as shingle")
+    )
+    return (
+        corpus_sh.join(F.broadcast(probe_sh), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("__probe_id").alias("n_benchmark_docs"),
+        )
+    )
+
+
 def dedup_clusters(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
@@ -301,7 +509,7 @@ def dedup_clusters(
     """
     from .closure import connected_components
 
-    pairs = jaccard_pairs(word_shingles(df, id_col, text_col, n), id_col, threshold)
+    pairs = jaccard_near_dups(df, id_col, text_col, n, threshold)
     comps = connected_components(pairs, src="a_id", dst="b_id")
     labeled = (
         df.select(F.col(id_col).alias("node"))

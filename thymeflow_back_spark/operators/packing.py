@@ -1,0 +1,101 @@
+"""Sequence packing and distributed prefix sums.
+
+LLM training consumes fixed-size token windows, so the pipeline step before
+tokenized output is PACKING: lay the corpus out in a stable global order and
+assign each document to the context chunk where its first token lands. The
+core primitive is a global running token count — an inherently sequential
+fold that a naive `Window.orderBy(...)` computes on ONE task (a non-starter
+at 100 TB). ``distributed_prefix_sum`` is the classic two-phase parallel
+scan instead:
+
+  1. range-partition by the order key (contiguous key ranges per partition),
+  2. per-partition running sums in parallel (window partitioned by the
+     physical partition id),
+  3. one tiny pass over the per-partition totals produces each partition's
+     global offset, broadcast-joined back.
+
+Only step 1 shuffles the data (once); step 3's window runs over
+#partitions rows. Output values depend only on the global key order, never
+on partitioning, so the result is deterministic and the DuckDB oracle is a
+plain `SUM(...) OVER (ORDER BY key)`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str | Column,
+    out_col: str = "prefix",
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global prefix sum of ``value_col`` in ``order_col`` order, in parallel.
+
+    ``order_col`` must be globally unique (ties across a partition boundary
+    would make the fold order — and thus the result — ambiguous).
+    ``exclusive=True`` yields the sum of strictly-preceding rows (0 for the
+    first row). Values may be negative; totals are computed with SUM, not
+    from the running column.
+    """
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.withColumn("__v", value)
+        .repartitionByRange(n, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    run = Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = parted.withColumn("__local", F.sum("__v").over(run))
+    offsets = (
+        parted.groupBy("__pid")
+        .agg(F.sum("__v").alias("__tot"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__tot").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    out = local.join(F.broadcast(offsets), "__pid")
+    prefix = F.col("__local") + F.col("__off")
+    if exclusive:
+        prefix = prefix - F.col("__v")
+    return out.withColumn(out_col, prefix).drop("__v", "__pid", "__local", "__off")
+
+
+def pack_chunks(
+    df: DataFrame,
+    order_col: str,
+    token_col: str | Column,
+    budget: int,
+    chunk_col: str = "chunk_id",
+) -> DataFrame:
+    """Assign each document to the fixed-token-budget chunk where it starts.
+
+    The corpus is conceptually concatenated in ``order_col`` order and cut
+    every ``budget`` tokens; a document's chunk is floor(tokens-before / budget)
+    — the streaming concat-and-chunk layout LLM training uses (documents may
+    span a cut; they belong to the chunk holding their first token).
+    """
+    token = F.col(token_col) if isinstance(token_col, str) else token_col
+    out = distributed_prefix_sum(
+        df.withColumn("__tok", token), order_col, "__tok", out_col="__before",
+        exclusive=True,
+    )
+    return out.withColumn(
+        chunk_col, F.floor(F.col("__before") / F.lit(budget)).cast("bigint")
+    ).drop("__before", "__tok")

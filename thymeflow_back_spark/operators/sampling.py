@@ -1,0 +1,80 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus pipeline needs REPRODUCIBLE sampling: re-running the job (or
+running it per-partition on different executors) must select exactly the same
+rows, and the split a document lands in must never depend on task scheduling.
+So none of these use rand() — the uniform variate is derived from
+md5(salt || ':' || key), which is portable across engines (the DuckDB oracles
+in queries/pipeline.py reproduce every selection bit-exactly) and across
+cluster sizes.
+
+All operators are pure narrow projections/filters: zero shuffles, fully
+inside whole-stage codegen, trivially scale-free. This generalizes the
+reference's deterministic-id discipline (deterministic UUID5 minting,
+Converter.scala) to row selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TWO_32 = float(1 << 32)
+
+
+def hash_uniform(key: Column, salt: str) -> Column:
+    """Deterministic uniform [0, 1) double from md5(salt ':' key).
+
+    First 8 hex chars of the md5 → 32-bit integer → /2^32. Every value is an
+    exact dyadic rational, so engine-independent and bit-stable.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return h / F.lit(TWO_32)
+
+
+def bernoulli_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep each row iff hash_uniform(key) < rate — deterministic Bernoulli."""
+    return df.filter(hash_uniform(F.col(key_col), salt) < F.lit(rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (e.g. downsample dominant languages).
+
+    ``rates`` maps stratum value → keep probability; strata not listed use
+    ``default_rate``. The rate lookup is a literal CASE expression, so the
+    whole operator stays one codegen'd filter over the scan.
+    """
+    rate = F.lit(default_rate)
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == F.lit(value), F.lit(r)).otherwise(rate)
+    return df.filter(hash_uniform(F.col(key_col), salt) < rate)
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_frac: float, salt: str = "split"
+) -> DataFrame:
+    """Add a 'split' column ('test' iff hash_uniform(key) < test_frac).
+
+    Membership is a pure function of the key: adding data, repartitioning, or
+    re-running never moves a document across the split boundary — the
+    property that keeps eval sets uncontaminated as the corpus grows.
+    """
+    return df.withColumn(
+        "split",
+        F.when(
+            hash_uniform(F.col(key_col), salt) < F.lit(test_frac), F.lit("test")
+        ).otherwise(F.lit("train")),
+    )

@@ -1,0 +1,63 @@
+"""Deterministic cardinality sketches.
+
+approx_count_distinct (HLL++) is the built-in answer at 100 TB, but its
+estimates are engine-specific — useless when two engines must agree. The KMV
+(k minimum values) sketch is the deterministic alternative: hash every value
+to a 32-bit integer (md5-derived, portable), keep the k smallest DISTINCT
+hashes, and estimate |D| ≈ (k-1) · 2^32 / kth_min (Bar-Yossef et al. 2002,
+"Counting distinct elements in a data stream"). The sketch is a pure
+function of the value SET — mergeable across partitions/days by unioning
+and re-taking the k smallest — so estimates are bit-reproducible anywhere,
+including the DuckDB oracle.
+
+Plan shape: hash projection → map-side-combined distinct → global min-k via
+sort-limit (Spark's TakeOrderedAndProject: per-partition top-k, merge of k
+rows per partition on the driver). The only full shuffle is the distinct;
+at extreme scale swap it for a per-partition min-k pre-aggregation since
+values above a partition's kth minimum can never reach the global sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TWO_32 = float(1 << 32)
+
+
+def h32(col: Column) -> Column:
+    """Portable 32-bit hash (first 8 md5 hex chars as bigint)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+
+
+def kmv_minima(df: DataFrame, col: str | Column, k: int) -> DataFrame:
+    """The k smallest distinct 32-bit value hashes: rows (rank, h)."""
+    c = F.col(col) if isinstance(col, str) else col
+    hashed = df.select(h32(c).alias("h")).distinct()
+    from pyspark.sql.window import Window
+
+    return (
+        hashed.orderBy("h")
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy("h")))
+        .select("rank", "h")
+    )
+
+
+def kmv_estimate(df: DataFrame, col: str | Column, k: int) -> DataFrame:
+    """One row: (k_used, kth_min, est_distinct).
+
+    If fewer than k distinct values exist the sketch is exhaustive and the
+    estimate IS the exact count (k_used < k).
+    """
+    minima = kmv_minima(df, col, k)
+    return minima.agg(
+        F.count("*").alias("k_used"),
+        F.max("h").alias("kth_min"),
+    ).select(
+        "k_used",
+        "kth_min",
+        F.when(F.col("k_used") < k, F.col("k_used").cast("double"))
+        .otherwise((F.col("k_used") - 1) * F.lit(TWO_32) / F.col("kth_min"))
+        .alias("est_distinct"),
+    )

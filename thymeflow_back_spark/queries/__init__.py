@@ -19,6 +19,7 @@ from . import relational  # noqa: F401,E402
 from . import temporal  # noqa: F401,E402
 from . import sync  # noqa: F401,E402
 from . import dedup  # noqa: F401,E402
+from . import pipeline  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402
 from . import textstats  # noqa: F401,E402
 from . import rdf  # noqa: F401,E402

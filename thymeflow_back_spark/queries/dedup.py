@@ -94,9 +94,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, "doc_id", "text", SHINGLE_N)
-    pairs = D.jaccard_pairs(sh, "doc_id", JACCARD_THRESHOLD)
-    return pairs.withColumnRenamed("a_id", "a_id").orderBy("a_id", "b_id")
+    pairs = D.jaccard_near_dups(docs, "doc_id", "text", SHINGLE_N, JACCARD_THRESHOLD)
+    return pairs.orderBy("a_id", "b_id")
 
 
 # --- Q: MinHash + LSH ---------------------------------------------------------
@@ -271,7 +270,6 @@ MAX_SHINGLE_DF = 8  # shingles in more docs than this are blocked out
 )
 def q_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sh = D.word_shingles(docs, "doc_id", "text", SHINGLE_N)
-    return D.jaccard_pairs(
-        sh, "doc_id", JACCARD_THRESHOLD, max_doc_freq=MAX_SHINGLE_DF
+    return D.jaccard_near_dups(
+        docs, "doc_id", "text", SHINGLE_N, JACCARD_THRESHOLD, max_doc_freq=MAX_SHINGLE_DF
     ).orderBy("a_id", "b_id")

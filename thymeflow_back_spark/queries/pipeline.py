@@ -1,0 +1,256 @@
+"""Training-data pipeline queries: deterministic sampling, splits, sequence
+packing, and benchmark decontamination over the documents table.
+
+Every selection here is a pure function of document keys (md5-derived), so
+the DuckDB oracles reproduce the exact row sets — reproducibility is the
+point of the operators, and the correctness gate proves it across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators.packing import pack_chunks
+from ..operators.sampling import stratified_sample, train_test_split
+from ..operators.sketch import kmv_estimate
+from ..tables import load
+from .catalog import query
+
+# Shared literals (embedded in both engines' plans).
+STRAT_RATES = {"en": 0.2, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.8}
+TEST_FRAC = 0.1
+PACK_BUDGET = 2048
+CONTAM_N = 4
+PROBE_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
+
+_SQL_U = (
+    "(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " / 4294967296.0)"
+)
+
+_SQL_TOKENS = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+
+
+# --- Q: stratified sampling ---------------------------------------------------
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_SQL_U.format(salt="sample")} <
+      CASE lang WHEN 'en' THEN 0.2 WHEN 'de' THEN 0.8 WHEN 'es' THEN 0.8
+                WHEN 'fr' THEN 0.8 WHEN 'zh' THEN 0.8 ELSE 0.0 END
+    ORDER BY doc_id
+    """,
+    doc="Deterministic per-language Bernoulli sampling (downsample the "
+    "dominant language): keep iff md5-hash-uniform(doc_id) < rate[lang]. "
+    "Zero-shuffle codegen'd filter; bit-identical row set on any cluster.",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "doc_id", "lang", STRAT_RATES, salt="sample")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# --- Q: train/test split ------------------------------------------------------
+
+
+@query(
+    "q_train_test_split",
+    oracle=f"""
+    SELECT
+      CASE WHEN {_SQL_U.format(salt="split")} < {TEST_FRAC}
+           THEN 'test' ELSE 'train' END AS split,
+      lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Hash-keyed train/test split: membership is a pure function of "
+    "doc_id, so growing or repartitioning the corpus never migrates a "
+    "document across the boundary. Reported as per-(split, lang) profiles.",
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "doc_id", TEST_FRAC, salt="split")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# --- Q: sequence packing ------------------------------------------------------
+
+
+@query(
+    "q_token_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS n_tok FROM documents
+    ),
+    p AS (
+      SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+      FROM t
+    )
+    SELECT CAST(FLOOR(tok_before / {PACK_BUDGET}) AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM p GROUP BY 1 ORDER BY 1
+    """,
+    doc="Fixed-token-budget sequence packing: concatenate the corpus in "
+    "doc_id order, cut every 2048 tokens, assign each doc to the chunk "
+    "holding its first token. The global running token count is a "
+    "distributed two-phase prefix sum (operators/packing.py) — per-range "
+    "partial sums in parallel plus one tiny offsets pass — NOT a "
+    "single-task global window.",
+)
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(F.expr("filter(split(text, ' '), t -> t != '')")).cast("bigint")
+    packed = pack_chunks(
+        docs.select("doc_id", toks.alias("n_tok")), "doc_id", "n_tok", PACK_BUDGET
+    )
+    return (
+        packed.groupBy("chunk_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .orderBy("chunk_id")
+    )
+
+
+# --- Q: benchmark decontamination --------------------------------------------
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+             toks[i+3] AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - {CONTAM_N - 1})) AS i) s
+    ),
+    probe AS (SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id % {PROBE_MOD} = 0),
+    corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {PROBE_MOD} <> 0)
+    SELECT c.doc_id,
+           COUNT(DISTINCT c.shingle) AS n_shared_shingles,
+           COUNT(DISTINCT p.probe_id) AS n_benchmark_docs
+    FROM corpus c JOIN probe p USING (shingle)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Benchmark decontamination: training documents sharing any word "
+    "4-gram with the held-out benchmark set (doc_id % 97 == 0 here). The "
+    "benchmark side is broadcast, shingles explode map-side — the only "
+    "shuffle is the per-document hit aggregation.",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % PROBE_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % PROBE_MOD != 0)
+    return (
+        D.benchmark_contamination(corpus, probe, "doc_id", "text", CONTAM_N)
+        .orderBy("doc_id")
+    )
+
+
+# --- Q: KMV distinct-count sketch --------------------------------------------
+
+KMV_K = 64
+SHINGLE_N_KMV = 3
+
+
+@query(
+    "q_distinct_kmv",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) s
+    ),
+    hs AS (SELECT DISTINCT ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+    mins AS (SELECT h FROM hs ORDER BY h LIMIT {KMV_K})
+    SELECT COUNT(*) AS k_used,
+           MAX(h) AS kth_min,
+           CASE WHEN COUNT(*) < {KMV_K} THEN COUNT(*)::DOUBLE
+                ELSE (COUNT(*) - 1) * 4294967296.0 / MAX(h) END AS est_distinct
+    FROM mins
+    """,
+    doc="KMV (k-minimum-values) distinct-count sketch over word-3-gram "
+    "shingles: k smallest md5-derived hashes -> (k-1)·2^32/kth_min. The "
+    "deterministic, mergeable, cross-engine-reproducible alternative to "
+    "HLL approx_count_distinct (operators/sketch.py).",
+)
+def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", SHINGLE_N_KMV)
+    return kmv_estimate(sh, "shingle", KMV_K)
+
+
+# --- Q: vocabulary heavy hitters ---------------------------------------------
+
+VOCAB_TOP = 50
+
+
+@query(
+    "q_vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    stats AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS total_freq
+      FROM tok GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, doc_freq, total_freq,
+             ROW_NUMBER() OVER (ORDER BY total_freq DESC, tok) AS rank
+      FROM stats
+    )
+    SELECT rank, tok, doc_freq, total_freq FROM ranked
+    WHERE rank <= {VOCAB_TOP} ORDER BY rank
+    """,
+    doc="Vocabulary heavy hitters: top-50 tokens by corpus frequency with "
+    "document frequency — the vocab-building / stop-word-discovery "
+    "aggregation. One token groupBy; the top-k tail is a sort-limit "
+    "(per-partition top-k merge), never a global sort.",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = D.tokens(docs, "doc_id", "text")
+    stats = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count("*").alias("total_freq"),
+    )
+    # sort-limit first (TakeOrdered: per-partition top-k merge, no global
+    # sort); the rank window then runs over VOCAB_TOP rows only.
+    top = stats.orderBy(F.desc("total_freq"), F.asc("tok")).limit(VOCAB_TOP)
+    w = Window.orderBy(F.desc("total_freq"), F.asc("tok"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "tok", "doc_freq", "total_freq")
+        .orderBy("rank")
+    )
