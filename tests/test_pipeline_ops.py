@@ -108,6 +108,24 @@ def test_kmv_estimate_exact_below_k_and_plausible_above(spark):
     assert 4000 < row.est_distinct < 6000  # ~5000 within KMV error bounds
 
 
+def test_sq8_roundtrip_error_bounded(spark):
+    import random
+
+    from thymeflow_back_spark.operators.quantize import sq8_roundtrip
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(16)]) for i in range(50)]
+    rows.append((99, [1.25] * 16))  # constant vector: scale-0 guard
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = {r.id: (r.v, r.vec_q) for r in sq8_roundtrip(df, "v").collect()}
+    for i, (v, vq) in out.items():
+        mn, mx = min(v), max(v)
+        half_bucket = (mx - mn) / 255 / 2
+        for x, xq in zip(v, vq):
+            assert abs(x - xq) <= half_bucket + 1e-12, (i, x, xq)
+    assert out[99][1] == [1.25] * 16
+
+
 def test_benchmark_contamination(spark):
     corpus = spark.createDataFrame(
         [

@@ -1,0 +1,64 @@
+"""Incremental streaming near-dup: micro-batches vs the persistent band index."""
+
+from __future__ import annotations
+
+from thymeflow_back_spark.streaming.dedup_stream import (
+    document_stream,
+    run_incremental_near_dup,
+)
+
+B1 = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2, "one two three four five six seven eight nine ten"),
+    # 3 is a near-dup of 1 (last token differs) — within-batch pair
+    (3, "alpha beta gamma delta epsilon zeta eta theta iota OMEGA"),
+]
+B2 = [
+    # exact duplicate of 2 — cross-batch pair via the band index
+    (20, "one two three four five six seven eight nine ten"),
+    (21, "totally fresh unrelated words that match nothing else here"),
+]
+
+
+def _run(spark, staging, index_dir, pairs_dir, ckpt):
+    q = run_incremental_near_dup(
+        document_stream(spark, str(staging)),
+        str(index_dir),
+        str(pairs_dir),
+        str(ckpt),
+    )
+    q.awaitTermination(120)
+
+
+def test_incremental_near_dup_within_and_cross_batch(spark, tmp_path):
+    staging = tmp_path / "staging"
+    index_dir = tmp_path / "index"
+    pairs_dir = tmp_path / "pairs"
+    ckpt = tmp_path / "ckpt"
+
+    spark.createDataFrame(B1, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(staging))
+    _run(spark, staging, index_dir, pairs_dir, ckpt)
+
+    got = {
+        (r.a_id, r.b_id): round(r.jaccard, 3)
+        for r in spark.read.parquet(str(pairs_dir)).collect()
+    }
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0  # within-batch near-dup
+    assert all(a != 2 and b != 2 for a, b in got)  # clean doc pairs nothing
+
+    spark.createDataFrame(B2, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(staging))
+    _run(spark, staging, index_dir, pairs_dir, ckpt)
+
+    got = {
+        (r.a_id, r.b_id): round(r.jaccard, 3)
+        for r in spark.read.parquet(str(pairs_dir)).collect()
+    }
+    assert got[(2, 20)] == 1.0  # cross-batch exact dup via the index
+    assert (1, 3) in got and len([k for k in got if 21 in k]) == 0
+
+    # the index now holds all five documents' shingle sets
+    assert spark.read.parquet(str(index_dir / "docs")).count() == 5

@@ -305,3 +305,88 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=IVF_PROBE,
         refine_iters=1,
     ).orderBy("q_id", "rank")
+
+
+# --- Q: int8 scalar quantization recall ---------------------------------------
+
+SQ_K = 10
+
+
+@query(
+    "q_similarity_sq8",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    mm AS (
+      SELECT vec_id, v,
+             list_aggregate(v, 'min') AS mn, list_aggregate(v, 'max') AS mx
+      FROM vecs
+    ),
+    qv AS (
+      SELECT vec_id,
+             CASE WHEN mx = mn THEN v
+                  ELSE list_transform(v, x ->
+                    mn + (least(255, greatest(0, floor((x - mn) * 255 / (mx - mn)))) + 0.5)
+                         * (mx - mn) / 255)
+             END AS v
+      FROM mm
+    ),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM vecs WHERE vec_id < {N_QUERIES}),
+    exact_ranked AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.vec_id AS c_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 round(list_dot_product(q.q_vec, c.v)
+                   / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.v, c.v))), 9) DESC,
+                 c.vec_id) AS rank
+        FROM vecs c CROSS JOIN q WHERE c.vec_id <> q.q_id)
+      WHERE rank <= {SQ_K}
+    ),
+    quant_ranked AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.vec_id AS c_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 round(list_dot_product(q.q_vec, c.v)
+                   / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.v, c.v))), 9) DESC,
+                 c.vec_id) AS rank
+        FROM qv c CROSS JOIN q WHERE c.vec_id <> q.q_id)
+      WHERE rank <= {SQ_K}
+    )
+    SELECT e.q_id,
+           COUNT(qr.c_id) AS n_overlap,
+           COUNT(qr.c_id) / {SQ_K}.0 AS recall
+    FROM exact_ranked e
+    LEFT JOIN quant_ranked qr USING (q_id, c_id)
+    GROUP BY e.q_id
+    ORDER BY e.q_id
+    """,
+    doc="Int8 scalar quantization (SQ8): per-vector floor-quantize the "
+    "corpus to 255 levels (4x smaller store), run asymmetric cosine top-10 "
+    "against full-precision probes, and report recall@10 vs the exact "
+    "ranking per probe. Quantization is exact floor arithmetic, so the "
+    "approximate result itself is value-checked cross-engine "
+    "(operators/quantize.py).",
+)
+def q_similarity_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantize import sq8_roundtrip
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus_q = sq8_roundtrip(emb, "embedding").select(
+        "vec_id", F.col("vec_q").alias("emb")
+    )
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    exact_corpus = emb.select("vec_id", F.col("embedding").alias("emb"))
+    exact = cosine_topk(exact_corpus, probes, "vec_id", "emb", SQ_K).select("q_id", "c_id")
+    quant = cosine_topk(corpus_q, probes, "vec_id", "emb", SQ_K).select(
+        "q_id", "c_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(quant, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("hit").alias("n_overlap"))
+        .withColumn("recall", F.col("n_overlap") / F.lit(float(SQ_K)))
+        .orderBy("q_id")
+    )

@@ -1,0 +1,127 @@
+"""Incremental near-duplicate detection over a document stream.
+
+Batch dedup (operators/dedup.py) answers "which documents in this corpus
+duplicate each other"; a continuously-ingesting pipeline needs the
+incremental form: "which of the documents that JUST ARRIVED duplicate
+anything seen before". Re-running the all-corpus join per arrival would be
+O(corpus) per batch — a non-starter at 100 TB. Instead the job maintains a
+persistent MinHash BAND INDEX:
+
+- ``<index>/bands``: (id, band, bkey), parquet partitioned by band — the
+  LSH buckets of every document ever seen. A new batch's band keys join
+  against this (equi-join on band+bkey, band partition-pruned), so each
+  batch touches only the bucket entries it collides with, never the corpus.
+- ``<index>/docs``: (id, sh) — shingle sets for the exact-Jaccard verify of
+  the candidates (in-row array_intersect, candidate-proportional work).
+
+Per micro-batch: within-batch pairs via the batch-local blocked join, plus
+new-vs-corpus pairs via the index; then the batch's bands and shingle sets
+are appended to the index. All hashing is the md5-derived family from
+operators/dedup.py, so the streaming job finds exactly the pairs the batch
+operator would (asserted in tests/test_streaming_dedup.py).
+
+State discipline: the index grows with the corpus (unavoidable — dedup
+state IS corpus-sized) but per-batch work is bounded by batch size ×
+collision rate; compaction of the append-parquet is an offline concern.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import (
+    doc_shingles,
+    jaccard_near_dups,
+    lsh_band_rows,
+    minhash_signatures_mapside,
+)
+
+DOC_STREAM_FIELDS = "doc_id bigint, text string"
+
+
+def document_stream(spark, staging_dir: str, schema: str = DOC_STREAM_FIELDS) -> DataFrame:
+    """Stream of documents from a staging directory of parquet files."""
+    return spark.readStream.schema(schema).parquet(staging_dir)
+
+
+def _pair_jaccard(threshold: float):
+    n_common = F.size(F.array_intersect("a_sh", "b_sh")).cast("bigint")
+    jac = n_common / (F.size("a_sh") + F.size("b_sh") - n_common)
+    return (
+        lambda df: df.withColumn("n_common", n_common)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "n_common", "jaccard")
+    )
+
+
+def run_incremental_near_dup(
+    docs: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Start the incremental near-dup job on a document stream.
+
+    Emits to ``pairs_dir``: (a_id, b_id, n_common, jaccard) where a_id is the
+    earlier-seen document (previous batch or smaller id within the batch).
+    """
+    bands_dir = os.path.join(index_dir, "bands")
+    docs_dir = os.path.join(index_dir, "docs")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+
+        docs_sh = doc_shingles(batch, id_col, text_col, n).localCheckpoint(eager=True)
+        bands = lsh_band_rows(
+            minhash_signatures_mapside(docs_sh, id_col), id_col
+        ).localCheckpoint(eager=True)
+
+        pairs = jaccard_near_dups(batch, id_col, text_col, n, threshold)
+
+        if os.path.isdir(bands_dir):
+            old_bands = spark.read.parquet(bands_dir)
+            cands = (
+                old_bands.withColumnRenamed(id_col, "a_id")
+                .join(bands.withColumnRenamed(id_col, "b_id"), ["band", "bkey"])
+                .select("a_id", "b_id")
+                .dropDuplicates(["a_id", "b_id"])
+            )
+            old_docs = spark.read.parquet(docs_dir)
+            verified = _pair_jaccard(threshold)(
+                cands.join(
+                    old_docs.select(
+                        F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh")
+                    ),
+                    "a_id",
+                ).join(
+                    docs_sh.select(
+                        F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh")
+                    ),
+                    "b_id",
+                )
+            )
+            pairs = pairs.unionByName(verified)
+
+        pairs.write.mode("append").parquet(pairs_dir)
+        bands.write.partitionBy("band").mode("append").parquet(bands_dir)
+        docs_sh.write.mode("append").parquet(docs_dir)
+
+    writer = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+    )
+    return writer.start()
