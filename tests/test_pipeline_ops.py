@@ -108,6 +108,77 @@ def test_kmv_estimate_exact_below_k_and_plausible_above(spark):
     assert 4000 < row.est_distinct < 6000  # ~5000 within KMV error bounds
 
 
+def _brute_jaccard_pairs(docs, n=3, threshold=0.5):
+    def sh(text):
+        toks = [t for t in text.split(" ") if t]
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: sh(t) for i, t in docs}
+    out = {}
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                out[(a, b)] = (inter, inter / union)
+    return out
+
+
+def test_jaccard_near_dups_matches_bruteforce_random_corpora(spark):
+    """Randomized (seeded) corpora: blocked plan == all-pairs brute force."""
+    import random
+
+    from thymeflow_back_spark.operators.dedup import jaccard_near_dups
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(30)]
+        docs = []
+        for i in range(60):
+            if i % 3 == 0 and i > 0:
+                base = docs[rng.randrange(len(docs))][1].split(" ")
+                k = rng.randrange(0, 3)
+                mutated = list(base)
+                for _ in range(k):
+                    mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+                docs.append((i, " ".join(mutated)))
+            else:
+                docs.append(
+                    (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 15))))
+                )
+        want = _brute_jaccard_pairs(docs)
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.a_id, r.b_id): (r.n_common, r.jaccard)
+            for r in jaccard_near_dups(df, "doc_id", "text").collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
+def test_minhash_near_dups_sound_and_finds_exact_dups(spark):
+    """LSH pairs are always TRUE near-dups (verify stage is exact), and
+    exact duplicates are always found (identical signatures collide)."""
+    import random
+
+    from thymeflow_back_spark.operators.dedup import minhash_near_dups
+
+    rng = random.Random(9)
+    vocab = [f"w{j}" for j in range(40)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(12))) for i in range(40)]
+    docs += [(100 + i, docs[i][1]) for i in range(5)]  # exact dups
+    want = _brute_jaccard_pairs(docs)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in minhash_near_dups(df, "doc_id", "text").collect()
+    }
+    assert set(got) <= set(want)  # soundness: no false positives survive
+    for i in range(5):
+        assert got[(i, 100 + i)] == 1.0  # exact dups guaranteed recalled
+
+
 def test_sq8_roundtrip_error_bounded(spark):
     import random
 

@@ -254,3 +254,98 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "tok", "doc_freq", "total_freq")
         .orderBy("rank")
     )
+
+
+# --- Q: quality filter rule chain --------------------------------------------
+
+
+@query(
+    "q_quality_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             COALESCE(list_max(list_transform(toks, t -> length(t))), 0) AS max_word_len,
+             list_max(list_transform(list_distinct(toks),
+               t -> len(list_filter(toks, x -> x = t)))) / NULLIF(len(toks), 0) AS rep_ratio,
+             len(list_filter(toks, t -> list_contains(
+               ['a','an','and','in','is','of','the','to'], t))) / NULLIF(len(toks), 0) AS stopword_ratio,
+             len(list_distinct(toks)) / NULLIF(len(toks), 0) AS unique_ratio
+      FROM t
+    ),
+    r AS (
+      SELECT *,
+        CASE WHEN n_words < 5 THEN 'too_few_words'
+             WHEN n_words > 5000 THEN 'too_many_words'
+             WHEN max_word_len > 20 THEN 'word_too_long'
+             WHEN rep_ratio > 0.25 THEN 'too_repetitive'
+             WHEN stopword_ratio < 0.01 THEN 'low_stopword'
+             WHEN unique_ratio < 0.3 THEN 'low_diversity'
+        END AS drop_reason
+      FROM m
+    )
+    SELECT doc_id, n_words, max_word_len, rep_ratio, stopword_ratio,
+           unique_ratio, drop_reason, drop_reason IS NULL AS keep
+    FROM r ORDER BY doc_id
+    """,
+    doc="C4/Gopher-style quality gate: ordered rule chain (length bounds, "
+    "max word length, top-token repetition, stopword presence, vocabulary "
+    "diversity) with the first failed rule as drop_reason — a single-scan "
+    "zero-shuffle codegen'd projection (operators/text.py quality_filter).",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_filter
+
+    docs = load(spark, sf_dir, "documents")
+    return quality_filter(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# --- Q: dataset mixture rebalancing ------------------------------------------
+
+
+@query(
+    "q_dataset_mixture",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+    m AS (SELECT MIN(cnt) AS mn FROM c),
+    r AS (SELECT lang, mn / cnt AS rate FROM c, m),
+    kept AS (
+      SELECT d.lang
+      FROM documents d JOIN r USING (lang)
+      WHERE {_SQL_U.format(salt="mix")} < r.rate
+    ),
+    k AS (SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY 1)
+    SELECT r.lang, r.rate, COALESCE(k.n_kept, 0) AS n_kept
+    FROM r LEFT JOIN k USING (lang)
+    ORDER BY r.lang
+    """,
+    doc="Dataset mixture rebalancing toward a uniform-over-language target: "
+    "per-language keep rates derived FROM the data (min_count/count), "
+    "applied as deterministic hash sampling. The rate table is a broadcast "
+    "join; selection stays a pure function of doc_id, so the rebalanced "
+    "mixture is reproducible on any cluster.",
+)
+def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_uniform
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    mn = counts.agg(F.min("cnt").alias("mn"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        "lang", (F.col("mn") / F.col("cnt")).alias("rate")
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(hash_uniform(F.col("doc_id"), "mix") < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select("lang", "rate", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+        .orderBy("lang")
+    )
