@@ -93,3 +93,24 @@ def test_ivf_partitioned_index_prunes_and_matches(spark, tmp_path):
     a = {(r.q_id, r.c_id, r.rank) for r in got.collect()}
     b = {(r.q_id, r.c_id, r.rank) for r in expect.collect()}
     assert a == b and len(a) == 15
+
+
+def test_ivf_sq8_index_layout_and_recall(spark, tmp_path):
+    from thymeflow_back_spark.operators.ivf import ivf_probe_index, ivf_write_index
+
+    emb = load(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    raw_path = str(tmp_path / "ivf_raw")
+    sq_path = str(tmp_path / "ivf_sq8")
+    ivf_write_index(emb, "vec_id", "embedding", raw_path, n_cells=8)
+    ivf_write_index(emb, "vec_id", "embedding", sq_path, n_cells=8, sq8=True)
+
+    stored = spark.read.parquet(sq_path)
+    assert "c_vec" not in stored.columns  # no float vectors on disk
+    assert dict(stored.dtypes)["codes"] == "array<tinyint>"  # 1 byte/dim
+
+    raw = _pairs(ivf_probe_index(spark, raw_path, queries, "vec_id", "embedding", K))
+    quant = _pairs(ivf_probe_index(spark, sq_path, queries, "vec_id", "embedding", K))
+    assert len(quant) == len(raw)
+    overlap = len(raw & quant) / len(raw)
+    assert overlap >= 0.8, f"SQ8 recall collapsed: {overlap}"

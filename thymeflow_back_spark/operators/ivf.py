@@ -127,17 +127,34 @@ def ivf_write_index(
     path: str,
     n_cells: int = N_CELLS,
     refine_iters: int = 1,
+    sq8: bool = False,
 ) -> list[list[float]]:
     """Materialize the inverted file as a parquet dataset PARTITIONED BY
     cell — the physical form of the 100 TB story: a probe then reads only
     the n_probe cell partitions (partition pruning), not the corpus.
-    Centroids are stored alongside as JSON (k×d — driver-scale)."""
+    Centroids are stored alongside as JSON (k×d — driver-scale).
+
+    ``sq8=True`` stores vectors as per-vector int8 scalar-quantized codes
+    (1 byte/dim + two doubles) instead of float64 arrays — the IVF-SQ8
+    layout: at 100 TB the index shrinks ~4-8× and probes dequantize
+    map-side (operators/quantize.py midpoint decode) into the same cosine
+    tail."""
     import json
 
     centroids = seed_centroids(corpus, id_col, vec_col, n_cells)
     if refine_iters:
         centroids = refine_centroids(corpus, id_col, vec_col, centroids, refine_iters)
     inverted = ivf_assign(corpus, id_col, vec_col, centroids)
+    if sq8:
+        from .quantize import sq8_encode
+
+        inverted = sq8_encode(inverted, "c_vec", out_col="codes32").selectExpr(
+            "c_id",
+            "cell",
+            "mn",
+            "mx",
+            "transform(codes32, c -> cast(c - 128 as tinyint)) as codes",
+        )
     inverted.write.partitionBy("cell").mode("overwrite").parquet(path)
     spark = corpus.sparkSession
     spark.createDataFrame(
@@ -165,6 +182,15 @@ def ivf_probe_index(
     (row,) = spark.read.json(path + "_centroids").collect()
     centroids = json.loads(row.centroids)
     inverted = spark.read.parquet(path)
+    if "codes" in inverted.columns:
+        # IVF-SQ8 layout: dequantize map-side (midpoint decode) into the
+        # same cosine tail; the scan still reads 1 byte/dim + 2 doubles.
+        inverted = inverted.selectExpr(
+            "c_id",
+            "cell",
+            "transform(codes, c -> if(mx = mn, mn, "
+            "mn + (cast(c as double) + 128.5d) * (mx - mn) / 255)) as c_vec",
+        )
 
     qv = as_double_array(F.col(vec_col))
     ranked = F.transform(
