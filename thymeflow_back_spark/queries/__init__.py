@@ -26,3 +26,4 @@ from . import rdf  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
 from . import er  # noqa: F401,E402
 from . import fts  # noqa: F401,E402
+from . import streamdedup  # noqa: F401,E402  (heavyweight: keep last)

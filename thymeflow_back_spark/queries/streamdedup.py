@@ -1,0 +1,102 @@
+"""Streaming query rows: long-running jobs value-checked via SQL replay.
+
+Registered LAST in the catalog on purpose: the correctness walk runs in
+registration order and these rows cost tens of seconds (two full
+micro-batch rounds each), so they must never delay the cheap rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..tables import load
+from .catalog import query
+
+# --- Q: incremental streaming near-dup (oracle-backed) ------------------------
+
+from .dedup import (  # noqa: E402
+    JACCARD_THRESHOLD,
+    _PERMS_VALUES,
+    _SQL_JACCARD,
+    _SQL_SHINGLES,
+)
+
+
+@query(
+    "q_streaming_near_dup",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_JACCARD},
+    perms(i, a, b) AS (VALUES {_PERMS_VALUES}),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {D.MERSENNE_P} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, i, MIN((a * h + b) % {D.MERSENNE_P}) AS mh
+      FROM hashed CROSS JOIN perms
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, i // {D.ROWS_PER_BAND} AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkey
+      FROM sig GROUP BY 1, 2
+    ),
+    within AS (
+      SELECT a_id, b_id, n_common, jaccard FROM jac
+      WHERE jaccard >= {JACCARD_THRESHOLD} AND a_id % 2 = b_id % 2
+    ),
+    ccand AS (
+      SELECT DISTINCT be.doc_id AS a_id, bo.doc_id AS b_id
+      FROM bands be JOIN bands bo USING (band, bkey)
+      WHERE be.doc_id % 2 = 0 AND bo.doc_id % 2 = 1
+    ),
+    cinter AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+      FROM ccand c
+      JOIN sh a ON a.doc_id = c.a_id
+      JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    cpairs AS (
+      SELECT i.a_id, i.b_id, i.n_common,
+             i.n_common / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+      FROM cinter i
+      JOIN sizes sa ON sa.doc_id = i.a_id
+      JOIN sizes sb ON sb.doc_id = i.b_id
+    )
+    SELECT a_id, b_id, n_common, jaccard FROM within
+    UNION ALL
+    SELECT a_id, b_id, n_common, jaccard FROM cpairs
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    ORDER BY a_id, b_id
+    """,
+    doc="The incremental STREAMING near-dup job, value-checked end to end: "
+    "even-doc_id documents arrive as micro-batch 1 (building the persistent "
+    "MinHash band index), odd ones as micro-batch 2; emitted pairs must "
+    "equal within-batch exact blocked pairs plus cross-batch LSH band "
+    "collisions verified by exact Jaccard — the oracle replays the batch "
+    "split, the signatures, the banding, and the verification in SQL "
+    "(streaming/dedup_stream.py).",
+)
+def q_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.dedup_stream import document_stream, run_incremental_near_dup
+
+    base = tempfile.mkdtemp(prefix="tf_stream_neardup_")
+    staging, index, pairs, ckpt = (
+        os.path.join(base, d) for d in ("staging", "index", "pairs", "ckpt")
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    for parity in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+        q = run_incremental_near_dup(
+            document_stream(spark, staging), index, pairs, ckpt
+        )
+        q.awaitTermination()
+    return spark.read.parquet(pairs).orderBy("a_id", "b_id")
