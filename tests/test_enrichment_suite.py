@@ -543,3 +543,46 @@ def test_png_malformed_raises_valueerror():
     )
     with pytest.raises(ValueError):
         decode_png(bad_plte)
+
+
+def test_wav_codec_roundtrip_and_guards():
+    import numpy as np
+
+    from thymeflow_back_spark.multimodal.audio import decode_wav, encode_wav
+
+    rng = np.random.RandomState(11)
+    samples = rng.randint(-32768, 32768, size=777, dtype=np.int16)
+    sr, back = decode_wav(encode_wav(samples, 16000))
+    assert sr == 16000
+    assert np.array_equal(back, samples)
+
+    # stereo / non-16-bit content raises honestly
+    import io
+    import wave
+
+    import pytest
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00\x00\x00")
+    with pytest.raises(NotImplementedError):
+        decode_wav(buf.getvalue())
+
+
+def test_extract_audio_features_real_wav(spark):
+    import numpy as np
+
+    from thymeflow_back_spark.multimodal.audio import encode_wav, extract_audio_features
+
+    samples = np.array([0, 16384, -16384, 32767], dtype=np.int16)
+    media = spark.createDataFrame(
+        [(7, bytearray(encode_wav(samples, 8000)))], "media_id long, content binary"
+    )
+    (row,) = extract_audio_features(media).collect()
+    assert (row.media_id, row.sample_rate, row.n_samples, row.peak) == (7, 8000, 4, 32767)
+    assert abs(row.duration_ms - 0.5) < 1e-9
+    want_rms = float(np.sqrt((0 + 16384**2 + 16384**2 + 32767**2) / 4))
+    assert row.rms == want_rms

@@ -7,9 +7,10 @@ binary transfer, so the Spark-side plumbing (schema, batching, partition
 sizing) is identical whether the inner decode is a real codec or a stub.
 
 PNG decodes for real — a pure-stdlib codec (zlib inflate + numpy filter
-reconstruction, multimodal/png.py), no external image library. Other
-formats (JPEG/video/audio) still need codecs that are NOT in this runtime,
-so ``decode_image`` raises NotImplementedError for them unless ``fake=True``
+reconstruction, multimodal/png.py), no external image library — and so does
+WAV audio (RIFF/PCM via the stdlib wave module, multimodal/audio.py). Other
+formats (JPEG/video/compressed audio) still need codecs that are NOT in this
+runtime, so ``decode_image`` raises NotImplementedError for them unless ``fake=True``
 — the deterministic fake decoder (content-hash-seeded pseudo-pixels)
 exercises every batch/shape/partition path honestly; swapping in a real
 decoder changes one function.

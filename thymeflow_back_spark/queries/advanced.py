@@ -452,3 +452,69 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_png(F.col("text")).alias("content"),
     )
     return extract_image_features(media).orderBy("media_id")
+
+
+# --- Q: multimodal audio features (REAL WAV decode, sha256-derived oracle) ----
+
+
+@query(
+    "q_multimodal_audio",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id, sha256(COALESCE(text, '')) AS h
+      FROM documents ORDER BY doc_id LIMIT 200
+    ),
+    par AS (
+      SELECT doc_id, h, {_hexbyte(0)} AS b0, {_hexbyte(1)} AS b1 FROM sel
+    ),
+    bytes AS (
+      SELECT doc_id, ('0x' || substr(h, i * 2 + 1, 2))::BIGINT AS b
+      FROM par, LATERAL (SELECT unnest(generate_series(0, 31)) AS i) s
+    ),
+    agg AS (
+      SELECT doc_id,
+             SUM(((b - 128) * 256) * ((b - 128) * 256)) AS sumsq,
+             MAX(ABS((b - 128) * 256)) AS peak
+      FROM bytes GROUP BY 1
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(8000 + (b0 % 8) * 1000 AS INTEGER) AS sample_rate,
+           CAST(32 * (1 + b1 % 8) AS BIGINT) AS n_samples,
+           CAST(32 * (1 + b1 % 8) AS DOUBLE) / (8000 + (b0 % 8) * 1000) * 1000
+             AS duration_ms,
+           sqrt(CAST((1 + b1 % 8) * a.sumsq AS DOUBLE) / (32 * (1 + b1 % 8))) AS rms,
+           CAST(a.peak AS INTEGER) AS peak
+    FROM par p JOIN agg a USING (doc_id) ORDER BY media_id
+    """,
+    doc="Multimodal AUDIO plumbing on REAL encoded bytes: each document's "
+    "text becomes a 16-bit mono PCM WAV whose sample rate, tile count, and "
+    "samples derive from sha256(text) bytes; the extractor (Arrow-batched "
+    "mapInPandas) parses the RIFF container back with the stdlib wave "
+    "module (multimodal/audio.py) and computes rate/length/duration/"
+    "RMS/peak. Because the samples are a deterministic tile of the 32 "
+    "digest bytes, DuckDB re-derives every feature — including the exact "
+    "float64 RMS — from sha256() alone, value-checking the real decode "
+    "path end to end.",
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from ..multimodal.audio import encode_wav, extract_audio_features
+
+    @pandas_udf("binary")
+    def to_wav(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            digest = hashlib.sha256((t or "").encode()).digest()
+            sr = 8000 + (digest[0] % 8) * 1000
+            tiles = 1 + digest[1] % 8
+            base = (np.frombuffer(digest, dtype=np.uint8).astype(np.int32) - 128) * 256
+            out.append(encode_wav(np.tile(base, tiles).astype(np.int16), sr))
+        return pd.Series(out)
+
+    docs = load(spark, sf_dir, "documents").orderBy("doc_id").limit(200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        to_wav(F.col("text")).alias("content"),
+    )
+    return extract_audio_features(media).orderBy("media_id")
