@@ -349,3 +349,41 @@ def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rate", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
         .orderBy("lang")
     )
+
+
+# --- Q: BPE first-iteration pair counts --------------------------------------
+
+BPE_TOP = 20
+
+
+@query(
+    "q_bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents
+      ) GROUP BY 1
+    ),
+    p AS (
+      SELECT substr(word, i, 1) AS a,
+             CASE WHEN i = length(word) THEN '</w>' ELSE substr(word, i + 1, 1) END AS b,
+             cnt
+      FROM w, LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) s
+    ),
+    agg AS (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM p GROUP BY 1, 2)
+    SELECT a, b, pair_count FROM agg
+    ORDER BY pair_count DESC, a, b LIMIT {BPE_TOP}
+    """,
+    doc="BPE merge learning, first iteration: weighted adjacent symbol-pair "
+    "counts over the distinct word-shape table (characters + the '</w>' "
+    "end-of-word marker), top-20 by count. The iterative trainer "
+    "(operators/bpe.py train_bpe, pytest-verified against a local "
+    "reference implementation) repeats exactly this aggregation per merge.",
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import _initial_symbols, _pair_counts, word_shapes
+
+    docs = load(spark, sf_dir, "documents")
+    counts = _pair_counts(_initial_symbols(word_shapes(docs, "text")))
+    return counts.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b")).limit(BPE_TOP)
