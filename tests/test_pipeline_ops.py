@@ -197,6 +197,28 @@ def test_sq8_roundtrip_error_bounded(spark):
     assert out[99][1] == [1.25] * 16
 
 
+def test_pii_scrub_patterns_and_order(spark):
+    from thymeflow_back_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.org now"),
+            (2, "server at 192.168.1.10 up"),  # IP must NOT count as phone
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "clean text nothing here"),
+            (5, "a@b.io and 10.0.0.1 and +44 20 7946 0958"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in pii_scrub(df, "doc_id").collect()}
+    assert (got[1].n_emails, got[1].clean) == (1, "mail [EMAIL] now")
+    assert (got[2].n_ips, got[2].n_phones, got[2].clean) == (1, 0, "server at [IP] up")
+    assert got[3].n_phones == 1 and got[3].clean == "call [PHONE] today"
+    assert (got[4].n_emails, got[4].n_ips, got[4].n_phones) == (0, 0, 0)
+    assert (got[5].n_emails, got[5].n_ips, got[5].n_phones) == (1, 1, 1)
+    assert got[5].clean == "[EMAIL] and [IP] and [PHONE]"
+
+
 def test_benchmark_contamination(spark):
     corpus = spark.createDataFrame(
         [

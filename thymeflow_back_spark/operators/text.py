@@ -207,3 +207,44 @@ def quality_filter(df: DataFrame, id_col: str, text_col: str = "text") -> DataFr
     return d.withColumn("drop_reason", reason).withColumn(
         "keep", F.col("drop_reason").isNull()
     )
+
+
+# --- PII scrubbing -------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex and
+# RE2 (character classes, bounded repetition, \b word boundary — no
+# backreferences, no lookaround), so SQL oracles reproduce the scrub exactly.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Detect and redact emails / IPv4s / phone-shaped numbers.
+
+    Output: (id, n_emails, n_ips, n_phones, clean) — counts of each match
+    class and the redacted text ([EMAIL]/[IP]/[PHONE] placeholders).
+
+    Patterns apply IN ORDER on the progressively-scrubbed text (an IPv4 is
+    also phone-shaped: scrubbing IPs first keeps the counts disjoint).
+    Pure regexp_replace/regexp_count projections — single scan, zero
+    shuffles, linear in corpus bytes at 100 TB.
+    """
+    step1 = df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_replace(F.col(text_col), PII_EMAIL, "[EMAIL]").alias("__t1"),
+    )
+    step2 = step1.select(
+        F.col(id_col),
+        "n_emails",
+        F.regexp_count(F.col("__t1"), F.lit(PII_IP)).alias("n_ips"),
+        F.regexp_replace(F.col("__t1"), PII_IP, "[IP]").alias("__t2"),
+    )
+    return step2.select(
+        F.col(id_col),
+        "n_emails",
+        "n_ips",
+        F.regexp_count(F.col("__t2"), F.lit(PII_PHONE)).alias("n_phones"),
+        F.regexp_replace(F.col("__t2"), PII_PHONE, "[PHONE]").alias("clean"),
+    )

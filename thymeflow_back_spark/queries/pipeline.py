@@ -387,3 +387,70 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     counts = _pair_counts(_initial_symbols(word_shapes(docs, "text")))
     return counts.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b")).limit(BPE_TOP)
+
+
+# --- Q: PII scrubbing ----------------------------------------------------------
+
+
+@query(
+    "q_pii_scrub",
+    oracle=r"""
+    WITH dirty AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' call +1 555 01' || (doc_id % 100) || '9' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END
+        AS t
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+      FROM dirty
+    ),
+    s2 AS (
+      SELECT doc_id, n_emails,
+             len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+             regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id, n_emails, n_ips,
+           len(regexp_extract_all(t2, '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS n_phones,
+           regexp_replace(t2, '\+?[0-9][0-9()\-. ]{7,}[0-9]', '[PHONE]', 'g') AS clean
+    FROM s2 ORDER BY doc_id
+    """,
+    doc="PII scrubbing: email / IPv4 / phone-shaped matches detected and "
+    "redacted in order on progressively-scrubbed text (IPs scrub before "
+    "the phone pattern, which would otherwise swallow them). Synthetic PII "
+    "is appended deterministically per doc_id in BOTH engines; patterns "
+    "use only Java-regex/RE2-agreeing syntax, so the full redacted text "
+    "value-hash-matches (operators/text.py pii_scrub).",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pii_scrub
+
+    docs = load(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" call +1 555 01"), (F.col("doc_id") % 100).cast("string"), F.lit("9")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(dirty, "doc_id", "text").orderBy("doc_id")
