@@ -326,3 +326,119 @@ def q_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --- Q: JSON property extraction (semi-structured column) ---------------------
+
+
+@query(
+    "q_events_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Semi-structured column handling: per-event JSON properties "
+    "(events.props) extracted with a JSON path and aggregated per type — "
+    "get_json_object stays inside codegen, no UDF, schema-on-read.",
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Q: ROLLUP subtotal hierarchy ---------------------------------------------
+
+
+@query(
+    "q_orders_rollup",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    ORDER BY priority, status
+    """,
+    doc="ROLLUP subtotal hierarchy (priority -> status -> grand total) with "
+    "decimal-exact sums — the grouping-sets surface; one shuffle, Spark "
+    "expands the sets map-side.",
+)
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+# --- Q: exact percentiles via rank selection ----------------------------------
+
+
+@query(
+    "q_value_percentiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN value END) AS p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.90 * n) AS BIGINT) THEN value END) AS p90,
+           MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN value END) AS p99
+    FROM ranked
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exact per-group percentiles by rank selection (value at row "
+    "ceil(p*n) in a totally-ordered window) — engine-agnostic semantics "
+    "where builtin percentile functions disagree on interpolation; the "
+    "window sort is per-group, never global.",
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    wn = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def pick(p: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        )
+
+    return (
+        ranked.groupBy("event_type")
+        .agg(pick(0.50).alias("p50"), pick(0.90).alias("p90"), pick(0.99).alias("p99"))
+        .orderBy("event_type")
+    )
