@@ -747,3 +747,64 @@ def test_negated_property_sets(quads):
         % vocab.RDF_TYPE,
     ).collect()
     assert [r.v for r in rows] == ["Alice"]
+
+
+def test_group_concat_and_having(quads):
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?type (GROUP_CONCAT(?name ; SEPARATOR = ", ") AS ?names)
+               (COUNT(?who) AS ?n)
+        WHERE { ?who a ?type ; schema:name ?name . }
+        GROUP BY ?type
+        """,
+    ).collect()
+    got = {r.type: (r.names, r.n) for r in rows}
+    # GROUP_CONCAT output is sorted for determinism
+    assert got["c:Person"] == ("Alice, Bob", 2)
+    assert got["c:Robot"] == ("Carol", 1)
+
+
+def test_group_concat_default_separator_and_distinct(quads):
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT (GROUP_CONCAT(DISTINCT ?type) AS ?types) WHERE { ?who a ?type . }
+        """,
+    ).collect()
+    assert rows[0].types == "c:Person c:Robot"
+
+
+def test_having_filters_groups(quads):
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?type (COUNT(?who) AS ?n) WHERE { ?who a ?type . }
+        GROUP BY ?type
+        HAVING (COUNT(?who) > 1)
+        """,
+    ).collect()
+    assert [(r.type, r.n) for r in rows] == [("c:Person", 2)]
+
+    # var comparison + multiple constraints
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?type (COUNT(?who) AS ?n) WHERE { ?who a ?type . }
+        GROUP BY ?type
+        HAVING (COUNT(?who) >= 1) (?type != "c:Person")
+        """,
+    ).collect()
+    assert [(r.type, r.n) for r in rows] == [("c:Robot", 1)]
+
+
+def test_having_without_group_raises(quads):
+    with pytest.raises(SyntaxError):
+        sparql_select(
+            quads,
+            PFX + 'SELECT ?who WHERE { ?who a ?t . } HAVING (COUNT(?who) > 1)',
+        )

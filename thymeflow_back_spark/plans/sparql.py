@@ -62,7 +62,8 @@ _TOKEN_RE = re.compile(
   | (?P<NUMBER>-?\d+(?:\.\d+)?)
   | (?P<PNAME>\w[\w.-]*:[\w.-]*)
   | (?P<KW>(?i:PREFIX|SELECT|ASK|CONSTRUCT|DESCRIBE|INSERT|DELETE|DATA|DISTINCT
-       |WHERE|GRAPH|OPTIONAL|UNION|FILTER|GROUP|ORDER|BY|ASC|DESC|LIMIT|OFFSET
+       |WHERE|GRAPH|OPTIONAL|UNION|FILTER|GROUP_CONCAT|GROUP|ORDER|BY|ASC|DESC
+       |LIMIT|OFFSET|HAVING|SEPARATOR
        |AS|IN|NOT|COUNT|SUM|MIN|MAX|AVG|SAMPLE|BIND|VALUES|MINUS|EXISTS|UNDEF)\b)
   | (?P<A>\ba\b)
   | (?P<IDENT>\w+)
@@ -162,6 +163,8 @@ class SelectQuery:
     limit: int | None = None
     offset: int | None = None
     ask: bool = False
+    # (spec, op, value) — spec is ("agg", fn, distinct, arg) or ("var", name)
+    having: list[tuple] = field(default_factory=list)
 
 
 class _Parser:
@@ -681,11 +684,18 @@ class _Parser:
                     q.projections.append(("fn", fn_iri, args, alias))
                     continue
                 fn = self.expect("KW")
-                if fn not in ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE"):
+                if fn not in ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT"):
                     raise SyntaxError(f"SPARQL: unsupported function {fn}")
                 self.expect("OP", "(")
                 distinct = self.accept("KW", "DISTINCT")
                 arg = "*" if self.accept("OP", "*") else self.expect("VAR")[1:]
+                if fn == "GROUP_CONCAT":
+                    sep = " "  # spec default
+                    if self.accept("OP", ";"):
+                        self.expect("KW", "SEPARATOR")
+                        self.expect("OP", "=")
+                        sep = self.expect("STRING")[1:-1]
+                    fn = ("GROUP_CONCAT", sep)
                 self.expect("OP", ")")
                 self.expect("KW", "AS")
                 alias = self.expect("VAR")[1:]
@@ -702,6 +712,26 @@ class _Parser:
             self.expect("KW", "BY")
             while self.peek()[0] == "VAR":
                 q.group_by.append(self.next()[1][1:])
+        if self.accept("KW", "HAVING"):
+            # HAVING (COUNT(?x) > 2) (?g != "a") … — one parenthesized
+            # constraint per group, aggregate or grouped-var comparisons
+            while self.accept("OP", "("):
+                if self.peek()[0] == "KW":
+                    spec = self._parse_order_agg()
+                else:
+                    spec = ("var", self.expect("VAR")[1:])
+                k, op = self.next()
+                if k != "OP" or op not in ("=", "!=", "<", "<=", ">", ">="):
+                    raise SyntaxError(f"SPARQL: unsupported HAVING operator {op!r}")
+                vk, vv = self.next()
+                if vk == "NUMBER":
+                    val: float | str = float(vv)
+                elif vk == "STRING":
+                    val = vv[1:-1]
+                else:
+                    raise SyntaxError("SPARQL: HAVING compares against a literal")
+                self.expect("OP", ")")
+                q.having.append((spec, op, val))
         if self.accept("KW", "ORDER"):
             self.expect("KW", "BY")
             while True:
@@ -1265,7 +1295,15 @@ def _apply_bindings(df: DataFrame, bindings: dict[str, str] | None) -> DataFrame
     return df
 
 
-def _agg_col(fn: str, distinct: bool, arg: str) -> Column:
+def _agg_col(fn: str | tuple, distinct: bool, arg: str) -> Column:
+    if isinstance(fn, tuple):  # ("GROUP_CONCAT", separator)
+        # SPARQL leaves GROUP_CONCAT order undefined; we sort the collected
+        # values so the result is deterministic on any cluster (the same
+        # discipline as every other operator here).
+        coll = F.collect_set(F.col(arg).cast("string")) if distinct else F.collect_list(
+            F.col(arg).cast("string")
+        )
+        return F.array_join(F.array_sort(coll), fn[1])
     if fn == "COUNT" and arg == "*":
         return F.count(F.lit(1))
     c = F.col(arg)
@@ -1274,6 +1312,16 @@ def _agg_col(fn: str, distinct: bool, arg: str) -> Column:
     if distinct and fn == "COUNT":
         return F.count_distinct(c)
     return _AGGS[fn](c)
+
+
+_HAVING_OPS: dict[str, Callable[[Column, object], Column]] = {
+    "=": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
 
 
 def _run_select(
@@ -1317,15 +1365,25 @@ def _run_select(
             hidden_order_aggs.append(_agg_col(fn, distinct, arg).alias(alias))
             order_cols.append(F.asc(alias) if asc else F.desc(alias))
 
+    if q.having and not (has_agg or q.group_by):
+        raise SyntaxError("SPARQL: HAVING needs GROUP BY or aggregates")
     if has_agg or q.group_by:
+        hidden_having = [
+            _agg_col(spec[1], spec[2], spec[3]).alias(f"__hav{j}")
+            for j, (spec, _, _) in enumerate(q.having)
+            if spec[0] == "agg"
+        ]
         aggs = [
             _agg_col(p[1], p[2], p[3]).alias(p[4]) for p in q.projections if p[0] == "agg"
-        ] + hidden_order_aggs
+        ] + hidden_order_aggs + hidden_having
         keys = q.group_by or [p[1] for p in q.projections if p[0] == "var"]
         if aggs:
             df = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
         else:
             df = df.select(*keys).dropDuplicates()
+        for j, (spec, op, val) in enumerate(q.having):
+            col = F.col(f"__hav{j}") if spec[0] == "agg" else F.col(spec[1])
+            df = df.filter(_HAVING_OPS[op](col, val))
         names = [p[1] if p[0] == "var" else p[4] for p in q.projections]
         df = df.select(*names, *[F.col(f"__ord{i}") for i, (s, _) in enumerate(q.order_by) if not isinstance(s, str)])
     else:

@@ -611,3 +611,44 @@ def q_rdf_negated_pathset(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ?region_name
         """,
     )
+
+
+# --- Q: GROUP_CONCAT + HAVING through the text surface ------------------------
+
+
+@query(
+    "q_rdf_group_concat",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ', ' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    HAVING MIN(n_name) < 'NATION_13'
+    ORDER BY r_name
+    """,
+    doc="SPARQL 1.1 GROUP_CONCAT (explicit separator, deterministic sorted "
+    "order) plus HAVING over an aggregate, through the text front end — "
+    "RDF4J grammar parity for the aggregate tail.",
+)
+def q_rdf_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.sparql import sparql_select
+
+    quads = tpch.tpch_quads(spark, sf_dir)
+    return sparql_select(
+        quads,
+        """
+        PREFIX p: <p:>
+        PREFIX schema: <schema:>
+        SELECT ?r_name (GROUP_CONCAT(?n_name ; SEPARATOR = ", ") AS ?nations)
+               (COUNT(?n) AS ?n_nations)
+        WHERE {
+          ?n p:inRegion ?r .
+          ?n schema:name ?n_name .
+          ?r schema:name ?r_name .
+        }
+        GROUP BY ?r_name
+        HAVING (MIN(?n_name) < "NATION_13")
+        ORDER BY ?r_name
+        """,
+    ).withColumnRenamed("r_name", "r_name")
