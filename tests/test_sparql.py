@@ -808,3 +808,71 @@ def test_having_without_group_raises(quads):
             quads,
             PFX + 'SELECT ?who WHERE { ?who a ?t . } HAVING (COUNT(?who) > 1)',
         )
+
+
+def test_string_and_numeric_builtins(quads):
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?name ?up ?sub ?rep ?before ?after ?joined WHERE {
+          ?who schema:name ?name .
+          BIND(UCASE(?name) AS ?up)
+          BIND(SUBSTR(?name, 2, 3) AS ?sub)
+          BIND(REPLACE(?name, "a", "_") AS ?rep)
+          BIND(STRBEFORE(?name, "o") AS ?before)
+          BIND(STRAFTER(?name, "o") AS ?after)
+          BIND(CONCAT(?name, "!", ?up) AS ?joined)
+          FILTER(?name = "Carol")
+        }
+        """,
+    ).collect()
+    (r,) = rows
+    assert (r.up, r.sub, r.rep) == ("CAROL", "aro", "C_rol")
+    assert (r.before, r.after) == ("Car", "l")
+    assert r.joined == "Carol!CAROL"
+
+
+def test_strbefore_absent_needle_is_empty(quads):
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?name ?b WHERE {
+          ?who schema:name ?name . BIND(STRBEFORE(?name, "zzz") AS ?b)
+          FILTER(?name = "Bob")
+        }
+        """,
+    ).collect()
+    assert rows[0].b == ""
+
+
+def test_if_coalesce_and_numeric_builtins(quads):
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?who ?cat ?age2 WHERE {
+          ?who schema:name ?name .
+          OPTIONAL { ?who p:age ?age }
+          BIND(IF(STRLEN(?name) > 3, "long", "short") AS ?cat)
+          BIND(COALESCE(?age, "0") AS ?age2)
+        }
+        ORDER BY ?who
+        """,
+    ).collect()
+    got = {r.who: (r.cat, r.age2) for r in rows}
+    assert got["p:alice"] == ("long", "0")
+    assert got["p:bob"] == ("short", "0")
+    assert got["p:carol"] == ("long", "5")
+
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?v WHERE {
+          ?who p:age ?age . BIND(FLOOR(?age / 2) AS ?v)
+        }
+        """,
+    ).collect()
+    assert rows[0].v == 2.0

@@ -440,21 +440,34 @@ class _Parser:
     _BUILTINS = {
         "BOUND", "REGEX", "CONTAINS", "STRSTARTS", "STRENDS", "STR",
         "LANG", "DATATYPE", "LCASE", "UCASE", "STRLEN",
+        "SUBSTR", "REPLACE", "STRBEFORE", "STRAFTER", "CONCAT",
+        "ABS", "ROUND", "CEIL", "FLOOR", "IF", "COALESCE",
     }
 
     def parse_primary(self):
         """A term or a builtin-function call (args are primaries too)."""
         k, v = self.peek()
         if k == "IDENT" and v.upper() in self._BUILTINS and self.peek(1) == ("OP", "("):
+            name = v.upper()
             self.next()
             self.expect("OP", "(")
-            args = []
+            args: list = []
+
+            def parse_arg():
+                if name == "IF" and not args:
+                    # IF's condition is a full boolean expression (IF(?x > 3, …))
+                    return self.parse_expr()
+                if name in ("ABS", "ROUND", "CEIL", "FLOOR"):
+                    # numeric builtins accept arithmetic (FLOOR(?age / 2))
+                    return self.parse_value_expr()
+                return self.parse_primary()
+
             if self.peek() != ("OP", ")"):
-                args.append(self.parse_primary())
+                args.append(parse_arg())
                 while self.accept("OP", ","):
-                    args.append(self.parse_primary())
+                    args.append(parse_arg())
             self.expect("OP", ")")
-            return ("builtin", v.upper(), args)
+            return ("builtin", name, args)
         return self.parse_term()
 
     def parse_cmp(self):
@@ -1216,7 +1229,10 @@ class _Compiler:
         _, fn, args = expr
 
         def arg(i):
-            return self._operand(args[i], df=df)
+            a = args[i]
+            if a[0] in ("term", "call", "+", "-", "*", "/"):
+                return self._value_col(a, df)  # value-expression argument
+            return self._operand(a, df=df)
 
         def hidden(i, suffix, default):
             t = args[i]
@@ -1249,6 +1265,35 @@ class _Compiler:
             return F.upper(arg(0))
         if fn == "STRLEN":
             return F.length(arg(0))
+        if fn == "SUBSTR":
+            # SPARQL is 1-indexed like F.substring; length optional
+            length = arg(2).cast("int") if len(args) > 2 else F.lit(2147483647)
+            return F.substring(arg(0), arg(1).cast("int"), length)
+        if fn == "REPLACE":
+            return F.regexp_replace(arg(0), arg(1), arg(2))
+        if fn == "STRBEFORE":
+            # empty string when the needle is absent (SPARQL 17.4.3.17)
+            pos = F.instr(arg(0), arg(1))
+            return F.when(pos > 0, F.substring(arg(0), F.lit(1), pos - 1)).otherwise(F.lit(""))
+        if fn == "STRAFTER":
+            pos = F.instr(arg(0), arg(1))
+            return F.when(
+                pos > 0, F.substring(arg(0), pos + F.length(arg(1)), F.lit(2147483647))
+            ).otherwise(F.lit(""))
+        if fn == "CONCAT":
+            return F.concat(*[arg(i).cast("string") for i in range(len(args))])
+        if fn == "ABS":
+            return F.abs(arg(0).cast("double"))
+        if fn == "ROUND":
+            return F.round(arg(0).cast("double"), 0)
+        if fn == "CEIL":
+            return F.ceil(arg(0).cast("double")).cast("double")
+        if fn == "FLOOR":
+            return F.floor(arg(0).cast("double")).cast("double")
+        if fn == "IF":
+            return F.when(self._expr_col(args[0], df), arg(1)).otherwise(arg(2))
+        if fn == "COALESCE":
+            return F.coalesce(*[arg(i) for i in range(len(args))])
         raise SyntaxError(f"SPARQL: unsupported builtin {fn}")
 
 
