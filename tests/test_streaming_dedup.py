@@ -62,3 +62,34 @@ def test_incremental_near_dup_within_and_cross_batch(spark, tmp_path):
 
     # the index now holds all five documents' shingle sets
     assert spark.read.parquet(str(index_dir / "docs")).count() == 5
+
+
+def test_compact_index_preserves_state_and_results(spark, tmp_path):
+    from thymeflow_back_spark.streaming.dedup_stream import compact_index
+
+    staging = tmp_path / "staging"
+    index_dir = tmp_path / "index"
+    pairs_dir = tmp_path / "pairs"
+    ckpt = tmp_path / "ckpt"
+
+    spark.createDataFrame(B1, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(staging))
+    _run(spark, staging, index_dir, pairs_dir, ckpt)
+
+    before_bands = spark.read.parquet(str(index_dir / "bands")).collect()
+    counts = compact_index(spark, str(index_dir))
+    assert counts == {"bands": len(before_bands), "docs": 3}
+    after_bands = spark.read.parquet(str(index_dir / "bands")).collect()
+    assert sorted(map(tuple, before_bands)) == sorted(map(tuple, after_bands))
+
+    # the job keeps working against the compacted index
+    spark.createDataFrame(B2, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(staging))
+    _run(spark, staging, index_dir, pairs_dir, ckpt)
+    got = {
+        (r.a_id, r.b_id): round(r.jaccard, 3)
+        for r in spark.read.parquet(str(pairs_dir)).collect()
+    }
+    assert got[(2, 20)] == 1.0

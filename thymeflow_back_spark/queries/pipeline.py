@@ -454,3 +454,48 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return pii_scrub(dirty, "doc_id", "text").orderBy("doc_id")
+
+
+# --- Q: table profiling --------------------------------------------------------
+
+
+@query(
+    "q_table_profile",
+    oracle="""
+    WITH p AS (
+      SELECT 'o_custkey' AS "column", COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(o_custkey) AS n_nulls,
+             COUNT(DISTINCT o_custkey) AS n_distinct,
+             CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+             CAST(MAX(o_custkey) AS VARCHAR) AS max_s
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+             COUNT(DISTINCT o_orderstatus),
+             CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+             COUNT(DISTINCT o_totalprice),
+             CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+             COUNT(DISTINCT o_orderpriority),
+             CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+      FROM orders
+    )
+    SELECT * FROM p ORDER BY "column"
+    """,
+    doc="One-pass table profiler: per-column null counts, exact distinct "
+    "cardinalities, and min/max — every statistic an agg expression in a "
+    "SINGLE aggregation over the scan (operators/profile.py), unpivoted to "
+    "long format driver-side.",
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_table
+
+    orders = load(spark, sf_dir, "orders")
+    return profile_table(
+        orders, ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    ).orderBy("column")

@@ -125,3 +125,37 @@ def run_incremental_near_dup(
         .trigger(**(trigger or {"availableNow": True}))
     )
     return writer.start()
+
+
+def compact_index(spark, index_dir: str, files_per_band: int = 1) -> dict[str, int]:
+    """Rewrite the append-parquet band index into few large files.
+
+    Every micro-batch appends small files; after N batches the band join
+    pays N-file open overhead per partition. Compaction rewrites each side
+    (bands partitioned by band, docs flat) coalesced, atomically: write to
+    a sibling temp dir, then swap directories. On an object store the swap
+    becomes manifest repointing; the rewrite itself is the same job.
+
+    Returns {"bands": n_rows, "docs": n_rows} for audit logging.
+    """
+    import shutil
+
+    counts: dict[str, int] = {}
+    for name, partition in (("bands", "band"), ("docs", None)):
+        src = os.path.join(index_dir, name)
+        if not os.path.isdir(src):
+            continue
+        df = spark.read.parquet(src)
+        counts[name] = df.count()
+        tmp = src + ".compact"
+        writer = df.coalesce(max(files_per_band, 1)).write.mode("overwrite")
+        if partition:
+            writer = df.repartition(files_per_band, partition).write.partitionBy(
+                partition
+            ).mode("overwrite")
+        writer.parquet(tmp)
+        old = src + ".old"
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
+    return counts
