@@ -197,6 +197,29 @@ def test_sq8_roundtrip_error_bounded(spark):
     assert out[99][1] == [1.25] * 16
 
 
+def test_chunk_documents_windows_and_edges(spark):
+    from thymeflow_back_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks, size 4 stride 2
+            (2, "only three tokens"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents(df, "doc_id", "text", size=4, stride=2).collect()
+    got = {(r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text) for r in rows}
+    # doc 1: starts 0,2,4,6,8 — last window is the 2-token tail
+    assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (4, "t2 t3 t4 t5")
+    assert got[(1, 4)] == (2, "t8 t9")
+    assert len([k for k in got if k[0] == 1]) == 5
+    assert got[(2, 0)] == (3, "only three tokens")
+    assert got[(2, 1)] == (1, "tokens")
+    assert got[(3, 0)] == (0, "")
+
+
 def test_pii_scrub_patterns_and_order(spark):
     from thymeflow_back_spark.operators.text import pii_scrub
 

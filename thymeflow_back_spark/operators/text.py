@@ -248,3 +248,88 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
         F.regexp_count(F.col("__t2"), F.lit(PII_PHONE)).alias("n_phones"),
         F.regexp_replace(F.col("__t2"), PII_PHONE, "[PHONE]").alias("clean"),
     )
+
+
+# --- chunking (RAG / context-window preparation) -------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    size: int = 50,
+    stride: int = 25,
+) -> DataFrame:
+    """Split documents into overlapping token windows: (id, chunk_idx,
+    n_tokens, chunk_text).
+
+    The retrieval-prep primitive: windows of ``size`` tokens starting every
+    ``stride`` tokens (stride < size ⇒ overlap); the final partial window is
+    kept so no suffix is lost. Pure map-side explode over the token array —
+    chunking a 100 TB corpus is one scan, no shuffle, and the output
+    inherits the input's partitioning for the downstream embed stage.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    # window starts: every k·stride below the token count (tail windows may
+    # be shorter than `size`); empty docs yield one empty chunk at start 0
+    starts = (
+        f"if(size(__toks) = 0, array(0),"
+        f" filter(transform(sequence(0, size(__toks) - 1), i -> i * {stride}),"
+        f"        s -> s < size(__toks)))"
+    )
+    return (
+        df.selectExpr(id_col, f"filter(split({text_col}, ' '), t -> t != '') as __toks")
+        .selectExpr(id_col, "__toks", f"posexplode({starts}) as (chunk_idx, start)")
+        .selectExpr(
+            id_col,
+            "chunk_idx",
+            f"slice(__toks, start + 1, {size}) as __chunk",
+        )
+        .selectExpr(
+            id_col,
+            "chunk_idx",
+            "size(__chunk) as n_tokens",
+            "concat_ws(' ', __chunk) as chunk_text",
+        )
+    )
+
+
+# --- bigram LM scoring (CCNet-style rarity filter, exact arithmetic) -----------
+
+
+def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Score documents by how typical their token bigrams are of the corpus.
+
+    The CCNet-shaped LM-filter signal without the log: per document,
+    aggregate the CORPUS frequency of each of its bigrams — (n_bigrams,
+    sum_count, mean_count, min_count). Low mean/min = unusual word
+    sequences (gibberish, boilerplate mangling); all arithmetic is exact
+    integer counts and one exact division, so the score is bit-identical
+    on any engine (a log-prob variant would be ulp-hostage to libm).
+
+    Plan: bigrams explode map-side; counts are one groupBy; the doc-side
+    join ships counts to bigram occurrences (sort-merge on the bigram at
+    scale, broadcast when the vocabulary is small) and one groupBy folds
+    per-document. Docs with < 2 tokens are excluded (no bigrams).
+    """
+    bigrams = df.selectExpr(
+        id_col,
+        "filter(split(" + text_col + ", ' '), t -> t != '') as __toks",
+    ).selectExpr(
+        id_col,
+        "explode(transform("
+        " if(size(__toks) >= 2, sequence(0, size(__toks) - 2), cast(array() as array<int>)),"
+        " i -> struct(__toks[i] as a, __toks[i + 1] as b))) as bg",
+    ).select(F.col(id_col), F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    counts = bigrams.groupBy("a", "b").agg(F.count("*").alias("bg_count"))
+    return (
+        bigrams.join(counts, ["a", "b"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("bg_count").alias("sum_count"),
+            (F.sum("bg_count") / F.count("*")).alias("mean_count"),
+            F.min("bg_count").alias("min_count"),
+        )
+    )

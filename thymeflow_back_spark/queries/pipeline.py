@@ -499,3 +499,76 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         orders, ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
     ).orderBy("column")
+
+
+# --- Q: document chunking (RAG window preparation) ----------------------------
+
+CHUNK_SIZE = 50
+CHUNK_STRIDE = 25
+
+
+@query(
+    "q_doc_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks, (i - 1) AS k, (i - 1) * {CHUNK_STRIDE} AS s
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks), 1))) AS i) g
+      WHERE (i - 1) * {CHUNK_STRIDE} < len(toks) OR (len(toks) = 0 AND i = 1)
+    )
+    SELECT doc_id, k AS chunk_idx,
+           len(toks[s + 1 : s + {CHUNK_SIZE}]) AS n_tokens,
+           array_to_string(toks[s + 1 : s + {CHUNK_SIZE}], ' ') AS chunk_text
+    FROM st ORDER BY doc_id, chunk_idx
+    """,
+    doc="Retrieval-prep chunking: overlapping 50-token windows every 25 "
+    "tokens (tail windows shorter), full chunk text value-checked — a "
+    "pure map-side explode over the token array, one scan, no shuffle "
+    "(operators/text.py chunk_documents).",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", CHUNK_SIZE, CHUNK_STRIDE).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+# --- Q: bigram LM quality scores ----------------------------------------------
+
+
+@query(
+    "q_lm_bigram_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+    ),
+    c AS (SELECT a, b, COUNT(*) AS bg_count FROM bg GROUP BY 1, 2)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(bg_count) AS BIGINT) AS sum_count,
+           CAST(SUM(bg_count) AS DOUBLE) / COUNT(*) AS mean_count,
+           CAST(MIN(bg_count) AS BIGINT) AS min_count
+    FROM bg JOIN c USING (a, b)
+    GROUP BY 1 ORDER BY bg.doc_id
+    """,
+    doc="CCNet-style LM quality signal with exact arithmetic: per document, "
+    "the corpus frequency of its token bigrams (count sum / mean / min) — "
+    "rare-bigram docs are the unusual ones. Integer counts + one exact "
+    "division keep the score engine-identical where a log-prob would be "
+    "ulp-hostage to libm (operators/text.py bigram_lm_scores).",
+)
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bigram_lm_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")
