@@ -78,3 +78,43 @@ def train_test_split(
             hash_uniform(F.col(key_col), salt) < F.lit(test_frac), F.lit("test")
         ).otherwise(F.lit("train")),
     )
+
+
+def sample_exact_n(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    n_per_stratum: int,
+    salt: str = "sample",
+) -> DataFrame:
+    """EXACTLY n rows per stratum (fewer iff the stratum is smaller):
+    the n smallest hash values win.
+
+    Rate sampling gives binomial sizes; fixed-budget mixes ("200k docs per
+    source") need exact quotas. Selection is still a pure function of the
+    key set — adding rows can displace a winner but never flips order
+    between two existing keys. One per-stratum window sort; at 100 TB the
+    window parallelizes across strata (and a two-phase per-partition top-n
+    pre-filter would bound memory for a single giant stratum).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_uniform(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def deterministic_shuffle(df: DataFrame, key_col: str, salt: str = "shuffle") -> DataFrame:
+    """Reproducible global shuffle: order by the keyed hash uniform.
+
+    Training-data layout wants the corpus in a random-but-reproducible
+    order (so a re-run reads identical batches). Ordering by
+    hash_uniform(key) is a permutation that any engine reproduces; writing
+    with this ordering (range-partitioned sort at scale) materializes it.
+    """
+    return df.orderBy(hash_uniform(F.col(key_col), salt).asc(), F.col(key_col).asc())

@@ -572,3 +572,55 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# --- Q: fixed-quota sampling + deterministic shuffle --------------------------
+
+QUOTA_N = 20
+
+
+@query(
+    "q_sample_fixed_n",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY {_SQL_U.format(salt="sample")}, doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM r WHERE rn <= {QUOTA_N}
+    ORDER BY doc_id
+    """,
+    doc="Fixed-budget quota sampling: EXACTLY 20 documents per language "
+    "(the n smallest keyed hashes win) — binomial-free sample sizes for "
+    "per-source mixing budgets, still a pure function of the key set "
+    "(operators/sampling.py sample_exact_n).",
+)
+def q_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import sample_exact_n
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        sample_exact_n(docs, "doc_id", "lang", QUOTA_N)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_deterministic_shuffle",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    ORDER BY {_SQL_U.format(salt="shuffle")}, doc_id
+    LIMIT 25
+    """,
+    doc="Reproducible corpus shuffle: global order by keyed hash uniform — "
+    "a permutation any engine reproduces, so re-runs read identical "
+    "training batches; the head-25 probe pins the exact order "
+    "(operators/sampling.py deterministic_shuffle).",
+)
+def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import deterministic_shuffle
+
+    docs = load(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, "doc_id").select("doc_id", "lang").limit(25)
