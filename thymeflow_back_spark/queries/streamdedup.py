@@ -100,3 +100,58 @@ def q_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(pairs).orderBy("a_id", "b_id")
+
+
+# --- Q: stateful streaming windowed aggregation (oracle-backed) ---------------
+
+
+@query(
+    "q_streaming_window_counts",
+    oracle="""
+    SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) AS window_start_us,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Stateful STREAMING windowed aggregation, value-checked end to end: "
+    "events arrive as two micro-batches (maxFilesPerTrigger=1) into a "
+    "10-minute tumbling-window count whose state carries across batches; "
+    "the complete-mode result must hash-match the plain batch GROUP BY "
+    "over the same rows — proving the incremental state machine computes "
+    "exactly the batch answer (streaming/jobs.py windowed aggregation).",
+)
+def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix="tf_stream_win_")
+    staging = os.path.join(base, "staging")
+    ckpt = os.path.join(base, "ckpt")
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    for parity in (0, 1):
+        ev.filter(F.col("event_id") % 2 == parity).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    agg = stream.groupBy(F.window("ts", "10 minutes"), "event_type").count()
+    sink = f"win_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT unix_micros(window.start) AS window_start_us, event_type,"
+        f" count AS n FROM {sink}"
+    ).orderBy("window_start_us", "event_type")
