@@ -624,3 +624,89 @@ def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return deterministic_shuffle(docs, "doc_id").select("doc_id", "lang").limit(25)
+
+
+# --- Q: salted two-phase aggregation (skew path correctness) ------------------
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS count_rows,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="The skew-mitigation path is value-correct: two-phase salted "
+    "aggregation (partial aggregate on (key, salt), decomposable "
+    "re-combine per key — operators/skew.py) must equal the plain GROUP "
+    "BY; decimal-exact sums make the equality bitwise regardless of how "
+    "rows landed in salt buckets.",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    events = load(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        ["event_type"],
+        {
+            "sum_value": F.sum(F.col("value").cast("decimal(12,2)")),
+            "count_rows": F.count(F.lit(1)),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "count_rows",
+        "min_value",
+        "max_value",
+    ).orderBy("event_type")
+
+
+@query(
+    "q_salted_join",
+    oracle="""
+    WITH dim(event_type, category) AS (VALUES
+      ('click', 'engagement'), ('view', 'engagement'),
+      ('purchase', 'revenue'), ('error', 'ops'), ('login', 'session')
+    )
+    SELECT category, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN dim USING (event_type)
+    GROUP BY category ORDER BY category
+    """,
+    doc="Salted-join correctness: the hot-key-scattered join (left side "
+    "salted, right side replicated per salt bucket — operators/skew.py) "
+    "must produce exactly the plain join's rows; aggregated with "
+    "decimal-exact sums so the equality is bitwise.",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    events = load(spark, sf_dir, "events")
+    dim = events.sparkSession.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("error", "ops"),
+            ("login", "session"),
+        ],
+        ["event_type", "category"],
+    )
+    joined = salted_join(events, dim, on=["event_type"], how="inner", salt=8)
+    return (
+        joined.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("category")
+    )
