@@ -197,6 +197,19 @@ def test_sq8_roundtrip_error_bounded(spark):
     assert out[99][1] == [1.25] * 16
 
 
+def test_quality_filter_length_guard_skips_quadratic_scan(spark):
+    from thymeflow_back_spark.operators.text import quality_filter
+
+    long_doc = " ".join(f"w{i}" for i in range(6000))  # > QF_MAX_WORDS
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, "the quick brown fox jumps over a lazy dog now")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in quality_filter(df, "doc_id").collect()}
+    assert got[1].drop_reason == "too_many_words" and got[1].rep_ratio is None
+    assert got[2].keep and got[2].rep_ratio is not None
+
+
 def test_chunk_documents_windows_and_edges(spark):
     from thymeflow_back_spark.operators.text import chunk_documents
 

@@ -179,11 +179,18 @@ def quality_filter(df: DataFrame, id_col: str, text_col: str = "text") -> DataFr
     toks = toks_col(text_col)
     d = df.select(F.col(id_col), toks.alias("toks"))
     n = F.size("toks")
-    top_freq = F.array_max(
-        F.transform(
-            F.array_distinct("toks"),
-            lambda t: F.size(F.filter("toks", lambda x: x == t)),
-        )
+    # The top-token scan is O(unique·n) per row — guarded behind the length
+    # bound so a pathological multi-100k-word document (which the
+    # too_many_words rule rejects anyway) can't burn quadratic time before
+    # its rejection; the CASE order below never reads rep_ratio for it.
+    top_freq = F.when(
+        n <= QF_MAX_WORDS,
+        F.array_max(
+            F.transform(
+                F.array_distinct("toks"),
+                lambda t: F.size(F.filter("toks", lambda x: x == t)),
+            )
+        ),
     )
     max_len = F.array_max(F.transform("toks", lambda t: F.length(t)))
     n_stop = F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS)))

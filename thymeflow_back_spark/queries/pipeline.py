@@ -270,8 +270,10 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              len(toks) AS n_words,
              COALESCE(list_max(list_transform(toks, t -> length(t))), 0) AS max_word_len,
-             list_max(list_transform(list_distinct(toks),
-               t -> len(list_filter(toks, x -> x = t)))) / NULLIF(len(toks), 0) AS rep_ratio,
+             CASE WHEN len(toks) <= 5000 THEN
+               list_max(list_transform(list_distinct(toks),
+                 t -> len(list_filter(toks, x -> x = t)))) / NULLIF(len(toks), 0)
+             END AS rep_ratio,
              len(list_filter(toks, t -> list_contains(
                ['a','an','and','in','is','of','the','to'], t))) / NULLIF(len(toks), 0) AS stopword_ratio,
              len(list_distinct(toks)) / NULLIF(len(toks), 0) AS unique_ratio
