@@ -273,3 +273,30 @@ def test_benchmark_contamination(spark):
         for r in benchmark_contamination(corpus, probe, "doc_id", "text", 4).collect()
     }
     assert got == {1: (1, 1), 3: (1, 1)}
+
+
+def test_write_training_shards_materializes_global_order(spark, tmp_path):
+    from thymeflow_back_spark.operators.sampling import (
+        deterministic_shuffle,
+        write_training_shards,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, "k", num_shards=4)
+
+    want = [r.k for r in deterministic_shuffle(df, "k").collect()]
+    import glob
+
+    files = sorted(glob.glob(path + "/part-*"))
+    assert len(files) == 4
+    got = []
+    for f in files:
+        got.extend(r.k for r in spark.read.parquet(f).collect())
+    # each shard is a contiguous, internally-ordered slice; shards read in
+    # file order should give a set-equal cover whose concatenation, after
+    # ordering shards by their first element's position, equals the order
+    starts = [want.index(spark.read.parquet(f).collect()[0].k) for f in files]
+    ordered = [f for _, f in sorted(zip(starts, files))]
+    got = [r.k for f in ordered for r in spark.read.parquet(f).collect()]
+    assert got == want
