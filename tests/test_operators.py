@@ -248,3 +248,13 @@ def test_salted_agg_rejects_non_decomposable_names(spark):
     df = spark.createDataFrame([("k", 1.0), ("k", 3.0)], "k string, v double")
     with pytest.raises(ValueError, match="avg"):
         salted_agg(df, ["k"], {"avg_v": F.avg("v")})
+
+
+def test_salted_agg_rejects_count_distinct_prefix(spark):
+    """'count_distinct_*' starts with 'count' but is NOT sum-recombinable —
+    the guard must not let the prefix check wave it through."""
+    from thymeflow_back_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([("k", 1.0), ("k", 3.0)], "k string, v double")
+    with pytest.raises(ValueError, match="count_distinct"):
+        salted_agg(df, ["k"], {"count_distinct_v": F.countDistinct("v")})

@@ -359,3 +359,48 @@ def test_rdf_file_dispatch_by_extension(tmp_path, spark):
     out = load_rdf(spark, str(tmp_path)).collect()
     subjects = {r.subject for r in out}
     assert subjects == {"http://ex.org/s", "http://ex.org/s2", "http://ex.org/s3"}
+
+
+def test_rdfxml_lang_inherits_from_ancestors():
+    from thymeflow_back_spark.rdf.io import parse_rdfxml
+
+    text = """<?xml version="1.0"?>
+    <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+             xmlns:ex="http://ex.org/" xml:lang="fr">
+      <rdf:Description rdf:about="http://ex.org/s" xml:lang="en">
+        <ex:label>hello</ex:label>
+        <ex:other xml:lang="">plain</ex:other>
+        <ex:own xml:lang="de">hallo</ex:own>
+      </rdf:Description>
+      <rdf:Description rdf:about="http://ex.org/t">
+        <ex:label>bonjour</ex:label>
+      </rdf:Description>
+    </rdf:RDF>"""
+    quads = parse_rdfxml(text, default_graph="g")
+    by_val = {q[2]: q[5] for q in quads}
+    assert by_val["hello"] == "en"  # inherited from the node element
+    assert by_val["plain"] is None  # xml:lang="" cancels inheritance
+    assert by_val["hallo"] == "de"  # own attribute wins
+    assert by_val["bonjour"] == "fr"  # inherited from rdf:RDF
+
+
+def test_trix_pretty_printed_whitespace_stripped():
+    from thymeflow_back_spark.rdf.io import parse_trix
+
+    text = """<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">
+      <graph>
+        <uri>
+          http://ex.org/g
+        </uri>
+        <triple>
+          <uri>
+            http://ex.org/s
+          </uri>
+          <uri> http://ex.org/p </uri>
+          <plainLiteral>  keep my spaces  </plainLiteral>
+        </triple>
+      </graph>
+    </TriX>"""
+    [(s, p, o, otype, _, _, g)] = parse_trix(text, default_graph="d")
+    assert (s, p, g) == ("http://ex.org/s", "http://ex.org/p", "http://ex.org/g")
+    assert o == "  keep my spaces  "  # literal whitespace is significant

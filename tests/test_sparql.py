@@ -876,3 +876,19 @@ def test_if_coalesce_and_numeric_builtins(quads):
         """,
     ).collect()
     assert rows[0].v == 2.0
+
+
+def test_round_ties_toward_positive_infinity(quads):
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?r ?neg WHERE {
+          ?who p:age ?age .
+          BIND(ROUND(?age / 2) AS ?r)
+          BIND(ROUND(0 - ?age / 2) AS ?neg)
+        }
+        """,
+    ).collect()
+    # age = 5: 2.5 rounds to 3; -2.5 rounds to -2 (fn:round ties -> +inf)
+    assert rows[0].r == 3.0 and rows[0].neg == -2.0

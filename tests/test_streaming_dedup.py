@@ -77,11 +77,24 @@ def test_compact_index_preserves_state_and_results(spark, tmp_path):
     ).parquet(str(staging))
     _run(spark, staging, index_dir, pairs_dir, ckpt)
 
-    before_bands = spark.read.parquet(str(index_dir / "bands")).collect()
+    def logical_bands():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(str(index_dir / "bands"))
+                .select("doc_id", "band", "bkey")
+                .collect(),
+            )
+        )
+
+    before_bands = logical_bands()
     counts = compact_index(spark, str(index_dir))
     assert counts == {"bands": len(before_bands), "docs": 3}
-    after_bands = spark.read.parquet(str(index_dir / "bands")).collect()
-    assert sorted(map(tuple, before_bands)) == sorted(map(tuple, after_bands))
+    # same logical rows, now under the reserved batch_id=-1 partition
+    assert logical_bands() == before_bands
+    assert {
+        r.batch_id for r in spark.read.parquet(str(index_dir / "bands")).collect()
+    } == {-1}
 
     # the job keeps working against the compacted index
     spark.createDataFrame(B2, ["doc_id", "text"]).coalesce(1).write.mode(

@@ -253,6 +253,17 @@ def _spark_kinds(df: DataFrame) -> dict[str, str]:
     return {name: m.get(dt, "O") for name, dt in df.dtypes}
 
 
+def _stable_int_cols(pdf: pd.DataFrame, kinds: dict[str, str]) -> pd.DataFrame:
+    """Coerce Spark-integer columns to pandas nullable Int64 so NULLs don't
+    float-ify the column ('42.0' instead of '42') — per-chunk inference
+    would otherwise serialize the same variable differently from chunk to
+    chunk (and from the capped path)."""
+    for c, k in kinds.items():
+        if k == "i" and c in pdf.columns:
+            pdf[c] = pdf[c].astype("Int64")
+    return pdf
+
+
 def iter_select(df: DataFrame, ctype: str, chunk_rows: int = 10_000):
     """Stream SELECT solutions as CSV/TSV text chunks through
     ``toLocalIterator`` — the Spark analogue of the reference's piped
@@ -270,6 +281,7 @@ def iter_select(df: DataFrame, ctype: str, chunk_rows: int = 10_000):
     def flush(buf: list) -> str:
         pdf = pd.DataFrame([r.asDict() for r in buf], columns=cols_all)
         if ctype == "text/csv":
+            pdf = _stable_int_cols(pdf, kinds)
             return pdf[cols].to_csv(index=False, header=False, lineterminator="\r\n")
         lines = [
             "\t".join(_tsv_term(_term(r, c, kinds[c])) for c in cols)
@@ -381,10 +393,28 @@ class SparqlEndpoint:
             if result.kind == "select":
                 ctype, writer = _negotiate(accept)
                 if self.stream_large and ctype in _STREAMABLE:
-                    return 200, ctype, iter_select(result.df, ctype)
+                    # pull the header AND the first data chunk eagerly: the
+                    # first chunk triggers execution, so analysis/runtime
+                    # errors surface HERE and become a clean 400/500 instead
+                    # of dying mid-stream after 200 + headers went out
+                    gen = iter_select(result.df, ctype)
+                    head = [next(gen)]
+                    try:
+                        head.append(next(gen))
+                    except StopIteration:
+                        pass
+
+                    def stream(head=head, gen=gen):
+                        yield from head
+                        yield from gen
+
+                    return 200, ctype, stream()
                 pdf = result.df.limit(self.max_rows + 1).toPandas()
                 if len(pdf) > self.max_rows:
                     return 413, "text/plain", f"result exceeds max_rows={self.max_rows}"
+                if ctype == "text/csv":
+                    # match the streamed path: ints stay ints under NULLs
+                    pdf = _stable_int_cols(pdf, _spark_kinds(result.df))
                 return 200, ctype, writer(pdf)
             if result.kind == "ask":
                 if "xml" in (accept or ""):
@@ -474,9 +504,28 @@ class SparqlEndpoint:
                 self.send_header("Content-Type", ctype)
                 self.send_header("Connection", "close")
                 self.end_headers()
-                for chunk in body:
-                    self.wfile.write(chunk.encode("utf-8"))
-                    self.wfile.flush()
+                try:
+                    for chunk in body:
+                        self.wfile.write(chunk.encode("utf-8"))
+                        self.wfile.flush()
+                except Exception:  # noqa: BLE001
+                    # Mid-stream failure AFTER 200 + headers: the body is
+                    # connection-close delimited, so a clean FIN would look
+                    # like a complete (smaller) result. Abort with RST
+                    # (SO_LINGER 0) so the client sees a transport error,
+                    # exactly like the reference's piped writer dying.
+                    import socket as _socket
+                    import struct as _struct
+
+                    try:
+                        self.connection.setsockopt(
+                            _socket.SOL_SOCKET,
+                            _socket.SO_LINGER,
+                            _struct.pack("ii", 1, 0),
+                        )
+                    except OSError:
+                        pass
+                    raise
 
             def do_GET(self):
                 url = urlparse(self.path)

@@ -228,7 +228,12 @@ def verify_candidates_arrays(
 def jaccard_pairs(
     shingles: DataFrame, id_col: str, threshold: float, max_doc_freq: int | None = None
 ) -> DataFrame:
-    """N-gram Jaccard similarity join.
+    """N-gram Jaccard similarity join over PRE-EXPLODED shingles.
+
+    Reference formulation kept for callers that already hold an exploded
+    (id, shingle) relation; the production path is ``jaccard_near_dups``
+    (array-first, exchange-reused). Semantics are identical — the pytest
+    hot-shingle-cap test pins them against each other.
 
     Output: (a_id, b_id, n_common, jaccard) for pairs with jaccard >= threshold.
 
@@ -299,51 +304,6 @@ def verify_jaccard_candidates(
         .agg(F.count("*").alias("n_common"))
     )
     return _jaccard_from_intersections(shingles, inter, id_col, threshold)
-
-
-def minhash_signatures(shingles: DataFrame, id_col: str) -> DataFrame:
-    """Fixed NUM_PERMS MinHash signature per document.
-
-    One aggregation (no explode-by-permutation): each shingle row carries the
-    vector of permuted hashes; per-document elementwise min is NUM_PERMS
-    plain min() aggregates — stays in whole-stage codegen.
-    """
-    # one F.expr per column: a handful of py4j round-trips instead of ~10
-    # per permutation — plan construction is socket-bound, not JVM-bound
-    hashed = shingles.selectExpr(
-        id_col,
-        f"cast(conv(substring(md5(shingle), 1, 8), 16, 10) as bigint) % {MERSENNE_P} as h",
-    )
-    perm_cols = [
-        F.expr(f"min(({a}L * h + {b}L) % {MERSENNE_P}) as mh{i}")
-        for i, (a, b) in enumerate(MINHASH_PERMS)
-    ]
-    return hashed.groupBy(id_col).agg(*perm_cols)
-
-
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
-    """Candidate pairs sharing at least one LSH band bucket: (a_id, b_id)."""
-    bands = []
-    for band in range(LSH_BANDS):
-        cols = ", ".join(
-            f"cast(mh{band * ROWS_PER_BAND + r} as string)" for r in range(ROWS_PER_BAND)
-        )
-        bands.append(
-            signatures.selectExpr(
-                id_col, f"{band} as band", f"concat_ws(',', {cols}) as bkey"
-            )
-        )
-    exploded = bands[0]
-    for b in bands[1:]:
-        exploded = exploded.unionByName(b)
-    a = exploded.select(F.col(id_col).alias("a_id"), "band", "bkey")
-    b = exploded.select(F.col(id_col).alias("b_id"), "band", "bkey")
-    return (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
 
 
 def minhash_signatures_mapside(docs_sh: DataFrame, id_col: str) -> DataFrame:

@@ -22,12 +22,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import h32 as _h32
+
 TWO_32 = float(1 << 32)
 
 
 def h32(col: Column) -> Column:
-    """Portable 32-bit hash (first 8 md5 hex chars as bigint)."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+    """Portable 32-bit hash (dedup.h32 over the stringified value)."""
+    return _h32(col.cast("string"))
 
 
 def kmv_minima(df: DataFrame, col: str | Column, k: int) -> DataFrame:

@@ -61,7 +61,14 @@ def salted_agg(
     loudly: silently SUM-combining a non-decomposable partial aggregate
     would produce wrong values."""
     _ALLOWED = ("sum_", "min_", "max_", "count")
-    bad = [n for n in aggs if not n.startswith(_ALLOWED)]
+    # 'count_distinct_*' would pass a bare startswith('count') check and be
+    # silently SUM-recombined (each salt bucket counts a value once) —
+    # exactly the wrong-value case this guard exists to reject.
+    bad = [
+        n
+        for n in aggs
+        if not n.startswith(_ALLOWED) or n.startswith("count_distinct")
+    ]
     if bad:
         raise ValueError(
             f"salted_agg: output names {bad} lack a decomposable prefix "

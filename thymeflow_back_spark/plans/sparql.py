@@ -1285,7 +1285,9 @@ class _Compiler:
         if fn == "ABS":
             return F.abs(arg(0).cast("double"))
         if fn == "ROUND":
-            return F.round(arg(0).cast("double"), 0)
+            # fn:round (XPath/SPARQL 17.4.4.6) rounds ties toward +inf:
+            # round(-2.5) = -2 — floor(x + 0.5), NOT HALF_UP F.round
+            return F.floor(arg(0).cast("double") + F.lit(0.5)).cast("double")
         if fn == "CEIL":
             return F.ceil(arg(0).cast("double")).cast("double")
         if fn == "FLOOR":

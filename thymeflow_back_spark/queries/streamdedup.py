@@ -99,7 +99,11 @@ def q_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             document_stream(spark, staging), index, pairs, ckpt
         )
         q.awaitTermination()
-    return spark.read.parquet(pairs).orderBy("a_id", "b_id")
+    return (
+        spark.read.parquet(pairs)
+        .select("a_id", "b_id", "n_common", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
 
 
 # --- Q: stateful streaming windowed aggregation (oracle-backed) ---------------

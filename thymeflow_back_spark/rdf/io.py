@@ -384,14 +384,15 @@ class _RdfXmlParser:
         import xml.etree.ElementTree as ET
 
         root = ET.fromstring(text)
+        root_lang = root.get(f"{{{_XML_NS}}}lang") or None
         if _xml_tag_iri(root.tag) == RDF_NS + "RDF":
             base = root.get(f"{{{_XML_NS}}}base")
             if base:
                 self.base = base
             for child in root:
-                self._node_element(child)
+                self._node_element(child, root_lang)
         else:
-            self._node_element(root)
+            self._node_element(root, root_lang)
         return self.quads
 
     def _subject_of(self, el) -> str:
@@ -406,7 +407,17 @@ class _RdfXmlParser:
             return "_:" + nid
         return self._fresh()
 
-    def _node_element(self, el) -> str:
+    @staticmethod
+    def _scoped_lang(el, lang: str | None) -> str | None:
+        # xml:lang inherits from ancestor elements (RDF/XML section 6);
+        # xml:lang="" cancels an inherited language
+        own = el.get(f"{{{_XML_NS}}}lang")
+        if own is not None:
+            return own or None
+        return lang
+
+    def _node_element(self, el, lang: str | None = None) -> str:
+        lang = self._scoped_lang(el, lang)
         s = self._subject_of(el)
         tag = _xml_tag_iri(el.tag)
         if tag != RDF_NS + "Description":
@@ -416,20 +427,20 @@ class _RdfXmlParser:
             if iri.startswith(RDF_NS) or iri.startswith(_XML_NS):
                 continue  # syntax attributes, xml:lang/base
             # property attribute shorthand: <ex:Thing ex:name="x"/>
-            self._emit(s, iri, value, "literal", XSD_STRING)
-        self._property_elements(s, el)
+            self._emit(s, iri, value, "literal", XSD_STRING, lang)
+        self._property_elements(s, el, lang)
         return s
 
-    def _property_elements(self, s: str, el) -> None:
+    def _property_elements(self, s: str, el, lang: str | None = None) -> None:
         li_n = 0
         for prop in el:
             p = _xml_tag_iri(prop.tag)
             if p == RDF_NS + "li":  # container membership sugar
                 li_n += 1
                 p = f"{RDF_NS}_{li_n}"
-            self._property_value(s, p, prop)
+            self._property_value(s, p, prop, lang)
 
-    def _property_value(self, s: str, p: str, el) -> None:
+    def _property_value(self, s: str, p: str, el, lang: str | None = None) -> None:
         import xml.etree.ElementTree as ET
 
         res = el.get(f"{{{RDF_NS}}}resource")
@@ -440,12 +451,13 @@ class _RdfXmlParser:
         if nid is not None:
             self._emit(s, p, "_:" + nid, "bnode")
             return
+        lang = self._scoped_lang(el, lang)
         ptype = el.get(f"{{{RDF_NS}}}parseType")
         children = list(el)
         if ptype == "Resource":
             b = self._fresh()
             self._emit(s, p, b, "bnode")
-            self._property_elements(b, el)
+            self._property_elements(b, el, lang)
             return
         if ptype == "Literal":
             xml_text = (el.text or "") + "".join(
@@ -457,7 +469,7 @@ class _RdfXmlParser:
             node = self._fresh() if children else RDF_NS + "nil"
             self._emit(s, p, node, "bnode" if children else "iri")
             for i, child in enumerate(children):
-                o = self._node_element(child)
+                o = self._node_element(child, lang)
                 self._emit(node, RDF_NS + "first", o, "bnode" if o.startswith("_:") else "iri")
                 last = i + 1 == len(children)
                 nxt = RDF_NS + "nil" if last else self._fresh()
@@ -465,12 +477,12 @@ class _RdfXmlParser:
                 node = nxt
             return
         if children:  # nested node element
-            o = self._node_element(children[0])
+            o = self._node_element(children[0], lang)
             self._emit(s, p, o, "bnode" if o.startswith("_:") else "iri")
             return
         dtype = el.get(f"{{{RDF_NS}}}datatype")
-        lang = el.get(f"{{{_XML_NS}}}lang")
-        self._emit(s, p, el.text or "", "literal", dtype or XSD_STRING, lang)
+        self._emit(s, p, el.text or "", "literal", dtype or XSD_STRING,
+                   None if dtype else lang)
 
 
 def parse_rdfxml(text: str, default_graph: str, base: str | None = None) -> list[tuple]:
@@ -492,8 +504,12 @@ def parse_trix(text: str, default_graph: str) -> list[tuple]:
         tag = _xml_tag_iri(el.tag).removeprefix(_TRIX_NS)
         text_ = el.text or ""
         if tag == "uri":
-            return (text_, "iri", None, None)
+            # pretty-printed TriX indents inside <uri>/<id>; RDF4J Rio
+            # collapses that ignorable whitespace — match it (literal
+            # element text stays verbatim, whitespace is significant there)
+            return (text_.strip(), "iri", None, None)
         if tag == "id":
+            text_ = text_.strip()
             value = text_ if text_.startswith("_:") else "_:" + text_
             return (value, "bnode", None, None)
         if tag == "plainLiteral":
@@ -508,7 +524,7 @@ def parse_trix(text: str, default_graph: str) -> list[tuple]:
         children = list(graph_el)
         graph = default_graph
         if children and _xml_tag_iri(children[0].tag).removeprefix(_TRIX_NS) == "uri":
-            graph = children[0].text or default_graph
+            graph = (children[0].text or "").strip() or default_graph
             children = children[1:]
         for triple in children:
             terms = [term(t) for t in triple]

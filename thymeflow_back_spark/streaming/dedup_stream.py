@@ -81,6 +81,16 @@ def run_incremental_near_dup(
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        if os.path.isdir(index_dir) and not (
+            os.path.isdir(bands_dir) and os.path.isdir(docs_dir)
+        ):
+            # a half-present index (crashed compaction swap) must be
+            # repaired, NOT silently treated as "first batch" — that would
+            # forget every previously-indexed document
+            raise RuntimeError(
+                f"near-dup index at {index_dir} is incomplete "
+                f"(interrupted compaction?); run compact_index to recover"
+            )
         spark = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)
 
@@ -115,9 +125,22 @@ def run_incremental_near_dup(
             )
             pairs = pairs.unionByName(verified)
 
-        pairs.write.mode("append").parquet(pairs_dir)
-        bands.write.partitionBy("band").mode("append").parquet(bands_dir)
-        docs_sh.write.mode("append").parquet(docs_dir)
+        # Idempotent sinks (the foreachBatch contract): every write is
+        # partitioned by batch_id with DYNAMIC partition overwrite, so a
+        # retried batch overwrites its own partitions instead of appending
+        # duplicates after a partial failure.
+        def write(df: DataFrame, path: str, *extra_parts: str) -> None:
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.partitionBy("batch_id", *extra_parts)
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(path)
+            )
+
+        write(bands, bands_dir, "band")
+        write(docs_sh, docs_dir)
+        write(pairs, pairs_dir)
 
     writer = (
         docs.writeStream.foreachBatch(process)
@@ -127,34 +150,49 @@ def run_incremental_near_dup(
     return writer.start()
 
 
-def compact_index(spark, index_dir: str, files_per_band: int = 1) -> dict[str, int]:
-    """Rewrite the append-parquet band index into few large files.
+COMPACTED_BATCH_ID = -1  # compacted data lives under batch_id=-1
 
-    Every micro-batch appends small files; after N batches the band join
-    pays N-file open overhead per partition. Compaction rewrites each side
-    (bands partitioned by band, docs flat) coalesced, atomically: write to
-    a sibling temp dir, then swap directories. On an object store the swap
-    becomes manifest repointing; the rewrite itself is the same job.
+
+def compact_index(spark, index_dir: str, files_per_band: int = 1) -> dict[str, int]:
+    """Rewrite the per-batch parquet band index into few large files.
+
+    Every micro-batch writes its own batch_id partition; after N batches
+    the band join pays N-file open overhead per bucket. Compaction folds
+    all batches into the reserved ``batch_id=-1`` partition (keeping the
+    directory layout the batch writer uses, so reads and future batch
+    writes are oblivious) and swaps directories. The swap is two renames —
+    not atomic for a concurrent reader, so run compaction while the stream
+    is quiescent; a CRASH between the renames is recoverable and detected:
+    the batch processor refuses a half-present index, and calling
+    compact_index again first restores the stranded ``.old`` copy.
 
     Returns {"bands": n_rows, "docs": n_rows} for audit logging.
     """
     import shutil
 
     counts: dict[str, int] = {}
-    for name, partition in (("bands", "band"), ("docs", None)):
+    for name, extra_parts in (("bands", ("band",)), ("docs", ())):
         src = os.path.join(index_dir, name)
+        tmp, old = src + ".compact", src + ".old"
+        # crash recovery: a stranded .old means the previous swap died
+        # between renames — restore it; a stranded .compact is garbage
+        if os.path.isdir(old):
+            if os.path.isdir(src):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, src)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
         if not os.path.isdir(src):
             continue
         df = spark.read.parquet(src)
         counts[name] = df.count()
-        tmp = src + ".compact"
-        writer = df.coalesce(max(files_per_band, 1)).write.mode("overwrite")
-        if partition:
-            writer = df.repartition(files_per_band, partition).write.partitionBy(
-                partition
-            ).mode("overwrite")
-        writer.parquet(tmp)
-        old = src + ".old"
+        folded = df.withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+        if extra_parts:
+            folded = folded.repartition(files_per_band, *extra_parts)
+        else:
+            folded = folded.coalesce(max(files_per_band, 1))
+        folded.write.partitionBy("batch_id", *extra_parts).mode("overwrite").parquet(tmp)
         os.rename(src, old)
         os.rename(tmp, src)
         shutil.rmtree(old)
