@@ -300,3 +300,76 @@ def test_write_training_shards_materializes_global_order(spark, tmp_path):
     ordered = [f for _, f in sorted(zip(starts, files))]
     got = [r.k for f in ordered for r in spark.read.parquet(f).collect()]
     assert got == want
+
+
+def test_duplicated_window_fraction(spark):
+    from thymeflow_back_spark.operators.dedup import duplicated_window_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),     # windows: "a b", "b c", "c d", "d e"
+            (2, "x y a b c"),     # shares "a b", "b c" with doc 1
+            (3, "p q r"),         # no shared windows
+            (4, "z"),             # too short for any window
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in duplicated_window_fraction(docs, "doc_id", "text", w=2).collect()
+    }
+    assert rows[1].n_windows == 4 and rows[1].n_dup_windows == 2
+    assert rows[1].dup_fraction == 0.5
+    assert rows[2].n_windows == 4 and rows[2].n_dup_windows == 2
+    assert rows[3].n_dup_windows == 0 and rows[3].dup_fraction == 0.0
+    assert 4 not in rows  # zero windows -> no row (matches the SQL oracle)
+    # repeat INSIDE one doc only is not cross-document duplication
+    solo = spark.createDataFrame(
+        [(1, "a b a b"), (2, "q r s")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n_dup_windows
+        for r in duplicated_window_fraction(solo, "doc_id", "text", w=2).collect()
+    }
+    assert got == {1: 0, 2: 0}
+
+
+def test_scrub_repeated_spans(spark):
+    from thymeflow_back_spark.operators.dedup import scrub_repeated_spans
+
+    # span size 2; "SAME SPAN" appears in 3 docs -> boilerplate
+    docs = spark.createDataFrame(
+        [
+            (1, "SAME SPAN keep one"),
+            (2, "SAME SPAN keep two"),
+            (3, "SAME SPAN keep thr"),
+            (4, "only unique words here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in scrub_repeated_spans(
+            docs, "doc_id", "text", span_tokens=2, min_docs=3
+        ).collect()
+    }
+    assert rows[1].clean_text == "keep one" and rows[1].n_removed == 1
+    assert rows[2].clean_text == "keep two" and rows[2].n_spans == 2
+    assert rows[4].clean_text == "only unique words here"
+    assert rows[4].n_removed == 0
+    # order preserved when a middle span is scrubbed
+    docs2 = spark.createDataFrame(
+        [
+            (1, "aa bb DUP DUP cc dd"),
+            (2, "DUP DUP x1 x2"),
+            (3, "DUP DUP y1 y2"),
+        ],
+        "doc_id long, text string",
+    )
+    rows2 = {
+        r.doc_id: r.clean_text
+        for r in scrub_repeated_spans(
+            docs2, "doc_id", "text", span_tokens=2, min_docs=3
+        ).collect()
+    }
+    assert rows2[1] == "aa bb cc dd"

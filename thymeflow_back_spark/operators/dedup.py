@@ -481,3 +481,133 @@ def dedup_clusters(
         labeled.join(sizes, "canonical_id")
         .select(F.col("node").alias(id_col), "canonical_id", "cluster_size")
     )
+
+
+def token_window_rows(
+    df: DataFrame, id_col: str, text_col: str, w: int
+) -> DataFrame:
+    """One row per w-token window POSITION: (id, pos, win).
+
+    Unlike :func:`word_shingles` this keeps every occurrence (no in-row
+    distinct) because substring-dedup statistics are measured over
+    positions, not over the distinct-window set. Pure narrow projection —
+    the explode is map-side.
+    """
+    toks = f"filter(split({text_col}, ' '), t -> t != '')"
+    return df.selectExpr(
+        id_col,
+        f"posexplode(flatten(transform(array({toks}), toks ->"
+        f" transform("
+        f"  if(size(toks) >= {w}, sequence(0, size(toks) - {w}), cast(array() as array<int>)),"
+        f"  i -> concat_ws(' ', slice(toks, i + 1, {w})))))) as (pos, win)",
+    )
+
+
+def duplicated_window_fraction(
+    df: DataFrame, id_col: str, text_col: str, w: int = 8
+) -> DataFrame:
+    """Per-document duplicated-substring signal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", approximated
+    at fixed window length): the fraction of a document's w-token windows
+    whose exact text also occurs in at least one OTHER document.
+
+    Output: (id, n_windows, n_dup_windows, dup_fraction) — the standard
+    quality gate "drop/trim documents that are mostly copies of the rest of
+    the corpus". Suffix-array exact-substring matching doesn't distribute;
+    fixed-length window fingerprints are the shuffle-friendly approximation
+    (a duplicated substring of length >= w always contains a duplicated
+    window, so recall at granularity w is exact).
+
+    Scale shape: windows explode map-side; the distinct-(win, id) reduction
+    and the per-window doc count are one shuffle chain keyed by window text
+    (hot boilerplate windows collapse to ONE row in the count table before
+    the join back, so frequency skew never replicates rows); the final
+    per-document aggregate is a second keyed shuffle. No cross product
+    anywhere, corpus never collected.
+    """
+    wins = token_window_rows(df, id_col, text_col, w)
+    # windows occurring in >= 2 distinct documents; distinct first so the
+    # count is a plain count(*) with map-side combine
+    shared = (
+        wins.select("win", id_col)
+        .dropDuplicates()
+        .groupBy("win")
+        .agg(F.count("*").alias("__n_docs"))
+        .filter(F.col("__n_docs") >= 2)
+        .select("win")
+    )
+    flagged = wins.join(shared, "win", "left_semi")
+    totals = wins.groupBy(id_col).agg(F.count("*").alias("n_windows"))
+    dups = flagged.groupBy(id_col).agg(F.count("*").alias("n_dup_windows"))
+    return (
+        totals.join(dups, id_col, "left")
+        .withColumn("n_dup_windows", F.coalesce("n_dup_windows", F.lit(0)))
+        .withColumn(
+            "dup_fraction",
+            F.col("n_dup_windows").cast("double") / F.col("n_windows"),
+        )
+    )
+
+
+def scrub_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Remove boilerplate spans — the CCNet / RefinedWeb paragraph-dedup
+    step, over fixed ``span_tokens``-token segmentation (this corpus has no
+    newlines; with natural text, split on the paragraph separator instead).
+
+    Each document is cut into consecutive non-overlapping spans; a span
+    whose exact text occurs in >= ``min_docs`` DISTINCT documents is
+    boilerplate and is dropped; the survivors reassemble in order.
+
+    Output: (id, clean_text, n_spans, n_removed).
+
+    Scale shape: spans explode map-side; the boilerplate table is one
+    hash-agg keyed by span text (one row per distinct span — hot spans
+    collapse before the join back); reassembly is a per-document groupBy
+    whose state is the document's own spans, never the corpus.
+    """
+    toks = f"filter(split({text_col}, ' '), t -> t != '')"
+    k = span_tokens
+    spans = df.selectExpr(
+        id_col,
+        f"posexplode(flatten(transform(array({toks}), toks ->"
+        f" transform("
+        f"  sequence(0, greatest(cast(ceil(size(toks) / {k}.0) as int) - 1, 0)),"
+        f"  i -> concat_ws(' ', slice(toks, i * {k} + 1, {k})))))) as (idx, span)",
+    ).filter(F.col("span") != "")
+    boiler = (
+        spans.select("span", id_col)
+        .dropDuplicates()
+        .groupBy("span")
+        .agg(F.count("*").alias("__n_docs"))
+        .filter(F.col("__n_docs") >= min_docs)
+        .select("span", F.lit(True).alias("__boiler"))
+    )
+    marked = spans.join(boiler, "span", "left").select(
+        id_col,
+        "idx",
+        "span",
+        F.coalesce("__boiler", F.lit(False)).alias("__boiler"),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("idx", "span", "__boiler"))
+            ).alias("__all"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                " ",
+                F.expr("transform(filter(__all, s -> NOT s.__boiler), s -> s.span)"),
+            ).alias("clean_text"),
+            F.size("__all").alias("n_spans"),
+            F.expr("size(filter(__all, s -> s.__boiler))").alias("n_removed"),
+        )
+    )

@@ -712,3 +712,96 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+# --- Q: duplicated-window fraction (substring-dedup signal) -------------------
+
+DUPWIN_W = 8
+
+
+@query(
+    "q_dup_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             {" || ' ' || ".join(f"toks[i+{j}]" for j in range(DUPWIN_W))} AS win
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(toks) - {DUPWIN_W - 1})) AS i) s
+    ),
+    shared AS (
+      SELECT win FROM (SELECT DISTINCT doc_id, win FROM wins)
+      GROUP BY win HAVING COUNT(*) >= 2
+    )
+    SELECT w.doc_id,
+           COUNT(*) AS n_windows,
+           COUNT(s.win) AS n_dup_windows,
+           CAST(COUNT(s.win) AS DOUBLE) / COUNT(*) AS dup_fraction
+    FROM wins w LEFT JOIN shared s USING (win)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Per-document duplicated-substring signal (Lee et al. 2021 "
+    "approximated at fixed window length): fraction of a document's "
+    f"{DUPWIN_W}-token windows whose exact text occurs in another document. "
+    "Windows explode map-side; hot boilerplate windows collapse to one row "
+    "in the shared-window table before the semi-join back, so frequency "
+    "skew never replicates data. The standard 'mostly-copied document' "
+    "quality gate of an LLM training pipeline.",
+)
+def q_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        D.duplicated_window_fraction(docs, "doc_id", "text", DUPWIN_W)
+        .orderBy("doc_id")
+    )
+
+
+# --- Q: boilerplate span scrub (paragraph dedup) ------------------------------
+
+SPAN_K = 3
+SPAN_MIN_DOCS = 3
+
+
+@query(
+    "q_boilerplate_scrub",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(toks[i * {SPAN_K} + 1 : i * {SPAN_K} + {SPAN_K}], ' ') AS span
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(0,
+                    GREATEST(CAST(CEIL(len(toks) / {SPAN_K}.0) AS INT) - 1, 0))) AS i) s
+      WHERE array_to_string(toks[i * {SPAN_K} + 1 : i * {SPAN_K} + {SPAN_K}], ' ') <> ''
+    ),
+    boiler AS (
+      SELECT span FROM (SELECT DISTINCT doc_id, span FROM spans)
+      GROUP BY span HAVING COUNT(*) >= {SPAN_MIN_DOCS}
+    )
+    SELECT s.doc_id,
+           COALESCE(string_agg(CASE WHEN b.span IS NULL THEN s.span END, ' '
+                               ORDER BY s.idx), '') AS clean_text,
+           COUNT(*) AS n_spans,
+           COUNT(b.span) AS n_removed
+    FROM spans s LEFT JOIN boiler b USING (span)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Boilerplate removal — the CCNet/RefinedWeb paragraph-dedup step "
+    f"over fixed {SPAN_K}-token spans (this corpus has no newlines): a span "
+    f"occurring in >= {SPAN_MIN_DOCS} distinct documents is dropped and the "
+    "survivors reassemble in order. One hash-agg keyed by span text (hot "
+    "spans collapse before the join back); reassembly state is one "
+    "document's own spans, never the corpus.",
+)
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        D.scrub_repeated_spans(docs, "doc_id", "text", SPAN_K, SPAN_MIN_DOCS)
+        .orderBy("doc_id")
+    )
