@@ -258,3 +258,26 @@ def test_salted_agg_rejects_count_distinct_prefix(spark):
     df = spark.createDataFrame([("k", 1.0), ("k", 3.0)], "k string, v double")
     with pytest.raises(ValueError, match="count_distinct"):
         salted_agg(df, ["k"], {"count_distinct_v": F.countDistinct("v")})
+
+
+def test_salted_agg_rejects_smuggled_expression(spark):
+    """The guard validates the Column's actual aggregate function, not just
+    the alias: a countDistinct under a conforming 'count_*' name (or an avg
+    under 'sum_*') would be silently SUM-recombined into wrong values."""
+    from thymeflow_back_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([("k", 1.0), ("k", 3.0)], "k string, v double")
+    with pytest.raises(ValueError, match="count_rows"):
+        salted_agg(df, ["k"], {"count_rows": F.countDistinct("v")})
+    with pytest.raises(ValueError, match="sum_v"):
+        salted_agg(df, ["k"], {"sum_v": F.avg("v")})
+    with pytest.raises(ValueError, match="min_v"):
+        salted_agg(df, ["k"], {"min_v": F.sum("v")})  # combiner mismatch
+    # conforming name + conforming expression still works
+    out = {
+        r.k: (r.sum_v, r.min_v)
+        for r in salted_agg(
+            df, ["k"], {"sum_v": F.sum("v"), "min_v": F.min("v")}, salt=4
+        ).collect()
+    }
+    assert out == {"k": (4.0, 1.0)}

@@ -1,0 +1,71 @@
+"""Physical-plan invariants for the whole catalog — the 100 TB regression net.
+
+Correctness rows prove the small-SF answers; these assertions prove the
+PLANS stay scale-shaped: no accidental cartesian product anywhere in the
+catalog (the one labeled all-pairs oracle baseline excepted), dimension
+chains broadcast instead of shuffling the fact table, and predicate/column
+pruning reaching the parquet scans. A refactor that silently turns a
+blocked join into an all-pairs join, or un-broadcasts a dim, fails here
+even though the sf0.001 answers stay byte-identical.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from thymeflow_back_spark.queries import catalog
+
+SF = "/root/testdata/sf0.001"
+
+# the exact-oracle baseline is the ONE sanctioned all-pairs plan
+# (queries/similarity.py — kept only to hash-check the ANN paths against)
+CARTESIAN_OK = {"q_embedding_near_dup"}
+
+# queries whose construction executes jobs eagerly (iterative closures,
+# stateful streaming replays) — plan introspection would re-run them for
+# little signal; their scale stories are asserted in their own tests
+SKIP = {
+    "q_streaming_near_dup",  # drives a real foreachBatch stream
+    "q_streaming_window_counts",
+}
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name", [q for q in catalog.QUERIES if q not in SKIP]
+)
+def test_no_unsanctioned_cartesian(spark, name):
+    df = catalog.QUERIES[name].spark(spark, SF)
+    plan = _physical_plan(df)
+    if name in CARTESIAN_OK:
+        return
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin Cross"):
+        assert marker not in plan, (
+            f"{name}: {marker} in physical plan — an all-pairs join slipped "
+            f"into a catalog query (only {sorted(CARTESIAN_OK)} may)"
+        )
+
+
+def test_dim_chain_broadcasts(spark):
+    """q_regional_revenue: the region->nation->customer dim chain must
+    broadcast against the orders/lineitem fact side — at 100 TB a
+    shuffled dim join would move the fact table for a 25-row dimension."""
+    plan = _physical_plan(catalog.QUERIES["q_regional_revenue"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scan_pushdown(spark):
+    """q_parts_by_brand: the p_size IN (...) filter must reach the parquet
+    scan as a PushedFilter and the scan must not read every part column."""
+    df = catalog.QUERIES["q_parts_by_brand"].spark(spark, SF)
+    plan = _physical_plan(df)
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    part_scan = next(ln for ln in scans if "part.parquet" in ln)
+    assert "PushedFilters: [In(p_size" in part_scan, part_scan
+    # column pruning: the 9-column part table reads only what the query uses
+    schema = part_scan.split("ReadSchema: ", 1)[1]
+    assert schema.count(":") <= 4, schema

@@ -892,3 +892,37 @@ def test_round_ties_toward_positive_infinity(quads):
     ).collect()
     # age = 5: 2.5 rounds to 3; -2.5 rounds to -2 (fn:round ties -> +inf)
     assert rows[0].r == 3.0 and rows[0].neg == -2.0
+
+
+def test_path_multiset_cardinality(quads):
+    """SPARQL 1.1 §18.4: NPS/alternation/sequence are multiset-valued — a
+    (s, o) pair connected by two distinct qualifying predicates yields TWO
+    solutions; only the closure forms (*/+/?) are distinct (ALP). A blanket
+    dropDuplicates over path solutions undercounts aggregates (round-4
+    review finding)."""
+    extra = make_quads(
+        quads.sparkSession,
+        [
+            lit_q("p:dave", "schema:name", "Dave", "g:c"),
+            lit_q("p:dave", "p:label", "Dave", "g:c"),
+        ],
+    )
+    data = quads.unionByName(extra)
+    # NPS: both schema:name and p:label connect (p:dave, "Dave")
+    rows = sparql_select(
+        data,
+        PFX + "SELECT (COUNT(*) AS ?n) WHERE { p:dave !p:knows ?v }",
+    ).collect()
+    assert rows[0].n == 2
+    # alternation keeps both branches' solutions too
+    rows = sparql_select(
+        data,
+        PFX + "SELECT (COUNT(*) AS ?n) WHERE { p:dave (schema:name|p:label) ?v }",
+    ).collect()
+    assert rows[0].n == 2
+    # closure stays distinct: two edges, still one (s, o) pair per target
+    rows = sparql_select(
+        data,
+        PFX + "SELECT (COUNT(*) AS ?n) WHERE { p:alice p:knows+ ?v }",
+    ).collect()
+    assert rows[0].n == 2  # bob, carol — each once

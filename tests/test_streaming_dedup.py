@@ -106,3 +106,70 @@ def test_compact_index_preserves_state_and_results(spark, tmp_path):
         for r in spark.read.parquet(str(pairs_dir)).collect()
     }
     assert got[(2, 20)] == 1.0
+
+
+def _pairs_set(spark, pairs_dir):
+    return {
+        (r.a_id, r.b_id): round(r.jaccard, 3)
+        for r in spark.read.parquet(str(pairs_dir)).collect()
+    }
+
+
+def test_retried_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch retry contract: re-running a batch whose previous
+    attempt ALREADY appended its bands to the index must not join the new
+    rows against that half-written state (self-pairs / mirrored pairs)."""
+    from thymeflow_back_spark.streaming.dedup_stream import process_batch
+
+    index_dir, pairs_dir = tmp_path / "index", tmp_path / "pairs"
+    b1 = spark.createDataFrame(B1, ["doc_id", "text"])
+    kw = dict(index_dir=str(index_dir), pairs_dir=str(pairs_dir))
+
+    process_batch(b1, 0, **kw)
+    first = _pairs_set(spark, pairs_dir)
+    # full retry: bands/docs/pairs of batch 0 all on disk already
+    process_batch(b1, 0, **kw)
+    retried = _pairs_set(spark, pairs_dir)
+
+    assert retried == first
+    assert all(a != b for a, b in retried)  # no self-pairs from own bands
+    # and a later batch still sees the batch-0 corpus exactly once
+    b2 = spark.createDataFrame(B2, ["doc_id", "text"])
+    process_batch(b2, 1, **kw)
+    assert _pairs_set(spark, pairs_dir)[(2, 20)] == 1.0
+
+
+def test_first_batch_partial_write_repaired_by_retry(spark, tmp_path):
+    """Crash between write(bands) and write(docs) on the FIRST batch used
+    to brick the stream (guard raised forever); the retry must repair it."""
+    import shutil
+
+    from thymeflow_back_spark.streaming.dedup_stream import process_batch
+
+    index_dir, pairs_dir = tmp_path / "index", tmp_path / "pairs"
+    b1 = spark.createDataFrame(B1, ["doc_id", "text"])
+    kw = dict(index_dir=str(index_dir), pairs_dir=str(pairs_dir))
+    process_batch(b1, 0, **kw)
+    shutil.rmtree(index_dir / "docs")  # simulate the crash point
+
+    process_batch(b1, 0, **kw)  # retry of the same batch succeeds
+    assert (index_dir / "docs").is_dir()
+    assert all(a != b for a, b in _pairs_set(spark, pairs_dir))
+
+
+def test_half_index_from_other_batches_still_refused(spark, tmp_path):
+    """A missing docs/ that holds OTHER batches' bands is real corruption
+    (crashed compaction swap) — the next batch must refuse, not guess."""
+    import shutil
+
+    import pytest
+
+    from thymeflow_back_spark.streaming.dedup_stream import process_batch
+
+    index_dir, pairs_dir = tmp_path / "index", tmp_path / "pairs"
+    kw = dict(index_dir=str(index_dir), pairs_dir=str(pairs_dir))
+    process_batch(spark.createDataFrame(B1, ["doc_id", "text"]), 0, **kw)
+    shutil.rmtree(index_dir / "docs")
+
+    with pytest.raises(RuntimeError, match="incomplete"):
+        process_batch(spark.createDataFrame(B2, ["doc_id", "text"]), 1, **kw)

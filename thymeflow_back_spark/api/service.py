@@ -412,8 +412,11 @@ class SparqlEndpoint:
                 pdf = result.df.limit(self.max_rows + 1).toPandas()
                 if len(pdf) > self.max_rows:
                     return 413, "text/plain", f"result exceeds max_rows={self.max_rows}"
-                if ctype == "text/csv":
+                if ctype in _STREAMABLE:
                     # match the streamed path: ints stay ints under NULLs
+                    # (CSV and TSV both; TSV would otherwise emit
+                    # '42.0'^^xsd:double where the streamed path emits
+                    # '42'^^xsd:integer for the same NULL-bearing column)
                     pdf = _stable_int_cols(pdf, _spark_kinds(result.df))
                 return 200, ctype, writer(pdf)
             if result.kind == "ask":

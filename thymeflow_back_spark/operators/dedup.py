@@ -211,10 +211,19 @@ def verify_candidates_arrays(
     anchored = _by_id(docs_sh, id_col)
     a = anchored.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh"))
     b = anchored.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh"))
+    return jaccard_verify_pairs(cands.join(a, "a_id").join(b, "b_id"), threshold)
+
+
+def jaccard_verify_pairs(paired: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard projection over pre-paired rows (a_id, b_id, a_sh,
+    b_sh) → (a_id, b_id, n_common, jaccard) at ``jaccard >= threshold``.
+    The single definition of the verify arithmetic — both the batch verify
+    stage above and the streaming job (streaming/dedup_stream.py) funnel
+    through it, so the two paths cannot drift."""
     return (
-        cands.join(a, "a_id")
-        .join(b, "b_id")
-        .withColumn("n_common", F.size(F.array_intersect("a_sh", "b_sh")).cast("bigint"))
+        paired.withColumn(
+            "n_common", F.size(F.array_intersect("a_sh", "b_sh")).cast("bigint")
+        )
         .withColumn(
             "jaccard",
             F.col("n_common")

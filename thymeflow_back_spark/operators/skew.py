@@ -76,6 +76,35 @@ def salted_agg(
             f"be re-combined across salt buckets — compute them unsalted or "
             f"decompose (avg = sum_x / count)"
         )
+    # the name prefix only picks the combiner — the EXPRESSION must agree
+    # with it, else a non-decomposable aggregate smuggled under a conforming
+    # alias (salted_agg(df, k, {'count_rows': F.countDistinct('v')})) is
+    # silently SUM-recombined into a wrong value. The Column repr hides
+    # DISTINCT in Spark 4, so inspect the ANALYZED plan of a zero-row probe
+    # (analysis only — nothing executes).
+    import re as _re
+
+    for name, col in aggs.items():
+        try:
+            probe = df.limit(0).groupBy().agg(col.alias("__probe"))
+            plan = probe._jdf.queryExecution().analyzed().toString()
+        except Exception:  # noqa: BLE001 — introspection unavailable
+            continue  # (connect-style Column) name-prefix guard above stands
+        m = _re.search(r"Aggregate \[(\w+)\((distinct )?", plan)
+        fn, distinct = (m.group(1).lower(), bool(m.group(2))) if m else (None, False)
+        want = (
+            {"min"} if name.startswith("min_")
+            else {"max"} if name.startswith("max_")
+            else {"sum", "count"}  # SUM-recombined
+        )
+        if fn not in want or distinct:
+            raise ValueError(
+                f"salted_agg: aggregate for {name!r} is "
+                f"{fn}{'(distinct)' if distinct else ''} — not a decomposable "
+                f"{'/'.join(sorted(want))} expression; its salt-bucket "
+                f"partials cannot be re-combined by the combiner the name "
+                f"selects"
+            )
     salted = df.withColumn(
         "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt))
     )

@@ -962,12 +962,18 @@ class _Compiler:
             e = self._edges_ast(scoped, ast[1])
             return e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         if kind == "alt":
+            # SPARQL 1.1 §18.4: alternation is multiset UNION — a pair
+            # reachable through two branches yields two solutions. Only
+            # the closure forms (*/+/?) are distinct (ALP); deduping here
+            # would make p1|p2 and !(…) disagree on cardinality.
             parts = [self._edges_ast(scoped, sub) for sub in ast[1]]
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
-            return out.dropDuplicates()
+            return out
         if kind == "seq":
+            # sequence is a join — multiplicity through distinct midpoints
+            # is preserved (multiset semantics), so no dedup
             out = self._edges_ast(scoped, ast[1][0])
             for step in ast[1][1:]:
                 nxt = self._edges_ast(scoped, step).withColumnRenamed("src", "mid")
@@ -975,7 +981,6 @@ class _Compiler:
                     out.withColumnRenamed("dst", "mid")
                     .join(nxt, "mid")
                     .select("src", "dst")
-                    .dropDuplicates()
                 )
             return out
         if kind == "neg":
@@ -1063,7 +1068,12 @@ class _Compiler:
                 out_cols.append(F.col(col).alias(val))
             else:
                 rel = rel.filter(F.col(col) == (str(val) if kind2 == "num" else val))
-        return rel.select(*out_cols).dropDuplicates() if out_cols else rel
+        # no trailing dedup: closure forms (*/+/?) already emit distinct
+        # pairs, and every other form (seq/alt/inv/NPS) is multiset-valued
+        # per SPARQL 1.1 — deduping would undercount e.g.
+        # COUNT(*) over { ?s !ex:p ?o } when two non-excluded predicates
+        # connect the same (s, o)
+        return rel.select(*out_cols) if out_cols else rel
 
     # -- VALUES / MINUS / EXISTS / BIND
 

@@ -651,4 +651,4 @@ def q_rdf_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING (MIN(?n_name) < "NATION_13")
         ORDER BY ?r_name
         """,
-    ).withColumnRenamed("r_name", "r_name")
+    )

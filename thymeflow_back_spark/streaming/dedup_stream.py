@@ -36,6 +36,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.dedup import (
     doc_shingles,
     jaccard_near_dups,
+    jaccard_verify_pairs,
     lsh_band_rows,
     minhash_signatures_mapside,
 )
@@ -48,15 +49,22 @@ def document_stream(spark, staging_dir: str, schema: str = DOC_STREAM_FIELDS) ->
     return spark.readStream.schema(schema).parquet(staging_dir)
 
 
-def _pair_jaccard(threshold: float):
-    n_common = F.size(F.array_intersect("a_sh", "b_sh")).cast("bigint")
-    jac = n_common / (F.size("a_sh") + F.size("b_sh") - n_common)
-    return (
-        lambda df: df.withColumn("n_common", n_common)
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "n_common", "jaccard")
-    )
+def _foreign_batch_ids(path: str, current: int) -> set[int]:
+    """batch_id partition values present under ``path`` other than the
+    batch currently being processed — a directory listing, not a Spark
+    read, so the retry guard costs nothing."""
+    ids: set[int] = set()
+    if not os.path.isdir(path):
+        return ids
+    for name in os.listdir(path):
+        if name.startswith("batch_id="):
+            try:
+                b = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if b != current:
+                ids.add(b)
+    return ids
 
 
 def run_incremental_near_dup(
@@ -79,68 +87,16 @@ def run_incremental_near_dup(
     docs_dir = os.path.join(index_dir, "docs")
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        if os.path.isdir(index_dir) and not (
-            os.path.isdir(bands_dir) and os.path.isdir(docs_dir)
-        ):
-            # a half-present index (crashed compaction swap) must be
-            # repaired, NOT silently treated as "first batch" — that would
-            # forget every previously-indexed document
-            raise RuntimeError(
-                f"near-dup index at {index_dir} is incomplete "
-                f"(interrupted compaction?); run compact_index to recover"
-            )
-        spark = batch.sparkSession
-        batch = batch.localCheckpoint(eager=True)
-
-        docs_sh = doc_shingles(batch, id_col, text_col, n).localCheckpoint(eager=True)
-        bands = lsh_band_rows(
-            minhash_signatures_mapside(docs_sh, id_col), id_col
-        ).localCheckpoint(eager=True)
-
-        pairs = jaccard_near_dups(batch, id_col, text_col, n, threshold)
-
-        if os.path.isdir(bands_dir):
-            old_bands = spark.read.parquet(bands_dir)
-            cands = (
-                old_bands.withColumnRenamed(id_col, "a_id")
-                .join(bands.withColumnRenamed(id_col, "b_id"), ["band", "bkey"])
-                .select("a_id", "b_id")
-                .dropDuplicates(["a_id", "b_id"])
-            )
-            old_docs = spark.read.parquet(docs_dir)
-            verified = _pair_jaccard(threshold)(
-                cands.join(
-                    old_docs.select(
-                        F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh")
-                    ),
-                    "a_id",
-                ).join(
-                    docs_sh.select(
-                        F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh")
-                    ),
-                    "b_id",
-                )
-            )
-            pairs = pairs.unionByName(verified)
-
-        # Idempotent sinks (the foreachBatch contract): every write is
-        # partitioned by batch_id with DYNAMIC partition overwrite, so a
-        # retried batch overwrites its own partitions instead of appending
-        # duplicates after a partial failure.
-        def write(df: DataFrame, path: str, *extra_parts: str) -> None:
-            (
-                df.withColumn("batch_id", F.lit(batch_id))
-                .write.partitionBy("batch_id", *extra_parts)
-                .option("partitionOverwriteMode", "dynamic")
-                .mode("overwrite")
-                .parquet(path)
-            )
-
-        write(bands, bands_dir, "band")
-        write(docs_sh, docs_dir)
-        write(pairs, pairs_dir)
+        process_batch(
+            batch,
+            batch_id,
+            index_dir=index_dir,
+            pairs_dir=pairs_dir,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            threshold=threshold,
+        )
 
     writer = (
         docs.writeStream.foreachBatch(process)
@@ -148,6 +104,105 @@ def run_incremental_near_dup(
         .trigger(**(trigger or {"availableNow": True}))
     )
     return writer.start()
+
+
+def process_batch(
+    batch: DataFrame,
+    batch_id: int,
+    *,
+    index_dir: str,
+    pairs_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> None:
+    """One micro-batch of the incremental near-dup job — module-level so a
+    retry (same batch_id, arbitrary prefix of the previous attempt's writes
+    on disk) can be exercised directly in tests."""
+    bands_dir = os.path.join(index_dir, "bands")
+    docs_dir = os.path.join(index_dir, "docs")
+    if batch.isEmpty():
+        return
+    # Retry discipline: a crashed attempt of THIS batch may have left
+    # any prefix of its three writes behind. Partitions belonging to
+    # the current batch_id are therefore ignored on read (they are
+    # about to be dynamically overwritten) — otherwise a retried batch
+    # joins against its own half-written bands and emits self-pairs.
+    # Partitions from OTHER batches must agree between bands/ and
+    # docs/: a mismatch means a crashed compaction swap (which removes
+    # a whole directory), and proceeding would either forget the
+    # corpus or verify against a missing shingle store.
+    bands_prev = _foreign_batch_ids(bands_dir, batch_id)
+    docs_prev = _foreign_batch_ids(docs_dir, batch_id)
+    if bands_prev != docs_prev:
+        raise RuntimeError(
+            f"near-dup index at {index_dir} is incomplete: bands has "
+            f"batches {sorted(bands_prev)} but docs has "
+            f"{sorted(docs_prev)} (interrupted compaction?); run "
+            f"compact_index to recover"
+        )
+    spark = batch.sparkSession
+    batch = batch.localCheckpoint(eager=True)
+
+    docs_sh = doc_shingles(batch, id_col, text_col, n).localCheckpoint(eager=True)
+    bands = lsh_band_rows(
+        minhash_signatures_mapside(docs_sh, id_col), id_col
+    ).localCheckpoint(eager=True)
+
+    pairs = jaccard_near_dups(batch, id_col, text_col, n, threshold)
+
+    if bands_prev:
+        # enumerate the foreign partitions explicitly instead of filtering
+        # a root read: a crashed attempt can leave a TRUNCATED parquet file
+        # under the current batch's partition, and a root read may touch its
+        # footer during file listing/schema inference even though the rows
+        # would be filtered out
+        def read_prev(root: str, ids: set[int]) -> DataFrame:
+            paths = [os.path.join(root, f"batch_id={b}") for b in sorted(ids)]
+            return spark.read.option("basePath", root).parquet(*paths)
+
+        old_bands = read_prev(bands_dir, bands_prev)
+        cands = (
+            old_bands.withColumnRenamed(id_col, "a_id")
+            .join(bands.withColumnRenamed(id_col, "b_id"), ["band", "bkey"])
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select("a_id", "b_id")
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        old_docs = read_prev(docs_dir, docs_prev)
+        verified = jaccard_verify_pairs(
+            cands.join(
+                old_docs.select(
+                    F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh")
+                ),
+                "a_id",
+            ).join(
+                docs_sh.select(
+                    F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh")
+                ),
+                "b_id",
+            ),
+            threshold,
+        )
+        pairs = pairs.unionByName(verified)
+
+    # Idempotent sinks (the foreachBatch contract): every write is
+    # partitioned by batch_id with DYNAMIC partition overwrite, so a
+    # retried batch overwrites its own partitions instead of appending
+    # duplicates after a partial failure.
+    def write(df: DataFrame, path: str, *extra_parts: str) -> None:
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.partitionBy("batch_id", *extra_parts)
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(path)
+        )
+
+    write(bands, bands_dir, "band")
+    write(docs_sh, docs_dir)
+    write(pairs, pairs_dir)
 
 
 COMPACTED_BATCH_ID = -1  # compacted data lives under batch_id=-1
