@@ -21,6 +21,15 @@ SF = "/root/testdata/sf0.001"
 # (queries/similarity.py — kept only to hash-check the ANN paths against)
 CARTESIAN_OK = {"q_embedding_near_dup"}
 
+# sanctioned broadcast-cross plans: the broadcast side is BOUNDED BY
+# CONSTRUCTION (a fixed probe set / single-row spec), so corpus × small
+# is the intended scale shape, not an accident
+BNLJ_CROSS_OK = {
+    "q_cosine_topk",  # corpus streams against a broadcast fixed probe set
+    "q_similarity_sq8",  # same probe-set shape over the SQ8 codes
+    "q_dataset_mixture",  # every row × one broadcast mixture-spec row
+}
+
 # queries whose construction executes jobs eagerly (iterative closures,
 # stateful streaming replays) — plan introspection would re-run them for
 # little signal; their scale stories are asserted in their own tests
@@ -42,10 +51,19 @@ def test_no_unsanctioned_cartesian(spark, name):
     plan = _physical_plan(df)
     if name in CARTESIAN_OK:
         return
-    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin Cross"):
-        assert marker not in plan, (
-            f"{name}: {marker} in physical plan — an all-pairs join slipped "
-            f"into a catalog query (only {sorted(CARTESIAN_OK)} may)"
+    assert "CartesianProduct" not in plan, (
+        f"{name}: CartesianProduct in physical plan — an all-pairs join "
+        f"slipped into a catalog query (only {sorted(CARTESIAN_OK)} may)"
+    )
+    if name in BNLJ_CROSS_OK:
+        return
+    # Spark prints the build side between operator and join type
+    # ("BroadcastNestedLoopJoin BuildRight, Cross"), so match per line
+    # rather than as one substring.
+    for ln in plan.splitlines():
+        assert not ("BroadcastNestedLoopJoin" in ln and "Cross" in ln), (
+            f"{name}: broadcast cross join in physical plan — only "
+            f"{sorted(BNLJ_CROSS_OK)} have a bounded broadcast side: {ln}"
         )
 
 

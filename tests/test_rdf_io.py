@@ -404,3 +404,25 @@ def test_trix_pretty_printed_whitespace_stripped():
     [(s, p, o, otype, _, _, g)] = parse_trix(text, default_graph="d")
     assert (s, p, g) == ("http://ex.org/s", "http://ex.org/p", "http://ex.org/g")
     assert o == "  keep my spaces  "  # literal whitespace is significant
+
+
+def test_rdfxml_relative_iri_resolution():
+    """rdf:about/rdf:resource relative references resolve per RFC 3986
+    against xml:base — not by string concatenation (round-4 review:
+    'alice' against base http://e.org/data.rdf is http://e.org/alice)."""
+    from thymeflow_back_spark.rdf.io import parse_rdfxml
+
+    text = """<?xml version="1.0"?>
+    <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+             xmlns:ex="http://ex.org/" xml:base="http://e.org/data.rdf">
+      <rdf:Description rdf:about="alice">
+        <ex:knows rdf:resource="bob"/>
+        <ex:self rdf:resource=""/>
+        <ex:part rdf:resource="#left"/>
+      </rdf:Description>
+    </rdf:RDF>"""
+    quads = parse_rdfxml(text, "g")
+    triples = {(s, p, o) for s, p, o, *_ in quads}
+    assert ("http://e.org/alice", "http://ex.org/knows", "http://e.org/bob") in triples
+    assert ("http://e.org/alice", "http://ex.org/self", "http://e.org/data.rdf") in triples
+    assert ("http://e.org/alice", "http://ex.org/part", "http://e.org/data.rdf#left") in triples

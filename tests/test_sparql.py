@@ -926,3 +926,20 @@ def test_path_multiset_cardinality(quads):
         PFX + "SELECT (COUNT(*) AS ?n) WHERE { p:alice p:knows+ ?v }",
     ).collect()
     assert rows[0].n == 2  # bob, carol — each once
+
+
+def test_round_ulp_below_half_rounds_down(quads):
+    """fn:round of the double one ulp below 0.5 is 0 — floor(x + 0.5)
+    would round it UP because x + 0.5 rounds to exactly 1.0 in IEEE
+    double (round-4 review finding)."""
+    rows = sparql_select(
+        quads,
+        PFX
+        + """
+        SELECT ?r WHERE {
+          ?who p:age ?age .
+          BIND(ROUND(0.49999999999999994 * (?age / ?age)) AS ?r)
+        } LIMIT 1
+        """,
+    ).collect()
+    assert rows[0].r == 0.0

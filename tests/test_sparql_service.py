@@ -320,3 +320,20 @@ def test_http_streaming_no_content_length(quads):
         assert len(body.splitlines()) == 6  # connection-close delimited, complete
     finally:
         endpoint.stop()
+
+
+def test_select_tsv_nullable_int_null_cell(quads):
+    """Capped-path TSV: a NULL in an Int64-coerced integer column must
+    serialize as an empty cell, not crash on pd.NA (round-4 review —
+    str(int(pd.NA)) raised TypeError and the endpoint returned 500)."""
+    import pandas as pd
+
+    from thymeflow_back_spark.api.service import select_tsv
+
+    pdf = pd.DataFrame(
+        {"s": pd.array([4, None], dtype="Int64"), "who": ["urn:a", "urn:b"]}
+    )
+    lines = select_tsv(pdf).splitlines()
+    assert lines[0].split("\t") == ["?s", "?who"]
+    assert lines[1].split("\t")[0] == '"4"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    assert lines[2].split("\t")[0] == ""  # unbound, not a crash

@@ -124,7 +124,12 @@ def _to_pandas(df) -> pd.DataFrame:
 
 def _term(pdf_row, var: str, dtype_kind: str) -> dict | None:
     value = pdf_row.get(var)
-    if value is None or (isinstance(value, float) and pd.isna(value)):
+    # NULL may surface as None (object cols), NaN (float cols), pd.NA
+    # (nullable Int64 after _stable_int_cols), or NaT (datetime) — all of
+    # them are "unbound", and str(int(pd.NA)) would raise TypeError.
+    if value is None or value is pd.NA or value is pd.NaT or (
+        isinstance(value, float) and pd.isna(value)
+    ):
         return None
     ttype = pdf_row.get(f"{var}__type")
     if ttype is None:

@@ -1296,8 +1296,13 @@ class _Compiler:
             return F.abs(arg(0).cast("double"))
         if fn == "ROUND":
             # fn:round (XPath/SPARQL 17.4.4.6) rounds ties toward +inf:
-            # round(-2.5) = -2 — floor(x + 0.5), NOT HALF_UP F.round
-            return F.floor(arg(0).cast("double") + F.lit(0.5)).cast("double")
+            # round(-2.5) = -2. Computed on the exact fractional part —
+            # floor(x + 0.5) would misround doubles one ulp below 0.5
+            # (0.49999999999999994 + 0.5 rounds to 1.0 in IEEE double).
+            x = arg(0).cast("double")
+            return (
+                F.when(x - F.floor(x) >= 0.5, F.ceil(x)).otherwise(F.floor(x))
+            ).cast("double")
         if fn == "CEIL":
             return F.ceil(arg(0).cast("double")).cast("double")
         if fn == "FLOOR":

@@ -489,10 +489,12 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT * FROM p ORDER BY "column"
     """,
-    doc="One-pass table profiler: per-column null counts, exact distinct "
+    doc="Table profiler: per-column null counts, exact distinct "
     "cardinalities, and min/max — every statistic an agg expression in a "
-    "SINGLE aggregation over the scan (operators/profile.py), unpivoted to "
-    "long format driver-side.",
+    "single aggregation, so the table is scanned once (exact distincts go "
+    "through Spark's Expand rewrite with map-side partial dedupe; "
+    "approx=True swaps in single-pass HLL++ — operators/profile.py), "
+    "unpivoted to long format driver-side.",
 )
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile_table

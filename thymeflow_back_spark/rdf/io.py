@@ -372,7 +372,13 @@ class _RdfXmlParser:
 
     def _resolve(self, iri: str) -> str:
         if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
-            return self.base + iri
+            # RFC 3986 reference resolution (rdf:about="alice" against
+            # base http://e.org/data.rdf is http://e.org/alice, NOT
+            # string concatenation); fragments and "" resolve to the
+            # base document as the spec requires.
+            from urllib.parse import urljoin
+
+            return urljoin(self.base, iri)
         return iri
 
     def _emit(self, s, p, o, otype, dtype=None, lang=None) -> None:

@@ -27,7 +27,7 @@ collision rate; compaction of the append-parquet is an offline concern.
 
 from __future__ import annotations
 
-import os
+import posixpath
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -49,14 +49,28 @@ def document_stream(spark, staging_dir: str, schema: str = DOC_STREAM_FIELDS) ->
     return spark.readStream.schema(schema).parquet(staging_dir)
 
 
-def _foreign_batch_ids(path: str, current: int) -> set[int]:
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FS API — resolves the
+    scheme (file:, hdfs:, s3a:, ...) against the session's Hadoop conf, so
+    index discovery and compaction work on whatever filesystem the index
+    lives on, not just the driver's local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _foreign_batch_ids(spark, path: str, current: int) -> set[int]:
     """batch_id partition values present under ``path`` other than the
-    batch currently being processed — a directory listing, not a Spark
-    read, so the retry guard costs nothing."""
+    batch currently being processed — a directory listing (Hadoop FS, so
+    remote URIs list correctly), not a Spark read, so the retry guard
+    costs nothing."""
     ids: set[int] = set()
-    if not os.path.isdir(path):
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
         return ids
-    for name in os.listdir(path):
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
         if name.startswith("batch_id="):
             try:
                 b = int(name.split("=", 1)[1])
@@ -83,8 +97,6 @@ def run_incremental_near_dup(
     Emits to ``pairs_dir``: (a_id, b_id, n_common, jaccard) where a_id is the
     earlier-seen document (previous batch or smaller id within the batch).
     """
-    bands_dir = os.path.join(index_dir, "bands")
-    docs_dir = os.path.join(index_dir, "docs")
 
     def process(batch: DataFrame, batch_id: int) -> None:
         process_batch(
@@ -120,8 +132,8 @@ def process_batch(
     """One micro-batch of the incremental near-dup job — module-level so a
     retry (same batch_id, arbitrary prefix of the previous attempt's writes
     on disk) can be exercised directly in tests."""
-    bands_dir = os.path.join(index_dir, "bands")
-    docs_dir = os.path.join(index_dir, "docs")
+    bands_dir = posixpath.join(index_dir, "bands")
+    docs_dir = posixpath.join(index_dir, "docs")
     if batch.isEmpty():
         return
     # Retry discipline: a crashed attempt of THIS batch may have left
@@ -133,8 +145,9 @@ def process_batch(
     # docs/: a mismatch means a crashed compaction swap (which removes
     # a whole directory), and proceeding would either forget the
     # corpus or verify against a missing shingle store.
-    bands_prev = _foreign_batch_ids(bands_dir, batch_id)
-    docs_prev = _foreign_batch_ids(docs_dir, batch_id)
+    spark = batch.sparkSession
+    bands_prev = _foreign_batch_ids(spark, bands_dir, batch_id)
+    docs_prev = _foreign_batch_ids(spark, docs_dir, batch_id)
     if bands_prev != docs_prev:
         raise RuntimeError(
             f"near-dup index at {index_dir} is incomplete: bands has "
@@ -142,7 +155,6 @@ def process_batch(
             f"{sorted(docs_prev)} (interrupted compaction?); run "
             f"compact_index to recover"
         )
-    spark = batch.sparkSession
     batch = batch.localCheckpoint(eager=True)
 
     docs_sh = doc_shingles(batch, id_col, text_col, n).localCheckpoint(eager=True)
@@ -159,7 +171,7 @@ def process_batch(
         # footer during file listing/schema inference even though the rows
         # would be filtered out
         def read_prev(root: str, ids: set[int]) -> DataFrame:
-            paths = [os.path.join(root, f"batch_id={b}") for b in sorted(ids)]
+            paths = [posixpath.join(root, f"batch_id={b}") for b in sorted(ids)]
             return spark.read.option("basePath", root).parquet(*paths)
 
         old_bands = read_prev(bands_dir, bands_prev)
@@ -223,22 +235,26 @@ def compact_index(spark, index_dir: str, files_per_band: int = 1) -> dict[str, i
 
     Returns {"bands": n_rows, "docs": n_rows} for audit logging.
     """
-    import shutil
-
     counts: dict[str, int] = {}
     for name, extra_parts in (("bands", ("band",)), ("docs", ())):
-        src = os.path.join(index_dir, name)
+        src = posixpath.join(index_dir, name)
         tmp, old = src + ".compact", src + ".old"
+        # All directory checks/renames go through the Hadoop FS of the
+        # index's own URI — a remote index (hdfs:, s3a:) compacts the same
+        # as a local one. Rename destinations never pre-exist here, so
+        # Hadoop's move-into-existing-dir rename quirk cannot trigger.
+        fs, jsrc = _hadoop_fs(spark, src)
+        jtmp, jold = (spark._jvm.org.apache.hadoop.fs.Path(p) for p in (tmp, old))
         # crash recovery: a stranded .old means the previous swap died
         # between renames — restore it; a stranded .compact is garbage
-        if os.path.isdir(old):
-            if os.path.isdir(src):
-                shutil.rmtree(old)
+        if fs.exists(jold):
+            if fs.exists(jsrc):
+                fs.delete(jold, True)
             else:
-                os.rename(old, src)
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        if not os.path.isdir(src):
+                fs.rename(jold, jsrc)
+        if fs.exists(jtmp):
+            fs.delete(jtmp, True)
+        if not fs.exists(jsrc):
             continue
         df = spark.read.parquet(src)
         counts[name] = df.count()
@@ -248,7 +264,9 @@ def compact_index(spark, index_dir: str, files_per_band: int = 1) -> dict[str, i
         else:
             folded = folded.coalesce(max(files_per_band, 1))
         folded.write.partitionBy("batch_id", *extra_parts).mode("overwrite").parquet(tmp)
-        os.rename(src, old)
-        os.rename(tmp, src)
-        shutil.rmtree(old)
+        if not fs.rename(jsrc, jold):
+            raise RuntimeError(f"compact_index: rename {src} -> {old} failed")
+        if not fs.rename(jtmp, jsrc):
+            raise RuntimeError(f"compact_index: rename {tmp} -> {src} failed")
+        fs.delete(jold, True)
     return counts
