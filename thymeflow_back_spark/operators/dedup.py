@@ -89,8 +89,16 @@ def shingle_array_sql(text_col: str, n: int) -> str:
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """One row per document with its distinct shingle set: (id, sh array)."""
-    return df.selectExpr(id_col, f"{shingle_array_sql(text_col, n)} as sh")
+    """One row per document with its distinct shingle set: (id, sh array).
+
+    Tokenization is the CPU-heavy stage of every dedup variant, so the
+    input is spread across the session's cores first (no-op when the scan
+    already has enough partitions — operators/skew.spread_small_input)."""
+    from .skew import spread_small_input
+
+    return spread_small_input(df).selectExpr(
+        id_col, f"{shingle_array_sql(text_col, n)} as sh"
+    )
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:

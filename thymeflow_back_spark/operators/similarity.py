@@ -50,10 +50,16 @@ def cosine_topk(
     ``queries`` must be small enough to broadcast (it is the per-query probe
     set; the corpus side streams).
     """
+    from .skew import spread_small_input
+
     q = queries.select(
         F.col(id_col).alias(query_id_col), as_double_array(F.col(vec_col)).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("c_id"), as_double_array(F.col(vec_col)).alias("c_vec"))
+    # the corpus side carries the per-row vector math — spread it across
+    # the session's cores if the scan under-parallelizes (no-op at scale)
+    c = spread_small_input(corpus).select(
+        F.col(id_col).alias("c_id"), as_double_array(F.col(vec_col)).alias("c_vec")
+    )
     score = F.round(
         dot(F.col("q_vec"), F.col("c_vec")) / (norm(F.col("q_vec")) * norm(F.col("c_vec"))),
         SCORE_DECIMALS,

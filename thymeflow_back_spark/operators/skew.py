@@ -13,6 +13,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_small_input(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition IFF the scan under-parallelizes the session.
+
+    The inverse of skew: a scan that arrives in fewer partitions than the
+    cluster has cores (one small parquet file, a gzip text file, a single
+    kafka partition) serializes every narrow stage built on it — a
+    CPU-heavy projection (tokenization, shingling, vector math) then runs
+    on one core while the rest idle. This helper pays ONE small shuffle to
+    spread the input, and is an exact no-op when the input already has
+    >= ``target`` partitions — at 100 TB the scan arrives thousands of
+    partitions wide and no shuffle is added, so it is safe to leave in the
+    operator as the permanent guard rather than a local-mode hack.
+    """
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
