@@ -39,8 +39,11 @@ EOW = "</w>"
 
 def word_shapes(df: DataFrame, text_col: str) -> DataFrame:
     """(word, count) over whitespace tokens — the weighted shape table."""
+    from .skew import spread_small_input
+
     return (
-        df.selectExpr(f"explode(filter(split({text_col}, ' '), t -> t != '')) as word")
+        spread_small_input(df)
+        .selectExpr(f"explode(filter(split({text_col}, ' '), t -> t != '')) as word")
         .groupBy("word")
         .agg(F.count("*").alias("count"))
     )

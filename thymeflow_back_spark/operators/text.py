@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .dedup import h32, word_shingles
+from .skew import spread_small_input
 
 # Small English stopword list (public knowledge), kept sorted and fixed so
 # oracle SQL can embed the identical literal.
@@ -33,6 +34,7 @@ def token_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     — a length/diversity/stopword blend of the usual heuristic quality
     filters; all arithmetic on exact integer counts, so cross-engine stable.
     """
+    df = spread_small_input(df)
     toks = toks_col(text_col)
     d = df.select(
         F.col(id_col),
@@ -128,6 +130,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     The per-distinct-element counting is O(d²) per document, fine for
     document-sized arrays; corpus-scale aggregation stays row-local.
     """
+    df = spread_small_input(df)
     d = df.selectExpr(
         id_col,
         f"filter(transform(split({text_col}, '\\n'), l -> trim(l)), l -> l != '') as lines",
@@ -176,6 +179,7 @@ def quality_filter(df: DataFrame, id_col: str, text_col: str = "text") -> DataFr
     explode/groupBy) — a pure codegen'd projection that filters a 100 TB
     corpus in one scan with no shuffle.
     """
+    df = spread_small_input(df)
     toks = toks_col(text_col)
     d = df.select(F.col(id_col), toks.alias("toks"))
     n = F.size("toks")
@@ -237,6 +241,7 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     Pure regexp_replace/regexp_count projections — single scan, zero
     shuffles, linear in corpus bytes at 100 TB.
     """
+    df = spread_small_input(df)
     step1 = df.select(
         F.col(id_col),
         F.regexp_count(F.col(text_col), F.lit(PII_EMAIL)).alias("n_emails"),
@@ -320,6 +325,7 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     scale, broadcast when the vocabulary is small) and one groupBy folds
     per-document. Docs with < 2 tokens are excluded (no bigrams).
     """
+    df = spread_small_input(df)
     bigrams = df.selectExpr(
         id_col,
         "filter(split(" + text_col + ", ' '), t -> t != '') as __toks",
