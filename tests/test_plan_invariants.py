@@ -28,6 +28,7 @@ BNLJ_CROSS_OK = {
     "q_cosine_topk",  # corpus streams against a broadcast fixed probe set
     "q_similarity_sq8",  # same probe-set shape over the SQ8 codes
     "q_dataset_mixture",  # every row × one broadcast mixture-spec row
+    "q_fts_bm25",  # postings × one broadcast corpus-stats row (N, avgdl)
 }
 
 # queries whose construction executes jobs eagerly (iterative closures,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
@@ -133,3 +134,74 @@ def partial_match(
         .filter(F.col("matched_words") == F.col("n"))
     )
     return per_entity.select("text_id", "ngram", "n", "entity_id").dropDuplicates()
+
+
+# --- BM25 ranking -------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_rank(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Lucene-practical BM25 ranking of ``docs`` against a bag of query terms.
+
+    The reference's candidate retrieval is an Elasticsearch matchQuery
+    (FullTextSearchServer.scala:57-102) — ES doesn't just filter, it RANKS
+    by Lucene's BM25 similarity. ``match_query`` reproduces the
+    minimum-should-match gate; this reproduces the ranking:
+
+        score(d) = Σ_t  ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+                        · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))
+
+    Plan (the 100 TB shape): ONE corpus scan → per-doc (token, tf, dl) via
+    in-row tokenize + one partial-agg shuffle; the query-term list is a
+    broadcast literal so postings outside the query never shuffle; corpus
+    stats (N, avgdl) are a single-row broadcast; df per term comes from the
+    already-filtered postings (query-term-proportional, tiny). Scores are
+    rounded BEFORE ranking so ordering is reproducible across engines.
+
+    Output: (id_col, score, rank) — top ``k`` by (score desc, id asc).
+    """
+    spark = docs.sparkSession
+    toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
+    base = docs.select(F.col(id_col), toks.alias("toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    tf = (
+        base.select(id_col, F.size("toks").alias("dl"), F.explode("toks").alias("tok"))
+        .groupBy(id_col, "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    terms = spark.createDataFrame([(t,) for t in query_terms], "tok string")
+    postings = tf.join(F.broadcast(terms), "tok")
+    dfreq = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * tf_part), score_decimals).alias("score"))
+    )
+    # top-k first (TakeOrderedAndProject — per-partition heads, no global
+    # sort shuffle), THEN number the k surviving rows; the single-partition
+    # window only ever sees k rows
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "score", "rank"
+    )

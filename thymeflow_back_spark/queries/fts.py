@@ -57,3 +57,58 @@ def q_fts_part_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_query(index, queries, "query_id", "qtext", MATCH_PERCENT).orderBy(
         "query_id", "entity_id"
     )
+
+
+# --- Q: BM25 ranked retrieval -------------------------------------------------
+
+BM25_TERMS = ("spark", "shuffle", "window")
+BM25_K = 20
+_TERMS_SQL = ", ".join(f"('{t}')" for t in BM25_TERMS)
+
+
+@query(
+    "q_fts_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM toks),
+    tf AS (
+      SELECT doc_id, dl, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM toks)
+      GROUP BY 1, 2, 3
+    ),
+    terms(tok) AS (VALUES {_TERMS_SQL}),
+    postings AS (SELECT * FROM tf JOIN terms USING (tok)),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM postings GROUP BY 1),
+    scored AS (
+      SELECT doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * (1.2 + 1))
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl))
+             ), 6) AS score
+      FROM postings p JOIN dfreq d USING (tok) CROSS JOIN stats s
+      GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT doc_id, score, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {BM25_K} ORDER BY rank
+    """,
+    doc="BM25-ranked retrieval over the documents corpus — the RANKING half "
+    "of the reference's Elasticsearch matchQuery (Lucene similarity, "
+    "FullTextSearchServer.scala:57-102), as one corpus scan + a broadcast "
+    "term probe + TakeOrderedAndProject top-k (operators/fts.py:bm25_rank). "
+    "Scores round to 6 decimals BEFORE ranking so the order is engine-"
+    "reproducible.",
+)
+def q_fts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fts import bm25_rank
+
+    docs = load(spark, sf_dir, "documents")
+    return bm25_rank(docs, "doc_id", "text", list(BM25_TERMS), BM25_K).orderBy("rank")
