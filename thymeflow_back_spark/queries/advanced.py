@@ -518,3 +518,73 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_wav(F.col("text")).alias("content"),
     )
     return extract_audio_features(media).orderBy("media_id")
+
+
+# --- Q: grid-blocked spatial pair join ---------------------------------------
+
+SPATIAL_RADIUS_M = 40.0
+SPATIAL_REF_LAT = 48.1  # center of the synthetic 48.0-48.2 latitude band
+# lon->meters scale computed ONCE in Python and embedded as the same literal
+# in both engines, so cell ids are bit-identical
+_XSCALE = repr(111320.0 * __import__("math").cos(__import__("math").radians(SPATIAL_REF_LAT)))
+_CELL = repr(2.0 * SPATIAL_RADIUS_M)
+
+
+@query(
+    "q_spatial_pairs",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id AS pid,
+             48.0 + (('0x' || substr(md5('lat' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 20000) / 100000.0 AS lat,
+             2.0 + (('0x' || substr(md5('lon' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 30000) / 100000.0 AS lon
+      FROM events
+    ),
+    cells AS (
+      SELECT pid, lat, lon,
+             floor(lon * {_XSCALE} / {_CELL}) AS cx,
+             floor(lat * 110574.0 / {_CELL}) AS cy
+      FROM pts
+    ),
+    reps AS (
+      SELECT pid AS b_id, lat AS b_lat, lon AS b_lon,
+             cx + dx.g AS cx, cy + dy.g AS cy
+      FROM cells,
+           (SELECT unnest(generate_series(-1, 1)) AS g) dx,
+           (SELECT unnest(generate_series(-1, 1)) AS g) dy
+    ),
+    cand AS (
+      SELECT a.pid AS a_id, r.b_id,
+             round(2 * 6371000.0 * asin(sqrt(
+               sin(radians(r.b_lat - a.lat) / 2) ^ 2
+               + cos(radians(a.lat)) * cos(radians(r.b_lat))
+                 * sin(radians(r.b_lon - a.lon) / 2) ^ 2
+             )), 3) AS dist_m
+      FROM cells a JOIN reps r ON a.cx = r.cx AND a.cy = r.cy
+      WHERE a.pid < r.b_id
+    )
+    SELECT a_id, b_id, dist_m FROM cand
+    WHERE dist_m <= {SPATIAL_RADIUS_M}
+    ORDER BY a_id, b_id
+    """,
+    doc="Grid-cell-blocked spatial self-join: all point pairs within 40 m "
+    "over an md5-scattered synthetic cloud — cell snap + 9-cell one-sided "
+    "replication + equi-join (each true pair meets exactly once, no "
+    "dedupe pass), exact haversine prunes candidates "
+    "(operators/spatial.py; the corpus-scale join form of the reference's "
+    "pairwise WGS84 distance predicates).",
+)
+def q_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import within_distance_pairs
+
+    events = load(spark, sf_dir, "events")
+    from ..operators.dedup import h32
+
+    eid = F.col("event_id").cast("string")
+    pts = events.select(
+        F.col("event_id").alias("pid"),
+        (F.lit(48.0) + (h32(F.concat(F.lit("lat"), eid)) % 20000) / 100000.0).alias("lat"),
+        (F.lit(2.0) + (h32(F.concat(F.lit("lon"), eid)) % 30000) / 100000.0).alias("lon"),
+    )
+    return within_distance_pairs(
+        pts, "pid", "lat", "lon", SPATIAL_RADIUS_M, SPATIAL_REF_LAT
+    ).orderBy("a_id", "b_id")
