@@ -1,0 +1,70 @@
+"""Operator-contract tests for the spatial pair join and BM25 ranking —
+properties the catalog oracle can't isolate (exact-once pair emission
+across cell boundaries, tie-breaks, term dedupe)."""
+
+from __future__ import annotations
+
+from thymeflow_back_spark.operators.fts import bm25_rank
+from thymeflow_back_spark.operators.spatial import within_distance_pairs
+
+
+def test_spatial_pairs_exact_once_across_cell_boundary(spark):
+    # radius 100 m -> cell edge 200 m; ~0.0018 deg lat apart straddles a
+    # boundary for many grid phases; pair must appear EXACTLY once
+    pts = spark.createDataFrame(
+        [
+            (1, 48.10000, 2.0),
+            (2, 48.10080, 2.0),   # ~88 m north of 1 (within radius)
+            (3, 48.10500, 2.0),   # ~550 m north (outside radius)
+            (4, 48.10000, 2.0),   # coincident with 1
+        ],
+        "pid bigint, lat double, lon double",
+    )
+    rows = within_distance_pairs(pts, "pid", "lat", "lon", 100.0, 48.1).collect()
+    pairs = sorted((r.a_id, r.b_id) for r in rows)
+    assert pairs == [(1, 2), (1, 4), (2, 4)]
+    assert len(pairs) == len(set(pairs))  # exactly once each
+    d = {(r.a_id, r.b_id): r.dist_m for r in rows}
+    assert d[(1, 4)] == 0.0
+    assert 80 < d[(1, 2)] < 100
+
+
+def test_spatial_pairs_empty_when_far(spark):
+    pts = spark.createDataFrame(
+        [(1, 48.0, 2.0), (2, 48.5, 2.5)], "pid bigint, lat double, lon double"
+    )
+    assert within_distance_pairs(pts, "pid", "lat", "lon", 50.0, 48.25).count() == 0
+
+
+def test_bm25_ranking_and_term_dedupe(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler"),
+            (2, "spark filler filler filler filler"),
+            (3, "filler filler filler filler filler"),
+            (4, "spark"),
+        ],
+        "doc_id bigint, text string",
+    )
+    r1 = {r.doc_id: (r.score, r.rank) for r in
+          bm25_rank(docs, "doc_id", "text", ["spark"], 10).collect()}
+    # only docs containing the term score; tf=3 wins (k1=1.2 saturation
+    # still rewards it over doc 4's shorter length), doc 2 trails both
+    assert set(r1) == {1, 2, 4}
+    assert r1[1][1] == 1 and r1[4][1] == 2 and r1[2][1] == 3
+    assert r1[1][0] > r1[4][0] > r1[2][0]
+    # repeated query terms must not double-count
+    r2 = {r.doc_id: (r.score, r.rank) for r in
+          bm25_rank(docs, "doc_id", "text", ["spark", "spark"], 10).collect()}
+    assert r1 == r2
+
+
+def test_bm25_k_cap_and_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(i, "tok filler") for i in range(10)], "doc_id bigint, text string"
+    )
+    rows = bm25_rank(docs, "doc_id", "text", ["tok"], 3).collect()
+    # identical scores -> tie-break by ascending doc_id, capped at k
+    assert [(r.doc_id, r.rank) for r in sorted(rows, key=lambda r: r.rank)] == [
+        (0, 1), (1, 2), (2, 3)
+    ]

@@ -172,6 +172,10 @@ def bm25_rank(
     Output: (id_col, score, rank) — top ``k`` by (score desc, id asc).
     """
     spark = docs.sparkSession
+    # repeated query terms would double-count their contribution (Lucene
+    # treats repeats as a boost; this ranker does not) — dedupe, sorted for
+    # a deterministic plan
+    query_terms = sorted(set(query_terms))
     toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
     base = docs.select(F.col(id_col), toks.alias("toks"))
     stats = base.agg(
