@@ -145,3 +145,37 @@ def write_training_shards(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: ``n`` rows, inclusion odds
+    proportional to ``weight_col`` (Efraimidis-Spirakis A-ES).
+
+    Each row draws the deterministic uniform u = hash_uniform(key) and
+    scores es_key = u^(1/w); the n LARGEST es_keys are the sample — the
+    classic one-pass distributed formulation: no sequential reservoir, no
+    rand(), and the selection is a pure function of (key set, weights,
+    salt), so re-runs and different cluster layouts pick identical rows.
+    Rows with weight <= 0 are excluded (u^(1/w) is undefined there; A-ES
+    gives them zero mass anyway). The top-n runs as TakeOrderedAndProject
+    (per-partition heads), never a global sort.
+
+    The quality-weighted corpus subsample of a training pipeline: weight by
+    a quality score and the keep-probability follows quality, still fully
+    reproducible.
+    """
+    u = hash_uniform(F.col(key_col), salt)
+    es_key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__es_key", es_key)
+        .orderBy(F.desc("__es_key"), F.col(key_col))
+        .limit(n)
+        .drop("__es_key")
+    )

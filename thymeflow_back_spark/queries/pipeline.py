@@ -807,3 +807,39 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.scrub_repeated_spans(docs, "doc_id", "text", SPAN_K, SPAN_MIN_DOCS)
         .orderBy("doc_id")
     )
+
+
+# --- Q: weighted sampling (Efraimidis-Spirakis) -------------------------------
+
+WSAMPLE_N = 100
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             pow({_SQL_U.format(salt="wsample")}, 1.0 / n_chars) AS es_key
+      FROM documents WHERE n_chars > 0
+    ),
+    top AS (
+      SELECT doc_id, n_chars FROM keyed
+      ORDER BY es_key DESC, doc_id LIMIT {WSAMPLE_N}
+    )
+    SELECT doc_id, n_chars FROM top ORDER BY doc_id
+    """,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis A-ES): "
+    "inclusion odds proportional to document length via es_key = u^(1/w) "
+    "on the deterministic keyed uniform; top-n by es_key is the sample — "
+    "one pass, no reservoir state, reproducible across engines and "
+    "cluster layouts (operators/sampling.py weighted_sample_n).",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample_n
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        weighted_sample_n(docs, "doc_id", "n_chars", WSAMPLE_N)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
