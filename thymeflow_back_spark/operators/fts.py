@@ -187,8 +187,13 @@ def bm25_rank(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     terms = spark.createDataFrame([(t,) for t in query_terms], "tok string")
-    postings = tf.join(F.broadcast(terms), "tok")
-    dfreq = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # df per term as a window over the ALREADY-FILTERED postings — an
+    # aggregate-and-join-back would recompute the whole corpus tf subplan
+    # for the df side (observed: duplicated tf exchange in the physical
+    # plan); the window shuffles only the query-term postings, once
+    postings = tf.join(F.broadcast(terms), "tok").withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    )
     idf = F.log(
         F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -196,8 +201,7 @@ def bm25_rank(
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
     scored = (
-        postings.join(F.broadcast(dfreq), "tok")
-        .crossJoin(F.broadcast(stats))
+        postings.crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(F.round(F.sum(idf * tf_part), score_decimals).alias("score"))
     )
