@@ -426,3 +426,20 @@ def test_rdfxml_relative_iri_resolution():
     assert ("http://e.org/alice", "http://ex.org/knows", "http://e.org/bob") in triples
     assert ("http://e.org/alice", "http://ex.org/self", "http://e.org/data.rdf") in triples
     assert ("http://e.org/alice", "http://ex.org/part", "http://e.org/data.rdf#left") in triples
+
+
+def test_rdfxml_non_hierarchical_base_falls_back_to_concat():
+    """urljoin can't resolve against urn:/tag: bases (returns the raw
+    relative reference) — the parser must fall back to concatenation so
+    subjects stay absolute (round-4 review finding)."""
+    from thymeflow_back_spark.rdf.io import parse_rdfxml
+
+    text = """<?xml version="1.0"?>
+    <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+             xmlns:ex="http://ex.org/" xml:base="urn:example:base:">
+      <rdf:Description rdf:about="alice">
+        <ex:name>Alice</ex:name>
+      </rdf:Description>
+    </rdf:RDF>"""
+    [(s, p, o, *_)] = parse_rdfxml(text, "g")
+    assert s == "urn:example:base:alice"

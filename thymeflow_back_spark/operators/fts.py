@@ -151,6 +151,7 @@ def bm25_rank(
     k1: float = BM25_K1,
     b: float = BM25_B,
     score_decimals: int = 6,
+    corpus_stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Lucene-practical BM25 ranking of ``docs`` against a bag of query terms.
 
@@ -162,12 +163,16 @@ def bm25_rank(
         score(d) = Σ_t  ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
                         · tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))
 
-    Plan (the 100 TB shape): ONE corpus scan → per-doc (token, tf, dl) via
-    in-row tokenize + one partial-agg shuffle; the query-term list is a
-    broadcast literal so postings outside the query never shuffle; corpus
-    stats (N, avgdl) are a single-row broadcast; df per term comes from the
-    already-filtered postings (query-term-proportional, tiny). Scores are
-    rounded BEFORE ranking so ordering is reproducible across engines.
+    Plan: per-doc (token, tf, dl) via in-row tokenize + one partial-agg
+    shuffle; the query-term list is a broadcast literal so postings outside
+    the query never shuffle; df per term is a count window over the
+    already-filtered postings (query-term-proportional, tiny). Corpus
+    stats (N, avgdl) are a single-row broadcast — computed with a SECOND
+    corpus scan by default (two scans of a 2-column projection beat
+    shuffling the token table doc-wise); at index scale pass the
+    precomputed ``corpus_stats=(n_docs, avgdl)`` — Lucene likewise keeps
+    them as index metadata — and the plan is one scan. Scores are rounded
+    BEFORE ranking so ordering is reproducible across engines.
 
     Output: (id_col, score, rank) — top ``k`` by (score desc, id asc).
     """
@@ -176,11 +181,17 @@ def bm25_rank(
     # treats repeats as a boost; this ranker does not) — dedupe, sorted for
     # a deterministic plan
     query_terms = sorted(set(query_terms))
-    toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
-    base = docs.select(F.col(id_col), toks.alias("toks"))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
-    )
+    from .text import toks_col
+
+    base = docs.select(F.col(id_col), toks_col(text_col).alias("toks"))
+    if corpus_stats is not None:
+        stats = spark.createDataFrame(
+            [(int(corpus_stats[0]), float(corpus_stats[1]))], "n_docs bigint, avgdl double"
+        )
+    else:
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+        )
     tf = (
         base.select(id_col, F.size("toks").alias("dl"), F.explode("toks").alias("tok"))
         .groupBy(id_col, "dl", "tok")

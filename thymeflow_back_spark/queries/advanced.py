@@ -9,6 +9,7 @@ WGS84SphereHaversinePointMetric) over a deterministic synthetic track.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -526,7 +527,7 @@ SPATIAL_RADIUS_M = 40.0
 SPATIAL_REF_LAT = 48.1  # center of the synthetic 48.0-48.2 latitude band
 # lon->meters scale computed ONCE in Python and embedded as the same literal
 # in both engines, so cell ids are bit-identical
-_XSCALE = repr(111320.0 * __import__("math").cos(__import__("math").radians(SPATIAL_REF_LAT)))
+_XSCALE = repr(111320.0 * math.cos(math.radians(SPATIAL_REF_LAT)))
 _CELL = repr(2.0 * SPATIAL_RADIUS_M)
 
 

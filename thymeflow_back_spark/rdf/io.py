@@ -375,10 +375,16 @@ class _RdfXmlParser:
             # RFC 3986 reference resolution (rdf:about="alice" against
             # base http://e.org/data.rdf is http://e.org/alice, NOT
             # string concatenation); fragments and "" resolve to the
-            # base document as the spec requires.
+            # base document as the spec requires. urljoin only resolves
+            # against hierarchical schemes it knows — for the rest (urn:,
+            # tag:, ...) it returns the reference unchanged, so fall back
+            # to concatenation rather than emit a relative, base-less IRI.
             from urllib.parse import urljoin
 
-            return urljoin(self.base, iri)
+            resolved = urljoin(self.base, iri)
+            if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", resolved):
+                return resolved
+            return self.base + iri
         return iri
 
     def _emit(self, s, p, o, otype, dtype=None, lang=None) -> None:
