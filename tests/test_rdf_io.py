@@ -443,3 +443,34 @@ def test_rdfxml_non_hierarchical_base_falls_back_to_concat():
     </rdf:RDF>"""
     [(s, p, o, *_)] = parse_rdfxml(text, "g")
     assert s == "urn:example:base:alice"
+
+
+def test_rdfxml_serialize_roundtrip(spark):
+    """serialize_rdfxml emits per-triple self-contained elements that
+    parse_rdfxml reads back to the identical quad set (Rio rdfxml writer
+    parity — the write half)."""
+    from thymeflow_back_spark.rdf.io import parse_rdfxml, rdfxml_string
+    from thymeflow_back_spark.rdf.model import QUAD_SCHEMA
+
+    quads = [
+        ("http://e.org/a", "http://ex.org/name", "Ada & <co>", "literal",
+         "http://www.w3.org/2001/XMLSchema#string", None, "g"),
+        ("http://e.org/a", "http://ex.org/label", "grüß", "literal",
+         "http://www.w3.org/2001/XMLSchema#string", "de", "g"),
+        ("http://e.org/a", "http://ex.org/age", "36", "literal",
+         "http://www.w3.org/2001/XMLSchema#integer", None, "g"),
+        ("http://e.org/a", "http://ex.org/knows", "http://e.org/b", "iri", None, None, "g"),
+        ("_:x", "http://ex.org/prop#p", "_:y", "bnode", None, None, "g"),
+    ]
+    df = spark.createDataFrame(quads, QUAD_SCHEMA)
+    text = rdfxml_string(df)
+    back = parse_rdfxml(text, "g")
+    norm = {
+        (s, p, o, ot, None if (ot != "literal") else dt, lg)
+        for s, p, o, ot, dt, lg, _ in back
+    }
+    want = {
+        (s, p, o, ot, None if (ot != "literal") else dt, lg)
+        for s, p, o, ot, dt, lg, _ in quads
+    }
+    assert norm == want

@@ -746,3 +746,99 @@ def load_ontology(
     startup path that feeds the RDFS/OWL forward chainers (reference
     RepositoryFactory.scala:201-245 loads rdfs-ontology.ttl via Rio)."""
     return load_graphs_trig(spark, path, default_graph=graph)
+
+
+# --- RDF/XML serialization (pure column expressions) --------------------------
+
+
+def _xml_escape_col(c: Column, attr: bool = False) -> Column:
+    c = F.regexp_replace(c, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    c = F.regexp_replace(c, ">", "&gt;")
+    if attr:
+        c = F.regexp_replace(c, '"', "&quot;")
+    return c
+
+
+RDFXML_HEADER = (
+    '<?xml version="1.0" encoding="UTF-8"?>',
+    f'<rdf:RDF xmlns:rdf="{RDF_NS}">',
+)
+RDFXML_FOOTER = ("</rdf:RDF>",)
+
+
+def serialize_rdfxml(quads: DataFrame) -> DataFrame:
+    """Quads → (section, line) RDF/XML body lines, ordered by ``section``
+    (Rio rdfxml writer parity, build.sbt:66-76 — the write half of
+    parse_rdfxml).
+
+    One self-contained ``<rdf:Description>`` element PER TRIPLE: the
+    predicate's namespace is declared on the property element itself, so
+    every line is independent — a pure codegen'd string projection with no
+    per-subject grouping, concatenable in any order between the fixed
+    header (section 0) and footer (section 2). Verbose but valid, and the
+    shape that distributes: write with ``df.orderBy("section").write.text``
+    or prepend/append the header/footer driver-side.
+
+    Known format limitation (inherent to RDF/XML, not this writer): a
+    predicate IRI must split into namespace + XML-NCName local part at the
+    last '/' or '#'; predicates whose local part is not a valid NCName
+    (e.g. ending in ':') cannot be serialized and raise in no engine —
+    they produce invalid XML, as every RDF/XML writer does.
+    """
+    spark = quads.sparkSession
+    local = F.regexp_extract(F.col("predicate"), "([^/#]+)$", 1)
+    ns = F.expr("substring(predicate, 1, length(predicate) - length(regexp_extract(predicate, '([^/#]+)$', 1)))")
+    subj_attr = F.when(
+        F.col("subject").startswith("_:"),
+        F.concat(F.lit('rdf:nodeID="'), _xml_escape_col(F.expr("substring(subject, 3)"), True), F.lit('"')),
+    ).otherwise(
+        F.concat(F.lit('rdf:about="'), _xml_escape_col(F.col("subject"), True), F.lit('"'))
+    )
+    open_el = F.concat(F.lit("<p:"), local, F.lit(' xmlns:p="'), _xml_escape_col(ns, True), F.lit('"'))
+    obj_iri = F.concat(
+        open_el, F.lit(' rdf:resource="'), _xml_escape_col(F.col("object_value"), True), F.lit('"/>')
+    )
+    obj_bnode = F.concat(
+        open_el, F.lit(' rdf:nodeID="'),
+        _xml_escape_col(F.expr("substring(object_value, 3)"), True), F.lit('"/>'),
+    )
+    lit_attrs = (
+        F.when(
+            F.col("object_lang").isNotNull(),
+            F.concat(F.lit(' xml:lang="'), _xml_escape_col(F.col("object_lang"), True), F.lit('"')),
+        )
+        .when(
+            F.col("object_datatype").isNotNull() & (F.col("object_datatype") != XSD_STRING),
+            F.concat(F.lit(' rdf:datatype="'), _xml_escape_col(F.col("object_datatype"), True), F.lit('"')),
+        )
+        .otherwise(F.lit(""))
+    )
+    obj_lit = F.concat(
+        open_el, lit_attrs, F.lit(">"),
+        _xml_escape_col(F.col("object_value")),
+        F.lit("</p:"), local, F.lit(">"),
+    )
+    prop = (
+        F.when(F.col("object_type") == "iri", obj_iri)
+        .when(F.col("object_type") == "bnode", obj_bnode)
+        .otherwise(obj_lit)
+    )
+    body = quads.select(
+        F.lit(1).alias("section"),
+        F.concat(
+            F.lit("<rdf:Description "), subj_attr, F.lit(">"), prop, F.lit("</rdf:Description>")
+        ).alias("line"),
+    )
+    header = spark.createDataFrame(
+        [(0, ln) for ln in RDFXML_HEADER] + [(2, ln) for ln in RDFXML_FOOTER],
+        "section int, line string",
+    )
+    return body.unionByName(header)
+
+
+def rdfxml_string(quads: DataFrame) -> str:
+    """Whole-document RDF/XML text (small-graph debug helper — collects;
+    the distributed path is serialize_rdfxml + write.text)."""
+    rows = serialize_rdfxml(quads).orderBy("section", "line").collect()
+    return "\n".join(r.line for r in rows) + "\n"
