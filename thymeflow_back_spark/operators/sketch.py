@@ -63,3 +63,72 @@ def kmv_estimate(df: DataFrame, col: str | Column, k: int) -> DataFrame:
         .otherwise((F.col("k_used") - 1) * F.lit(TWO_32) / F.col("kth_min"))
         .alias("est_distinct"),
     )
+
+
+# --- count-min sketch ---------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+
+def cm_sketch(
+    df: DataFrame, col: str | Column, depth: int = CM_DEPTH, width: int = CM_WIDTH
+) -> DataFrame:
+    """Count-min sketch of a value stream: (row, cell, n) counters.
+
+    Each occurrence increments ``depth`` cells, one per hash row
+    (h32("cm<j>:" || value) % width). The sketch is d·w counters —
+    constant-size however large the stream — and MERGEABLE by cell-wise
+    sum, so per-partition/per-day sketches combine losslessly: the
+    distributed counting story approx_count_distinct gives cardinality,
+    count-min gives per-item frequency (within +εN overestimate, never
+    under). Hashing is the md5-derived family (dedup.h32), so any engine
+    rebuilds the identical sketch.
+    """
+    c = (F.col(col) if isinstance(col, str) else col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                (h32(F.concat(F.lit(f"cm{j}:"), c)) % width).alias("cell"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch: (probe_col, cm_est) = min over hash rows of
+    the addressed cells. ``probes`` is small by construction (the items you
+    ask about); the sketch is d·w rows — both sides broadcastable."""
+    c = F.col(probe_col).cast("string")
+    addressed = probes.select(
+        F.col(probe_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        (h32(F.concat(F.lit(f"cm{j}:"), c)) % width).alias("cell"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select(probe_col, F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+    return (
+        addressed.join(F.broadcast(sketch), ["row", "cell"])
+        .groupBy(probe_col)
+        .agg(F.min("n").alias("cm_est"))
+    )

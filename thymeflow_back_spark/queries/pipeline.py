@@ -843,3 +843,63 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# --- Q: count-min frequency estimates ----------------------------------------
+
+CM_PROBES = ("spark", "table", "value", "row", "the")
+
+
+@query(
+    "q_counts_cm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    cells AS (
+      SELECT j.g AS row_,
+             ('0x' || substr(md5('cm' || j.g || ':' || tok), 1, 8))::BIGINT % 256 AS cell,
+             COUNT(*) AS n
+      FROM toks, (SELECT unnest(generate_series(0, 3)) AS g) j
+      GROUP BY 1, 2
+    ),
+    probes(tok) AS (VALUES {", ".join(f"('{t}')" for t in CM_PROBES)}),
+    addressed AS (
+      SELECT p.tok, j.g AS row_,
+             ('0x' || substr(md5('cm' || j.g || ':' || p.tok), 1, 8))::BIGINT % 256 AS cell
+      FROM probes p, (SELECT unnest(generate_series(0, 3)) AS g) j
+    ),
+    est AS (
+      SELECT a.tok, MIN(c.n) AS cm_est
+      FROM addressed a JOIN cells c ON a.row_ = c.row_ AND a.cell = c.cell
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY 1
+    )
+    SELECT e.tok, x.exact_n, e.cm_est
+    FROM est e JOIN exact x USING (tok)
+    ORDER BY tok
+    """,
+    doc="Count-min sketch frequency estimates: 4x256 md5-hashed counters "
+    "(constant size, cell-wise mergeable across partitions/days) "
+    "point-queried for probe tokens, reported beside exact counts — "
+    "cm_est >= exact always, within +eps*N (operators/sketch.py "
+    "cm_sketch/cm_estimate).",
+)
+def q_counts_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import tokens as tok_rows
+    from ..operators.sketch import cm_estimate, cm_sketch
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tok_rows(docs, "doc_id", "text")
+    sketch = cm_sketch(toks, "tok")
+    probes = spark.createDataFrame([(t,) for t in CM_PROBES], "tok string")
+    est = cm_estimate(sketch, probes, "tok")
+    exact = (
+        toks.join(F.broadcast(probes), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return est.join(exact, "tok").select("tok", "exact_n", "cm_est").orderBy("tok")
