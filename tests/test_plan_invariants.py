@@ -29,6 +29,7 @@ BNLJ_CROSS_OK = {
     "q_similarity_sq8",  # same probe-set shape over the SQ8 codes
     "q_dataset_mixture",  # every row × one broadcast mixture-spec row
     "q_fts_bm25",  # postings × one broadcast corpus-stats row (N, avgdl)
+    "q_zorder_layout",  # rows × one broadcast min/max-stats row
 }
 
 # queries whose construction executes jobs eagerly (iterative closures,

@@ -68,3 +68,22 @@ def test_bm25_k_cap_and_tiebreak(spark):
     assert [(r.doc_id, r.rank) for r in sorted(rows, key=lambda r: r.rank)] == [
         (0, 1), (1, 2), (2, 3)
     ]
+
+
+def test_zorder_known_codes(spark):
+    """Morton interleave sanity on known values: z(0,0)=0, z(1,0)=1,
+    z(0,1)=2, z(1,1)=3, z(2,2)=12 — and full-range corners."""
+    from thymeflow_back_spark.operators.zorder import Z_MAX, with_zorder
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 2), (Z_MAX, Z_MAX)],
+        "x bigint, y bigint",
+    )
+    # min=0/max=Z_MAX makes the 16-bit scaling the identity
+    rows = {(r.x, r.y): r.z for r in with_zorder(df, "x", "y").collect()}
+    assert rows[(0, 0)] == 0
+    assert rows[(1, 0)] == 1
+    assert rows[(0, 1)] == 2
+    assert rows[(1, 1)] == 3
+    assert rows[(2, 2)] == 12
+    assert rows[(Z_MAX, Z_MAX)] == (1 << 32) - 1

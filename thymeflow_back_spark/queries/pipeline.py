@@ -903,3 +903,56 @@ def q_counts_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_n"))
     )
     return est.join(exact, "tok").select("tok", "exact_n", "cm_est").orderBy("tok")
+
+
+# --- Q: Z-order layout clustering --------------------------------------------
+
+from ..operators.zorder import scale16_sql, zorder_sql_expr  # noqa: E402
+
+Z_BUCKET_SHIFT = 22  # 2^32 codes / 2^22 = 1024 z-range buckets
+
+# the ORACLE shares the operator's own formula builders, so the SQL is the
+# same arithmetic by construction, with DuckDB's '//' integer division
+_ZX16 = scale16_sql("CAST(o_custkey AS DOUBLE)", "xmn", "xmx")
+_ZY16 = scale16_sql("CAST(o_totalprice AS DOUBLE)", "ymn", "ymx")
+_ZCODE = zorder_sql_expr("x16", "y16", "//")
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH stats AS (
+      SELECT CAST(MIN(o_custkey) AS DOUBLE) AS xmn, CAST(MAX(o_custkey) AS DOUBLE) AS xmx,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS ymn, CAST(MAX(o_totalprice) AS DOUBLE) AS ymx
+      FROM orders
+    ),
+    scaled AS (
+      SELECT {_ZX16} AS x16, {_ZY16} AS y16
+      FROM orders, stats
+    ),
+    coded AS (SELECT {_ZCODE} AS z FROM scaled)
+    SELECT z // {1 << Z_BUCKET_SHIFT} AS z_bucket,
+           COUNT(*) AS n_rows,
+           MIN(z) AS z_min, MAX(z) AS z_max
+    FROM coded GROUP BY 1 ORDER BY 1
+    """,
+    doc="Z-order (Morton-curve) clustering: min-max scale (o_custkey, "
+    "o_totalprice) to a 16-bit grid, interleave bits, bucket by z-range — "
+    "each bucket is a tight rectangle in BOTH dimensions, the layout that "
+    "makes file-level min/max skipping prune on either predicate "
+    "(operators/zorder.py; write via repartitionByRange(z)).",
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zorder import with_zorder
+
+    orders = load(spark, sf_dir, "orders")
+    z = with_zorder(orders, "o_custkey", "o_totalprice")
+    return (
+        z.groupBy((F.col("z") / (1 << Z_BUCKET_SHIFT)).cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+        .orderBy("z_bucket")
+    )
