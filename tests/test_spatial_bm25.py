@@ -87,3 +87,67 @@ def test_zorder_known_codes(spark):
     assert rows[(1, 1)] == 3
     assert rows[(2, 2)] == 12
     assert rows[(Z_MAX, Z_MAX)] == (1 << 32) - 1
+
+
+def test_zorder_buckets_are_tight_rectangles(spark):
+    """The point of z-order: bucket-level spans shrink in BOTH dimensions.
+    With 4096 grid points in 16 z-buckets, each bucket must cover at most
+    ~a quarter of each dimension's range (a single-column sort would leave
+    the other dimension's span at ~100%)."""
+    import pyspark.sql.functions as F
+
+    from thymeflow_back_spark.operators.zorder import with_zorder
+
+    pts = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("bigint").alias("y")
+    )
+    z = with_zorder(pts, "x", "y")
+    spans = (
+        z.groupBy((F.col("z") / (1 << 28)).cast("bigint").alias("b"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .collect()
+    )
+    assert len(spans) == 16
+    for r in spans:
+        assert r.xs <= 16 and r.ys <= 16  # 16/63 ≈ quarter of the range
+
+
+def test_spatial_pairs_matches_brute_force(spark):
+    """Blocked join == brute-force all-pairs on a random cloud (fixed
+    seed): completeness of the 9-cell replication and exactness of the
+    haversine filter, including pairs that straddle cell boundaries."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    pts = [
+        (i, 48.0 + rng.random() * 0.01, 2.0 + rng.random() * 0.01)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(pts, "pid bigint, lat double, lon double")
+    from thymeflow_back_spark.operators.spatial import within_distance_pairs
+
+    got = {
+        (r.a_id, r.b_id)
+        for r in within_distance_pairs(df, "pid", "lat", "lon", 150.0, 48.005).collect()
+    }
+
+    import math
+
+    def hav(p, q):
+        la1, lo1, la2, lo2 = map(math.radians, (p[1], p[2], q[1], q[2]))
+        a = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * 6371000.0 * math.asin(math.sqrt(a))
+
+    want = {
+        (p[0], q[0])
+        for p, q in itertools.combinations(pts, 2)
+        if round(hav(p, q), 3) <= 150.0
+    }
+    assert got == want and len(want) > 50
