@@ -38,6 +38,7 @@ BNLJ_CROSS_OK = {
 SKIP = {
     "q_streaming_near_dup",  # drives a real foreachBatch stream
     "q_streaming_window_counts",
+    "q_streaming_sessions",
 }
 
 

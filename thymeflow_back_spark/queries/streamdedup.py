@@ -159,3 +159,77 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT unix_micros(window.start) AS window_start_us, event_type,"
         f" count AS n FROM {sink}"
     ).orderBy("window_start_us", "event_type")
+
+
+# --- Q: streaming session windows (oracle-backed) -----------------------------
+
+SESSION_GAP_H = 8
+_GAP_US = SESSION_GAP_H * 3600 * 1_000_000
+
+
+@query(
+    "q_streaming_sessions",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+    m AS (
+      SELECT user_id, t,
+             CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                  > {_GAP_US} THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, t,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           MIN(t) AS session_start_us,
+           MAX(t) + {_GAP_US} AS session_end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+    doc="Native STREAMING session windows: per-user session_window with an "
+    "8-hour inactivity gap, state merging sessions across two micro-"
+    "batches (maxFilesPerTrigger=1); the complete-mode result must "
+    "hash-match a batch gaps-and-islands replay (session end = last event "
+    "+ gap, the session_window contract). The streaming form of the "
+    "batch sessionizer (operators/sessionize.py).",
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix="tf_stream_sess_")
+    staging = os.path.join(base, "staging")
+    ckpt = os.path.join(base, "ckpt")
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    for parity in (0, 1):
+        ev.filter(F.col("event_id") % 2 == parity).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", f"{SESSION_GAP_H} hours"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    sink = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT user_id, unix_micros(session_window.start) AS session_start_us,"
+        f" unix_micros(session_window.end) AS session_end_us, n_events"
+        f" FROM {sink}"
+    ).orderBy("user_id", "session_start_us")
