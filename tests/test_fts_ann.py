@@ -107,3 +107,42 @@ def test_srp_ann_recall_on_near_duplicates(spark):
     planted = {(2 * i, 2 * i + 1) for i in range(60)}
     recall = len(got & planted) / len(planted)
     assert recall >= 0.9, f"recall {recall}"
+
+
+def test_semantic_dedup_prunes_within_cluster(spark):
+    """Constructed corpus: two tight clusters plus an outlier. Within each
+    cluster every later vector must be pruned to the lowest-id leader; the
+    outlier and the two leaders survive."""
+    import math
+
+    from thymeflow_back_spark.operators.semdedup import semantic_dedup
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        # cluster A: ids 0..2 within ~2 degrees of each other
+        (0, unit(0.00)), (1, unit(0.02)), (2, unit(0.04)),
+        # cluster B: ids 10..11 around 90 degrees
+        (10, unit(1.57)), (11, unit(1.59)),
+        # outlier: opposite direction
+        (20, unit(3.14)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", threshold=0.99, n_cells=3, refine_iters=1
+        ).collect()
+    }
+    assert len(out) == 6
+    assert out[0]["keep"] == 1 and out[0]["dup_of"] == -1
+    assert out[1]["keep"] == 0 and out[1]["dup_of"] == 0
+    assert out[2]["keep"] == 0 and out[2]["dup_of"] == 0
+    assert out[10]["keep"] == 1 and out[10]["dup_of"] == -1
+    assert out[11]["keep"] == 0 and out[11]["dup_of"] == 10
+    assert out[20]["keep"] == 1 and out[20]["dup_of"] == -1
+    # pruning is consistent: every dup_of points at a kept leader
+    for r in out.values():
+        if r["keep"] == 0:
+            assert out[r["dup_of"]]["keep"] == 1

@@ -220,14 +220,17 @@ IVF_QUERIES = 20
 IVF_K = 5
 
 
-@query(
-    "q_similarity_ivf",
-    oracle=f"""
+def _ivf_index_cte(n_cells: int) -> str:
+    """Shared oracle prefix replaying the deterministic IVF index build
+    (operators/ivf.py): content-addressed seeds -> one Lloyd refinement ->
+    inverted file. Used by q_similarity_ivf and q_semantic_dedup so both
+    oracles check the identical quantizer."""
+    return f"""
     WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     seeds AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell, v
       FROM vecs
-      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {IVF_CELLS}
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {n_cells}
     ),
     assign0 AS (
       SELECT vec_id, v, cell FROM (
@@ -256,7 +259,13 @@ IVF_K = 5
                  ORDER BY list_dot_product(cents.v, vecs.v) DESC, cents.cell
                ) AS rn
         FROM vecs CROSS JOIN cents) WHERE rn = 1
-    ),
+    )"""
+
+
+@query(
+    "q_similarity_ivf",
+    oracle=_ivf_index_cte(IVF_CELLS)
+    + f""",
     q AS (SELECT vec_id AS q_id, v AS q_v FROM vecs WHERE vec_id < {IVF_QUERIES}),
     probe AS (
       SELECT q_id, q_v, cell FROM (
@@ -390,3 +399,46 @@ def q_similarity_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("recall", F.col("n_overlap") / F.lit(float(SQ_K)))
         .orderBy("q_id")
     )
+
+
+# --- Q: semantic dedup (SemDeDup cluster-then-prune) --------------------------
+
+SEM_THRESHOLD = NEAR_DUP_THRESHOLD  # rounded-cosine prune radius
+
+
+@query(
+    "q_semantic_dedup",
+    oracle=_ivf_index_cte(IVF_CELLS)
+    + f""",
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS score
+      FROM inverted a JOIN inverted b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    dups AS (
+      SELECT b_id, MIN(a_id) AS dup_of FROM pairs
+      WHERE score >= {SEM_THRESHOLD} GROUP BY b_id
+    )
+    SELECT i.vec_id AS vec_id, i.cell AS cell,
+           CAST(CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
+           COALESCE(d.dup_of, -1) AS dup_of
+    FROM inverted i LEFT JOIN dups d ON d.b_id = i.vec_id
+    ORDER BY vec_id
+    """,
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023): reuse the "
+    "deterministic IVF quantizer (seeded + one Lloyd refinement), then "
+    "prune any vector whose rounded cosine to a lower-id vector in the "
+    "SAME cell clears the threshold; keepers are per-epsilon-ball leaders "
+    "(lowest id). The oracle replays quantizer AND in-cell pair scan, so "
+    "the pruning decision itself is value-checked. The only data-sized "
+    "shuffle is the cell-keyed self-join; per-cell pair work is bounded "
+    "by n_cells (operators/semdedup.py).",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.semdedup import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", SEM_THRESHOLD, n_cells=IVF_CELLS, refine_iters=1
+    ).orderBy("vec_id")
