@@ -373,3 +373,42 @@ def test_scrub_repeated_spans(spark):
         ).collect()
     }
     assert rows2[1] == "aa bb cc dd"
+
+
+def test_histogram_sketch_merges_cellwise(spark):
+    """Bucket counts from two disjoint halves, merged by cell-wise sum with
+    shared bounds, equal the single-pass sketch; quantile estimates land
+    within one bucket width of the exact value."""
+    from pyspark.sql import functions as F
+
+    from thymeflow_back_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    df = spark.range(0, 10000).select((F.col("id") * F.col("id")).cast("double").alias("x"))
+    full = {r["bucket"]: r["n"] for r in histogram_sketch(df, "x").collect()}
+
+    # merge path: bucket the halves against the SHARED global bounds
+    lo, hi = 0.0, 9999.0 * 9999.0
+    w = (hi - lo) / 256
+    halves = [df.filter(F.col("x") < 25e6), df.filter(F.col("x") >= 25e6)]
+    merged: dict[int, int] = {}
+    for h in halves:
+        part = (
+            h.select(
+                F.least(F.floor((F.col("x") - F.lit(lo)) / F.lit(w)), F.lit(255))
+                .cast("int")
+                .alias("bucket")
+            )
+            .groupBy("bucket")
+            .count()
+            .collect()
+        )
+        for r in part:
+            merged[r["bucket"]] = merged.get(r["bucket"], 0) + r["count"]
+    assert merged == full
+
+    qs = {r["quantile"]: r for r in histogram_quantiles(df, "x", (0.5, 0.99)).collect()}
+    exact_p50 = 4999.0 * 4999.0  # rank ceil(.5*10000) = 5000 -> id 4999
+    assert abs(qs[0.5]["est"] - exact_p50) <= w

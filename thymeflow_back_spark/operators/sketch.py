@@ -132,3 +132,112 @@ def cm_estimate(
         .groupBy(probe_col)
         .agg(F.min("n").alias("cm_est"))
     )
+
+
+# --- histogram quantile sketch ------------------------------------------------
+
+HIST_BUCKETS = 256
+
+
+def histogram_sketch(df: DataFrame, col: str | Column, n_buckets: int = HIST_BUCKETS) -> DataFrame:
+    """Equi-width histogram of a numeric column: rows (bucket, n).
+
+    The mergeable quantile story next to KMV (cardinality) and count-min
+    (frequency): given shared [lo, hi) bounds, per-partition/per-day bucket
+    counts combine by cell-wise SUM with zero loss, and any quantile is
+    answered from the n_buckets counters with error <= one bucket width —
+    the fixed-size alternative to a full sort when an exact rank pass
+    (queries/relational.py q_value_percentiles) is too expensive. Exact
+    t-digest/GK sketches trade this fixed error bound for adaptivity but
+    are merge-order-dependent; equi-width is the deterministic choice, so
+    any engine rebuilds the identical sketch.
+
+    Plan shape: one min/max aggregate (map-side combined), then a narrow
+    bucket projection joined against the broadcast one-row bounds, then one
+    keyed count — two scans, one sketch-sized shuffle.
+    """
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    vals = df.select(c.alias("x"))
+    bounds = vals.agg(F.min("x").alias("lo"), F.max("x").alias("hi")).select(
+        "lo", ((F.col("hi") - F.col("lo")) / F.lit(n_buckets)).alias("w")
+    )
+    bucketed = vals.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("w") == 0.0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("x") - F.col("lo")) / F.col("w")),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+    return bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str | Column,
+    quantiles: tuple[float, ...],
+    n_buckets: int = HIST_BUCKETS,
+) -> DataFrame:
+    """Quantile estimates from the equi-width histogram: rows
+    (quantile, target, bucket, est).
+
+    ``target`` is the rank ceil(q * n); ``bucket`` the first histogram cell
+    whose cumulative count reaches it; ``est`` the linear interpolation
+    inside that cell — lo + w * (bucket + (target - cum_before) / n_in_bucket).
+    Every arithmetic step is fixed-order IEEE double, so the estimate is
+    bit-reproducible across engines (the oracle replays it in SQL).
+
+    Everything after the bucket counts is sketch-sized (<= n_buckets rows):
+    the cumulative window, the theta-join against the quantile list, and the
+    first-hit selection all run on the counters, never on the data.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    vals = df.select(c.alias("x"))
+    bounds = vals.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"), F.count(F.lit(1)).alias("nn")
+    ).select(
+        "lo", ((F.col("hi") - F.col("lo")) / F.lit(n_buckets)).alias("w"), "nn"
+    )
+    bucketed = vals.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("w") == 0.0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("x") - F.col("lo")) / F.col("w")),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select("bucket", "n", F.sum("n").over(wcum).alias("c"))
+    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "quantile double")
+    tgt = qdf.crossJoin(F.broadcast(bounds)).select(
+        "quantile",
+        F.ceil(F.col("quantile") * F.col("nn")).cast("bigint").alias("target"),
+        "lo",
+        "w",
+    )
+    wfirst = Window.partitionBy("quantile").orderBy("bucket")
+    hits = (
+        tgt.join(cum, F.col("c") >= F.col("target"))
+        .withColumn("rn", F.row_number().over(wfirst))
+        .filter(F.col("rn") == 1)
+    )
+    est = F.when(F.col("w") == 0.0, F.col("lo")).otherwise(
+        F.col("lo")
+        + F.col("w")
+        * (
+            F.col("bucket").cast("double")
+            + (F.col("target") - (F.col("c") - F.col("n"))).cast("double")
+            / F.col("n").cast("double")
+        )
+    )
+    return hits.select("quantile", "target", "bucket", est.alias("est"))

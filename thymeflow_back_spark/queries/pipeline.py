@@ -956,3 +956,76 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+# --- Q: histogram quantile sketch ---------------------------------------------
+
+HQ_QUANTILES = (0.5, 0.9, 0.99)
+
+
+@query(
+    "q_quantile_sketch",
+    oracle="""
+    WITH v AS (SELECT value AS x, event_id FROM events),
+    b AS (SELECT min(x) AS lo, max(x) AS hi, COUNT(*) AS nn FROM v),
+    p AS (SELECT lo, (hi - lo) / 256 AS w, nn FROM b),
+    bk AS (
+      SELECT CAST(CASE WHEN w = 0 THEN 0
+             ELSE least(floor((x - lo) / w), 255) END AS INTEGER) AS bucket
+      FROM v, p
+    ),
+    counts AS (SELECT bucket, COUNT(*) AS n FROM bk GROUP BY bucket),
+    cum AS (
+      SELECT bucket, n,
+             CAST(SUM(n) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+      FROM counts
+    ),
+    qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS quantile),
+    tgt AS (
+      SELECT quantile, CAST(ceil(quantile * nn) AS BIGINT) AS target, lo, w
+      FROM qs, p
+    ),
+    hits AS (
+      SELECT quantile, target, bucket, n, c, lo, w,
+             row_number() OVER (PARTITION BY quantile ORDER BY bucket) AS rn
+      FROM tgt JOIN cum ON c >= target
+    ),
+    ranked AS (SELECT x, row_number() OVER (ORDER BY x, event_id) AS rk FROM v)
+    SELECT h.quantile, h.target, h.bucket,
+           CASE WHEN h.w = 0 THEN h.lo
+                ELSE h.lo + h.w * (CAST(h.bucket AS DOUBLE)
+                  + CAST(h.target - (h.c - h.n) AS DOUBLE) / CAST(h.n AS DOUBLE))
+           END AS est,
+           r.x AS exact
+    FROM hits h JOIN ranked r ON r.rk = h.target
+    WHERE h.rn = 1
+    ORDER BY h.quantile
+    """,
+    doc="Mergeable equi-width histogram quantile sketch (256 counters): "
+    "P50/P90/P99 of events.value estimated by cumulative-count walk + "
+    "in-bucket linear interpolation, reported beside the exact rank-"
+    "selected value so the sketch error (<= one bucket width) is visible. "
+    "Bucket counts merge cell-wise across partitions/days like the KMV "
+    "and count-min sketches; every interpolation step is fixed-order IEEE "
+    "double, so the DuckDB oracle reproduces the estimate bit-exactly "
+    "(operators/sketch.py histogram_quantiles).",
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.sketch import histogram_quantiles
+
+    events = load(spark, sf_dir, "events")
+    hq = histogram_quantiles(events, "value", HQ_QUANTILES)
+    ranked = events.select(
+        F.col("value").alias("exact"),
+        F.row_number()
+        .over(Window.orderBy(F.asc("value"), F.asc("event_id")))
+        .alias("rk"),
+    )
+    return (
+        hq.join(ranked, hq["target"] == ranked["rk"])
+        .select("quantile", "target", "bucket", "est", "exact")
+        .orderBy("quantile")
+    )
