@@ -30,6 +30,9 @@ BNLJ_CROSS_OK = {
     "q_dataset_mixture",  # every row × one broadcast mixture-spec row
     "q_fts_bm25",  # postings × one broadcast corpus-stats row (N, avgdl)
     "q_zorder_layout",  # rows × one broadcast min/max-stats row
+    # theta-join runs on the counters, never the data: <= n_buckets
+    # cumulative rows x the fixed quantile list (both sketch-sized)
+    "q_quantile_sketch",
 }
 
 # queries whose construction executes jobs eagerly (iterative closures,
