@@ -108,6 +108,37 @@ def test_kmv_estimate_exact_below_k_and_plausible_above(spark):
     assert 4000 < row.est_distinct < 6000  # ~5000 within KMV error bounds
 
 
+def test_hll_estimate_accuracy_and_mergeability(spark):
+    from thymeflow_back_spark.operators.sketch import (
+        hll_estimate,
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(0, 12000).select((F.col("id") % 5000).cast("string").alias("v"))
+    row = hll_estimate(df, "v").collect()[0]
+    assert row.m == 256 and row.zeros == 0
+    # m=256 -> relative error ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert 4000 < row.est_distinct < 6000
+
+    # the register file is a pure function of the value SET: merging the
+    # sketches of two overlapping halves equals the whole-stream sketch
+    left = df.filter(F.col("v").cast("int") < 3000)
+    right = df.filter(F.col("v").cast("int") >= 2000)
+    merged = hll_merge(hll_registers(left, "v"), hll_registers(right, "v"))
+    whole = {r.register: r.rho for r in hll_registers(df, "v").collect()}
+    assert {r.register: r.rho for r in merged.collect()} == whole
+    est_m = hll_estimate_from_registers(merged).collect()[0]
+    assert est_m.est_distinct == row.est_distinct
+
+    # linear-counting regime: tiny cardinality leaves empty registers and
+    # the corrected estimate lands near the true count
+    tiny = spark.range(0, 30).select(F.col("id").cast("string").alias("v"))
+    trow = hll_estimate(tiny, "v").collect()[0]
+    assert trow.zeros > 0 and 25 <= trow.est_distinct <= 36
+
+
 def _brute_jaccard_pairs(docs, n=3, threshold=0.5):
     def sh(text):
         toks = [t for t in text.split(" ") if t]

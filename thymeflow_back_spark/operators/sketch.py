@@ -134,6 +134,93 @@ def cm_estimate(
     )
 
 
+# --- HyperLogLog --------------------------------------------------------------
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+# alpha_m = 0.7213 / (1 + 1.079/m) (Flajolet et al. 2007); precomputed so the
+# EXACT SAME double literal appears in the Spark plan and the SQL oracle
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hll_registers(df: DataFrame, col: str | Column) -> DataFrame:
+    """HyperLogLog register file of a value stream: ALL m rows (register, rho).
+
+    Flajolet-style with the portable 32-bit hash: register = top p bits,
+    rho = leading-zero count of the remaining 24 bits + 1 (0 for a register
+    no value hashed into). The register file is the sketch — m integers,
+    MERGEABLE by cell-wise max, a pure function of the value set — so two
+    engines (or two days of data) always build the identical sketch.
+    rho is computed with integer/string ops only (25 - digit-length of the
+    suffix in base 2), never floor(log2(x)): float log at a power-of-two
+    boundary is an off-by-one waiting to happen.
+
+    Plan shape: hash projection -> map-side-combined groupBy(register)
+    max(rho) -> left join against a generated 256-row register spine.
+    The only shuffle is 256 groups wide.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = h32(c)
+    idx = (h / F.lit(1 << 24)).cast("bigint").alias("register")
+    w = (h % F.lit(1 << 24)).alias("w")
+    rho = (
+        F.when(F.col("w") == 0, F.lit(25))
+        .otherwise(F.lit(25) - F.length(F.conv(F.col("w").cast("string"), 10, 2)))
+        .alias("rho")
+    )
+    maxed = df.select(idx, w).select("register", rho).groupBy("register").agg(
+        F.max("rho").alias("rho")
+    )
+    spine = df.sparkSession.range(HLL_M).select(F.col("id").alias("register"))
+    return spine.join(maxed, "register", "left").select(
+        "register", F.coalesce("rho", F.lit(0)).alias("rho")
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise max of register files — the lossless sketch union."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("register").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate_from_registers(registers: DataFrame) -> DataFrame:
+    """One row (m, zeros, z, raw_est, est_distinct) from a register file.
+
+    z = sum(2^-rho) is BIT-EXACT regardless of aggregation order: every
+    term is a power of two >= 2^-25 and every partial sum stays below
+    2^9, a 34-bit exponent range that a double holds exactly — so the
+    raw estimate alpha*m^2/z is reproducible on any engine with no
+    ordered-fold contortions. The small-range branch (raw <= 2.5m with
+    empty registers) falls back to linear counting m*ln(m/zeros); ln is
+    the one operation whose last ulp is engine-specific, so hash-exact
+    comparisons should target cardinalities above 2.5m (the raw path).
+    """
+    return registers.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum((F.col("rho") == 0).cast("int")).alias("zeros"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("z"),
+    ).select(
+        "m",
+        "zeros",
+        "z",
+        (F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / F.col("z")).alias("raw_est"),
+        F.when(
+            (F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / F.col("z") <= 2.5 * HLL_M)
+            & (F.col("zeros") > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("zeros")),
+        )
+        .otherwise(F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / F.col("z"))
+        .alias("est_distinct"),
+    )
+
+
+def hll_estimate(df: DataFrame, col: str | Column) -> DataFrame:
+    """HyperLogLog distinct-count estimate of ``col`` (single row)."""
+    return hll_estimate_from_registers(hll_registers(df, col))
+
+
 # --- histogram quantile sketch ------------------------------------------------
 
 HIST_BUCKETS = 256

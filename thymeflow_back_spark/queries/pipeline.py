@@ -207,6 +207,68 @@ def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_estimate(sh, "shingle", KMV_K)
 
 
+# DuckDB parses bare decimal literals as DECIMAL, so force DOUBLE to get
+# the same IEEE multiply/divide Spark performs
+_HLL_RAW = "CAST({alpha!r} AS DOUBLE) * 65536.0 / z"
+
+
+@query(
+    "q_distinct_hll",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) s
+    ),
+    hs AS (SELECT ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+    regs0 AS (
+      SELECT h // 16777216 AS register,
+             CASE WHEN h % 16777216 = 0 THEN 25
+                  ELSE 25 - length(bin(h % 16777216)) END AS rho
+      FROM hs
+    ),
+    maxed AS (SELECT register, MAX(rho) AS rho FROM regs0 GROUP BY register),
+    spine AS (SELECT unnest(generate_series(0, 255)) AS register),
+    regs AS (
+      SELECT s.register, COALESCE(m.rho, 0) AS rho
+      FROM spine s LEFT JOIN maxed m USING (register)
+    ),
+    agg AS (
+      SELECT COUNT(*) AS m,
+             CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros,
+             SUM(power(2.0, -rho)) AS z
+      FROM regs
+    )
+    SELECT m, zeros, z,
+           {_HLL_RAW.format(alpha=0.7213 / (1 + 1.079 / 256))} AS raw_est,
+           CASE WHEN {_HLL_RAW.format(alpha=0.7213 / (1 + 1.079 / 256))} <= 640.0
+                     AND zeros > 0
+                THEN 256.0 * ln(256.0 / zeros)
+                ELSE {_HLL_RAW.format(alpha=0.7213 / (1 + 1.079 / 256))} END
+             AS est_distinct
+    FROM agg
+    """,
+    doc="HyperLogLog distinct-count sketch over the same word-3-gram "
+    "shingles as q_distinct_kmv: 256 registers (top-8-bit index, "
+    "leading-zero rank of the 24-bit suffix), harmonic-mean estimate "
+    "alpha*m^2/sum(2^-rho). The register file is mergeable by cell-wise "
+    "max and the harmonic sum is bit-exact in any aggregation order "
+    "(every term a power of two; 34-bit exponent spread), so both "
+    "engines derive the identical estimate (operators/sketch.py). At "
+    "this cardinality the raw branch is taken; the linear-counting "
+    "fallback (the one engine-ulp-sensitive term, ln) stays dead.",
+)
+def q_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_estimate
+
+    docs = load(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", SHINGLE_N_KMV)
+    return hll_estimate(sh, "shingle")
+
+
 # --- Q: vocabulary heavy hitters ---------------------------------------------
 
 VOCAB_TOP = 50
