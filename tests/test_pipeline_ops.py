@@ -157,6 +157,32 @@ def _brute_jaccard_pairs(docs, n=3, threshold=0.5):
     return out
 
 
+def test_url_canonicalization_edge_cases(spark):
+    from thymeflow_back_spark.operators.urls import canonicalize_urls
+
+    cases = [
+        # (url, expected_canonical, expected_domain)
+        ("https://WWW.Example.COM/a/b/?utm_source=x&z=1&a=2#frag",
+         "https://example.com/a/b?a=2&z=1", "example.com"),
+        # all params are tracking -> no query part at all
+        ("http://site.org/p?utm_a=1&utm_b=2", "http://site.org/p", "site.org"),
+        # empty path -> '/', params sorted
+        ("https://news.bbc.co.uk?b=2&a=1", "https://news.bbc.co.uk/?a=1&b=2",
+         "bbc.co.uk"),
+        # root slash kept, fragment dropped
+        ("https://x.example.com/#top", "https://x.example.com/", "example.com"),
+        # www-only strip happens once, at the front
+        ("https://www.www-stats.net/d/", "https://www-stats.net/d",
+         "www-stats.net"),
+    ]
+    df = canonicalize_urls(
+        spark.createDataFrame([(u,) for u, _, _ in cases], ["url"]), "url"
+    )
+    got = {r.url: (r.canonical, r.domain) for r in df.collect()}
+    for url, canon, dom in cases:
+        assert got[url] == (canon, dom), (url, got[url])
+
+
 def test_jaccard_near_dups_matches_bruteforce_random_corpora(spark):
     """Randomized (seeded) corpora: blocked plan == all-pairs brute force."""
     import random

@@ -269,6 +269,103 @@ def q_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(sh, "shingle")
 
 
+# --- Q: URL canonicalization --------------------------------------------------
+
+# DuckDB byte i (0-indexed) of md5 hex digest column h
+_MD5B = "('0x' || substr(h, {o}, 2))::BIGINT"
+
+
+@query(
+    "q_url_canonical",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, md5('url:' || CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    v AS (
+      SELECT doc_id,
+             {_MD5B.format(o=1)} AS b0, {_MD5B.format(o=3)} AS b1,
+             {_MD5B.format(o=5)} AS b2, {_MD5B.format(o=7)} AS b3,
+             {_MD5B.format(o=9)} AS b4, {_MD5B.format(o=11)} AS b5
+      FROM b
+    ),
+    u AS (
+      SELECT doc_id, b1, b4,
+             CASE b2 % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                         WHEN 2 THEN 'net' ELSE 'co.uk' END AS tld,
+             'https://'
+               || CASE WHEN b0 % 3 = 0 THEN 'www.' ELSE '' END
+               || CASE WHEN b0 % 2 = 0 THEN 'Site' ELSE 'site' END
+               || CAST(b1 % 40 AS VARCHAR) || '.'
+               || CASE b2 % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                              WHEN 2 THEN 'net' ELSE 'co.uk' END
+               || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+               || CASE WHEN b3 % 2 = 1 THEN '/' ELSE '' END
+               || CASE b4 % 3
+                    WHEN 0 THEN '?utm_source=feed&id=' || CAST(b4 % 7 AS VARCHAR)
+                    WHEN 1 THEN '?id=' || CAST(b4 % 7 AS VARCHAR) || '&utm_campaign=x&a=2'
+                    ELSE '' END
+               || CASE WHEN b5 % 2 = 0 THEN '#s' || CAST(b5 % 5 AS VARCHAR)
+                       ELSE '' END AS url
+      FROM v
+    )
+    SELECT doc_id, url,
+           'https://site' || CAST(b1 % 40 AS VARCHAR) || '.' || tld
+             || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+             || CASE b4 % 3
+                  WHEN 0 THEN '?id=' || CAST(b4 % 7 AS VARCHAR)
+                  WHEN 1 THEN '?a=2&id=' || CAST(b4 % 7 AS VARCHAR)
+                  ELSE '' END AS canonical,
+           'site' || CAST(b1 % 40 AS VARCHAR) || '.' || tld AS domain
+    FROM u ORDER BY doc_id
+    """,
+    doc="URL canonicalization (operators/urls.py) — the first pass of web-"
+    "corpus dedup: per-document URLs synthesized from md5(doc_id) bytes "
+    "with every mess the canonicalizer must undo (mixed-case host, "
+    "www. prefix, trailing slash, utm_* tracking params, unsorted "
+    "params, fragments, multi-label co.uk suffix). Spark PARSES the "
+    "messy URL with JVM built-ins (parse_url + array ops, zero Python); "
+    "the oracle derives the expected canonical form and registrable "
+    "domain directly from the generation formula — ground truth, not a "
+    "second parser implementation.",
+)
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.urls import canonicalize_urls
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    m = F.md5(F.concat(F.lit("url:"), F.col("doc_id").cast("string")))
+
+    def b(i: int):  # byte i of the digest
+        return F.conv(F.substring(m, 2 * i + 1, 2), 16, 10).cast("bigint")
+
+    s = lambda c: c.cast("string")  # noqa: E731
+    tld = (
+        F.when(b(2) % 4 == 0, "com")
+        .when(b(2) % 4 == 1, "org")
+        .when(b(2) % 4 == 2, "net")
+        .otherwise("co.uk")
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.when(b(0) % 3 == 0, "www.").otherwise(""),
+        F.when(b(0) % 2 == 0, "Site").otherwise("site"),
+        s(b(1) % 40),
+        F.lit("."),
+        tld,
+        F.lit("/p/"),
+        s(F.col("doc_id") % 50),
+        F.when(b(3) % 2 == 1, "/").otherwise(""),
+        F.when(b(4) % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), s(b(4) % 7)))
+        .when(b(4) % 3 == 1, F.concat(F.lit("?id="), s(b(4) % 7), F.lit("&utm_campaign=x&a=2")))
+        .otherwise(""),
+        F.when(b(5) % 2 == 0, F.concat(F.lit("#s"), s(b(5) % 5))).otherwise(""),
+    )
+    return (
+        canonicalize_urls(docs.withColumn("url", url), "url")
+        .select("doc_id", "url", "canonical", "domain")
+        .orderBy("doc_id")
+    )
+
+
 # --- Q: vocabulary heavy hitters ---------------------------------------------
 
 VOCAB_TOP = 50
