@@ -157,6 +157,28 @@ def _brute_jaccard_pairs(docs, n=3, threshold=0.5):
     return out
 
 
+def test_pagerank_fixed_point_properties(spark):
+    from thymeflow_back_spark.operators.pagerank import PR_SCALE, pagerank
+
+    # symmetric 4-cycle: ranks stay equal, and within floor-loss of S/n
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    cyc = spark.createDataFrame([(i, (i + 1) % 4) for i in range(4)], ["src", "dst"])
+    got = {r.id: r.rank_scaled for r in pagerank(nodes, cyc, 4).collect()}
+    assert len(set(got.values())) == 1
+    assert PR_SCALE // 4 - 10 <= got[0] <= PR_SCALE // 4
+
+    # bidirectional star: the hub aggregates whole leaf ranks while each
+    # leaf gets a third of the hub's, so hub > leaf from iteration 1 on
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 4)] + [(0, i) for i in range(1, 4)],
+        ["src", "dst"],
+    )
+    ranks = {r.id: r.rank_scaled for r in pagerank(nodes, star, 4).collect()}
+    assert ranks[0] > max(ranks[i] for i in (1, 2, 3))
+    # total mass is conserved up to integer floor losses
+    assert PR_SCALE - 200 <= sum(ranks.values()) <= PR_SCALE
+
+
 def test_url_canonicalization_edge_cases(spark):
     from thymeflow_back_spark.operators.urls import canonicalize_urls
 

@@ -1,0 +1,75 @@
+"""PageRank in exact fixed-point integer arithmetic.
+
+Link-graph rank is a standard corpus-curation signal (domain/page
+authority as a quality prior — e.g. the Common Crawl-derived pipelines
+that weight sampling by harmonic/PageRank centrality). The float version
+is order-sensitive (contributions sum in shuffle order), which breaks
+bit-reproducibility across engines and across runs; this one does every
+step in scaled BIGINT arithmetic —
+
+    r0        = S DIV n                      (S = 10^12)
+    contrib_j = r_j DIV outdeg_j             (exact integer division)
+    r'_i      = (15*(S DIV n)) DIV 100 + (85 * sum(contrib_j)) DIV 100
+
+— so each iteration is a pure integer function of the previous one,
+independent of aggregation order, and DuckDB replays the identical
+sequence as chained CTEs (damping 0.85 as the 85/100 rational). All
+intermediates stay below 2^53, so `floor(a/b)` on doubles is exact.
+
+Plan shape per iteration: ranks ⋈ edges on src (one shuffle, or zero if
+both sides are pre-partitioned by src), groupBy dst with map-side
+partial sums (the in-degree combine), left join back to the node spine
+for teleport-only nodes. Iterations are bounded and each result is
+persisted + localCheckpointed to cut lineage — the same loop discipline
+as operators/closure.py connected components. Dangling nodes are absent
+by construction here (callers guarantee outdeg >= 1); a general caller
+adds the standard dangling-mass term, one extra scalar aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000_000  # 10^12 fixed-point scale
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+
+def _idiv(a, b):
+    """Exact integer division for nonnegative operands < 2^53."""
+    return F.floor(a / b).cast("bigint")
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Fixed-point PageRank: ``nodes(id)``, ``edges(src, dst)`` ->
+    (id, rank_scaled, rank). Every node must have outdegree >= 1."""
+    n_row = nodes.count()
+    base = (PR_SCALE // n_row) * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = edges.join(deg, "src").persist()
+    e.count()
+    ranks = nodes.select(F.col("id"), F.lit(PR_SCALE // n_row).alias("r"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.id)
+            .select(e.dst.alias("id"), _idiv(F.col("r"), F.col("outdeg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + _idiv(F.lit(PR_DAMP_NUM) * F.coalesce(F.col("s"), F.lit(0)), F.lit(PR_DAMP_DEN))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return ranks.select(
+        "id",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r") / F.lit(float(PR_SCALE))).alias("rank"),
+    )

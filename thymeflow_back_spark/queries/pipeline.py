@@ -366,6 +366,85 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q: PageRank --------------------------------------------------------------
+
+PR_ITERS = 5
+_PR_S = 1_000_000_000_000
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Chained-CTE replay of the fixed-point PageRank iterations."""
+    head = f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    hx AS (SELECT doc_id, md5('pr:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+    v AS (
+      SELECT doc_id, {_MD5B.format(o=1)} AS b0, {_MD5B.format(o=3)} AS b1,
+             {_MD5B.format(o=5)} AS b2
+      FROM hx
+    ),
+    e3 AS (
+      SELECT doc_id AS src, (doc_id * 3 + b0) % nn.n AS dst FROM v, nn
+      UNION ALL SELECT doc_id, (doc_id * 7 + b1) % nn.n FROM v, nn
+      UNION ALL SELECT doc_id, (doc_id * 11 + b2) % nn.n FROM v, nn
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM e3),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT doc_id AS id, ({_PR_S} // nn.n) AS r FROM documents, nn)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    a{k} AS (
+      SELECT e.dst AS id, SUM(p.r // d.outdeg) AS s
+      FROM edges e JOIN r{k - 1} p ON p.id = e.src JOIN deg d ON d.src = e.src
+      GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT d.doc_id AS id,
+             CAST((15 * ({_PR_S} // nn.n)) // 100
+                  + (85 * COALESCE(a.s, 0)) // 100 AS BIGINT) AS r
+      FROM documents d CROSS JOIN nn LEFT JOIN a{k} a ON a.id = d.doc_id
+    )""")
+    tail = f"""
+    SELECT id AS doc_id, r AS rank_scaled,
+           CAST(r AS DOUBLE) / CAST({_PR_S} AS DOUBLE) AS rank
+    FROM r{iters} ORDER BY doc_id
+    """
+    return head + "," + ",".join(steps) + tail
+
+
+@query(
+    "q_pagerank",
+    oracle=_pagerank_oracle(PR_ITERS),
+    doc="PageRank over a synthesized 3-out link graph, every step in "
+    "scaled-BIGINT fixed-point arithmetic (operators/pagerank.py): "
+    "contributions are exact integer divisions, sums are "
+    "order-independent integers, damping is the 85/100 rational — so "
+    "five distributed iterations land on the bit-identical ranks the "
+    "DuckDB chained-CTE replay computes. The corpus-curation authority "
+    "prior, minus the float nondeterminism.",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagerank import pagerank
+
+    nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    n = nodes.count()
+    m = F.md5(F.concat(F.lit("pr:"), F.col("id").cast("string")))
+
+    def b(i: int):
+        return F.conv(F.substring(m, 2 * i + 1, 2), 16, 10).cast("bigint")
+
+    parts = [
+        nodes.select(F.col("id").alias("src"), ((F.col("id") * mult + b(i)) % n).alias("dst"))
+        for mult, i in ((3, 0), (7, 1), (11, 2))
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2]).distinct()
+    return (
+        pagerank(nodes, edges, PR_ITERS)
+        .select(F.col("id").alias("doc_id"), "rank_scaled", "rank")
+        .orderBy("doc_id")
+    )
+
+
 # --- Q: vocabulary heavy hitters ---------------------------------------------
 
 VOCAB_TOP = 50
