@@ -157,6 +157,37 @@ def _brute_jaccard_pairs(docs, n=3, threshold=0.5):
     return out
 
 
+def test_bloom_semijoin_sound_and_broadcast_only(spark):
+    from thymeflow_back_spark.operators.bloom import BLOOM_K, bloom_build, bloom_probe
+
+    dim = spark.range(0, 200).select((F.col("id") * 3).alias("k"))
+    facts = spark.range(0, 2000).select(F.col("id").alias("key"))
+    bloom = bloom_build(dim, "k")
+    surv = bloom_probe(facts, "key", bloom)
+
+    # no false negatives: every true member survives
+    kept = {r.key for r in surv.collect()}
+    members = {i * 3 for i in range(200)}
+    assert members <= kept
+    # the filter actually filters (vast majority of non-members drop)
+    assert len(kept) < 2000 * 0.2
+
+    # the probe is pure broadcast: k BroadcastHashJoins, and the fact
+    # lineage crosses no Exchange (the build side's groupBy is the only
+    # shuffle in the whole plan)
+    plan = surv._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-AQE plan too
+    assert plan.count("BroadcastHashJoin") == BLOOM_K
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # saturate the filter: with ~64k usable bits, 40k keys * 4 hashes set
+    # most of them, so false positives must appear (and remain a superset)
+    big = spark.range(0, 40000).select(F.col("id").alias("k"))
+    sat = bloom_probe(facts, "key", bloom_build(big, "k"))
+    sat_kept = {r.key for r in sat.collect()}
+    assert set(range(2000)) >= sat_kept >= members
+    assert len(sat_kept) > 1900  # nearly everything passes a saturated filter
+
+
 def test_pagerank_fixed_point_properties(spark):
     from thymeflow_back_spark.operators.pagerank import PR_SCALE, pagerank
 

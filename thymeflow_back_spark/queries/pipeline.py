@@ -445,6 +445,62 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q: Bloom-filter semi-join reduction -------------------------------------
+
+_BF_H = "('0x' || substr(md5('bf' || j.g || ':' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT"
+
+
+@query(
+    "q_bloom_semijoin",
+    oracle=f"""
+    WITH dimkeys AS (
+      SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    spine AS (SELECT unnest(generate_series(0, 3)) AS g),
+    bp AS (
+      SELECT {_BF_H.format(key="k")} AS h FROM dimkeys, spine j
+    ),
+    bloom AS (
+      SELECT (h // 63) % 1024 AS word,
+             bit_or(CAST(power(2, h % 63) AS BIGINT)) AS bits
+      FROM bp GROUP BY 1
+    ),
+    fp AS (
+      SELECT o_orderkey, o_custkey, {_BF_H.format(key="o_custkey")} AS h
+      FROM orders, spine j
+    ),
+    hits AS (
+      SELECT f.o_orderkey, f.o_custkey,
+             CASE WHEN b.bits IS NOT NULL
+                       AND (b.bits & CAST(power(2, f.h % 63) AS BIGINT)) <> 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM fp f LEFT JOIN bloom b ON b.word = (f.h // 63) % 1024
+    )
+    SELECT o_orderkey, o_custkey FROM hits
+    GROUP BY o_orderkey, o_custkey HAVING SUM(hit) = 4
+    ORDER BY o_orderkey
+    """,
+    doc="Deterministic Bloom-filter semi-join reduction "
+    "(operators/bloom.py): an 8 KB filter built on the BUILDING-segment "
+    "customer keys (groupBy-bit_or, 1024x63-bit words, 4 md5-derived "
+    "hashes) is broadcast and the orders fact table streams through k "
+    "chained broadcast-hash probes — zero shuffle before the real join, "
+    "no false negatives, and a hash family that makes the surviving row "
+    "set (false positives included) bit-identical on any engine.",
+)
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_build, bloom_probe
+
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return bloom_probe(orders, "o_custkey", bloom_build(cust, "k")).orderBy("o_orderkey")
+
+
 # --- Q: vocabulary heavy hitters ---------------------------------------------
 
 VOCAB_TOP = 50
