@@ -157,6 +157,31 @@ def _brute_jaccard_pairs(docs, n=3, threshold=0.5):
     return out
 
 
+def test_incremental_agg_matches_recompute_and_drops_empty_groups(spark):
+    from thymeflow_back_spark.operators.incremental import (
+        additive_agg_state,
+        apply_delta,
+    )
+
+    rows = [("a", 1), ("a", 2), ("b", 5), ("c", 7)]
+    df = spark.createDataFrame(rows, ["k", "x"])
+    sums = {"sx": F.col("x").cast("long")}
+    state = additive_agg_state(df, ["k"], sums)
+
+    add = spark.createDataFrame([("a", 10), ("d", 4)], ["k", "x"])
+    rem = spark.createDataFrame([("a", 1), ("b", 5)], ["k", "x"])
+    got = {r.k: (r.n, r.sx) for r in apply_delta(state, add, rem, ["k"], sums).collect()}
+    # recompute of (rows + add - rem): a:{2,10}, c:{7}, d:{4}; b fully retracted
+    assert got == {"a": (2, 12), "c": (1, 7), "d": (1, 4)}
+
+    # advancing twice equals one recompute over the composed diff
+    st2 = apply_delta(state, add, rem, ["k"], sums)
+    add2 = spark.createDataFrame([("b", 9)], ["k", "x"])
+    rem2 = spark.createDataFrame([("c", 7)], ["k", "x"])
+    got2 = {r.k: (r.n, r.sx) for r in apply_delta(st2, add2, rem2, ["k"], sums).collect()}
+    assert got2 == {"a": (2, 12), "b": (1, 9), "d": (1, 4)}
+
+
 def test_bloom_semijoin_sound_and_broadcast_only(spark):
     from thymeflow_back_spark.operators.bloom import BLOOM_K, bloom_build, bloom_probe
 

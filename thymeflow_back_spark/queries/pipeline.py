@@ -501,6 +501,43 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_probe(orders, "o_custkey", bloom_build(cust, "k")).orderBy("o_orderkey")
 
 
+# --- Q: incremental aggregate maintenance ------------------------------------
+
+
+@query(
+    "q_incremental_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_id % 7 = 0 OR event_id % 5 <> 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Incremental aggregate maintenance (operators/incremental.py): the "
+    "per-type count/sum view is built over a base slice of events, then "
+    "ADVANCED BY A DIFF (one batch added, one retracted) by aggregating "
+    "only the diff and merging signed partials — work proportional to "
+    "the change, the reference's StatementSetDiff discipline applied to "
+    "a materialized aggregate. The oracle recomputes the view from "
+    "scratch over the final row set; equality proves maintenance = "
+    "recompute. Decimal partials keep the merge exact.",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import additive_agg_state, apply_delta
+    from .relational import dec
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = ev.filter(F.col("event_id") % 7 != 0)
+    added = ev.filter(F.col("event_id") % 7 == 0)
+    removed = base.filter(F.col("event_id") % 5 == 0)
+    sums = {"sum_value": dec("value")}
+    state = additive_agg_state(base, ["event_type"], sums)
+    new_state = apply_delta(state, added, removed, ["event_type"], sums)
+    return new_state.select(
+        "event_type", "n", F.col("sum_value").cast("double").alias("sum_value")
+    ).orderBy("event_type")
+
+
 # --- Q: vocabulary heavy hitters ---------------------------------------------
 
 VOCAB_TOP = 50
