@@ -129,6 +129,44 @@ def test_jaccard_hot_shingle_cap(spark):
     assert got[(0, 1)] == exact[(0, 1)]
 
 
+def test_prefix_filtered_jaccard_matches_plain(spark):
+    """Prefix filtering is exact-recall: on a corpus with shared boilerplate
+    (hot shingles that the prefix excludes from blocking) and varied document
+    lengths, the PPJoin path returns byte-identical pairs + values to the
+    plain all-shingle-blocked join."""
+    from thymeflow_back_spark.operators.dedup import (
+        jaccard_near_dups,
+        prefix_filtered_near_dups,
+    )
+
+    boiler = "all rights reserved by the example corporation"
+    rows = [
+        (0, boiler + " alpha beta gamma delta epsilon"),
+        (1, boiler + " alpha beta gamma delta epsilon"),
+        (2, boiler + " alpha beta gamma delta zeta"),
+        # same suffix, no boilerplate: the pair (3, 4) meets only on rare
+        # shingles — exercises the prefix side rather than the filter side
+        (3, "alpha beta gamma delta epsilon"),
+        (4, "alpha beta gamma delta epsilon eta"),
+        # long doc vs short doc: exercises the t*max length filter
+        (5, boiler + " " + " ".join(f"w{i}" for i in range(40))),
+    ]
+    rows += [(10 + i, f"{boiler} unique{i} text{i} body{i} tail{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for t in (0.3, 0.5, 0.8):
+        plain = {
+            (r.a_id, r.b_id): (r.n_common, round(r.jaccard, 9))
+            for r in jaccard_near_dups(docs, "doc_id", "text", 3, t).collect()
+        }
+        pref = {
+            (r.a_id, r.b_id): (r.n_common, round(r.jaccard, 9))
+            for r in prefix_filtered_near_dups(docs, "doc_id", "text", 3, t).collect()
+        }
+        assert pref == plain
+        assert plain  # non-vacuous: the corpus does contain near-dups
+
+
 def test_fts_index_hot_token_cap(spark):
     from thymeflow_back_spark.operators.fts import build_index
 

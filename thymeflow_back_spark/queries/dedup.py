@@ -98,6 +98,35 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("a_id", "b_id")
 
 
+# --- Q: prefix-filtered Jaccard ----------------------------------------------
+
+
+@query(
+    "q_dedup_prefix_filter",
+    oracle=f"""
+    WITH {_SQL_SHINGLES}, {_SQL_JACCARD}
+    SELECT a_id, b_id, n_common, jaccard
+    FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    ORDER BY a_id, b_id
+    """,
+    doc="PPJoin-style prefix-filtered Jaccard join: candidates meet only on "
+    "each document's rarest |sh|-ceil(t|sh|)+1 shingles under the global "
+    "(doc-frequency, shingle) order, plus the t*max length filter; exact "
+    "in-row array_intersect verify. EXACT recall by the prefix-filter "
+    "theorem — the oracle is deliberately the plain all-shingle-blocked "
+    "formulation, so the hash match proves no pair was lost to the "
+    "filtering (the scale path when hot shingles make the plain blocked "
+    "join quadratic and the stop-shingle cap's recall loss is not "
+    "acceptable).",
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.prefix_filtered_near_dups(
+        docs, "doc_id", "text", SHINGLE_N, JACCARD_THRESHOLD
+    )
+    return pairs.orderBy("a_id", "b_id")
+
+
 # --- Q: MinHash + LSH ---------------------------------------------------------
 
 
