@@ -104,6 +104,52 @@ def test_interval_self_join_matches_naive(spark):
     assert got == naive
 
 
+def test_triangle_clustering_vs_brute_force(spark):
+    """Degree-ordered triangle counting matches the brute-force enumeration
+    on a skewed graph (one hub in every triangle, plus a clique, plus a
+    triangle-free path)."""
+    import itertools
+    import random
+
+    from thymeflow_back_spark.operators.triangles import (
+        clustering_coefficients,
+        triangles,
+        undirected_edges,
+    )
+
+    rng = random.Random(7)
+    # hub 0 connected to 1..12; a few spoke-spoke edges; clique {20..24};
+    # path 30-31-32-33; plus random noise edges
+    pairs = [(0, i) for i in range(1, 13)]
+    pairs += [(1, 2), (2, 3), (5, 6), (9, 10)]
+    pairs += list(itertools.combinations(range(20, 25), 2))
+    pairs += [(30, 31), (31, 32), (32, 33)]
+    pairs += [(rng.randrange(35), rng.randrange(35)) for _ in range(30)]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    edges = undirected_edges(df, "x", "y")
+
+    es = {(r.u, r.v) for r in edges.collect()}
+    verts = sorted({x for e in es for x in e})
+    nbr = {x: {b if a == x else a for a, b in es if x in (a, b)} for x in verts}
+    brute = {
+        tuple(sorted(t))
+        for t in itertools.combinations(verts, 3)
+        if tuple(sorted(t[:2])) in es
+        and tuple(sorted(t[1:])) in es
+        and tuple(sorted((t[0], t[2]))) in es
+    }
+    got = {tuple(sorted((r.a, r.b, r.c))) for r in triangles(edges).collect()}
+    assert got == brute
+    assert len(got) == triangles(edges).count()  # each triangle exactly once
+
+    cc = {r.id: (r.degree, r.triangles, r.clustering) for r in clustering_coefficients(edges).collect()}
+    for x in verts:
+        d = len(nbr[x])
+        t = sum(1 for tri in brute if x in tri)
+        expect = 0.0 if d < 2 else 2 * t / (d * (d - 1))
+        assert cc[x] == (d, t, expect)
+
+
 def test_jaccard_hot_shingle_cap(spark):
     """Document-frequency cap: stop-shingles are excluded from blocking (the
     candidate join stays bounded on a boilerplate-heavy corpus) while the

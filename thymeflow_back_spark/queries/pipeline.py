@@ -445,6 +445,68 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q: triangle counting / clustering coefficients ---------------------------
+
+
+@query(
+    "q_triangle_stats",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT id, COUNT(*) AS degree FROM (
+        SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0
+      ) GROUP BY id
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
+      JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pv AS (
+      SELECT id, COUNT(*) AS triangles FROM (
+        SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+      ) GROUP BY id
+    )
+    SELECT d.id AS part_key, d.degree,
+           COALESCE(pv.triangles, 0) AS triangles,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE CAST(2 * COALESCE(pv.triangles, 0) AS DOUBLE)
+                     / CAST(d.degree * (d.degree - 1) AS DOUBLE) END AS clustering
+    FROM deg d LEFT JOIN pv ON pv.id = d.id
+    ORDER BY part_key
+    """,
+    doc="Per-vertex triangle counts and local clustering coefficients of "
+    "the part co-order graph (parts sharing a lineitem order). The Spark "
+    "plan is the degree-ordered orientation ('compact-forward'): edges "
+    "point low-to-high under (degree, id), wedges self-join on the shared "
+    "source with bounded O(sqrt(E)) out-degree fan-out, closing edges "
+    "equi-join — each triangle found exactly once at its pi-minimal "
+    "vertex, no quadratic hub blow-up (operators/triangles.py). The "
+    "oracle counts the same triangles from the naive a<b<c 3-way join, "
+    "so the hash match proves the orientation loses/duplicates nothing; "
+    "clustering = 2T/(d(d-1)) is one IEEE division, bit-exact on both.",
+)
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.triangles import clustering_coefficients, undirected_edges
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+    edges = undirected_edges(pairs, "pa", "pb")
+    return (
+        clustering_coefficients(edges)
+        .select(
+            F.col("id").alias("part_key"), "degree", "triangles", "clustering"
+        )
+        .orderBy("part_key")
+    )
+
+
 # --- Q: Bloom-filter semi-join reduction -------------------------------------
 
 _BF_H = "('0x' || substr(md5('bf' || j.g || ':' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT"
