@@ -150,6 +150,52 @@ def test_triangle_clustering_vs_brute_force(spark):
         assert cc[x] == (d, t, expect)
 
 
+def test_kcore_peel_vs_brute_force(spark):
+    """Bounded-round peeling matches the reference peeling simulation and
+    converges within the round budget (extra rounds are no-ops)."""
+    import random
+
+    from thymeflow_back_spark.operators.kcore import kcore_peel
+    from thymeflow_back_spark.operators.triangles import undirected_edges
+
+    rng = random.Random(11)
+    pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    # a triangulated chain: interior degree 4, ends degree <= 2 — at k=3 the
+    # ends peel first and the collapse cascades inward one round per step
+    pairs += [(100 + i, 100 + i + 1) for i in range(12)]
+    pairs += [(100 + i, 100 + i + 2) for i in range(11)]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    edges = undirected_edges(df, "x", "y")
+    es = {(r.u, r.v) for r in edges.collect()}
+
+    k = 3
+    # reference peeling: round-synchronous removal until fixpoint
+    alive = {x for e in es for x in e}
+    expect: dict[int, int] = {}
+    r = 0
+    while True:
+        deg = {x: 0 for x in alive}
+        for u, v in es:
+            if u in alive and v in alive:
+                deg[u] += 1
+                deg[v] += 1
+        drop = {x for x in alive if deg[x] < k}
+        if not drop:
+            break
+        r += 1
+        for x in drop:
+            expect[x] = r
+        alive -= drop
+    for x in alive:
+        expect[x] = 0
+    rounds_needed = r
+
+    for budget in (rounds_needed, rounds_needed + 3):
+        got = {row.id: row.peel_round for row in kcore_peel(edges, k, budget).collect()}
+        assert got == expect
+    assert rounds_needed >= 2  # the fixture actually exercises multi-round peeling
+
+
 def test_jaccard_hot_shingle_cap(spark):
     """Document-frequency cap: stop-shingles are excluded from blocking (the
     candidate join stays bounded on a boilerplate-heavy corpus) while the

@@ -445,6 +445,97 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q: k-core peeling --------------------------------------------------------
+
+KCORE_K = 4
+KCORE_ROUNDS = 6
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Chained-CTE replay of bounded-round k-core peeling on the same 3-out
+    link graph the PageRank oracle synthesizes."""
+    head = """
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    hx AS (SELECT doc_id, md5('pr:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+    v AS (
+      SELECT doc_id, ('0x' || substr(h, 1, 2))::BIGINT AS b0,
+             ('0x' || substr(h, 3, 2))::BIGINT AS b1,
+             ('0x' || substr(h, 5, 2))::BIGINT AS b2
+      FROM hx
+    ),
+    raw3 AS (
+      SELECT doc_id AS src, (doc_id * 3 + b0) % nn.n AS dst FROM v, nn
+      UNION ALL SELECT doc_id, (doc_id * 7 + b1) % nn.n FROM v, nn
+      UNION ALL SELECT doc_id, (doc_id * 11 + b2) % nn.n FROM v, nn
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM raw3 WHERE src <> dst
+    )"""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+    d{r} AS MATERIALIZED (
+      SELECT id, COUNT(*) AS d FROM (
+        SELECT u AS id FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1}
+      ) GROUP BY id
+    ),
+    a{r} AS MATERIALIZED (SELECT id FROM d{r} WHERE d >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{r - 1} e
+      JOIN a{r} x ON x.id = e.u JOIN a{r} y ON y.id = e.v
+    )""")
+    case = " ".join(
+        f"WHEN a{r}.id IS NULL THEN {r}" for r in range(1, rounds + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN a{r} ON a{r}.id = vr.id" for r in range(1, rounds + 1)
+    )
+    tail = f"""
+    , verts AS (SELECT u AS id FROM e0 UNION SELECT v FROM e0)
+    SELECT vr.id AS doc_id, CAST(CASE {case} ELSE 0 END AS INTEGER) AS peel_round
+    FROM verts vr {joins}
+    ORDER BY doc_id
+    """
+    return head + "," + ",".join(steps) + tail
+
+
+@query(
+    "q_kcore",
+    oracle=_kcore_oracle(KCORE_K, KCORE_ROUNDS),
+    doc="Bounded-round k-core peeling (k=4, 6 rounds) over the synthesized "
+    "3-out link graph: per-vertex peel_round (the onion layer a vertex "
+    "drops out at; 0 = k-core survivor). Fixed round count makes the "
+    "computation a pure function both engines replay identically — after "
+    "the fixpoint extra rounds are no-ops, and pytest asserts convergence "
+    "within the bound. Spark rounds are degree aggregates + semi-joins "
+    "on vertex id with per-round localCheckpoint (operators/kcore.py), "
+    "the same loop discipline as connected components and PageRank.",
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kcore import kcore_peel
+    from ..operators.triangles import undirected_edges
+
+    nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    n = nodes.count()
+    m = F.md5(F.concat(F.lit("pr:"), F.col("id").cast("string")))
+
+    def b(i: int):
+        return F.conv(F.substring(m, 2 * i + 1, 2), 16, 10).cast("bigint")
+
+    parts = [
+        nodes.select(F.col("id").alias("src"), ((F.col("id") * mult + b(i)) % n).alias("dst"))
+        for mult, i in ((3, 0), (7, 1), (11, 2))
+    ]
+    raw = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    edges = undirected_edges(raw, "src", "dst")
+    return (
+        kcore_peel(edges, KCORE_K, KCORE_ROUNDS)
+        .select(F.col("id").alias("doc_id"), F.col("peel_round").cast("int"))
+        .orderBy("doc_id")
+    )
+
+
 # --- Q: triangle counting / clustering coefficients ---------------------------
 
 

@@ -291,3 +291,140 @@ def q_daily_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_month", "o_orderstatus")
     )
+
+
+# --- Q: ordered conversion funnel --------------------------------------------
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ),
+    s1 AS (
+      SELECT user_id, MIN(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts_us) AS t2
+      FROM ev e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts_us) AS t3
+      FROM ev e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           COALESCE(s1.t1, -1) AS view_us,
+           COALESCE(s2.t2, -1) AS click_us,
+           COALESCE(s3.t3, -1) AS purchase_us,
+           CASE WHEN s3.t3 IS NOT NULL THEN 3
+                WHEN s2.t2 IS NOT NULL THEN 2
+                WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+    FROM (SELECT DISTINCT user_id FROM ev) u
+    LEFT JOIN s1 ON s1.user_id = u.user_id
+    LEFT JOIN s2 ON s2.user_id = u.user_id
+    LEFT JOIN s3 ON s3.user_id = u.user_id
+    ORDER BY 1
+    """,
+    doc="Ordered conversion funnel (view -> click -> purchase, each step "
+    "strictly after the previous): per-user stage reached and step "
+    "timestamps. The plan is CHAINED conditional aggregates — each step "
+    "filters the event stream and joins only the USER-SIZED previous-step "
+    "relation, so three steps cost three filtered scans + three "
+    "user-keyed shuffles, never a per-user sort or a sequence-assembly "
+    "collect_list; at 100 TB the step relations stay |users|-sized while "
+    "events stream through the filters. -1 sentinels replace NULL "
+    "timestamps so the output is non-nullable.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts_us").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("t1", F.lit(-1)).alias("view_us"),
+            F.coalesce("t2", F.lit(-1)).alias("click_us"),
+            F.coalesce("t3", F.lit(-1)).alias("purchase_us"),
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("stage"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- Q: weekly cohort retention ----------------------------------------------
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "q_cohort_retention",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // {_WEEK_US} AS week FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, c.cohort_week, e.week - c.cohort_week AS week_offset
+      FROM ev e JOIN cohort c ON c.user_id = e.user_id
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active
+    FROM active GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    doc="Weekly cohort retention matrix: users grouped by the epoch-week of "
+    "their first event; n_active = distinct users of each cohort active at "
+    "each week offset. Weeks are integer division of epoch microseconds "
+    "(timezone- and calendar-free, identical on any engine). Plan: one "
+    "user-keyed min aggregate (the cohort table, |users|-sized), a join "
+    "that streams events against it, a distinct on (user, cohort, offset) "
+    "and a counting aggregate — no windows, no sorts; the cohort join key "
+    "is the natural even user_id distribution, not the skewed week.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", (F.unix_micros("ts") / F.lit(_WEEK_US)).cast("bigint").alias("week")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = (
+        ev.join(cohort, "user_id")
+        .select("user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .distinct()
+    )
+    return (
+        active.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
