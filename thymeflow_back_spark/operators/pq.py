@@ -1,0 +1,265 @@
+"""Product quantization (PQ) with asymmetric-distance (ADC) search.
+
+The missing rung of the quantization ladder next to scalar int8
+(operators/quantize.py) and the IVF coarse quantizer (operators/ivf.py):
+PQ (Jégou et al. 2011, "Product quantization for nearest neighbor
+search") splits each d-dim vector into m subvectors, k-means-quantizes
+each subspace independently, and stores a vector as m small codes —
+64 dims become 8 bytes at m=8/k=16, a 32× compression that lets a
+100 TB embedding corpus fit its code table in a fraction of the space.
+Search is ADC: the query precomputes an m×k table of exact
+query-subvector-to-centroid distances, and each candidate costs m table
+LOOKUPS + m-1 adds instead of a d-dim dot product.
+
+Determinism (the oracle contract): codebooks derive from the same
+content-addressed seeds as IVF (the k vectors with smallest md5(id),
+sliced per subspace) plus fixed Lloyd rounds; all distances use the
+||x||² + ||c||² - 2·x·c identity over the proven ordered-fold dot
+(operators/similarity.dot ≡ DuckDB list_dot_product on these
+float32-origin values); per-pair ADC sums are CHAINED in subspace order
+(j = 0..m-1), never an unordered SUM, so every engine folds the same
+doubles in the same order. Ties in code assignment break to the lowest
+code, in ranking to the lowest vec_id.
+
+Scale shape: codebooks are an m×k×(d/m) driver-side literal (like IVF
+centroids); encoding is a narrow projection (no shuffle); the ADC
+distance table is queries×m×k rows JOINED BROADCAST per subspace — the
+corpus-code table streams through m map-side hash lookups with zero
+shuffle, and only the per-query top-k tail shuffles k rows per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .ivf import seed_centroids
+from .similarity import SCORE_DECIMALS, as_double_array
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # codes per subspace
+
+
+def _sub(vec: Column, j: int, sub_d: int) -> Column:
+    return F.slice(vec, j * sub_d + 1, sub_d)
+
+
+def _chain_sum(terms: list[Column]) -> Column:
+    """Left-to-right chained sum. Bit-identical to the ordered fold from
+    0.0 (operators/similarity.dot / DuckDB list_dot_product): IEEE addition
+    has 0.0 + a == a exactly, so dropping the leading zero changes nothing."""
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _dot_lit(x: Column, c: list[float]) -> Column:
+    """x · c for a LITERAL codeword as explicit arithmetic — no
+    zip_with/aggregate higher-order functions, so the expression stays
+    inside whole-stage codegen instead of per-row lambda evaluation
+    (16 codewords × 8 subspaces of HOF folds made analysis + execution
+    the bottleneck)."""
+    return _chain_sum(
+        [F.element_at(x, i + 1) * F.lit(float(v)) for i, v in enumerate(c)]
+    )
+
+
+def _self_dot(x: Column, sub_d: int) -> Column:
+    """x · x as explicit arithmetic (same fold order as dot())."""
+    return _chain_sum(
+        [F.element_at(x, i + 1) * F.element_at(x, i + 1) for i in range(sub_d)]
+    )
+
+
+def _cc(c: list[float]) -> float:
+    """||c||² as a Python double — left-to-right IEEE sum, identical to the
+    constant the engines would fold from the literal expression."""
+    out = 0.0
+    for v in c:
+        out = out + float(v) * float(v)
+    return out
+
+
+def _with_subvectors(
+    corpus: DataFrame, id_col: str, vec_col: str, m: int, sub_d: int
+) -> DataFrame:
+    """(id, x0..x{m-1}, xx0..xx{m-1}) — subvector slices and their squared
+    norms hoisted into columns ONCE, so downstream argmin trees reference
+    them instead of re-embedding a norm per codeword (16× tree blow-up
+    otherwise — the same Catalyst-inlining trap the IVF scores array
+    documents)."""
+    v = as_double_array(F.col(vec_col))
+    sliced = corpus.select(
+        F.col(id_col), *[_sub(v, j, sub_d).alias(f"x{j}") for j in range(m)]
+    )
+    return sliced.select(
+        "*",
+        *[_self_dot(F.col(f"x{j}"), sub_d).alias(f"xx{j}") for j in range(m)],
+    )
+
+
+def _scores_expr(j: int, book: list[list[float]]) -> Column:
+    """l2² to every codeword of subspace ``j`` over the hoisted columns.
+    Score = (||x||² + ||c||²) - 2·x·c — identical association to the
+    oracle's l2² expression."""
+    x, xx = F.col(f"x{j}"), F.col(f"xx{j}")
+    return F.array(*[(xx + F.lit(_cc(c))) - 2 * _dot_lit(x, c) for c in book])
+
+
+def _with_codes(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list[list[list[float]]],
+    keep_subvectors: bool = False,
+) -> DataFrame:
+    """(id, code0..code{m-1}[, x0..x{m-1}]) — nearest-codeword index per
+    subspace, lowest code on ties. Three narrow projections (slices+norms,
+    score arrays, argmins) so each score subtree is materialized ONCE —
+    argmin references the scores COLUMN twice, which would otherwise clone
+    the whole arithmetic tree into array_position and array_min."""
+    m = len(books)
+    sub_d = len(books[0][0])
+    hoisted = _with_subvectors(corpus, id_col, vec_col, m, sub_d)
+    carry = [F.col(f"x{j}") for j in range(m)] if keep_subvectors else []
+    scored = hoisted.select(
+        F.col(id_col),
+        *carry,
+        *[_scores_expr(j, books[j]).alias(f"scores{j}") for j in range(m)],
+    )
+    return scored.select(
+        F.col(id_col),
+        *carry,
+        *[
+            (
+                F.array_position(F.col(f"scores{j}"), F.array_min(F.col(f"scores{j}"))) - 1
+            )
+            .cast("int")
+            .alias(f"code{j}")
+            for j in range(m)
+        ],
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iterations: int = 1,
+) -> list[list[list[float]]]:
+    """``books[j][code]`` = centroid of subspace ``j`` — content-addressed
+    seeds + fixed Lloyd rounds per subspace; empty codes keep their seed.
+
+    Each Lloyd round is ONE pass: every row emits its m (subspace, code,
+    subvector) assignments through an inline explode, and a single
+    (j, code)-keyed aggregate produces all m·k means (m·k rows × sub_d
+    sum columns after map-side combine) — not m separate corpus scans."""
+    seeds = seed_centroids(corpus, id_col, vec_col, k)
+    d = len(seeds[0])
+    if d % m:
+        raise ValueError(f"pq_codebooks: dim {d} not divisible by m={m}")
+    sub_d = d // m
+    books = [[s[j * sub_d : (j + 1) * sub_d] for s in seeds] for j in range(m)]
+    for _ in range(iterations):
+        coded = _with_codes(corpus, id_col, vec_col, books, keep_subvectors=True)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.col(f"code{j}").alias("code"),
+                    F.col(f"x{j}").alias("x"),
+                )
+                for j in range(m)
+            ]
+        )
+        assigned = coded.select(F.explode(entries).alias("e")).select(
+            F.col("e.j").alias("j"), F.col("e.code").alias("code"), F.col("e.x").alias("x")
+        )
+        sums = (
+            assigned.groupBy("j", "code")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.element_at("x", i + 1)).alias(f"s{i}") for i in range(sub_d)],
+            )
+            .collect()
+        )
+        nxt = [[list(c) for c in books[j]] for j in range(m)]
+        for r in sums:
+            nxt[r["j"]][r["code"]] = [r[f"s{i}"] / r["n"] for i in range(sub_d)]
+        books = nxt
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame, id_col: str, vec_col: str, books: list[list[list[float]]]
+) -> DataFrame:
+    """(id, code0..code{m-1}) — the m-byte representation, one narrow
+    projection over the corpus (no shuffle)."""
+    return _with_codes(corpus, id_col, vec_col, books)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list[list[list[float]]],
+    k_results: int,
+) -> DataFrame:
+    """Per-query ADC top-k: (q_id, vec_id, adc_dist, rank).
+
+    The distance table (q_id, j, code, term) is queries×m×k rows — built
+    once from exact query subvectors, then each subspace's slice joins
+    BROADCAST against the encoded corpus on (q_id is free, code{j}):
+    m map-side lookups per candidate row, an order-fixed chained sum,
+    and the per-query top-k window. adc_dist is rounded before ranking
+    (SCORE_DECIMALS) so ranking is engine-independent."""
+    m = len(books)
+    sub_d = len(books[0][0])
+    codes = pq_encode(corpus, id_col, vec_col, books)
+    # the ADC table, one subspace at a time: (q_id, code, term) where
+    # term = ||q_j||² + ||c_{j,code}||² - 2·q_j·c_{j,code}. Exactly
+    # queries×k rows per subspace — the only place a query-side dot
+    # happens; candidates below never touch raw vectors again.
+    pairs = codes.withColumnRenamed(id_col, "vec_id").crossJoin(
+        F.broadcast(queries.select(F.col(id_col).alias("q_id")))
+    )
+    qh = _with_subvectors(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col)),
+        "q_id",
+        vec_col,
+        m,
+        sub_d,
+    )
+    for j in range(m):
+        qx, qxx = F.col(f"x{j}"), F.col(f"xx{j}")
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(code).alias("code"),
+                    ((qxx + F.lit(_cc(c))) - 2 * _dot_lit(qx, c)).alias("term"),
+                )
+                for code, c in enumerate(books[j])
+            ]
+        )
+        dtab = qh.select("q_id", F.explode(entries).alias("e")).select(
+            "q_id",
+            F.col("e.code").alias(f"code{j}"),
+            F.col("e.term").alias(f"__t{j}"),
+        )
+        # broadcast hash lookup — the corpus-code side streams, no shuffle
+        pairs = pairs.join(F.broadcast(dtab), ["q_id", f"code{j}"])
+    adc = F.col("__t0")
+    for j in range(1, m):
+        adc = adc + F.col(f"__t{j}")  # chained in subspace order, never SUM
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        pairs.withColumn("adc_dist", F.round(adc, SCORE_DECIMALS))
+        .select("q_id", "vec_id", "adc_dist")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_results)
+    )

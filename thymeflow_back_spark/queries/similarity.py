@@ -442,3 +442,102 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, "vec_id", "embedding", SEM_THRESHOLD, n_cells=IVF_CELLS, refine_iters=1
     ).orderBy("vec_id")
+
+
+# --- Q: product quantization ADC top-k ----------------------------------------
+
+PQ_QUERIES = 8
+PQ_TOPK = 5
+
+
+@query(
+    "q_similarity_pq",
+    oracle=f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS code, v
+      FROM vecs
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 16
+    ),
+    jt AS (SELECT unnest(range(4)) AS j),
+    sseed AS (SELECT j, code, v[j*16+1 : j*16+16] AS c FROM seeds CROSS JOIN jt),
+    svec AS MATERIALIZED (
+      SELECT vec_id, j, v[j*16+1 : j*16+16] AS x FROM vecs CROSS JOIN jt
+    ),
+    d0 AS MATERIALIZED (
+      SELECT vec_id, j, x, code FROM (
+        SELECT s.vec_id, s.j, s.x, b.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY list_dot_product(s.x, s.x) + list_dot_product(b.c, b.c)
+                          - 2 * list_dot_product(s.x, b.c) ASC, b.code ASC
+               ) AS rn
+        FROM svec s JOIN sseed b USING (j)) WHERE rn = 1
+    ),
+    means AS (
+      SELECT j, code, i, avg(x[i]) AS mval
+      FROM d0, LATERAL (SELECT unnest(generate_series(1, 16)) AS i) s
+      GROUP BY j, code, i
+    ),
+    cmean AS (SELECT j, code, list(mval ORDER BY i) AS c FROM means GROUP BY j, code),
+    cb AS MATERIALIZED (
+      SELECT s.j, s.code, COALESCE(m.c, s.c) AS c
+      FROM sseed s LEFT JOIN cmean m ON m.j = s.j AND m.code = s.code
+    ),
+    enc AS MATERIALIZED (
+      SELECT vec_id, j, code FROM (
+        SELECT s.vec_id, s.j, b.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY list_dot_product(s.x, s.x) + list_dot_product(b.c, b.c)
+                          - 2 * list_dot_product(s.x, b.c) ASC, b.code ASC
+               ) AS rn
+        FROM svec s JOIN cb b USING (j)) WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS q_id, j, x FROM svec WHERE vec_id < {PQ_QUERIES}),
+    dtab AS MATERIALIZED (
+      SELECT q.q_id, q.j, b.code,
+             list_dot_product(q.x, q.x) + list_dot_product(b.c, b.c)
+             - 2 * list_dot_product(q.x, b.c) AS term
+      FROM qs q JOIN cb b USING (j)
+    ),
+    terms AS (
+      SELECT d.q_id, e.vec_id, d.j, d.term
+      FROM enc e JOIN dtab d ON d.j = e.j AND d.code = e.code
+    ),
+    folded AS (
+      SELECT q_id, vec_id, list(term ORDER BY j) AS ts
+      FROM terms GROUP BY q_id, vec_id
+    ),
+    adc AS (
+      SELECT q_id, vec_id,
+             round(ts[1]+ts[2]+ts[3]+ts[4], 9) AS adc_dist
+      FROM folded
+    )
+    SELECT q_id, vec_id, adc_dist, rank FROM (
+      SELECT q_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
+      FROM adc)
+    WHERE rank <= {PQ_TOPK}
+    ORDER BY q_id, rank
+    """,
+    doc="Product-quantization ADC top-k (m=4 subspaces, k=16 codes): "
+    "content-addressed seeds + one Lloyd round PER SUBSPACE build the "
+    "codebooks (operators/pq.py), the corpus is encoded to 8 small codes "
+    "per vector (64x compression of the 64-dim embedding), and search is "
+    "asymmetric distance — the query precomputes an m x k exact-distance "
+    "table and every candidate costs 4 broadcast-hash lookups plus a "
+    "subspace-ORDER-CHAINED sum, never a d-dim dot. All distances use the "
+    "||x||²+||c||²-2xc identity over the ordered-fold dot, and the oracle "
+    "replays seeding, per-subspace Lloyd, encoding, the ADC table, and "
+    "the fixed-order fold, so the quantizer itself is value-checked.",
+)
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_adc_topk, pq_codebooks
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, "vec_id", "embedding", m=4, k=16, iterations=1)
+    queries = emb.filter(F.col("vec_id") < PQ_QUERIES)
+    return pq_adc_topk(emb, queries, "vec_id", "embedding", books, PQ_TOPK).orderBy(
+        "q_id", "rank"
+    )
