@@ -428,3 +428,94 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --- Q: SCD2 validity intervals from a change feed ----------------------------
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, state, ts_us,
+             CASE WHEN prev_state IS NULL OR state <> prev_state THEN 1 ELSE 0 END AS chg
+      FROM ordered
+    ),
+    runs AS (
+      SELECT user_id, state, ts_us,
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+      FROM changes
+    ),
+    versions AS (
+      SELECT user_id, run_id, MIN(state) AS state,
+             MIN(ts_us) AS effective_from_us, COUNT(*) AS n_changes
+      FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id, run_id AS version, state, effective_from_us,
+           COALESCE(LEAD(effective_from_us) OVER (PARTITION BY user_id ORDER BY run_id) - 1, -1)
+             AS effective_to_us,
+           n_changes
+    FROM versions
+    ORDER BY user_id, version
+    """,
+    doc="SCD2 row-versioning from a change feed: consecutive identical "
+    "states per key collapse into one version row with "
+    "[effective_from_us, effective_to_us] validity (open version = -1 "
+    "sentinel) — the slowly-changing-dimension maintenance pattern, "
+    "the row-level complement of q_incremental_agg's aggregate "
+    "maintenance. The plan is one gaps-and-islands pass (lag + running "
+    "change count), a run-keyed aggregate, and a lead window over the "
+    "VERSION-sized relation — at 100 TB the change feed shuffles once "
+    "by key and the interval assembly runs on collapsed versions, "
+    "never raw changes.",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.unix_micros("ts").alias("ts_us"),
+            F.lag("event_type").over(w).alias("prev_state"),
+        )
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("prev_state").isNull()
+                | (F.col("state") != F.col("prev_state")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("run_id", F.sum("chg").over(wrun))
+    )
+    versions = runs.groupBy("user_id", "run_id").agg(
+        F.min("state").alias("state"),
+        F.min("ts_us").alias("effective_from_us"),
+        F.count("*").alias("n_changes"),
+    )
+    wlead = Window.partitionBy("user_id").orderBy("run_id")
+    return (
+        versions.select(
+            "user_id",
+            F.col("run_id").alias("version"),
+            "state",
+            "effective_from_us",
+            F.coalesce(
+                F.lead("effective_from_us").over(wlead) - 1, F.lit(-1)
+            ).alias("effective_to_us"),
+            "n_changes",
+        )
+        .orderBy("user_id", "version")
+    )
