@@ -27,6 +27,7 @@ CARTESIAN_OK = {"q_embedding_near_dup"}
 BNLJ_CROSS_OK = {
     "q_cosine_topk",  # corpus streams against a broadcast fixed probe set
     "q_similarity_sq8",  # same probe-set shape over the SQ8 codes
+    "q_similarity_pq",  # corpus codes × broadcast query-id list (ADC probe set)
     "q_dataset_mixture",  # every row × one broadcast mixture-spec row
     "q_fts_bm25",  # postings × one broadcast corpus-stats row (N, avgdl)
     "q_zorder_layout",  # rows × one broadcast min/max-stats row
