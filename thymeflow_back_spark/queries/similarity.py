@@ -541,3 +541,101 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, queries, "vec_id", "embedding", books, PQ_TOPK).orderBy(
         "q_id", "rank"
     )
+
+
+# --- Q: ANN recall evaluation -------------------------------------------------
+
+
+@query(
+    "q_ann_recall",
+    oracle=_ivf_index_cte(IVF_CELLS)
+    + f""",
+    q AS (SELECT vec_id AS q_id, v AS q_v FROM vecs WHERE vec_id < {IVF_QUERIES}),
+    probe AS (
+      SELECT q_id, q_v, cell FROM (
+        SELECT q.q_id, q.q_v, cents.cell,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY list_dot_product(cents.v, q.q_v) DESC, cents.cell
+               ) AS rn
+        FROM q CROSS JOIN cents) WHERE rn <= {IVF_PROBE}
+    ),
+    ivf_hits AS (
+      SELECT q_id, c_id FROM (
+        SELECT s.q_id, s.c_id,
+               row_number() OVER (PARTITION BY s.q_id ORDER BY s.score DESC, s.c_id) AS rank
+        FROM (
+          SELECT p.q_id, a.vec_id AS c_id,
+                 round(
+                   list_dot_product(p.q_v, a.v)
+                   / (sqrt(list_dot_product(p.q_v, p.q_v)) * sqrt(list_dot_product(a.v, a.v))),
+                   9
+                 ) AS score
+          FROM probe p JOIN inverted a ON p.cell = a.cell AND a.vec_id <> p.q_id
+        ) s)
+      WHERE rank <= {IVF_K}
+    ),
+    exact_hits AS (
+      SELECT q_id, c_id FROM (
+        SELECT s.q_id, s.c_id,
+               row_number() OVER (PARTITION BY s.q_id ORDER BY s.score DESC, s.c_id) AS rank
+        FROM (
+          SELECT q.q_id, c.vec_id AS c_id,
+                 round(
+                   list_dot_product(q.q_v, c.v)
+                   / (sqrt(list_dot_product(q.q_v, q.q_v)) * sqrt(list_dot_product(c.v, c.v))),
+                   9
+                 ) AS score
+          FROM vecs c CROSS JOIN q
+          WHERE c.vec_id <> q.q_id
+        ) s)
+      WHERE rank <= {IVF_K}
+    )
+    SELECT e.q_id,
+           CAST(COUNT(i.c_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(i.c_id) AS DOUBLE) / {IVF_K} AS recall
+    FROM exact_hits e
+    LEFT JOIN ivf_hits i ON i.q_id = e.q_id AND i.c_id = e.c_id
+    GROUP BY e.q_id
+    ORDER BY e.q_id
+    """,
+    doc="ANN evaluation harness: recall@5 of the IVF index (8 cells, probe "
+    "2) against the exact cosine top-5, per query — the measurement every "
+    "production ANN deployment runs before trusting an approximate index. "
+    "Both pipelines and their join are replayed in the oracle, so the "
+    "recall numbers themselves are value-checked. The exact side is the "
+    "bounded probe-set broadcast plan; at 100 TB this runs over a sampled "
+    "query set exactly like this fixed one.",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivf import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < IVF_QUERIES)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", IVF_K).select(
+        "q_id", "c_id"
+    )
+    approx = ivf_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        IVF_K,
+        n_cells=IVF_CELLS,
+        n_probe=IVF_PROBE,
+        refine_iters=1,
+    ).select("q_id", F.col("c_id").alias("i_id"))
+    return (
+        exact.join(
+            approx,
+            (exact.q_id == approx.q_id) & (exact.c_id == approx.i_id),
+            "left",
+        )
+        .select(exact.q_id.alias("q_id"), "i_id")
+        .groupBy("q_id")
+        .agg(
+            F.count("i_id").alias("n_hits"),
+            (F.count("i_id").cast("double") / F.lit(float(IVF_K))).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
