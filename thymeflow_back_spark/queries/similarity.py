@@ -639,3 +639,122 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# --- Q: IVF-PQ residual index -------------------------------------------------
+
+IVFPQ_M = 4
+IVFPQ_K = 8
+IVFPQ_SUB = 16  # 64 // IVFPQ_M
+IVFPQ_QUERIES = 8
+IVFPQ_TOPK = 5
+
+
+@query(
+    "q_similarity_ivfpq",
+    oracle=_ivf_index_cte(IVF_CELLS)
+    + f""",
+    resid AS MATERIALIZED (
+      SELECT iv.vec_id, iv.cell, list(iv.v[gi.i] - c.v[gi.i] ORDER BY gi.i) AS r
+      FROM inverted iv JOIN cents c USING (cell),
+           LATERAL (SELECT unnest(generate_series(1, 64)) AS i) gi
+      GROUP BY iv.vec_id, iv.cell
+    ),
+    pseed AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS code, r
+      FROM resid
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {IVFPQ_K}
+    ),
+    jt AS (SELECT unnest(range({IVFPQ_M})) AS j),
+    cb AS (
+      SELECT j, code, r[j*{IVFPQ_SUB}+1 : j*{IVFPQ_SUB}+{IVFPQ_SUB}] AS c
+      FROM pseed CROSS JOIN jt
+    ),
+    rsub AS MATERIALIZED (
+      SELECT vec_id, cell, j, r[j*{IVFPQ_SUB}+1 : j*{IVFPQ_SUB}+{IVFPQ_SUB}] AS x
+      FROM resid CROSS JOIN jt
+    ),
+    enc AS MATERIALIZED (
+      SELECT vec_id, cell, j, code FROM (
+        SELECT s.vec_id, s.cell, s.j, b.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY list_dot_product(s.x, s.x) + list_dot_product(b.c, b.c)
+                          - 2 * list_dot_product(s.x, b.c) ASC, b.code ASC
+               ) AS rn
+        FROM rsub s JOIN cb b USING (j)) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS q_id, v AS q_v FROM vecs WHERE vec_id < {IVFPQ_QUERIES}),
+    probe AS (
+      SELECT q_id, q_v, cell FROM (
+        SELECT q.q_id, q.q_v, cents.cell,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY list_dot_product(cents.v, q.q_v) DESC, cents.cell
+               ) AS rn
+        FROM q CROSS JOIN cents) WHERE rn <= {IVF_PROBE}
+    ),
+    qres AS (
+      SELECT p.q_id, p.cell, list(p.q_v[gi.i] - c.v[gi.i] ORDER BY gi.i) AS r
+      FROM probe p JOIN cents c USING (cell),
+           LATERAL (SELECT unnest(generate_series(1, 64)) AS i) gi
+      GROUP BY p.q_id, p.cell
+    ),
+    qsub AS (
+      SELECT q_id, cell, j, r[j*{IVFPQ_SUB}+1 : j*{IVFPQ_SUB}+{IVFPQ_SUB}] AS x
+      FROM qres CROSS JOIN jt
+    ),
+    dtab AS MATERIALIZED (
+      SELECT s.q_id, s.cell, s.j, b.code,
+             list_dot_product(s.x, s.x) + list_dot_product(b.c, b.c)
+             - 2 * list_dot_product(s.x, b.c) AS term
+      FROM qsub s JOIN cb b USING (j)
+    ),
+    terms AS (
+      SELECT d.q_id, e.vec_id, e.cell, d.j, d.term
+      FROM enc e JOIN dtab d ON d.cell = e.cell AND d.j = e.j AND d.code = e.code
+      WHERE e.vec_id <> d.q_id
+    ),
+    folded AS (
+      SELECT q_id, vec_id, cell, list(term ORDER BY j) AS ts
+      FROM terms GROUP BY q_id, vec_id, cell
+    ),
+    adc AS (
+      SELECT q_id, vec_id, cell, round(ts[1]+ts[2]+ts[3]+ts[4], 9) AS adc_dist
+      FROM folded
+    )
+    SELECT q_id, vec_id, cell, adc_dist, rank FROM (
+      SELECT q_id, vec_id, cell, adc_dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
+      FROM adc)
+    WHERE rank <= {IVFPQ_TOPK}
+    ORDER BY q_id, rank
+    """,
+    doc="IVF-PQ, the canonical billion-scale ANN layout (FAISS IVFPQ): the "
+    "IVF coarse quantizer (content-addressed seeds + exact-sum Lloyd) "
+    "routes vectors to cells, PQ encodes the RESIDUAL v - centroid(cell) "
+    "as 4 codes (operators/ivfpq.py), and search probes 2 cells with an "
+    "ADC table keyed by (query, cell). Residual codebooks are seed-only — "
+    "residuals carry full 53-bit mantissas whose sums are order-dependent, "
+    "so a Lloyd round over them could not be engine-reproducible; every "
+    "remaining step is single-op IEEE and the whole index (coarse assign, "
+    "residuals, encoding, probe, ADC fold, ranking) is replayed by the "
+    "oracle, value-checking the composed index end to end.",
+)
+def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivfpq import ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < IVFPQ_QUERIES)
+    return ivfpq_topk(
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        IVFPQ_TOPK,
+        n_cells=IVF_CELLS,
+        n_probe=IVF_PROBE,
+        m=IVFPQ_M,
+        k=IVFPQ_K,
+        refine_iters=1,
+    ).orderBy("q_id", "rank")
