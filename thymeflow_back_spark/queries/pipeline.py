@@ -1513,3 +1513,164 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("quantile", "target", "bucket", "est", "exact")
         .orderBy("quantile")
     )
+
+
+# --- Q: end-to-end training-data pipeline funnel ------------------------------
+
+from .dedup import JACCARD_THRESHOLD, SHINGLE_N, _PERMS_VALUES  # noqa: E402
+
+_E2E_SHINGLES_KEPT = """
+    ktoks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM exact_kept
+    ),
+    ksh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM ktoks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) s
+    )
+"""
+
+
+@query(
+    "q_pipeline_end2end",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             COALESCE(list_max(list_transform(toks, t -> length(t))), 0) AS max_word_len,
+             CASE WHEN len(toks) <= 5000 THEN
+               list_max(list_transform(list_distinct(toks),
+                 t -> len(list_filter(toks, x -> x = t)))) / NULLIF(len(toks), 0)
+             END AS rep_ratio,
+             len(list_filter(toks, t -> list_contains(
+               ['a','an','and','in','is','of','the','to'], t))) / NULLIF(len(toks), 0) AS stopword_ratio,
+             len(list_distinct(toks)) / NULLIF(len(toks), 0) AS unique_ratio
+      FROM t
+    ),
+    keepers AS (
+      SELECT doc_id FROM m
+      WHERE NOT (n_words < 5 OR n_words > 5000 OR max_word_len > 20
+                 OR rep_ratio > 0.25 OR stopword_ratio < 0.01 OR unique_ratio < 0.3)
+    ),
+    kept AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    exact_kept AS (SELECT k.* FROM kept k JOIN canon USING (doc_id)),
+    {_E2E_SHINGLES_KEPT},
+    perms(i, a, b) AS (VALUES {_PERMS_VALUES}),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 2147483647 AS h
+      FROM ksh
+    ),
+    sig AS (
+      SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS mh
+      FROM hashed CROSS JOIN perms
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkey
+      FROM sig GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b USING (band, bkey)
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ksh GROUP BY doc_id),
+    inter AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+      FROM cands c
+      JOIN ksh a ON a.doc_id = c.a_id
+      JOIN ksh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT DISTINCT i.b_id AS doc_id
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.a_id
+      JOIN sizes sb ON sb.doc_id = i.b_id
+      WHERE i.n_common / (sa.n_sh + sb.n_sh - i.n_common) >= {JACCARD_THRESHOLD}
+    ),
+    final AS (
+      SELECT doc_id FROM exact_kept
+      WHERE doc_id NOT IN (SELECT doc_id FROM nd)
+    ),
+    tok4 AS (
+      SELECT doc_id,
+             CAST(COALESCE(list_sum(list_transform(toks, t -> (len(t) + 3) // 4)), 0) AS BIGINT) AS est
+      FROM t
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_no, 'raw' AS stage, COUNT(*) AS n_docs,
+             CAST(COALESCE(SUM(est), 0) AS BIGINT) AS est_bpe_tokens FROM tok4
+      UNION ALL
+      SELECT 2, 'quality', COUNT(*), CAST(COALESCE(SUM(est), 0) AS BIGINT)
+      FROM tok4 JOIN keepers USING (doc_id)
+      UNION ALL
+      SELECT 3, 'exact_dedup', COUNT(*), CAST(COALESCE(SUM(est), 0) AS BIGINT)
+      FROM tok4 JOIN (SELECT doc_id FROM exact_kept) ek USING (doc_id)
+      UNION ALL
+      SELECT 4, 'near_dedup', COUNT(*), CAST(COALESCE(SUM(est), 0) AS BIGINT)
+      FROM tok4 JOIN final USING (doc_id)
+    ) ORDER BY stage_no
+    """,
+    doc="The capstone composition: one pass of a training-data curation "
+    "pipeline — C4/Gopher quality gate, exact content dedup (min-id "
+    "canonical per md5), MinHash-LSH near-dedup with the min-neighbor drop "
+    "rule (drop every doc with a verified near-duplicate of smaller id "
+    "among exact-dedup survivors), and BPE-ish token accounting — reported "
+    "as a 4-row funnel (stage, n_docs, est_bpe_tokens). Every stage is the "
+    "already-proven catalog operator (operators/text.quality_filter, "
+    "operators/dedup.minhash_near_dups); the oracle replays the whole "
+    "composition, so the hash match certifies the stages COMPOSE correctly, "
+    "not just pass individually. Scale shape: each stage is one scan over "
+    "the shrinking survivor set; the only data-sized shuffles are the "
+    "md5 groupBy and the LSH band self-join, both keyed and skew-safe.",
+)
+def q_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_token_estimate, quality_filter
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text", bpe_token_estimate("text").alias("est"))
+    keep_ids = (
+        quality_filter(docs, "doc_id", "text").filter("keep").select("doc_id")
+    )
+    kept = base.join(keep_ids, "doc_id")
+    canon_ids = (
+        kept.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact_kept = kept.join(canon_ids, "doc_id")
+    pairs = D.minhash_near_dups(
+        exact_kept.select("doc_id", "text"), "doc_id", "text", SHINGLE_N, JACCARD_THRESHOLD
+    )
+    dropped = pairs.select(F.col("b_id").alias("doc_id")).dropDuplicates()
+    final = exact_kept.join(dropped, "doc_id", "left_anti")
+
+    def stage(df: DataFrame, no: int, name: str) -> DataFrame:
+        return (
+            df.groupBy()
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.coalesce(F.sum("est"), F.lit(0)).cast("bigint").alias("est_bpe_tokens"),
+            )
+            .select(
+                F.lit(no).alias("stage_no"),
+                F.lit(name).alias("stage"),
+                "n_docs",
+                "est_bpe_tokens",
+            )
+        )
+
+    return (
+        stage(base, 1, "raw")
+        .unionByName(stage(kept, 2, "quality"))
+        .unionByName(stage(exact_kept, 3, "exact_dedup"))
+        .unionByName(stage(final, 4, "near_dedup"))
+        .orderBy("stage_no")
+    )
