@@ -9,10 +9,19 @@ partition-prune the probe (operators/ivf.ivf_write_index's layout), and
 candidates cost m table lookups each, never a d-dim dot.
 
 Composition of proven parts: the coarse step IS operators/ivf.py
-(content-addressed seeds + exact-sum Lloyd refinement + broadcast-matrix
-assignment); the code step IS operators/pq.py over residual vectors; ADC
-search is pq's broadcast lookup-join shape with the table keyed by
-(query, PROBED CELL) since each cell has its own residual frame.
+(content-addressed seeds + exact-sum Lloyd refinement); the code step IS
+operators/pq.py over residual vectors; ADC search is pq's broadcast
+lookup-join shape with the table keyed by (query, PROBED CELL) since each
+cell has its own residual frame.
+
+Plan-size discipline: centroids and codebooks enter the plan as ONE-row
+broadcast relations (operators/pq.codebook_row and _cents_row here), and
+every distance is the column-anchored ordered fold pq._dot_col. The
+first cut of this module unrolled them as literal expression trees; the
+ADC joins on derived code columns then made the optimizer's IsNotNull
+pushdown substitute those trees multiplicatively — a 119 MB optimized
+plan, 260 MB task binaries, and whole-stage codegen compile failures.
+Data-anchored, the same query plans in ~100 KB.
 
 Determinism note — why the residual codebooks take ZERO Lloyd rounds:
 IVF's Lloyd refinement is exact because raw float32-origin values sum
@@ -33,15 +42,44 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .ivf import _centroid_lit, ivf_assign, refine_centroids, seed_centroids
-from .pq import _cc, _dot_lit, _scores_expr, _self_dot, _sub, pq_codebooks
+from .ivf import refine_centroids, seed_centroids
+from .pq import _dot_col, _scores_col, _with_subvectors, codebook_row, pq_codebooks
 from .similarity import SCORE_DECIMALS, as_double_array
 
 
-def _residual(vec: Column, cents: list[list[float]], cell: Column) -> Column:
-    """v - centroid[cell], elementwise (exact single-op IEEE subtracts)."""
-    cents_lit = F.array(*[_centroid_lit(c) for c in cents])
-    return F.zip_with(vec, F.element_at(cents_lit, cell + 1), lambda a, b: a - b)
+def _cents_row(spark, cents: list[list[float]]) -> DataFrame:
+    """ONE-row centroid relation (cents array<array<double>>) — same
+    data-not-literals rationale as pq.codebook_row."""
+    return spark.createDataFrame(
+        [([list(map(float, c)) for c in cents],)], "cents: array<array<double>>"
+    )
+
+
+def _residual(vec: Column, cell: Column) -> Column:
+    """v - cents[cell], elementwise (exact single-op IEEE subtracts) over
+    the one-row centroid column."""
+    return F.zip_with(vec, F.element_at("cents", cell + 1), lambda a, b: a - b)
+
+
+def _assign(corpus: DataFrame, id_col: str, vec_col: str, cents_df: DataFrame) -> DataFrame:
+    """(c_id, cell, c_vec, cents) — coarse assignment against the one-row
+    centroid relation; max centroid dot, lowest cell on ties (ivf_assign
+    parity: bit-identical dots, same argmax tie-break)."""
+    v = as_double_array(F.col(vec_col))
+    scored = corpus.crossJoin(F.broadcast(cents_df)).select(
+        F.col(id_col).alias("c_id"),
+        v.alias("c_vec"),
+        F.col("cents"),
+        F.transform("cents", lambda c: _dot_col(c, v)).alias("scores"),
+    )
+    return scored.select(
+        "c_id",
+        (F.array_position(F.col("scores"), F.array_max(F.col("scores"))) - 1)
+        .cast("int")
+        .alias("cell"),
+        "c_vec",
+        "cents",
+    )
 
 
 def ivfpq_index(
@@ -59,24 +97,20 @@ def ivfpq_index(
     cents = seed_centroids(corpus, id_col, vec_col, n_cells)
     if refine_iters:
         cents = refine_centroids(corpus, id_col, vec_col, cents, refine_iters)
-    inv = ivf_assign(corpus, id_col, vec_col, cents)  # (c_id, cell, c_vec)
+    cents_df = _cents_row(corpus.sparkSession, cents)
+    inv = _assign(corpus, id_col, vec_col, cents_df)
     resid = inv.select(
-        "c_id", "cell", _residual(F.col("c_vec"), cents, F.col("cell")).alias("r")
+        "c_id", "cell", _residual(F.col("c_vec"), F.col("cell")).alias("r")
     )
     books = pq_codebooks(resid, "c_id", "r", m=m, k=k, iterations=0)
     sub_d = len(books[0][0])
-    hoisted = resid.select(
-        "c_id",
-        "cell",
-        *[_sub(F.col("r"), j, sub_d).alias(f"x{j}") for j in range(m)],
-    ).select(
-        "c_id",
-        "cell",
-        *[F.col(f"x{j}") for j in range(m)],
-        *[_self_dot(F.col(f"x{j}"), sub_d).alias(f"xx{j}") for j in range(m)],
+    bdf = codebook_row(corpus.sparkSession, books)
+    hoisted = _with_subvectors(
+        resid.crossJoin(F.broadcast(bdf)), "c_id", "r", m, sub_d,
+        carry=("cell", "books", "ccs"),
     )
     scored = hoisted.select(
-        "c_id", "cell", *[_scores_expr(j, books[j]).alias(f"scores{j}") for j in range(m)]
+        "c_id", "cell", *[_scores_col(j).alias(f"scores{j}") for j in range(m)]
     )
     codes = scored.select(
         "c_id",
@@ -115,58 +149,43 @@ def ivfpq_topk(
         corpus, id_col, vec_col, n_cells, m, k, refine_iters
     )
     sub_d = len(books[0][0])
+    spark = corpus.sparkSession
+    cents_df = _cents_row(spark, cents)
     qv = queries.select(
         F.col(id_col).alias("q_id"), as_double_array(F.col(vec_col)).alias("q_v")
-    )
-    cell_scores = F.array(
-        *[
-            _dot_lit(F.col("q_v"), c)
-            for c in cents
-        ]
-    )
+    ).crossJoin(F.broadcast(cents_df))
     wprobe = Window.partitionBy("q_id").orderBy(F.desc("cscore"), F.asc("cell"))
     probe = (
         qv.select(
             "q_id",
             "q_v",
-            F.posexplode(cell_scores).alias("cell", "cscore"),
+            "cents",
+            F.posexplode(
+                F.transform("cents", lambda c: _dot_col(c, F.col("q_v")))
+            ).alias("cell", "cscore"),
         )
         .withColumn("prn", F.row_number().over(wprobe))
         .filter(F.col("prn") <= n_probe)
-        .select("q_id", "q_v", "cell")
+        .select("q_id", "q_v", "cents", "cell")
     )
     qres = probe.select(
-        "q_id", "cell", _residual(F.col("q_v"), cents, F.col("cell")).alias("r")
+        "q_id", "cell", _residual(F.col("q_v"), F.col("cell")).alias("r")
     )
-    qh = qres.select(
+    qh = _with_subvectors(
+        qres.crossJoin(F.broadcast(codebook_row(spark, books))),
         "q_id",
-        "cell",
-        *[_sub(F.col("r"), j, sub_d).alias(f"x{j}") for j in range(m)],
-    ).select(
-        "q_id",
-        "cell",
-        *[F.col(f"x{j}") for j in range(m)],
-        *[_self_dot(F.col(f"x{j}"), sub_d).alias(f"xx{j}") for j in range(m)],
+        "r",
+        m,
+        sub_d,
+        carry=("cell", "books", "ccs"),
     )
     pairs = codes.withColumnRenamed("c_id", "vec_id").join(
         F.broadcast(probe.select("q_id", "cell")), "cell"
     ).filter(F.col("vec_id") != F.col("q_id"))
     for j in range(m):
-        qx, qxx = F.col(f"x{j}"), F.col(f"xx{j}")
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(code).alias("code"),
-                    ((qxx + F.lit(_cc(c))) - 2 * _dot_lit(qx, c)).alias("term"),
-                )
-                for code, c in enumerate(books[j])
-            ]
-        )
-        dtab = qh.select("q_id", "cell", F.explode(entries).alias("e")).select(
-            "q_id",
-            "cell",
-            F.col("e.code").alias(f"code{j}"),
-            F.col("e.term").alias(f"__t{j}"),
+        # pos IS the code (codes enumerate the codebook in order)
+        dtab = qh.select(
+            "q_id", "cell", F.posexplode(_scores_col(j)).alias(f"code{j}", f"__t{j}")
         )
         pairs = pairs.join(F.broadcast(dtab), ["q_id", "cell", f"code{j}"])
     adc = F.col("__t0")

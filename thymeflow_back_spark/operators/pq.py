@@ -21,11 +21,13 @@ float32-origin values); per-pair ADC sums are CHAINED in subspace order
 doubles in the same order. Ties in code assignment break to the lowest
 code, in ranking to the lowest vec_id.
 
-Scale shape: codebooks are an m×k×(d/m) driver-side literal (like IVF
-centroids); encoding is a narrow projection (no shuffle); the ADC
-distance table is queries×m×k rows JOINED BROADCAST per subspace — the
-corpus-code table streams through m map-side hash lookups with zero
-shuffle, and only the per-query top-k tail shuffles k rows per query.
+Scale shape: codebooks ride as a ONE-row broadcast relation (data, not
+literal expression trees — see codebook_row for the optimizer-blow-up
+this avoids); encoding is a narrow projection over the corpus crossed
+with that row (no shuffle); the ADC distance table is queries×m×k rows
+JOINED BROADCAST per subspace — the corpus-code table streams through m
+map-side hash lookups with zero shuffle, and only the per-query top-k
+tail shuffles k rows per query.
 """
 
 from __future__ import annotations
@@ -56,13 +58,27 @@ def _chain_sum(terms: list[Column]) -> Column:
 
 
 def _dot_lit(x: Column, c: list[float]) -> Column:
-    """x · c for a LITERAL codeword as explicit arithmetic — no
-    zip_with/aggregate higher-order functions, so the expression stays
-    inside whole-stage codegen instead of per-row lambda evaluation
-    (16 codewords × 8 subspaces of HOF folds made analysis + execution
-    the bottleneck)."""
+    """x · c for a LITERAL codeword as explicit arithmetic. Only safe where
+    NO join sits above the expression: a join on a derived column makes the
+    optimizer push inferred IsNotNull filters down through the projection
+    stack by SUBSTITUTING alias definitions, and literal-unrolled trees
+    multiply under that substitution (measured: a 64 KB encode plan became
+    a 119 MB plan / 260 MB task binary with codegen compile failures once
+    ADC joins sat on top). Join-facing paths use _dot_col over the one-row
+    codebook relation instead (same fold order, bit-identical)."""
     return _chain_sum(
         [F.element_at(x, i + 1) * F.lit(float(v)) for i, v in enumerate(c)]
+    )
+
+
+def _dot_col(x: Column, c: Column) -> Column:
+    """x · c over two array COLUMNS: the ordered fold from 0.0. Bit-identical
+    to _dot_lit's chain (IEEE: 0.0 + a == a exactly, products fold in element
+    order) and to DuckDB's list_dot_product — proven by the PQ/IVF-PQ oracle
+    hash matches. The expression is a handful of nodes anchored on column
+    references, so optimizer substitution through it stays O(1)."""
+    return F.aggregate(
+        F.zip_with(x, c, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
     )
 
 
@@ -83,16 +99,23 @@ def _cc(c: list[float]) -> float:
 
 
 def _with_subvectors(
-    corpus: DataFrame, id_col: str, vec_col: str, m: int, sub_d: int
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    sub_d: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, x0..x{m-1}, xx0..xx{m-1}) — subvector slices and their squared
-    norms hoisted into columns ONCE, so downstream argmin trees reference
-    them instead of re-embedding a norm per codeword (16× tree blow-up
-    otherwise — the same Catalyst-inlining trap the IVF scores array
-    documents)."""
+    """(id[, carry…], x0..x{m-1}, xx0..xx{m-1}) — subvector slices and their
+    squared norms hoisted into columns ONCE, so downstream argmin trees
+    reference them instead of re-embedding a norm per codeword (16× tree
+    blow-up otherwise — the same Catalyst-inlining trap the IVF scores
+    array documents)."""
     v = as_double_array(F.col(vec_col))
     sliced = corpus.select(
-        F.col(id_col), *[_sub(v, j, sub_d).alias(f"x{j}") for j in range(m)]
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        *[_sub(v, j, sub_d).alias(f"x{j}") for j in range(m)],
     )
     return sliced.select(
         "*",
@@ -100,12 +123,42 @@ def _with_subvectors(
     )
 
 
-def _scores_expr(j: int, book: list[list[float]]) -> Column:
-    """l2² to every codeword of subspace ``j`` over the hoisted columns.
+def codebook_row(spark, books: list[list[list[float]]]) -> DataFrame:
+    """ONE-row codebook relation: (books, ccs) with ``books[j][code]`` the
+    codeword array and ``ccs[j][code]`` its ||c||² (_cc fold, identical to
+    the double DuckDB's list_dot_product(c, c) produces).
+
+    Why a relation and not literals: the search/encode consumers JOIN on
+    derived code columns, and the optimizer pushes inferred IsNotNull
+    filters down through the projection stack by substituting each alias's
+    definition. Codewords as literal expression trees multiply under that
+    substitution — the IVF-PQ plan measured 119 MB (260 MB task binaries,
+    whole-stage codegen compile failures). As a broadcast one-row cross
+    join (the bounded-by-construction shape of q_dataset_mixture), every
+    downstream expression bottoms out at a column reference in a few
+    nodes, and the plan stays KB-sized no matter how many joins stack."""
+    data = [
+        (
+            [[list(map(float, c)) for c in book] for book in books],
+            [[_cc(c) for c in book] for book in books],
+        )
+    ]
+    return spark.createDataFrame(
+        data, "books: array<array<array<double>>>, ccs: array<array<double>>"
+    )
+
+
+def _scores_col(j: int) -> Column:
+    """l2² to every codeword of subspace ``j`` over the hoisted columns and
+    the one-row codebook: zip_with pairs books[j][code] with ccs[j][code].
     Score = (||x||² + ||c||²) - 2·x·c — identical association to the
     oracle's l2² expression."""
     x, xx = F.col(f"x{j}"), F.col(f"xx{j}")
-    return F.array(*[(xx + F.lit(_cc(c))) - 2 * _dot_lit(x, c) for c in book])
+    return F.zip_with(
+        F.element_at("books", j + 1),
+        F.element_at("ccs", j + 1),
+        lambda c, cc: (xx + cc) - 2 * _dot_col(x, c),
+    )
 
 
 def _with_codes(
@@ -116,18 +169,24 @@ def _with_codes(
     keep_subvectors: bool = False,
 ) -> DataFrame:
     """(id, code0..code{m-1}[, x0..x{m-1}]) — nearest-codeword index per
-    subspace, lowest code on ties. Three narrow projections (slices+norms,
-    score arrays, argmins) so each score subtree is materialized ONCE —
-    argmin references the scores COLUMN twice, which would otherwise clone
-    the whole arithmetic tree into array_position and array_min."""
+    subspace, lowest code on ties. Zero shuffle: slices+norms, score
+    arrays, and argmins are three narrow projections over the corpus
+    crossed with the ONE-row broadcast codebook (see codebook_row for why
+    data, not literals). Each score subtree is materialized ONCE — argmin
+    references the scores COLUMN twice, which would otherwise clone the
+    whole arithmetic tree into array_position and array_min."""
     m = len(books)
     sub_d = len(books[0][0])
-    hoisted = _with_subvectors(corpus, id_col, vec_col, m, sub_d)
+    bdf = codebook_row(corpus.sparkSession, books)
+    hoisted = _with_subvectors(
+        corpus.crossJoin(F.broadcast(bdf)), id_col, vec_col, m, sub_d,
+        carry=("books", "ccs"),
+    )
     carry = [F.col(f"x{j}") for j in range(m)] if keep_subvectors else []
     scored = hoisted.select(
         F.col(id_col),
         *carry,
-        *[_scores_expr(j, books[j]).alias(f"scores{j}") for j in range(m)],
+        *[_scores_col(j).alias(f"scores{j}") for j in range(m)],
     )
     return scored.select(
         F.col(id_col),
@@ -229,27 +288,20 @@ def pq_adc_topk(
         F.broadcast(queries.select(F.col(id_col).alias("q_id")))
     )
     qh = _with_subvectors(
-        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col)),
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col)).crossJoin(
+            F.broadcast(codebook_row(queries.sparkSession, books))
+        ),
         "q_id",
         vec_col,
         m,
         sub_d,
+        carry=("books", "ccs"),
     )
     for j in range(m):
-        qx, qxx = F.col(f"x{j}"), F.col(f"xx{j}")
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(code).alias("code"),
-                    ((qxx + F.lit(_cc(c))) - 2 * _dot_lit(qx, c)).alias("term"),
-                )
-                for code, c in enumerate(books[j])
-            ]
-        )
-        dtab = qh.select("q_id", F.explode(entries).alias("e")).select(
-            "q_id",
-            F.col("e.code").alias(f"code{j}"),
-            F.col("e.term").alias(f"__t{j}"),
+        # posexplode of the per-subspace score array: pos IS the code
+        # (codes enumerate the codebook in order), term the ADC entry
+        dtab = qh.select(
+            "q_id", F.posexplode(_scores_col(j)).alias(f"code{j}", f"__t{j}")
         )
         # broadcast hash lookup — the corpus-code side streams, no shuffle
         pairs = pairs.join(F.broadcast(dtab), ["q_id", f"code{j}"])
