@@ -98,3 +98,24 @@ def test_scan_pushdown(spark):
     # column pruning: the 9-column part table reads only what the query uses
     schema = part_scan.split("ReadSchema: ", 1)[1]
     assert schema.count(":") <= 4, schema
+
+
+@pytest.mark.parametrize(
+    "name", [q for q in catalog.QUERIES if q not in SKIP]
+)
+def test_plan_size_bounded(spark, name):
+    """Optimized-plan strings stay KB-sized. The IVF-PQ regression this
+    guards: joining on a derived column makes the optimizer push inferred
+    IsNotNull filters down by SUBSTITUTING alias definitions, and
+    literal-unrolled arithmetic multiplies under that substitution — the
+    first IVF-PQ cut planned at 119 MB (260 MB task binaries, codegen
+    compile failures) while producing correct sf0.01 answers. Data-anchored
+    codebooks (pq.codebook_row) keep the same query ~67 KB. 2 MB is ~20×
+    headroom over today's largest plan yet 50× under the failure mode."""
+    df = catalog.QUERIES[name].spark(spark, SF)
+    size = len(df._jdf.queryExecution().optimizedPlan().toString())
+    assert size < 2_000_000, (
+        f"{name}: optimized plan is {size/1e6:.1f} MB — expression trees are "
+        f"being multiplied by optimizer substitution (see pq.codebook_row); "
+        f"anchor large constants as one-row broadcast relations"
+    )
