@@ -108,6 +108,38 @@ def test_kmv_estimate_exact_below_k_and_plausible_above(spark):
     assert 4000 < row.est_distinct < 6000  # ~5000 within KMV error bounds
 
 
+def test_kmv_ignores_nulls(spark):
+    """NULL is not a value: the sketch of a column with NULLs equals the
+    sketch of the same column without them (a NULL hash would sort FIRST
+    in Spark but LAST in DuckDB, occupying a minima slot on one engine)."""
+    from thymeflow_back_spark.operators.sketch import kmv_estimate
+
+    vals = spark.range(0, 100).select(F.col("id").cast("string").alias("v"))
+    with_nulls = vals.unionByName(
+        spark.range(0, 3).select(F.lit(None).cast("string").alias("v"))
+    )
+    clean = kmv_estimate(vals, "v", 32).collect()[0]
+    dirty = kmv_estimate(with_nulls, "v", 32).collect()[0]
+    assert (dirty.k_used, dirty.kth_min, dirty.est_distinct) == (
+        clean.k_used, clean.kth_min, clean.est_distinct,
+    )
+
+
+def test_cm_absent_probe_reports_zero(spark):
+    """A probe never inserted must report cm_est=0 (empty cells count as 0,
+    min over rows includes them) — not vanish, not echo a collision."""
+    from thymeflow_back_spark.operators.sketch import cm_estimate, cm_sketch
+
+    stream = spark.range(0, 50).select((F.col("id") % 7).cast("string").alias("v"))
+    sketch = cm_sketch(stream, "v")
+    probes = spark.createDataFrame(
+        [("3",), ("never-inserted",)], "v string"
+    )
+    got = {r.v: r.cm_est for r in cm_estimate(sketch, probes, "v").collect()}
+    assert got["never-inserted"] == 0
+    assert got["3"] >= 7  # "3" occurs 7 times (ids 3,10,…,45); CM never underestimates
+
+
 def test_hll_estimate_accuracy_and_mergeability(spark):
     from thymeflow_back_spark.operators.sketch import (
         hll_estimate,
@@ -252,6 +284,17 @@ def test_url_canonicalization_edge_cases(spark):
         # www-only strip happens once, at the front
         ("https://www.www-stats.net/d/", "https://www-stats.net/d",
          "www-stats.net"),
+        # non-default port preserved: :8080 is a different origin
+        ("http://Example.com:8080/page/", "http://example.com:8080/page",
+         "example.com"),
+        # default ports stripped (https:443 / http:80)
+        ("https://www.example.com:443/page", "https://example.com/page",
+         "example.com"),
+        ("http://example.com:80/?b=2&a=1", "http://example.com/?a=1&b=2",
+         "example.com"),
+        # userinfo dropped, port still seen through the authority
+        ("https://user:pw@example.com:9443/x", "https://example.com:9443/x",
+         "example.com"),
     ]
     df = canonicalize_urls(
         spark.createDataFrame([(u,) for u, _, _ in cases], ["url"]), "url"

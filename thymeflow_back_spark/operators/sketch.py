@@ -33,9 +33,16 @@ def h32(col: Column) -> Column:
 
 
 def kmv_minima(df: DataFrame, col: str | Column, k: int) -> DataFrame:
-    """The k smallest distinct 32-bit value hashes: rows (rank, h)."""
+    """The k smallest distinct 32-bit value hashes: rows (rank, h).
+
+    NULL values are not values: md5(NULL) is NULL, and Spark's ASC sort
+    puts NULLS FIRST while DuckDB defaults to NULLS LAST — an unfiltered
+    NULL would occupy a minima slot on one engine only, skewing the
+    estimate AND breaking the cross-engine determinism contract."""
     c = F.col(col) if isinstance(col, str) else col
-    hashed = df.select(h32(c).alias("h")).distinct()
+    hashed = (
+        df.select(h32(c).alias("h")).filter(F.col("h").isNotNull()).distinct()
+    )
     from pyspark.sql.window import Window
 
     return (
@@ -111,7 +118,13 @@ def cm_estimate(
 ) -> DataFrame:
     """Point-query the sketch: (probe_col, cm_est) = min over hash rows of
     the addressed cells. ``probes`` is small by construction (the items you
-    ask about); the sketch is d·w rows — both sides broadcastable."""
+    ask about); the sketch is d·w rows — both sides broadcastable.
+
+    The sketch join is LEFT with empty cells counting 0 (like
+    bloom.bloom_probe): a never-inserted probe whose cells are all empty
+    must report 0, and one with a single colliding cell must report
+    min(collision, 0, …) = 0 — an inner join would drop or overestimate
+    such probes, breaking the 'min over d rows' CM semantics."""
     c = F.col(probe_col).cast("string")
     addressed = probes.select(
         F.col(probe_col),
@@ -128,9 +141,9 @@ def cm_estimate(
         ).alias("rc"),
     ).select(probe_col, F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
     return (
-        addressed.join(F.broadcast(sketch), ["row", "cell"])
+        addressed.join(F.broadcast(sketch), ["row", "cell"], "left")
         .groupBy(probe_col)
-        .agg(F.min("n").alias("cm_est"))
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cm_est"))
     )
 
 
@@ -243,10 +256,25 @@ def histogram_sketch(df: DataFrame, col: str | Column, n_buckets: int = HIST_BUC
     bucket projection joined against the broadcast one-row bounds, then one
     keyed count — two scans, one sketch-sized shuffle.
     """
+    _, bucketed = _bucketize(df, col, n_buckets)
+    return bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _bucketize(
+    df: DataFrame, col: str | Column, n_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """(bounds, bucketed): the one-row (lo, w, nn) bounds relation and the
+    per-value bucket assignment. The SINGLE definition of the bucket-edge
+    arithmetic (w == 0 degenerate range -> bucket 0; floor((x-lo)/w) capped
+    at n_buckets-1 so x == hi lands in the last bucket) — histogram_sketch
+    and histogram_quantiles both build on it, so edge-handling can never
+    diverge between the sketch and the quantile path."""
     c = (F.col(col) if isinstance(col, str) else col).cast("double")
     vals = df.select(c.alias("x"))
-    bounds = vals.agg(F.min("x").alias("lo"), F.max("x").alias("hi")).select(
-        "lo", ((F.col("hi") - F.col("lo")) / F.lit(n_buckets)).alias("w")
+    bounds = vals.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"), F.count(F.lit(1)).alias("nn")
+    ).select(
+        "lo", ((F.col("hi") - F.col("lo")) / F.lit(n_buckets)).alias("w"), "nn"
     )
     bucketed = vals.crossJoin(F.broadcast(bounds)).select(
         F.when(F.col("w") == 0.0, F.lit(0))
@@ -259,7 +287,7 @@ def histogram_sketch(df: DataFrame, col: str | Column, n_buckets: int = HIST_BUC
         .cast("int")
         .alias("bucket")
     )
-    return bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    return bounds, bucketed
 
 
 def histogram_quantiles(
@@ -284,24 +312,7 @@ def histogram_quantiles(
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
-    c = (F.col(col) if isinstance(col, str) else col).cast("double")
-    vals = df.select(c.alias("x"))
-    bounds = vals.agg(
-        F.min("x").alias("lo"), F.max("x").alias("hi"), F.count(F.lit(1)).alias("nn")
-    ).select(
-        "lo", ((F.col("hi") - F.col("lo")) / F.lit(n_buckets)).alias("w"), "nn"
-    )
-    bucketed = vals.crossJoin(F.broadcast(bounds)).select(
-        F.when(F.col("w") == 0.0, F.lit(0))
-        .otherwise(
-            F.least(
-                F.floor((F.col("x") - F.col("lo")) / F.col("w")),
-                F.lit(n_buckets - 1),
-            )
-        )
-        .cast("int")
-        .alias("bucket")
-    )
+    bounds, bucketed = _bucketize(df, col, n_buckets)
     counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
     wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = counts.select("bucket", "n", F.sum("n").over(wcum).alias("c"))

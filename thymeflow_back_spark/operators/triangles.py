@@ -73,9 +73,14 @@ def _oriented(edges: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
-def triangles(edges: DataFrame) -> DataFrame:
-    """One row (a, b, c) per triangle in the canonical u < v edge set."""
-    deg = vertex_degrees(edges)
+def triangles(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """One row (a, b, c) per triangle in the canonical u < v edge set.
+
+    ``deg``: pass a precomputed vertex_degrees(edges) when the caller also
+    needs the degree table (clustering_coefficients does) so both consumers
+    share one lineage and the exchange-reuse dedup is guaranteed rather
+    than left to plan canonicalization."""
+    deg = vertex_degrees(edges) if deg is None else deg
     o = _oriented(edges, deg)
     w1 = o.select(F.col("src"), F.col("dst").alias("x"), F.col("ddst").alias("dx"))
     w2 = o.select(F.col("src"), F.col("dst").alias("y"), F.col("ddst").alias("dy"))
@@ -96,7 +101,8 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     one IEEE double division, so the value is bit-reproducible on any
     engine. Degree-1 vertices get 0.0 (no possible wedge).
     """
-    tri = triangles(edges)
+    deg = vertex_degrees(edges)
+    tri = triangles(edges, deg)
     per_vertex = (
         tri.select(F.col("a").alias("id"))
         .unionByName(tri.select(F.col("b").alias("id")))
@@ -104,7 +110,6 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    deg = vertex_degrees(edges)
     return deg.join(per_vertex, "id", "left").select(
         "id",
         "degree",

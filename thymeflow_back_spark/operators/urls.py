@@ -11,6 +11,9 @@ any scale.
 
 Rules (the common subset of web-crawl dedup pipelines):
 - scheme and host lowercased; a leading ``www.`` stripped;
+- userinfo dropped (credentials never belong in a dedup key); DEFAULT
+  ports stripped (http:80, https:443) but non-default ports preserved —
+  example.com:8080 is a different origin than example.com;
 - fragment dropped;
 - tracking parameters (``utm_*``) dropped, remaining query parameters
   sorted so parameter order doesn't split keys;
@@ -39,6 +42,18 @@ def canonical_url(url: Column) -> Column:
     """The canonical form of ``url`` as a single string column."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     host = F.regexp_replace(F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", "")
+    # AUTHORITY is userinfo@host:port — extract the port, keep it unless it
+    # is the scheme default (HOST alone would silently merge distinct
+    # origins like example.com:8080 and example.com)
+    port = F.regexp_extract(
+        F.coalesce(F.parse_url(url, F.lit("AUTHORITY")), F.lit("")), r":(\d+)$", 1
+    )
+    is_default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    pport = F.when(
+        (port != "") & ~is_default, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
     path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
     path = F.when(
         (F.length(path) > 1) & path.endswith("/"),
@@ -55,7 +70,7 @@ def canonical_url(url: Column) -> Column:
     qpart = F.when(
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, path, qpart)
+    return F.concat(scheme, F.lit("://"), host, pport, path, qpart)
 
 
 def registered_domain(url: Column) -> Column:

@@ -285,11 +285,12 @@ _MD5B = "('0x' || substr(h, {o}, 2))::BIGINT"
       SELECT doc_id,
              {_MD5B.format(o=1)} AS b0, {_MD5B.format(o=3)} AS b1,
              {_MD5B.format(o=5)} AS b2, {_MD5B.format(o=7)} AS b3,
-             {_MD5B.format(o=9)} AS b4, {_MD5B.format(o=11)} AS b5
+             {_MD5B.format(o=9)} AS b4, {_MD5B.format(o=11)} AS b5,
+             {_MD5B.format(o=13)} AS b6
       FROM b
     ),
     u AS (
-      SELECT doc_id, b1, b4,
+      SELECT doc_id, b1, b4, b6,
              CASE b2 % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
                          WHEN 2 THEN 'net' ELSE 'co.uk' END AS tld,
              'https://'
@@ -298,6 +299,7 @@ _MD5B = "('0x' || substr(h, {o}, 2))::BIGINT"
                || CAST(b1 % 40 AS VARCHAR) || '.'
                || CASE b2 % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
                               WHEN 2 THEN 'net' ELSE 'co.uk' END
+               || CASE b6 % 3 WHEN 0 THEN ':8080' WHEN 1 THEN ':443' ELSE '' END
                || '/p/' || CAST(doc_id % 50 AS VARCHAR)
                || CASE WHEN b3 % 2 = 1 THEN '/' ELSE '' END
                || CASE b4 % 3
@@ -310,6 +312,7 @@ _MD5B = "('0x' || substr(h, {o}, 2))::BIGINT"
     )
     SELECT doc_id, url,
            'https://site' || CAST(b1 % 40 AS VARCHAR) || '.' || tld
+             || CASE WHEN b6 % 3 = 0 THEN ':8080' ELSE '' END
              || '/p/' || CAST(doc_id % 50 AS VARCHAR)
              || CASE b4 % 3
                   WHEN 0 THEN '?id=' || CAST(b4 % 7 AS VARCHAR)
@@ -321,7 +324,8 @@ _MD5B = "('0x' || substr(h, {o}, 2))::BIGINT"
     doc="URL canonicalization (operators/urls.py) — the first pass of web-"
     "corpus dedup: per-document URLs synthesized from md5(doc_id) bytes "
     "with every mess the canonicalizer must undo (mixed-case host, "
-    "www. prefix, trailing slash, utm_* tracking params, unsorted "
+    "www. prefix, explicit default and non-default ports, trailing slash, "
+    "utm_* tracking params, unsorted "
     "params, fragments, multi-label co.uk suffix). Spark PARSES the "
     "messy URL with JVM built-ins (parse_url + array ops, zero Python); "
     "the oracle derives the expected canonical form and registrable "
@@ -351,6 +355,7 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         s(b(1) % 40),
         F.lit("."),
         tld,
+        F.when(b(6) % 3 == 0, ":8080").when(b(6) % 3 == 1, ":443").otherwise(""),
         F.lit("/p/"),
         s(F.col("doc_id") % 50),
         F.when(b(3) % 2 == 1, "/").otherwise(""),
