@@ -173,3 +173,37 @@ def test_half_index_from_other_batches_still_refused(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="incomplete"):
         process_batch(spark.createDataFrame(B2, ["doc_id", "text"]), 1, **kw)
+
+
+def test_compact_refuses_one_sided_batch(spark, tmp_path):
+    """A batch id present in bands/ but not docs/ (crash between the two
+    index writes) must make compaction REFUSE: folding the one-sided bands
+    into batch_id=-1 would erase the mismatch the batch processor's retry
+    guard depends on, and future candidates against those docs would be
+    silently dropped."""
+    import shutil
+
+    import pytest
+
+    from thymeflow_back_spark.streaming.dedup_stream import (
+        compact_index,
+        process_batch,
+    )
+
+    index_dir, pairs_dir = tmp_path / "index", tmp_path / "pairs"
+    kw = dict(index_dir=str(index_dir), pairs_dir=str(pairs_dir))
+    process_batch(spark.createDataFrame(B1, ["doc_id", "text"]), 0, **kw)
+    process_batch(spark.createDataFrame(B2, ["doc_id", "text"]), 1, **kw)
+    # simulate batch 1 crashing after bands but before docs
+    shutil.rmtree(index_dir / "docs" / "batch_id=1")
+
+    with pytest.raises(RuntimeError, match="incomplete"):
+        compact_index(spark, str(index_dir))
+
+    # a retry of the crashed batch repairs the index; compaction then works
+    process_batch(spark.createDataFrame(B2, ["doc_id", "text"]), 1, **kw)
+    counts = compact_index(spark, str(index_dir))
+    assert counts["docs"] == 5
+    assert {
+        r.batch_id for r in spark.read.parquet(str(index_dir / "docs")).collect()
+    } == {-1}

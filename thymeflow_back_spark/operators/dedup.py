@@ -131,6 +131,7 @@ def jaccard_near_dups(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """N-gram Jaccard similarity join, array-first plan.
 
@@ -145,8 +146,14 @@ def jaccard_near_dups(
       shingles prunes hot shingles from BLOCKING only; candidates re-verify
       against full shingle sets via in-row array_intersect (exact Jaccard,
       recall-only approximation — the standard stop-shingle trade-off).
+
+    ``shingles``: optional precomputed ``doc_shingles`` output for the same
+    rows — callers that already tokenized (the streaming job checkpoints
+    shingle sets for its index write) pass it to avoid paying the CPU-heavy
+    shingle stage twice per batch.
     """
-    docs_sh = doc_shingles(df, id_col, text_col, n).withColumn("n_sh", F.size("sh"))
+    base = shingles if shingles is not None else doc_shingles(df, id_col, text_col, n)
+    docs_sh = base.withColumn("n_sh", F.size("sh"))
     if max_doc_freq is not None:
         # the capped path re-reads doc arrays in the verify stage; anchor
         # them behind an id exchange so verify reuses this tokenization

@@ -123,6 +123,9 @@ def partial_match(
             ).alias("ngram"),
         )
         grams = g if grams is None else grams.unionByName(g)
+    # collapse repeated occurrences of the same n-gram in a text BEFORE the
+    # word explode: a repeat would double matched_words and fail the ==n gate
+    grams = grams.dropDuplicates(["text_id", "n", "ngram"])
     # an n-gram matches an entity if EVERY word of the n-gram is an entity token
     words = grams.select(
         "text_id", "n", "ngram", F.explode(F.split("ngram", " ")).alias("token")

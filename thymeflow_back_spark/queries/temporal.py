@@ -437,18 +437,18 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scd2_intervals",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us,
+      SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS ts_us,
              LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
       FROM events
     ),
     changes AS (
-      SELECT user_id, state, ts_us,
+      SELECT user_id, event_id, state, ts_us,
              CASE WHEN prev_state IS NULL OR state <> prev_state THEN 1 ELSE 0 END AS chg
       FROM ordered
     ),
     runs AS (
       SELECT user_id, state, ts_us,
-             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us
+             CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
       FROM changes
     ),
@@ -478,14 +478,17 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Running-sum order must carry the same (ts, event_id) tiebreak as the
+    # lag window, or run_id assignment flips on timestamp ties run-to-run.
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("ts_us")
+        .orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     runs = (
         events.select(
             "user_id",
+            "event_id",
             F.col("event_type").alias("state"),
             F.unix_micros("ts").alias("ts_us"),
             F.lag("event_type").over(w).alias("prev_state"),

@@ -60,11 +60,10 @@ def _hadoop_fs(spark, path: str):
     return fs, jpath
 
 
-def _foreign_batch_ids(spark, path: str, current: int) -> set[int]:
-    """batch_id partition values present under ``path`` other than the
-    batch currently being processed — a directory listing (Hadoop FS, so
-    remote URIs list correctly), not a Spark read, so the retry guard
-    costs nothing."""
+def _batch_ids(spark, path: str) -> set[int]:
+    """batch_id partition values present under ``path`` — a directory
+    listing (Hadoop FS, so remote URIs list correctly), not a Spark read,
+    so guard checks cost nothing."""
     ids: set[int] = set()
     fs, jpath = _hadoop_fs(spark, path)
     if not fs.exists(jpath):
@@ -73,12 +72,17 @@ def _foreign_batch_ids(spark, path: str, current: int) -> set[int]:
         name = status.getPath().getName()
         if name.startswith("batch_id="):
             try:
-                b = int(name.split("=", 1)[1])
+                ids.add(int(name.split("=", 1)[1]))
             except ValueError:
                 continue
-            if b != current:
-                ids.add(b)
     return ids
+
+
+def _foreign_batch_ids(spark, path: str, current: int) -> set[int]:
+    """batch_id partition values under ``path`` other than the batch
+    currently being processed (its partitions are about to be dynamically
+    overwritten, so a crashed prior attempt of it is ignored)."""
+    return _batch_ids(spark, path) - {current}
 
 
 def run_incremental_near_dup(
@@ -162,7 +166,11 @@ def process_batch(
         minhash_signatures_mapside(docs_sh, id_col), id_col
     ).localCheckpoint(eager=True)
 
-    pairs = jaccard_near_dups(batch, id_col, text_col, n, threshold)
+    # within-batch pairs reuse the checkpointed shingle sets — without
+    # `shingles=` the batch would be tokenized twice (once for the index
+    # write, once inside the pair join), doubling the CPU-heavy stage on
+    # the hot streaming path
+    pairs = jaccard_near_dups(batch, id_col, text_col, n, threshold, shingles=docs_sh)
 
     if bands_prev:
         # enumerate the foreign partitions explicitly instead of filtering
@@ -233,8 +241,44 @@ def compact_index(spark, index_dir: str, files_per_band: int = 1) -> dict[str, i
     the batch processor refuses a half-present index, and calling
     compact_index again first restores the stranded ``.old`` copy.
 
+    Refuses when bands/ and docs/ disagree on which batch ids are present:
+    that means a batch crashed between its two index writes, and folding
+    the one-sided partition into ``batch_id=-1`` would permanently erase
+    the mismatch the batch processor's retry guard depends on — the folded
+    bands would then candidate-join against documents whose shingle sets
+    were never written, silently dropping every such pair. A mismatch
+    heals itself when the streaming checkpoint retries the crashed batch
+    (its partitions are dynamically overwritten); compact after that.
+
     Returns {"bands": n_rows, "docs": n_rows} for audit logging.
     """
+    # crash recovery FIRST, for both directories: a stranded .old means the
+    # previous swap died between renames — restore it; a stranded .compact
+    # is garbage. Recovery must precede the consistency listing below,
+    # because restoring .old changes which batch ids are visible.
+    for name in ("bands", "docs"):
+        src = posixpath.join(index_dir, name)
+        fs, jsrc = _hadoop_fs(spark, src)
+        jtmp, jold = (
+            spark._jvm.org.apache.hadoop.fs.Path(p)
+            for p in (src + ".compact", src + ".old")
+        )
+        if fs.exists(jold):
+            if fs.exists(jsrc):
+                fs.delete(jold, True)
+            else:
+                fs.rename(jold, jsrc)
+        if fs.exists(jtmp):
+            fs.delete(jtmp, True)
+    band_ids = _batch_ids(spark, posixpath.join(index_dir, "bands"))
+    doc_ids = _batch_ids(spark, posixpath.join(index_dir, "docs"))
+    if band_ids != doc_ids:
+        raise RuntimeError(
+            f"near-dup index at {index_dir} is incomplete: bands has "
+            f"batches {sorted(band_ids)} but docs has {sorted(doc_ids)} "
+            f"(a batch crashed mid-write?); let the stream retry the "
+            f"crashed batch, then compact"
+        )
     counts: dict[str, int] = {}
     for name, extra_parts in (("bands", ("band",)), ("docs", ())):
         src = posixpath.join(index_dir, name)
@@ -245,18 +289,13 @@ def compact_index(spark, index_dir: str, files_per_band: int = 1) -> dict[str, i
         # Hadoop's move-into-existing-dir rename quirk cannot trigger.
         fs, jsrc = _hadoop_fs(spark, src)
         jtmp, jold = (spark._jvm.org.apache.hadoop.fs.Path(p) for p in (tmp, old))
-        # crash recovery: a stranded .old means the previous swap died
-        # between renames — restore it; a stranded .compact is garbage
-        if fs.exists(jold):
-            if fs.exists(jsrc):
-                fs.delete(jold, True)
-            else:
-                fs.rename(jold, jsrc)
-        if fs.exists(jtmp):
-            fs.delete(jtmp, True)
-        if not fs.exists(jsrc):
+        if not fs.exists(jsrc) or not band_ids:
             continue
-        df = spark.read.parquet(src)
+        # enumerate the committed batch partitions explicitly (same
+        # discipline as process_batch's read_prev): a root read could touch
+        # a truncated footer left under a stray non-partition path
+        paths = [posixpath.join(src, f"batch_id={b}") for b in sorted(band_ids)]
+        df = spark.read.option("basePath", src).parquet(*paths)
         counts[name] = df.count()
         folded = df.withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
         if extra_parts:
