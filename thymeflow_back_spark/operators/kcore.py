@@ -50,8 +50,13 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
         # survivors of this round: degree >= k among live edges (vertices
-        # that already lost ALL edges are absent from deg — they peel too)
-        alive = deg.filter(F.col("d") >= k).select("id")
+        # that already lost ALL edges are absent from deg — they peel too).
+        # Materialize: alive feeds THREE consumers per round (the dead
+        # check, the result update, and both live semi-joins) — without
+        # the checkpoint each one re-runs the shuffled degree aggregate.
+        alive = (
+            deg.filter(F.col("d") >= k).select("id").localCheckpoint(eager=True)
+        )
         dead = (
             result.filter(F.col("peel_round") == 0)
             .join(alive, "id", "left_anti")

@@ -40,14 +40,24 @@ def _idiv(a, b):
     return F.floor(a / b).cast("bigint")
 
 
-def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5) -> DataFrame:
+def pagerank(
+    nodes: DataFrame, edges: DataFrame, iters: int = 5, n_nodes: int | None = None
+) -> DataFrame:
     """Fixed-point PageRank: ``nodes(id)``, ``edges(src, dst)`` ->
-    (id, rank_scaled, rank). Every node must have outdegree >= 1."""
-    n_row = nodes.count()
+    (id, rank_scaled, rank). Every node must have outdegree >= 1.
+
+    ``n_nodes``: pass the node count if the caller already has it — it is
+    only used for the teleport base, and skipping the recount saves a full
+    scan of the node spine.
+    """
+    n_row = nodes.count() if n_nodes is None else n_nodes
     base = (PR_SCALE // n_row) * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e = edges.join(deg, "src").persist()
     e.count()
+    # the node spine joins into EVERY iteration (teleport-only nodes) —
+    # pin it too, or the source is re-scanned iters times
+    nodes = nodes.persist()
     ranks = nodes.select(F.col("id"), F.lit(PR_SCALE // n_row).alias("r"))
     for _ in range(iters):
         contrib = (
@@ -68,6 +78,7 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     e.unpersist()
+    nodes.unpersist()
     return ranks.select(
         "id",
         F.col("r").alias("rank_scaled"),

@@ -57,26 +57,19 @@ def _chain_sum(terms: list[Column]) -> Column:
     return out
 
 
-def _dot_lit(x: Column, c: list[float]) -> Column:
-    """x · c for a LITERAL codeword as explicit arithmetic. Only safe where
-    NO join sits above the expression: a join on a derived column makes the
-    optimizer push inferred IsNotNull filters down through the projection
-    stack by SUBSTITUTING alias definitions, and literal-unrolled trees
-    multiply under that substitution (measured: a 64 KB encode plan became
-    a 119 MB plan / 260 MB task binary with codegen compile failures once
-    ADC joins sat on top). Join-facing paths use _dot_col over the one-row
-    codebook relation instead (same fold order, bit-identical)."""
-    return _chain_sum(
-        [F.element_at(x, i + 1) * F.lit(float(v)) for i, v in enumerate(c)]
-    )
-
-
 def _dot_col(x: Column, c: Column) -> Column:
-    """x · c over two array COLUMNS: the ordered fold from 0.0. Bit-identical
-    to _dot_lit's chain (IEEE: 0.0 + a == a exactly, products fold in element
-    order) and to DuckDB's list_dot_product — proven by the PQ/IVF-PQ oracle
-    hash matches. The expression is a handful of nodes anchored on column
-    references, so optimizer substitution through it stays O(1)."""
+    """x · c over two array COLUMNS: the ordered fold from 0.0 (IEEE:
+    0.0 + a == a exactly, products fold in element order), bit-identical to
+    DuckDB's list_dot_product — proven by the PQ/IVF-PQ oracle hash
+    matches. The expression is a handful of nodes anchored on column
+    references, so optimizer substitution through it stays O(1). Never
+    unroll a literal codeword into per-element arithmetic instead: a join
+    above such an expression makes the optimizer SUBSTITUTE alias
+    definitions while pushing inferred IsNotNull filters, and
+    literal-unrolled trees multiply under that substitution (measured: a
+    64 KB encode plan became a 119 MB plan / 260 MB task binary with
+    codegen compile failures once ADC joins sat on top) — which is why
+    codebooks travel as one-row broadcast relations (codebook_row)."""
     return F.aggregate(
         F.zip_with(x, c, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
     )

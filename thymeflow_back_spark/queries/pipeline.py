@@ -417,6 +417,23 @@ def _pagerank_oracle(iters: int) -> str:
     return head + "," + ",".join(steps) + tail
 
 
+def _link_graph_3out(nodes: DataFrame, n: int) -> DataFrame:
+    """Deterministic 3-out link graph over ``nodes(id)``: each node links to
+    (id*mult + md5-byte) % n for three (multiplier, byte-offset) pairs. One
+    definition shared by q_pagerank and q_kcore — BOTH SQL oracles replay
+    this exact formula, so the two queries must never drift apart."""
+    m = F.md5(F.concat(F.lit("pr:"), F.col("id").cast("string")))
+
+    def b(i: int):
+        return F.conv(F.substring(m, 2 * i + 1, 2), 16, 10).cast("bigint")
+
+    parts = [
+        nodes.select(F.col("id").alias("src"), ((F.col("id") * mult + b(i)) % n).alias("dst"))
+        for mult, i in ((3, 0), (7, 1), (11, 2))
+    ]
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
 @query(
     "q_pagerank",
     oracle=_pagerank_oracle(PR_ITERS),
@@ -433,18 +450,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     n = nodes.count()
-    m = F.md5(F.concat(F.lit("pr:"), F.col("id").cast("string")))
-
-    def b(i: int):
-        return F.conv(F.substring(m, 2 * i + 1, 2), 16, 10).cast("bigint")
-
-    parts = [
-        nodes.select(F.col("id").alias("src"), ((F.col("id") * mult + b(i)) % n).alias("dst"))
-        for mult, i in ((3, 0), (7, 1), (11, 2))
-    ]
-    edges = parts[0].unionByName(parts[1]).unionByName(parts[2]).distinct()
+    edges = _link_graph_3out(nodes, n).distinct()
     return (
-        pagerank(nodes, edges, PR_ITERS)
+        pagerank(nodes, edges, PR_ITERS, n_nodes=n)
         .select(F.col("id").alias("doc_id"), "rank_scaled", "rank")
         .orderBy("doc_id")
     )
@@ -523,17 +531,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     n = nodes.count()
-    m = F.md5(F.concat(F.lit("pr:"), F.col("id").cast("string")))
-
-    def b(i: int):
-        return F.conv(F.substring(m, 2 * i + 1, 2), 16, 10).cast("bigint")
-
-    parts = [
-        nodes.select(F.col("id").alias("src"), ((F.col("id") * mult + b(i)) % n).alias("dst"))
-        for mult, i in ((3, 0), (7, 1), (11, 2))
-    ]
-    raw = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    edges = undirected_edges(raw, "src", "dst")
+    edges = undirected_edges(_link_graph_3out(nodes, n), "src", "dst")
     return (
         kcore_peel(edges, KCORE_K, KCORE_ROUNDS)
         .select(F.col("id").alias("doc_id"), F.col("peel_round").cast("int"))
@@ -1360,8 +1358,10 @@ CM_PROBES = ("spark", "table", "value", "row", "the")
       FROM probes p, (SELECT unnest(generate_series(0, 3)) AS g) j
     ),
     est AS (
-      SELECT a.tok, MIN(c.n) AS cm_est
-      FROM addressed a JOIN cells c ON a.row_ = c.row_ AND a.cell = c.cell
+      -- LEFT join + COALESCE 0: an addressed cell no token hashed into
+      -- counts 0, mirroring cm_estimate's empty-cell semantics
+      SELECT a.tok, MIN(COALESCE(c.n, 0)) AS cm_est
+      FROM addressed a LEFT JOIN cells c ON a.row_ = c.row_ AND a.cell = c.cell
       GROUP BY 1
     ),
     exact AS (
