@@ -590,3 +590,28 @@ def test_histogram_sketch_merges_cellwise(spark):
     qs = {r["quantile"]: r for r in histogram_quantiles(df, "x", (0.5, 0.99)).collect()}
     exact_p50 = 4999.0 * 4999.0  # rank ceil(.5*10000) = 5000 -> id 4999
     assert abs(qs[0.5]["est"] - exact_p50) <= w
+
+
+def test_text_ops_degenerate_documents(spark):
+    """Empty, whitespace-only, and NULL texts: token_stats must not raise
+    ANSI DIVIDE_BY_ZERO (NULL ratios instead), and quality_filter must DROP
+    all three as too_few_words — a NULL text used to sail through the gate
+    because every rule comparison evaluated to NULL."""
+    from thymeflow_back_spark.operators.text import quality_filter, token_stats
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "a real document with some text")],
+        "id long, text string",
+    )
+    stats = {r["id"]: r for r in token_stats(df, "id").collect()}
+    for i in (1, 2, 3):
+        assert stats[i]["n_tokens"] == 0
+        assert stats[i]["avg_token_len"] is None
+        assert stats[i]["stopword_ratio"] is None
+    assert stats[3]["n_chars"] == 0
+    assert stats[4]["n_tokens"] == 6
+
+    qf = {r["id"]: r for r in quality_filter(df, "id").collect()}
+    for i in (1, 2, 3):
+        assert qf[i]["keep"] is False
+        assert qf[i]["drop_reason"] == "too_few_words"

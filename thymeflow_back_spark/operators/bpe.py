@@ -71,27 +71,32 @@ def _pair_counts(symed: DataFrame) -> DataFrame:
     return pairs.groupBy("p.a", "p.b").agg(F.sum("count").alias("pair_count"))
 
 
+def _merge_pair(syms: list[str], a: str, b: str) -> list[str]:
+    """Replace every adjacent (a, b) with a+b, scanning left to right.
+
+    The ONE definition of the merge procedure: training (_apply_merge) and
+    encoding (encode_words) both call it, so a trained model's merges
+    always replay identically at encode time."""
+    ab = a + b
+    merged: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            merged.append(ab)
+            i += 2
+        else:
+            merged.append(syms[i])
+            i += 1
+    return merged
+
+
 def _apply_merge(symed: DataFrame, a: str, b: str) -> DataFrame:
     """Replace every adjacent (a, b) with the merged symbol, left to right."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ab = a + b
         for pdf in batches:
-            out = []
-            for syms in pdf["syms"]:
-                syms = list(syms)
-                merged = []
-                i = 0
-                while i < len(syms):
-                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                        merged.append(ab)
-                        i += 2
-                    else:
-                        merged.append(syms[i])
-                        i += 1
-                out.append(merged)
             pdf = pdf.copy()
-            pdf["syms"] = out
+            pdf["syms"] = [_merge_pair(list(s), a, b) for s in pdf["syms"]]
             yield pdf
 
     return symed.mapInPandas(run, "word string, count long, syms array<string>")
@@ -128,15 +133,7 @@ def encode_words(words: list[str], merges: list[tuple[str, str]]) -> list[list[s
     for w in words:
         syms = list(w) + [EOW]
         for a, b in merges:
-            i, merged = 0, []
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                    merged.append(a + b)
-                    i += 2
-                else:
-                    merged.append(syms[i])
-                    i += 1
-            syms = merged
+            syms = _merge_pair(syms, a, b)
         out.append(syms)
     return out
 

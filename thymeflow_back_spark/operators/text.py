@@ -35,13 +35,18 @@ def token_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     filters; all arithmetic on exact integer counts, so cross-engine stable.
     """
     df = spread_small_input(df)
-    toks = toks_col(text_col)
+    # NULL text behaves exactly like empty text (0 tokens, 0 chars), and
+    # zero-token docs get NULL ratios via nullif instead of an ANSI
+    # DIVIDE_BY_ZERO abort (Spark 4 default) — DuckDB's x/0 is NULL too,
+    # so the guarded form is also the oracle-parity form.
+    toks = F.coalesce(toks_col(text_col), F.array().cast("array<string>"))
     d = df.select(
         F.col(id_col),
         toks.alias("toks"),
-        F.length(text_col).alias("n_chars"),
+        F.coalesce(F.length(text_col), F.lit(0)).alias("n_chars"),
     )
     n_tokens = F.size("toks")
+    n_nz = F.nullif(n_tokens, F.lit(0))
     n_unique = F.size(F.array_distinct("toks"))
     n_stop = F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS)))
     sum_len = F.aggregate(F.transform("toks", lambda t: F.length(t)), F.lit(0), lambda a, x: a + x)
@@ -51,9 +56,9 @@ def token_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
         n_tokens.alias("n_tokens"),
         n_unique.alias("n_unique"),
         n_stop.alias("n_stopwords"),
-        (sum_len / n_tokens).alias("avg_token_len"),
-        (n_stop / n_tokens).alias("stopword_ratio"),
-        (n_unique / n_tokens).alias("unique_ratio"),
+        (sum_len / n_nz).alias("avg_token_len"),
+        (n_stop / n_nz).alias("stopword_ratio"),
+        (n_unique / n_nz).alias("unique_ratio"),
     )
     quality = (
         F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.5
@@ -180,7 +185,10 @@ def quality_filter(df: DataFrame, id_col: str, text_col: str = "text") -> DataFr
     corpus in one scan with no shuffle.
     """
     df = spread_small_input(df)
-    toks = toks_col(text_col)
+    # coalesce: a NULL text must count as 0 words and be DROPPED as
+    # too_few_words — without it every rule compares NULL and no
+    # drop_reason fires, so the most degenerate input passed the gate
+    toks = F.coalesce(toks_col(text_col), F.array().cast("array<string>"))
     d = df.select(F.col(id_col), toks.alias("toks"))
     n = F.size("toks")
     # The top-token scan is O(unique·n) per row — guarded behind the length
@@ -285,10 +293,11 @@ def chunk_documents(
         raise ValueError("size and stride must be positive")
     # window starts: every k·stride below the token count (tail windows may
     # be shorter than `size`); empty docs yield one empty chunk at start 0
+    # sequence with an explicit step yields the ~size/stride starts
+    # directly — no O(n_tokens) intermediate array per row on the hot path
     starts = (
         f"if(size(__toks) = 0, array(0),"
-        f" filter(transform(sequence(0, size(__toks) - 1), i -> i * {stride}),"
-        f"        s -> s < size(__toks)))"
+        f" sequence(0, size(__toks) - 1, {stride}))"
     )
     return (
         df.selectExpr(id_col, f"filter(split({text_col}, ' '), t -> t != '') as __toks")
