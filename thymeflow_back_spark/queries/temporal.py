@@ -522,3 +522,65 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+# --- Q: trailing-interval rolling features ------------------------------------
+
+ROLL_WINDOW_US = 3600 * 1_000_000  # trailing 1-hour RANGE frame
+
+
+@query(
+    "q_rolling_activity",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             CAST(value AS DECIMAL(18, 2)) AS val
+      FROM events
+    )
+    SELECT user_id, event_id, ts_us,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w
+                AS BIGINT) AS n_errors_1h,
+           CAST(SUM(val) OVER w AS DOUBLE) AS sum_value_1h
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN {ROLL_WINDOW_US} PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts_us, event_id
+    """,
+    doc="Per-event trailing-1-hour activity features (event count, error "
+    "count, exact DECIMAL value sum) via a RANGE-framed window — the "
+    "interval-bounded frame class (vs the catalog's ROWS frames): the "
+    "frame is defined by timestamp VALUE, so ties share one frame and the "
+    "result is order-independent, and sums run on DECIMAL(18,2) so "
+    "accumulation order cannot produce float drift. One shuffle by "
+    "user_id; at 100 TB this is the feature-engineering window pass "
+    "(trailing-interval rates for fraud/abuse/quality signals) running "
+    "at one pass per key with no self-join.",
+)
+def q_rolling_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").cast("decimal(18,2)").alias("val"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-ROLL_WINDOW_US, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).over(w).cast("bigint").alias("n_errors_1h"),
+            F.sum("val").over(w).cast("double").alias("sum_value_1h"),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+    )
