@@ -474,3 +474,57 @@ def test_rdfxml_serialize_roundtrip(spark):
         for s, p, o, ot, dt, lg, _ in quads
     }
     assert norm == want
+
+
+# --- review-fix regressions ---------------------------------------------------
+
+
+def test_rdfxml_serialize_urn_predicate_roundtrips(spark):
+    """urn: predicates (no '/' or '#') must split at the last ':' so the
+    emitted element is a valid NCName — the store's own urn:personal:
+    vocabulary was producing unparseable XML."""
+    from thymeflow_back_spark.rdf.io import parse_rdfxml, rdfxml_string
+    from thymeflow_back_spark.rdf.model import make_quads
+
+    quads = make_quads(
+        spark,
+        [("urn:x:s", "urn:personal:sameAs", "urn:x:o", "iri", None, None, "g:x")],
+    )
+    xml = rdfxml_string(quads)
+    back = parse_rdfxml(xml, default_graph="g:x")
+    assert [(q[0], q[1], q[2]) for q in back] == [("urn:x:s", "urn:personal:sameAs", "urn:x:o")]
+
+
+def test_rdf_file_base_resolution_per_document():
+    """rdf:ID / relative rdf:about resolve against the document location, so
+    '#me' from two different files yields two distinct absolute subjects."""
+    from thymeflow_back_spark.rdf.io import rdf_file_to_quads
+
+    doc = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+        'xmlns:s="http://schema.org/">'
+        '<rdf:Description rdf:about="#me"><s:name>X</s:name></rdf:Description>'
+        "</rdf:RDF>"
+    )
+    a = rdf_file_to_quads(doc.encode(), "/data/a.owl")
+    b = rdf_file_to_quads(doc.encode(), "/data/b.owl")
+    sa, sb = a[0][0], b[0][0]
+    assert sa != sb
+    assert sa.startswith("file:///data/a.owl") and sb.startswith("file:///data/b.owl")
+
+
+def test_trix_bnode_named_graph():
+    from thymeflow_back_spark.rdf.io import parse_trix
+
+    text = """<?xml version="1.0"?>
+    <TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">
+      <graph>
+        <id>b1</id>
+        <triple>
+          <uri>urn:s</uri><uri>urn:p</uri><plainLiteral>v</plainLiteral>
+        </triple>
+      </graph>
+    </TriX>"""
+    quads = parse_trix(text, default_graph="g:d")
+    assert len(quads) == 1
+    assert quads[0][6] == "_:b1"

@@ -943,3 +943,51 @@ def test_round_ulp_below_half_rounds_down(quads):
         """,
     ).collect()
     assert rows[0].r == 0.0
+
+
+# --- review-fix regressions: DISTINCT aggregates, separator escapes, NPS kinds
+
+
+def test_sum_avg_distinct_values(spark):
+    from thymeflow_back_spark.rdf.model import make_quads
+
+    q = make_quads(
+        spark,
+        [
+            ("p:a", "p:v", "1", "literal", "http://www.w3.org/2001/XMLSchema#integer", None, "g:x"),
+            ("p:b", "p:v", "1", "literal", "http://www.w3.org/2001/XMLSchema#integer", None, "g:x"),
+            ("p:c", "p:v", "2", "literal", "http://www.w3.org/2001/XMLSchema#integer", None, "g:x"),
+        ],
+    )
+    rows = sparql_select(
+        q,
+        'PREFIX p: <p:> SELECT (SUM(DISTINCT ?v) AS ?s) (AVG(DISTINCT ?v) AS ?a) '
+        "(SUM(?v) AS ?t) WHERE { ?x p:v ?v }",
+    )
+    r = rows.collect()[0]
+    assert r["s"] == 3.0  # was 4.0 when DISTINCT was silently ignored
+    assert r["a"] == 1.5
+    assert r["t"] == 4.0
+
+
+def test_group_concat_separator_unescaped(quads):
+    rows = sparql_select(
+        quads,
+        PFX + 'SELECT (GROUP_CONCAT(?n; SEPARATOR="\\\\") AS ?all) '
+        "WHERE { ?x schema:name ?n }",
+    )
+    # SEPARATOR="\\" is ONE backslash after unescaping
+    assert rows.collect()[0]["all"] == "Alice\\Bob\\Carol"
+
+
+def test_negated_path_literal_term_kinds(quads):
+    """A literal reached through !p must carry literal term-kind metadata
+    under keep_term_types (it used to fall back to 'iri')."""
+    rows = sparql_select(
+        quads,
+        PFX + "SELECT ?o WHERE { p:carol !p:age ?o }",
+        keep_term_types=True,
+    ).collect()
+    by_val = {r["o"]: r for r in rows}
+    assert by_val["Carol"]["o__type"] == "literal"
+    assert by_val["c:Robot"]["o__type"] == "iri"

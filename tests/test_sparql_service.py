@@ -337,3 +337,46 @@ def test_select_tsv_nullable_int_null_cell(quads):
     assert lines[0].split("\t") == ["?s", "?who"]
     assert lines[1].split("\t")[0] == '"4"^^<http://www.w3.org/2001/XMLSchema#integer>'
     assert lines[2].split("\t")[0] == ""  # unbound, not a crash
+
+
+def test_streamed_tsv_exact_big_ints_with_nulls(spark):
+    """The streamed TSV writer serializes straight off Row dicts: a chunk
+    whose bigint column holds a NULL next to a value > 2^53 must emit the
+    exact digits (a pandas round-trip would float-ify the column and round
+    9007199254740993 to ...992)."""
+    from thymeflow_back_spark.api.service import iter_select
+
+    df = spark.createDataFrame(
+        [(1, 9007199254740993), (2, None)], "k long, v long"
+    ).orderBy("k")
+    body = "".join(iter_select(df, "text/tab-separated-values"))
+    lines = body.split("\n")
+    assert lines[0] == "?k\t?v"
+    assert '"9007199254740993"' in lines[1]
+    assert lines[2].endswith("\t")  # NULL stays an empty (unbound) cell
+
+
+def test_formats_agree_on_null_bearing_int_column(spark):
+    """The same NULL-bearing integer binding must type identically across
+    Accept formats: the endpoint coerces to nullable Int64 BEFORE
+    negotiation, so JSON/XML emit xsd:integer with exact digits — not the
+    xsd:double/'...992.0' a float64 toPandas round-trip would produce."""
+    import json as _json
+
+    from thymeflow_back_spark.api.service import (
+        _exact_pandas,
+        _spark_kinds,
+        _stable_int_cols,
+        select_json,
+    )
+
+    df = spark.createDataFrame([(1, 9007199254740993), (2, None)], "k long, n long")
+    # the endpoint's capped path: exact Arrow collection (plain toPandas
+    # float-ifies a NULL-bearing int64 column BEFORE any coercion could
+    # help), then the unconditional Int64 coercion, then any writer
+    pdf = _stable_int_cols(_exact_pandas(df), _spark_kinds(df))
+    doc = _json.loads(select_json(pdf))
+    terms = {b["k"]["value"]: b.get("n") for b in doc["results"]["bindings"]}
+    assert terms["1"]["datatype"] == "http://www.w3.org/2001/XMLSchema#integer"
+    assert terms["1"]["value"] == "9007199254740993"
+    assert terms["2"] is None  # NULL stays unbound, not NaN-serialized

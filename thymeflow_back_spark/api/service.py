@@ -258,6 +258,28 @@ def _spark_kinds(df: DataFrame) -> dict[str, str]:
     return {name: m.get(dt, "O") for name, dt in df.dtypes}
 
 
+def _exact_pandas(df: DataFrame) -> pd.DataFrame:
+    """Collect to pandas WITHOUT float-ifying NULL-bearing integer columns.
+
+    ``toPandas()`` converts an int64 column containing a NULL to float64 at
+    collection time — digits past 2^53 are already wrong before any
+    coercion can run. Arrow holds int64 + a null mask natively, so routing
+    through ``toArrow`` with a nullable-Int64 types_mapper is exact; the
+    fallback builds object columns from Row dicts (python ints, exact)."""
+    try:
+        import pyarrow as pa
+
+        mapper = {pa.int64(): pd.Int64Dtype(),
+                  pa.int32(): pd.Int32Dtype(),
+                  pa.int16(): pd.Int16Dtype(),
+                  pa.int8(): pd.Int8Dtype()}
+        return df.toArrow().to_pandas(types_mapper=mapper.get)
+    except Exception:  # noqa: BLE001 — arrow path unavailable
+        return pd.DataFrame(
+            [r.asDict() for r in df.collect()], columns=df.columns
+        )
+
+
 def _stable_int_cols(pdf: pd.DataFrame, kinds: dict[str, str]) -> pd.DataFrame:
     """Coerce Spark-integer columns to pandas nullable Int64 so NULLs don't
     float-ify the column ('42.0' instead of '42') — per-chunk inference
@@ -284,13 +306,18 @@ def iter_select(df: DataFrame, ctype: str, chunk_rows: int = 10_000):
         yield "\t".join(f"?{c}" for c in cols) + "\n"
 
     def flush(buf: list) -> str:
-        pdf = pd.DataFrame([r.asDict() for r in buf], columns=cols_all)
         if ctype == "text/csv":
-            pdf = _stable_int_cols(pdf, kinds)
+            pdf = _stable_int_cols(
+                pd.DataFrame([r.asDict() for r in buf], columns=cols_all), kinds
+            )
             return pdf[cols].to_csv(index=False, header=False, lineterminator="\r\n")
+        # TSV: serialize straight off the Row dicts — a pandas round-trip
+        # would re-infer dtypes per chunk and float-ify a NULL-bearing int
+        # column (wrong digits past 2^53), exactly the hazard
+        # _stable_int_cols guards in the CSV branch
         lines = [
-            "\t".join(_tsv_term(_term(r, c, kinds[c])) for c in cols)
-            for _, r in pdf.iterrows()
+            "\t".join(_tsv_term(_term(r.asDict(), c, kinds[c])) for c in cols)
+            for r in buf
         ]
         return "\n".join(lines) + "\n"
 
@@ -414,15 +441,14 @@ class SparqlEndpoint:
                         yield from gen
 
                     return 200, ctype, stream()
-                pdf = result.df.limit(self.max_rows + 1).toPandas()
+                pdf = _exact_pandas(result.df.limit(self.max_rows + 1))
                 if len(pdf) > self.max_rows:
                     return 413, "text/plain", f"result exceeds max_rows={self.max_rows}"
-                if ctype in _STREAMABLE:
-                    # match the streamed path: ints stay ints under NULLs
-                    # (CSV and TSV both; TSV would otherwise emit
-                    # '42.0'^^xsd:double where the streamed path emits
-                    # '42'^^xsd:integer for the same NULL-bearing column)
-                    pdf = _stable_int_cols(pdf, _spark_kinds(result.df))
+                # ints stay ints under NULLs for EVERY format (nullable
+                # Int64 keeps dtype.kind == 'i'): without this, the same
+                # NULL-bearing bigint binding serialized as xsd:integer in
+                # TSV but xsd:double in JSON/XML depending on Accept
+                pdf = _stable_int_cols(pdf, _spark_kinds(result.df))
                 return 200, ctype, writer(pdf)
             if result.kind == "ask":
                 if "xml" in (accept or ""):

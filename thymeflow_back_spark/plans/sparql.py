@@ -707,7 +707,9 @@ class _Parser:
                     if self.accept("OP", ";"):
                         self.expect("KW", "SEPARATOR")
                         self.expect("OP", "=")
-                        sep = self.expect("STRING")[1:-1]
+                        # unescape like every other STRING consumer
+                        # (parse_term): SEPARATOR="\"" is one quote char
+                        sep = re.sub(r"\\(.)", r"\1", self.expect("STRING")[1:-1])
                     fn = ("GROUP_CONCAT", sep)
                 self.expect("OP", ")")
                 self.expect("KW", "AS")
@@ -1035,9 +1037,16 @@ class _Compiler:
         compiles to a union of single-predicate patterns so hidden
         term-kind columns survive under track_types; everything else —
         grouped sequences like `(p1/p2)*`, nested closures, negated sets —
-        goes through the recursive edge-relation builder (`_edges_ast`)
-        and binds endpoints without term-kind metadata (the null-tolerant
-        kind check in join_on_shared keeps those solutions joinable)."""
+        goes through the recursive edge-relation builder (`_edges_ast`),
+        and under track_types the var-bound endpoints get their hidden
+        term-kind columns back from a per-VALUE kind lookup over the
+        scoped store (kinds are intrinsic to the term, not the path —
+        a `!ex:p` object that is a literal must serialize as a literal,
+        not the old always-iri fallback). The one ambiguity the
+        string-encoded term model can't resolve post-hoc: the same string
+        appearing under two kinds (literal "x" and IRI x) — the lookup
+        picks the lexicographically smallest (type, datatype, lang)
+        deterministically."""
         ast = t.p[1]
         kind = ast[0]
         if kind == "alt" and (flat := self._path_atoms(ast)) is not None:
@@ -1073,7 +1082,56 @@ class _Compiler:
         # per SPARQL 1.1 — deduping would undercount e.g.
         # COUNT(*) over { ?s !ex:p ?o } when two non-excluded predicates
         # connect the same (s, o)
-        return rel.select(*out_cols) if out_cols else rel
+        out = rel.select(*out_cols) if out_cols else rel
+        if self.track_types:
+            lookup = self._term_kind_lookup(scoped)
+            seen: set[str] = set()
+            for term in (t.s, t.o):
+                if term[0] != "var" or term[1] in seen:
+                    continue
+                seen.add(term[1])
+                name = term[1]
+                lk = lookup.select(
+                    F.col("__node"),
+                    F.col("__t").alias(f"{name}__type"),
+                    F.col("__d").alias(f"{name}__datatype"),
+                    F.col("__l").alias(f"{name}__lang"),
+                )
+                out = out.join(lk, out[name] == lk["__node"], "left").drop("__node")
+        return out
+
+    def _term_kind_lookup(self, scoped: DataFrame) -> DataFrame:
+        """One deterministic (type, datatype, lang) per term VALUE in the
+        scoped store — subjects contribute iri/bnode, objects their literal
+        metadata; ties across kinds resolve to the lexicographic minimum
+        (one row per value, so the left join in _path_df never multiplies
+        solutions). Only built under track_types, one aggregate per path
+        triple."""
+        subj = scoped.select(
+            F.col("subject").alias("__node"),
+            F.when(F.col("subject").startswith("_:"), F.lit("bnode"))
+            .otherwise(F.lit("iri"))
+            .alias("__t"),
+            F.lit(None).cast("string").alias("__d"),
+            F.lit(None).cast("string").alias("__l"),
+        )
+        obj = scoped.select(
+            F.col("object_value").alias("__node"),
+            F.col("object_type").alias("__t"),
+            F.col("object_datatype").alias("__d"),
+            F.col("object_lang").alias("__l"),
+        )
+        return (
+            subj.unionByName(obj)
+            .groupBy("__node")
+            .agg(F.min(F.struct("__t", "__d", "__l")).alias("__k"))
+            .select(
+                "__node",
+                F.col("__k.__t").alias("__t"),
+                F.col("__k.__d").alias("__d"),
+                F.col("__k.__l").alias("__l"),
+            )
+        )
 
     # -- VALUES / MINUS / EXISTS / BIND
 
@@ -1369,10 +1427,19 @@ def _agg_col(fn: str | tuple, distinct: bool, arg: str) -> Column:
     if fn == "COUNT" and arg == "*":
         return F.count(F.lit(1))
     c = F.col(arg)
-    if fn in ("SUM", "AVG"):
-        return _AGGS[fn](c.cast("double"))
+    if fn == "SUM":
+        d = c.cast("double")
+        return F.sum_distinct(d) if distinct else F.sum(d)
+    if fn == "AVG":
+        # AVG(DISTINCT) = SUM(DISTINCT)/COUNT(DISTINCT) — Spark has no
+        # avg_distinct builtin, but the identity is exact
+        d = c.cast("double")
+        return (
+            F.sum_distinct(d) / F.count_distinct(d) if distinct else F.avg(d)
+        )
     if distinct and fn == "COUNT":
         return F.count_distinct(c)
+    # MIN/MAX/SAMPLE: DISTINCT is a semantic no-op (same extremum / any value)
     return _AGGS[fn](c)
 
 

@@ -535,8 +535,18 @@ def parse_trix(text: str, default_graph: str) -> list[tuple]:
     for graph_el in graphs:
         children = list(graph_el)
         graph = default_graph
-        if children and _xml_tag_iri(children[0].tag).removeprefix(_TRIX_NS) == "uri":
+        first = (
+            _xml_tag_iri(children[0].tag).removeprefix(_TRIX_NS) if children else None
+        )
+        if first == "uri":
             graph = (children[0].text or "").strip() or default_graph
+            children = children[1:]
+        elif first == "id":
+            # bnode-named graph (legal per the TriX DTD; RDF4J's TriXWriter
+            # emits this for bnode contexts)
+            name = (children[0].text or "").strip()
+            if name:
+                graph = name if name.startswith("_:") else "_:" + name
             children = children[1:]
         for triple in children:
             terms = [term(t) for t in triple]
@@ -566,7 +576,12 @@ def rdf_file_to_quads(content: bytes, path: str) -> list[tuple]:
     graph = doc_graph(path)
     low = path.lower()
     if low.endswith((".rdf", ".rdfs", ".owl")):
-        return parse_rdfxml(text, default_graph=graph)
+        # Rio parity: relative IRIs (rdf:ID="me", rdf:about="#me") resolve
+        # against the DOCUMENT location when the file sets no xml:base —
+        # without a base, '#me' from two different files would collide on
+        # one subject and the store would hold non-absolute IRIs
+        base = path if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path) else "file://" + path
+        return parse_rdfxml(text, default_graph=graph, base=base)
     if low.endswith(".trix"):
         return parse_trix(text, default_graph=graph)
     return parse_rdf(text, default_graph=graph)
@@ -782,13 +797,15 @@ def serialize_rdfxml(quads: DataFrame) -> DataFrame:
 
     Known format limitation (inherent to RDF/XML, not this writer): a
     predicate IRI must split into namespace + XML-NCName local part at the
-    last '/' or '#'; predicates whose local part is not a valid NCName
-    (e.g. ending in ':') cannot be serialized and raise in no engine —
-    they produce invalid XML, as every RDF/XML writer does.
+    last non-NCName character ('/', '#', or ':' — the ':' split is what
+    makes urn: predicates like urn:personal:sameAs serializable, RDF4J
+    XMLUtil parity); predicates whose trailing run is not a valid NCName
+    (e.g. ending in ':', or digit-leading) produce invalid XML, as in
+    every RDF/XML writer.
     """
     spark = quads.sparkSession
-    local = F.regexp_extract(F.col("predicate"), "([^/#]+)$", 1)
-    ns = F.expr("substring(predicate, 1, length(predicate) - length(regexp_extract(predicate, '([^/#]+)$', 1)))")
+    local = F.regexp_extract(F.col("predicate"), "([^/#:]+)$", 1)
+    ns = F.expr("substring(predicate, 1, length(predicate) - length(regexp_extract(predicate, '([^/#:]+)$', 1)))")
     subj_attr = F.when(
         F.col("subject").startswith("_:"),
         F.concat(F.lit('rdf:nodeID="'), _xml_escape_col(F.expr("substring(subject, 3)"), True), F.lit('"')),
