@@ -207,3 +207,40 @@ def test_compact_refuses_one_sided_batch(spark, tmp_path):
     assert {
         r.batch_id for r in spark.read.parquet(str(index_dir / "docs")).collect()
     } == {-1}
+
+
+def test_compact_phase_crash_resumes(spark, tmp_path):
+    """compact_index folds bands before docs; a crash between the two
+    phases leaves bands={-1} vs per-batch docs. Rerunning must RESUME
+    (fold the remaining side), not refuse — and the stream keeps working
+    against the finished index."""
+    import shutil
+
+    from thymeflow_back_spark.streaming.dedup_stream import (
+        compact_index,
+        process_batch,
+    )
+
+    index_dir, pairs_dir = tmp_path / "index", tmp_path / "pairs"
+    kw = dict(index_dir=str(index_dir), pairs_dir=str(pairs_dir))
+    process_batch(spark.createDataFrame(B1, ["doc_id", "text"]), 0, **kw)
+    process_batch(spark.createDataFrame(B2, ["doc_id", "text"]), 1, **kw)
+
+    # simulate the phase crash: snapshot docs/, compact fully, restore docs/
+    shutil.copytree(index_dir / "docs", tmp_path / "docs_backup")
+    compact_index(spark, str(index_dir))
+    shutil.rmtree(index_dir / "docs")
+    shutil.move(str(tmp_path / "docs_backup"), str(index_dir / "docs"))
+
+    counts = compact_index(spark, str(index_dir))  # resume: docs only
+    assert "docs" in counts and "bands" not in counts
+    assert {
+        r.batch_id for r in spark.read.parquet(str(index_dir / "docs")).collect()
+    } == {-1}
+
+    # new batch joins against the resumed index and finds the cross-batch dup
+    process_batch(
+        spark.createDataFrame([(30, B2[0][1])], ["doc_id", "text"]), 2, **kw
+    )
+    got = _pairs_set(spark, pairs_dir)
+    assert (20, 30) in got or (2, 30) in got

@@ -274,7 +274,11 @@ def _exact_pandas(df: DataFrame) -> pd.DataFrame:
                   pa.int16(): pd.Int16Dtype(),
                   pa.int8(): pd.Int8Dtype()}
         return df.toArrow().to_pandas(types_mapper=mapper.get)
-    except Exception:  # noqa: BLE001 — arrow path unavailable
+    except (ImportError, AttributeError):
+        # Arrow (or DataFrame.toArrow) genuinely unavailable. ONLY those:
+        # a blanket except would swallow a runtime query failure and
+        # silently re-execute the whole job through collect() — paying
+        # twice and retrying an OOM-ing result on a hungrier path.
         return pd.DataFrame(
             [r.asDict() for r in df.collect()], columns=df.columns
         )

@@ -249,8 +249,13 @@ def compact_index(spark, index_dir: str, files_per_band: int = 1) -> dict[str, i
     were never written, silently dropping every such pair. A mismatch
     heals itself when the streaming checkpoint retries the crashed batch
     (its partitions are dynamically overwritten); compact after that.
+    The OTHER mismatch shape — one side already folded to batch_id=-1,
+    the other still per-batch — is compaction's own phase crash (bands
+    compacts before docs) and is resumed, not refused: rerun compacts
+    the remaining side.
 
-    Returns {"bands": n_rows, "docs": n_rows} for audit logging.
+    Returns {"bands": n_rows, "docs": n_rows} for audit logging (only the
+    sides folded by THIS call appear).
     """
     # crash recovery FIRST, for both directories: a stranded .old means the
     # previous swap died between renames — restore it; a stranded .compact
@@ -272,13 +277,25 @@ def compact_index(spark, index_dir: str, files_per_band: int = 1) -> dict[str, i
             fs.delete(jtmp, True)
     band_ids = _batch_ids(spark, posixpath.join(index_dir, "bands"))
     doc_ids = _batch_ids(spark, posixpath.join(index_dir, "docs"))
-    if band_ids != doc_ids:
+    comp = {COMPACTED_BATCH_ID}
+    # A mismatch is RESUMABLE when one side already folded to {-1} and the
+    # other still holds only pre-compaction batch ids: that is precisely a
+    # compaction that crashed between its two per-directory phases (the
+    # check below ensured both sides agreed before the first swap), and
+    # rerunning must finish the remaining side — refusing here would wedge
+    # the index forever (process_batch refuses the same mismatch and the
+    # stream has no crashed batch to retry).
+    resumable = (band_ids == comp and doc_ids and COMPACTED_BATCH_ID not in doc_ids) or (
+        doc_ids == comp and band_ids and COMPACTED_BATCH_ID not in band_ids
+    )
+    if band_ids != doc_ids and not resumable:
         raise RuntimeError(
             f"near-dup index at {index_dir} is incomplete: bands has "
             f"batches {sorted(band_ids)} but docs has {sorted(doc_ids)} "
             f"(a batch crashed mid-write?); let the stream retry the "
             f"crashed batch, then compact"
         )
+    ids = {"bands": band_ids, "docs": doc_ids}
     counts: dict[str, int] = {}
     for name, extra_parts in (("bands", ("band",)), ("docs", ())):
         src = posixpath.join(index_dir, name)
@@ -289,12 +306,15 @@ def compact_index(spark, index_dir: str, files_per_band: int = 1) -> dict[str, i
         # Hadoop's move-into-existing-dir rename quirk cannot trigger.
         fs, jsrc = _hadoop_fs(spark, src)
         jtmp, jold = (spark._jvm.org.apache.hadoop.fs.Path(p) for p in (tmp, old))
-        if not fs.exists(jsrc) or not band_ids:
+        my_ids = ids[name]
+        if not fs.exists(jsrc) or not my_ids or my_ids == comp:
+            # already fully compacted (the resume case, or a second
+            # compact call): nothing to fold for this side
             continue
         # enumerate the committed batch partitions explicitly (same
         # discipline as process_batch's read_prev): a root read could touch
         # a truncated footer left under a stray non-partition path
-        paths = [posixpath.join(src, f"batch_id={b}") for b in sorted(band_ids)]
+        paths = [posixpath.join(src, f"batch_id={b}") for b in sorted(my_ids)]
         df = spark.read.option("basePath", src).parquet(*paths)
         counts[name] = df.count()
         folded = df.withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
