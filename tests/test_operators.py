@@ -411,3 +411,34 @@ def test_salted_agg_rejects_smuggled_expression(spark):
         ).collect()
     }
     assert out == {"k": (4.0, 1.0)}
+
+
+def test_canonical_url_unparseable_falls_back_to_raw(spark):
+    """Malformed URLs must NOT collapse into one NULL dedup key."""
+    from thymeflow_back_spark.operators.urls import canonical_url
+
+    df = spark.createDataFrame(
+        [(1, "example.com/p"), (2, "mailto:x@y.z"), (3, "https://a.com/b")],
+        "id long, url string",
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", canonical_url(F.col("url")).alias("c")).collect()}
+    assert got[1] == "example.com/p"  # raw fallback, not NULL
+    assert got[2] == "mailto:x@y.z"
+    assert got[3] == "https://a.com/b"
+    assert len(set(got.values())) == 3
+
+
+def test_histogram_quantiles_ignore_nulls(spark):
+    """NULL values must not inflate the count or occupy a bucket: every
+    requested quantile comes back, computed over the non-null values."""
+    from thymeflow_back_spark.operators.sketch import histogram_quantiles
+
+    rows = [(float(i),) for i in range(1, 101)] + [(None,)] * 50
+    df = spark.createDataFrame(rows, "x double")
+    got = {
+        r["quantile"]: r["est"]
+        for r in histogram_quantiles(df, "x", (0.1, 0.5, 0.99), n_buckets=20).collect()
+    }
+    assert set(got) == {0.1, 0.5, 0.99}
+    assert all(v is not None for v in got.values())
+    assert 1.0 <= got[0.1] <= 20.0 and got[0.99] >= 90.0

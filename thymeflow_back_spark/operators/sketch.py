@@ -270,7 +270,11 @@ def _bucketize(
     and histogram_quantiles both build on it, so edge-handling can never
     diverge between the sketch and the quantile path."""
     c = (F.col(col) if isinstance(col, str) else col).cast("double")
-    vals = df.select(c.alias("x"))
+    # NULLs out: they would inflate nn while landing in a NULL bucket,
+    # so quantile targets could exceed the real cumulative count (missing
+    # rows) or the first-hit row could be the NULL bucket (NULL estimate)
+    # — same discipline as kmv_minima's null-hash filter
+    vals = df.select(c.alias("x")).filter(F.col("x").isNotNull())
     bounds = vals.agg(
         F.min("x").alias("lo"), F.max("x").alias("hi"), F.count(F.lit(1)).alias("nn")
     ).select(

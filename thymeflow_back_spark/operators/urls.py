@@ -39,7 +39,12 @@ MULTI_LABEL_SUFFIXES = ("co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br")
 
 
 def canonical_url(url: Column) -> Column:
-    """The canonical form of ``url`` as a single string column."""
+    """The canonical form of ``url`` as a single string column.
+
+    Unparseable URLs (no host — scheme-less strings, mailto:, junk) fall
+    back to the RAW url rather than NULL: a NULL canonical would collapse
+    every malformed URL into ONE dedup key downstream and silently drop
+    all but one of those distinct documents."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     host = F.regexp_replace(F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", "")
     # AUTHORITY is userinfo@host:port — extract the port, keep it unless it
@@ -70,7 +75,7 @@ def canonical_url(url: Column) -> Column:
     qpart = F.when(
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, pport, path, qpart)
+    return F.coalesce(F.concat(scheme, F.lit("://"), host, pport, path, qpart), url)
 
 
 def registered_domain(url: Column) -> Column:

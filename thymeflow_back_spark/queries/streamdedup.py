@@ -82,6 +82,7 @@ from .dedup import (  # noqa: E402
 )
 def q_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
     import tempfile
 
     from ..streaming.dedup_stream import document_stream, run_incremental_near_dup
@@ -99,11 +100,64 @@ def q_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             document_stream(spark, staging), index, pairs, ckpt
         )
         q.awaitTermination()
-    return (
+    # materialize BEFORE deleting the temp tree (the read is lazy over the
+    # pairs parquet); without the rmtree every walk of this row leaked a
+    # full staging+index+checkpoint copy under /tmp
+    out = (
         spark.read.parquet(pairs)
         .select("a_id", "b_id", "n_common", "jaccard")
         .orderBy("a_id", "b_id")
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+
+
+def _memory_sink_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    parity_col: str,
+    schema: str,
+    agg_fn,
+    sink_prefix: str,
+) -> str:
+    """Shared scaffold for the complete-mode streaming rows: write ``source``
+    as two parity micro-batch files, stream them one file per trigger
+    through ``agg_fn(stream)``, drain into a memory sink, clean up the temp
+    staging/checkpoint tree, and return the sink table name (results live
+    in the sink's memory, so the on-disk scaffolding can go immediately)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix=f"tf_stream_{sink_prefix}_")
+    staging = os.path.join(base, "staging")
+    ckpt = os.path.join(base, "ckpt")
+    for parity in (0, 1):
+        source.filter(F.col(parity_col) % 2 == parity).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    sink = f"{sink_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg_fn(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(base, ignore_errors=True)
+    return sink
 
 
 # --- Q: stateful streaming windowed aggregation (oracle-backed) ---------------
@@ -127,34 +181,15 @@ def q_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exactly the batch answer (streaming/jobs.py windowed aggregation).",
 )
 def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
-
-    base = tempfile.mkdtemp(prefix="tf_stream_win_")
-    staging = os.path.join(base, "staging")
-    ckpt = os.path.join(base, "ckpt")
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
-    for parity in (0, 1):
-        ev.filter(F.col("event_id") % 2 == parity).coalesce(1).write.mode(
-            "append"
-        ).parquet(staging)
-    stream = (
-        spark.readStream.schema("event_id bigint, ts timestamp, event_type string")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staging)
+    sink = _memory_sink_stream(
+        spark,
+        ev,
+        "event_id",
+        "event_id bigint, ts timestamp, event_type string",
+        lambda stream: stream.groupBy(F.window("ts", "10 minutes"), "event_type").count(),
+        "win_counts",
     )
-    agg = stream.groupBy(F.window("ts", "10 minutes"), "event_type").count()
-    sink = f"win_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return spark.sql(
         f"SELECT unix_micros(window.start) AS window_start_us, event_type,"
         f" count AS n FROM {sink}"
@@ -198,36 +233,17 @@ _GAP_US = SESSION_GAP_H * 3600 * 1_000_000
     "batch sessionizer (operators/sessionize.py).",
 )
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-    import uuid
-
-    base = tempfile.mkdtemp(prefix="tf_stream_sess_")
-    staging = os.path.join(base, "staging")
-    ckpt = os.path.join(base, "ckpt")
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    for parity in (0, 1):
-        ev.filter(F.col("event_id") % 2 == parity).coalesce(1).write.mode(
-            "append"
-        ).parquet(staging)
-    stream = (
-        spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staging)
+    sink = _memory_sink_stream(
+        spark,
+        ev,
+        "event_id",
+        "event_id bigint, ts timestamp, user_id bigint",
+        lambda stream: stream.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_H} hours"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n_events")),
+        "sessions",
     )
-    agg = stream.groupBy(
-        F.session_window("ts", f"{SESSION_GAP_H} hours"), "user_id"
-    ).agg(F.count(F.lit(1)).alias("n_events"))
-    sink = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return spark.sql(
         f"SELECT user_id, unix_micros(session_window.start) AS session_start_us,"
         f" unix_micros(session_window.end) AS session_end_us, n_events"
