@@ -259,6 +259,30 @@ def test_prefix_filtered_jaccard_matches_plain(spark):
         assert plain  # non-vacuous: the corpus does contain near-dups
 
 
+def test_prefix_filtered_jaccard_float_boundary(spark):
+    """Integer-exact theorem bounds: at t=0.07 the double product
+    0.07*100 == 7.000000000000001, so float arithmetic would (a) shorten
+    A's prefix to 93 when the theorem requires 94 and (b) reject the
+    length-boundary pair |B| == t*|A| exactly. |A|=100, |B|=7 shingles
+    with B's shingles a subset of A's gives Jaccard 7/100 == t exactly and
+    the smallest common shingle at rank 94 of A's (df, shingle) order —
+    both former float bugs would each drop this pair."""
+    from thymeflow_back_spark.operators.dedup import (
+        jaccard_near_dups,
+        prefix_filtered_near_dups,
+    )
+
+    b_words = [f"v{i}" for i in range(9)]  # 7 shingles
+    rows = [
+        (100, " ".join(b_words)),
+        (101, " ".join(b_words + [f"u{i}" for i in range(93)])),  # 100 shingles
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in (jaccard_near_dups, prefix_filtered_near_dups):
+        got = {(r.a_id, r.b_id) for r in fn(docs, "doc_id", "text", 3, 0.07).collect()}
+        assert got == {(100, 101)}, fn.__name__
+
+
 def test_fts_index_hot_token_cap(spark):
     from thymeflow_back_spark.operators.fts import build_index
 

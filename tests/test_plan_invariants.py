@@ -50,16 +50,77 @@ SKIP = {
 }
 
 
+# global (unpartitioned) Window nodes whose input is BOUNDED BY
+# CONSTRUCTION, so the single-task sort touches sketch-sized data only:
+# - distributed_prefix_sum's offset pass windows over #partitions rows
+#   (operators/packing.py) — q_token_packing, q_quantile_sketch
+# - q_quantile_sketch's cumulative walk runs over <= n_buckets=256 counters
+# - rank-after-limit: row_number over rows that already passed a
+#   TakeOrderedAndProject / WindowGroupLimit (<= k rows) —
+#   q_vocab_topk (queries/pipeline.py), q_fts_bm25 (operators/fts.py)
+GLOBAL_WINDOW_OK = {
+    "q_token_packing",
+    "q_quantile_sketch",
+    "q_vocab_topk",
+    "q_fts_bm25",
+}
+
+_PLAN_CACHE: dict[str, str] = {}
+
+
 def _physical_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _plan(spark, name: str) -> str:
+    if name not in _PLAN_CACHE:
+        df = catalog.QUERIES[name].spark(spark, SF)
+        _PLAN_CACHE[name] = _physical_plan(df)
+    return _PLAN_CACHE[name]
+
+
+def _global_window_lines(plan: str) -> list[str]:
+    """Lines with a Window whose windowspecdefinition has no partition
+    columns (partition columns print bare; order columns carry ASC/DESC) —
+    the 'Moving all data to a single partition' shape."""
+    import re
+
+    out = []
+    for ln in plan.splitlines():
+        m = re.search(r"windowspecdefinition\(", ln)
+        if m is None:
+            continue
+        i, depth, start = m.end(), 1, m.end()
+        while i < len(ln) and depth:
+            if ln[i] == "(":
+                depth += 1
+            elif ln[i] == ")":
+                depth -= 1
+            i += 1
+        args, depth, cur = [], 0, []
+        for ch in ln[start : i - 1]:
+            if ch == "," and depth == 0:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                cur.append(ch)
+        if cur:
+            args.append("".join(cur).strip())
+        args = [a for a in args if not a.startswith("specifiedwindowframe")]
+        if all(" ASC" in a or " DESC" in a for a in args):
+            out.append(ln.strip())
+    return out
 
 
 @pytest.mark.parametrize(
     "name", [q for q in catalog.QUERIES if q not in SKIP]
 )
 def test_no_unsanctioned_cartesian(spark, name):
-    df = catalog.QUERIES[name].spark(spark, SF)
-    plan = _physical_plan(df)
+    plan = _plan(spark, name)
     if name in CARTESIAN_OK:
         return
     assert "CartesianProduct" not in plan, (
@@ -76,6 +137,27 @@ def test_no_unsanctioned_cartesian(spark, name):
             f"{name}: broadcast cross join in physical plan — only "
             f"{sorted(BNLJ_CROSS_OK)} have a bounded broadcast side: {ln}"
         )
+
+
+@pytest.mark.parametrize(
+    "name", [q for q in catalog.QUERIES if q not in SKIP]
+)
+def test_no_unpartitioned_window(spark, name):
+    """No catalog query may run a Window over an UNBOUNDED unpartitioned
+    relation — that moves the whole relation to one task (the WindowExec
+    single-partition warning), the exact scale failure the two-phase
+    prefix sum in operators/packing.py exists to avoid. The whitelisted
+    queries' global windows run over sketch-/limit-bounded inputs only."""
+    plan = _plan(spark, name)
+    bad = _global_window_lines(plan)
+    if name in GLOBAL_WINDOW_OK:
+        return
+    assert not bad, (
+        f"{name}: unpartitioned Window in physical plan — use "
+        f"distributed_prefix_sum (operators/packing.py) or partition the "
+        f"window; only {sorted(GLOBAL_WINDOW_OK)} have bounded inputs:\n"
+        + "\n".join(bad)
+    )
 
 
 def test_dim_chain_broadcasts(spark):

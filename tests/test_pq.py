@@ -66,6 +66,8 @@ def test_pq_encode_and_adc_match_reference(spark):
         qv = vecs[q]
         dists = []
         for vid, code in codes.items():
+            if vid == q:  # self-match excluded (parity with ivf/cosine topk)
+                continue
             acc = None
             for j in range(M):
                 x = qv[j * sub_d : (j + 1) * sub_d]

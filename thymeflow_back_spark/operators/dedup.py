@@ -232,9 +232,19 @@ def prefix_filtered_near_dups(
     exact-recall scale path when the candidate join is the bottleneck and
     the ``max_doc_freq`` cap's recall loss is unacceptable.
     """
+    from fractions import Fraction
+
     from pyspark.sql.window import Window
 
-    t = threshold
+    # The theorem's bounds must be computed INTEGER-exactly: in floating
+    # point, t·n can round just above an exact integer (0.07*100 ==
+    # 7.000000000000001, ceil -> 8), shortening the prefix by one shingle
+    # or dropping a pair sitting exactly on the length boundary — a false
+    # negative despite the exact-recall contract. Express t as the exact
+    # rational the caller wrote (str() gives the shortest decimal) and do
+    # ceil/compare in bigint arithmetic.
+    frac = Fraction(str(threshold))
+    tn, td = frac.numerator, frac.denominator
     docs_sh = _by_id(
         doc_shingles(df, id_col, text_col, n).withColumn("n_sh", F.size("sh")),
         id_col,
@@ -244,10 +254,12 @@ def prefix_filtered_near_dups(
     # (df, shingle) is a TOTAL order — ties on df break by shingle text, so
     # both engines and both join sides agree on every prefix
     w = Window.partitionBy(id_col).orderBy("df", "shingle")
+    # ceil(t·n) = (tn·n + td - 1) div td — bigint `div`, no rounding
+    ceil_tn = F.expr(f"(CAST({tn} AS BIGINT) * n_sh + {td - 1}) div {td}")
     prefix = (
         ex.join(dfreq, "shingle")
         .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1)
+        .filter(F.col("__rk") <= F.col("n_sh") - ceil_tn + 1)
         .select(id_col, "n_sh", "shingle")
     )
     a = prefix.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("a_n"), "shingle")
@@ -257,8 +269,9 @@ def prefix_filtered_near_dups(
         .filter(
             (F.col("a_id") < F.col("b_id"))
             # length filter: Jaccard >= t forces min(|A|,|B|) >= t·max(|A|,|B|)
-            & (F.col("b_n") >= F.lit(t) * F.col("a_n"))
-            & (F.col("a_n") >= F.lit(t) * F.col("b_n"))
+            # — compared as integers (b_n·td >= tn·a_n), no float rounding
+            & (F.col("b_n") * F.lit(td) >= F.lit(tn).cast("bigint") * F.col("a_n"))
+            & (F.col("a_n") * F.lit(td) >= F.lit(tn).cast("bigint") * F.col("b_n"))
         )
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])

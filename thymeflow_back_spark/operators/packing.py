@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 
 def distributed_prefix_sum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     value_col: str | Column,
     out_col: str = "prefix",
     exclusive: bool = False,
@@ -37,20 +37,22 @@ def distributed_prefix_sum(
 ) -> DataFrame:
     """Global prefix sum of ``value_col`` in ``order_col`` order, in parallel.
 
-    ``order_col`` must be globally unique (ties across a partition boundary
+    ``order_col`` is one column name or a list (compared lexicographically);
+    the combination must be globally unique (ties across a partition boundary
     would make the fold order — and thus the result — ambiguous).
     ``exclusive=True`` yields the sum of strictly-preceding rows (0 for the
     first row). Values may be negative; totals are computed with SUM, not
     from the running column.
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parted = (
         df.withColumn("__v", value)
-        .repartitionByRange(n, F.col(order_col))
+        .repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
     )
-    run = Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
+    run = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, 0
     )
     local = parted.withColumn("__local", F.sum("__v").over(run))

@@ -269,7 +269,10 @@ def pq_adc_topk(
     BROADCAST against the encoded corpus on (q_id is free, code{j}):
     m map-side lookups per candidate row, an order-fixed chained sum,
     and the per-query top-k window. adc_dist is rounded before ranking
-    (SCORE_DECIMALS) so ranking is engine-independent."""
+    (SCORE_DECIMALS) so ranking is engine-independent. Self-matches
+    (vec_id == q_id) are excluded, matching ivfpq_topk / ivf_topk /
+    cosine_topk — when queries are drawn from the corpus, rank 1 would
+    otherwise always be the query itself."""
     m = len(books)
     sub_d = len(books[0][0])
     codes = pq_encode(corpus, id_col, vec_col, books)
@@ -303,7 +306,8 @@ def pq_adc_topk(
         adc = adc + F.col(f"__t{j}")  # chained in subspace order, never SUM
     w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
     return (
-        pairs.withColumn("adc_dist", F.round(adc, SCORE_DECIMALS))
+        pairs.filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("adc_dist", F.round(adc, SCORE_DECIMALS))
         .select("q_id", "vec_id", "adc_dist")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k_results)

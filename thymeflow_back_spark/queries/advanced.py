@@ -157,12 +157,13 @@ def q_geo_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- rows-only catalog entries: per-group Python operators --------------------
+# --- per-group Python operators (recursive-CTE oracles) -----------------------
 # Stay-point clustering and trellis movement smoothing are order-dependent
-# per-user dynamic programming (SURVEY.md §2.7) — not SQL-expressible, so
-# these declare oracle=None and the driver records the weaker rows-only
-# check the brief defines for custom stateful operators; golden-value
-# coverage lives in pytest (tests/test_er_staypoints.py). Both consume a
+# per-user dynamic programming (SURVEY.md §2.7). Since round 3 both carry
+# FULL DuckDB oracles anyway — recursive CTEs replay the sequential fold /
+# Viterbi recurrence in fixed IEEE order, so the driver hash-matches their
+# values like any SQL query; golden-value coverage also lives in pytest
+# (tests/test_er_staypoints.py). Both consume a
 # deterministic synthetic dwell-then-jump track derived from the events
 # table: three dwell centers per user with meter-scale jitter, exactly the
 # shape stay extraction exists to find.

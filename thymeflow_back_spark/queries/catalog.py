@@ -43,9 +43,52 @@ def query(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
     return wrap
 
 
+# The driver's per-round correctness file caps at 50 rows taken in
+# queries() order, so rows the driver has never verified lead the map:
+# these 25 were green only in local tools/check.py runs through round 4
+# (every other catalog row already has a green CORRECTNESS_r1-r4 entry).
+_DRIVER_PRIORITY = [
+    "q_quantile_sketch",
+    "q_similarity_sq8",
+    "q_similarity_pq",
+    "q_similarity_ivfpq",
+    "q_ann_recall",
+    "q_semantic_dedup",
+    "q_streaming_near_dup",
+    "q_streaming_window_counts",
+    "q_streaming_sessions",
+    "q_counts_cm",
+    "q_fts_bm25",
+    "q_spatial_pairs",
+    "q_zorder_layout",
+    "q_rdf_grouped_path",
+    "q_rdf_negated_pathset",
+    "q_rdf_group_concat",
+    "q_multimodal_features",
+    "q_multimodal_audio",
+    "q_sample_weighted",
+    "q_deterministic_shuffle",
+    "q_salted_join",
+    "q_salted_agg",
+    "q_dup_windows",
+    "q_boilerplate_scrub",
+    "q_pipeline_end2end",
+]
+
+
+def _ordered() -> list[str]:
+    lead = [n for n in _DRIVER_PRIORITY if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(lead)]
+    return lead + rest
+
+
 def query_map() -> dict[str, SparkQuery]:
-    return {name: q.spark for name, q in QUERIES.items()}
+    return {name: QUERIES[name].spark for name in _ordered()}
 
 
 def oracle_sql_map() -> dict[str, str]:
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    return {
+        name: QUERIES[name].oracle
+        for name in _ordered()
+        if QUERIES[name].oracle is not None
+    }

@@ -1501,21 +1501,28 @@ HQ_QUANTILES = (0.5, 0.9, 0.99)
     "(operators/sketch.py histogram_quantiles).",
 )
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
+    from ..operators.packing import distributed_prefix_sum
     from ..operators.sketch import histogram_quantiles
 
     events = load(spark, sf_dir, "events")
     hq = histogram_quantiles(events, "value", HQ_QUANTILES)
-    ranked = events.select(
-        F.col("value").alias("exact"),
-        F.row_number()
-        .over(Window.orderBy(F.asc("value"), F.asc("event_id")))
-        .alias("rk"),
+    # Exact-rank comparison side: global rank in (value, event_id) order via
+    # the two-phase distributed prefix sum (range-shuffle once, per-partition
+    # window, #partitions-row offset pass) — NOT row_number() over an
+    # unpartitioned Window, which would sort the whole events table on one
+    # task. The ranked relation then streams against the <=3-row broadcast
+    # sketch output, so no further shuffle touches the data.
+    ranked = distributed_prefix_sum(
+        events.select("value", "event_id"),
+        ["value", "event_id"],
+        F.lit(1),
+        out_col="rk",
     )
     return (
-        hq.join(ranked, hq["target"] == ranked["rk"])
-        .select("quantile", "target", "bucket", "est", "exact")
+        ranked.join(F.broadcast(hq), ranked["rk"] == hq["target"])
+        .select(
+            "quantile", "target", "bucket", "est", F.col("value").alias("exact")
+        )
         .orderBy("quantile")
     )
 

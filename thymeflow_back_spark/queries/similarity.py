@@ -513,7 +513,7 @@ PQ_TOPK = 5
     adc AS (
       SELECT q_id, vec_id,
              round(ts[1]+ts[2]+ts[3]+ts[4], 9) AS adc_dist
-      FROM folded
+      FROM folded WHERE vec_id <> q_id
     )
     SELECT q_id, vec_id, adc_dist, rank FROM (
       SELECT q_id, vec_id, adc_dist,

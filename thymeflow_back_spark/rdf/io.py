@@ -22,6 +22,7 @@ shape:
 
 from __future__ import annotations
 
+import os
 import re
 from collections.abc import Iterator
 
@@ -580,7 +581,14 @@ def rdf_file_to_quads(content: bytes, path: str) -> list[tuple]:
         # against the DOCUMENT location when the file sets no xml:base —
         # without a base, '#me' from two different files would collide on
         # one subject and the store would hold non-absolute IRIs
-        base = path if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path) else "file://" + path
+        # absolutize bare paths first: 'file://' + 'data/a.owl' would parse
+        # 'data' as a URI AUTHORITY, not a path segment — abspath guarantees
+        # the leading '/' and the file:///... form
+        base = (
+            path
+            if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path)
+            else "file://" + os.path.abspath(path)
+        )
         return parse_rdfxml(text, default_graph=graph, base=base)
     if low.endswith(".trix"):
         return parse_trix(text, default_graph=graph)
