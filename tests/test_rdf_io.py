@@ -528,3 +528,78 @@ def test_trix_bnode_named_graph():
     quads = parse_trix(text, default_graph="g:d")
     assert len(quads) == 1
     assert quads[0][6] == "_:b1"
+
+
+# --- RDF-JSON (rio-rdfjson parity, build.sbt:69) ------------------------------
+
+
+def test_rdfjson_roundtrip(spark):
+    """rdfjson_string emits the W3C RDF-JSON shape that parse_rdfjson reads
+    back to the identical statement set (graphs flatten — the format is
+    triple-scoped, like RDF4J's RDFJSONWriter)."""
+    from thymeflow_back_spark.rdf.io import XSD_STRING, parse_rdfjson, rdfjson_string
+    from thymeflow_back_spark.rdf.model import QUAD_SCHEMA
+
+    quads = [
+        ("http://e.org/a", "http://ex.org/name", 'Ada "quoted" \\ bs', "literal",
+         XSD_STRING, None, "g"),
+        ("http://e.org/a", "http://ex.org/label", "grüß", "literal",
+         XSD_STRING, "de", "g"),
+        ("http://e.org/a", "http://ex.org/age", "36", "literal",
+         "http://www.w3.org/2001/XMLSchema#integer", None, "g"),
+        ("http://e.org/a", "http://ex.org/knows", "http://e.org/b", "iri", None, None, "g"),
+        ("_:x", "http://ex.org/p", "_:y", "bnode", None, None, "g2"),
+    ]
+    df = spark.createDataFrame(quads, QUAD_SCHEMA)
+    text = rdfjson_string(df)
+    back = parse_rdfjson(text, "g")
+    norm = {(s, p, o, ot, dt if ot == "literal" else None, lg) for s, p, o, ot, dt, lg, _ in back}
+    want = {(s, p, o, ot, dt if ot == "literal" else None, lg) for s, p, o, ot, dt, lg, _ in quads}
+    assert norm == want
+
+
+def test_rdfjson_parse_forms_and_errors():
+    from pytest import raises
+
+    from thymeflow_back_spark.rdf.io import RdfParseError, XSD_STRING, parse_rdfjson
+
+    text = """{
+      "http://e.org/s": {
+        "http://e.org/p": [
+          {"value": "plain", "type": "literal"},
+          {"value": "b0", "type": "bnode"},
+          {"value": "_:b1", "type": "bnode"}
+        ]
+      }
+    }"""
+    quads = parse_rdfjson(text, "g:d")
+    assert ("http://e.org/s", "http://e.org/p", "plain", "literal", XSD_STRING, None, "g:d") in quads
+    # bare bnode ids normalize to the _: prefix; prefixed ones pass through
+    objs = {q[2] for q in quads if q[3] == "bnode"}
+    assert objs == {"_:b0", "_:b1"}
+    assert all(q[6] == "g:d" for q in quads)
+    for bad in ('["not an object"]', '{"s": ["not an object"]}',
+                '{"s": {"p": {"not": "array"}}}', '{"s": {"p": [{"value": "v", "type": "nope"}]}}',
+                "not json at all"):
+        with raises(RdfParseError):
+            parse_rdfjson(bad, "g:d")
+
+
+def test_rdfjson_file_dispatch_and_per_graph_serialize(spark):
+    from thymeflow_back_spark.rdf.io import rdf_file_to_quads, serialize_rdfjson
+    from thymeflow_back_spark.rdf.model import QUAD_SCHEMA
+
+    doc = '{"urn:s": {"urn:p": [{"value": "v", "type": "literal"}]}}'
+    quads = rdf_file_to_quads(doc.encode(), "/data/x.rj")
+    assert [(q[0], q[1], q[2]) for q in quads] == [("urn:s", "urn:p", "v")]
+    assert quads[0][6] != ""  # per-document graph minted from the path
+
+    df = spark.createDataFrame(
+        [("urn:s", "urn:p", "v", "literal",
+          "http://www.w3.org/2001/XMLSchema#string", None, g) for g in ("g1", "g2")],
+        QUAD_SCHEMA,
+    )
+    rows = {r.graph: r.text for r in serialize_rdfjson(df).collect()}
+    assert set(rows) == {"g1", "g2"}
+    import json
+    assert json.loads(rows["g1"]) == {"urn:s": {"urn:p": [{"value": "v", "type": "literal"}]}}

@@ -244,3 +244,123 @@ def test_compact_phase_crash_resumes(spark, tmp_path):
     )
     got = _pairs_set(spark, pairs_dir)
     assert (20, 30) in got or (2, 30) in got
+
+
+def test_compact_swap_crash_stranded_old_recovers(spark, tmp_path):
+    """A crash BETWEEN the two swap renames strands bands.old (original
+    per-batch data) + bands.compact (folded tmp) with bands/ missing.
+    Rerunning compact_index must restore the .old copy, discard the tmp,
+    and finish the fold — and the stream must keep finding cross-batch
+    dups against the recovered index."""
+    import shutil
+
+    from thymeflow_back_spark.streaming.dedup_stream import (
+        compact_index,
+        process_batch,
+    )
+
+    index_dir, pairs_dir = tmp_path / "index", tmp_path / "pairs"
+    kw = dict(index_dir=str(index_dir), pairs_dir=str(pairs_dir))
+    process_batch(spark.createDataFrame(B1, ["doc_id", "text"]), 0, **kw)
+    process_batch(spark.createDataFrame(B2, ["doc_id", "text"]), 1, **kw)
+
+    # build the mid-swap crash state for bands/: snapshot, compact, then
+    # rewind to { bands.old = original, bands.compact = folded, no bands }
+    shutil.copytree(index_dir / "bands", tmp_path / "bands_orig")
+    shutil.copytree(index_dir / "docs", tmp_path / "docs_orig")
+    compact_index(spark, str(index_dir))
+    shutil.move(str(index_dir / "bands"), str(index_dir / "bands.compact"))
+    shutil.move(str(tmp_path / "bands_orig"), str(index_dir / "bands.old"))
+    shutil.rmtree(index_dir / "docs")
+    shutil.move(str(tmp_path / "docs_orig"), str(index_dir / "docs"))
+
+    counts = compact_index(spark, str(index_dir))
+    assert set(counts) == {"bands", "docs"}  # both sides re-folded
+    for name in ("bands", "docs"):
+        assert not (index_dir / f"{name}.old").exists()
+        assert not (index_dir / f"{name}.compact").exists()
+        assert {
+            r.batch_id
+            for r in spark.read.parquet(str(index_dir / name)).collect()
+        } == {-1}
+
+    process_batch(
+        spark.createDataFrame([(30, B2[0][1])], ["doc_id", "text"]), 2, **kw
+    )
+    got = _pairs_set(spark, pairs_dir)
+    assert (20, 30) in got and got[(20, 30)] == 1.0
+
+
+def test_compact_swap_crash_after_second_rename_recovers(spark, tmp_path):
+    """The OTHER swap-crash point — after rename(tmp -> src) but before
+    delete(.old): src already holds the folded data, .old is garbage.
+    Rerun must delete the stale .old and leave the folded index intact."""
+    import shutil
+
+    from thymeflow_back_spark.streaming.dedup_stream import (
+        compact_index,
+        process_batch,
+    )
+
+    index_dir, pairs_dir = tmp_path / "index", tmp_path / "pairs"
+    kw = dict(index_dir=str(index_dir), pairs_dir=str(pairs_dir))
+    process_batch(spark.createDataFrame(B1, ["doc_id", "text"]), 0, **kw)
+    shutil.copytree(index_dir / "bands", tmp_path / "bands_orig")
+    compact_index(spark, str(index_dir))
+    shutil.move(str(tmp_path / "bands_orig"), str(index_dir / "bands.old"))
+
+    compact_index(spark, str(index_dir))  # recovery pass: nothing to fold
+    assert not (index_dir / "bands.old").exists()
+    assert {
+        r.batch_id for r in spark.read.parquet(str(index_dir / "bands")).collect()
+    } == {-1}
+
+
+def test_stream_crash_restart_matches_batch_operator(spark, tmp_path):
+    """End-to-end restart: the stream commits batch 0, then a crashed
+    attempt of the NEXT batch leaves bands written but docs missing
+    (the worst half-written index). Restarting the stream from the same
+    checkpoint must retry that batch against the half-written state and
+    converge to EXACTLY the pair set the one-shot batch operator finds on
+    the full corpus."""
+    import shutil
+
+    from thymeflow_back_spark.operators.dedup import jaccard_near_dups
+    from thymeflow_back_spark.streaming.dedup_stream import process_batch
+
+    staging = tmp_path / "staging"
+    index_dir, pairs_dir, ckpt = tmp_path / "index", tmp_path / "pairs", tmp_path / "ckpt"
+
+    spark.createDataFrame(B1, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(staging))
+    _run(spark, staging, index_dir, pairs_dir, ckpt)
+
+    # stage batch 2's file, then simulate its first attempt crashing after
+    # the bands write: run the batch body directly (the stream checkpoint
+    # has NOT committed it) and delete its docs partition
+    spark.createDataFrame(B2, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(staging))
+    process_batch(
+        spark.createDataFrame(B2, ["doc_id", "text"]),
+        1,
+        index_dir=str(index_dir),
+        pairs_dir=str(pairs_dir),
+    )
+    shutil.rmtree(index_dir / "docs" / "batch_id=1")
+
+    # restart from the same checkpoint: the stream reprocesses the new file
+    # as batch 1, dynamically overwriting the crashed attempt's partitions
+    _run(spark, staging, index_dir, pairs_dir, ckpt)
+
+    corpus = spark.createDataFrame(B1 + B2, ["doc_id", "text"])
+    batch_pairs = {
+        frozenset((r.a_id, r.b_id)): (r.n_common, round(r.jaccard, 9))
+        for r in jaccard_near_dups(corpus, "doc_id", "text", 3, 0.5).collect()
+    }
+    stream_pairs = {
+        frozenset((r.a_id, r.b_id)): (r.n_common, round(r.jaccard, 9))
+        for r in spark.read.parquet(str(pairs_dir)).collect()
+    }
+    assert stream_pairs == batch_pairs and batch_pairs

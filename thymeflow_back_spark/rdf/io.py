@@ -562,13 +562,13 @@ def parse_trix(text: str, default_graph: str) -> list[tuple]:
     return quads
 
 
-RDF_EXTENSIONS = (".nt", ".nq", ".ttl", ".trig", ".rdf", ".rdfs", ".owl", ".trix")
+RDF_EXTENSIONS = (".nt", ".nq", ".ttl", ".trig", ".rdf", ".rdfs", ".owl", ".trix", ".rj")
 
 
 def rdf_file_to_quads(content: bytes, path: str) -> list[tuple]:
     """Converter-registry entry: one RDF file → quads, format picked by
-    extension (.rdf/.rdfs/.owl → RDF/XML, .trix → TriX, rest → the TriG
-    superset). Triples without an explicit graph land in a per-document
+    extension (.rdf/.rdfs/.owl → RDF/XML, .trix → TriX, .rj → RDF-JSON,
+    rest → the TriG superset). Triples without an explicit graph land in a per-document
     graph minted from the path (the reference wraps each loaded file in a
     document context)."""
     from ..sources.common import doc_graph
@@ -592,6 +592,8 @@ def rdf_file_to_quads(content: bytes, path: str) -> list[tuple]:
         return parse_rdfxml(text, default_graph=graph, base=base)
     if low.endswith(".trix"):
         return parse_trix(text, default_graph=graph)
+    if low.endswith(".rj"):
+        return parse_rdfjson(text, default_graph=graph)
     return parse_rdf(text, default_graph=graph)
 
 
@@ -867,3 +869,108 @@ def rdfxml_string(quads: DataFrame) -> str:
     the distributed path is serialize_rdfxml + write.text)."""
     rows = serialize_rdfxml(quads).orderBy("section", "line").collect()
     return "\n".join(r.line for r in rows) + "\n"
+
+
+# --- RDF-JSON (W3C Note; RDF4J rio-rdfjson parity, build.sbt:69) --------------
+
+
+def parse_rdfjson(text: str, default_graph: str) -> list[tuple]:
+    """Parse RDF-JSON ('RDF 1.1 JSON Alternate Serialization' W3C Note) —
+    the last Rio format in the reference's bundle (build.sbt:69,
+    rdf4j-rio-rdfjson). Shape: {subject: {predicate: [{value, type,
+    lang?, datatype?}, ...]}}; subjects starting '_:' are bnodes; object
+    type is 'uri' | 'literal' | 'bnode'. The format is triple-scoped, so
+    every statement lands in ``default_graph`` (RDF4J's parser likewise
+    attributes all statements to the supplied context)."""
+    import json
+
+    try:
+        data = json.loads(text)
+    except json.JSONDecodeError as exc:
+        raise RdfParseError(f"RDF-JSON: {exc}") from exc
+    if not isinstance(data, dict):
+        raise RdfParseError("RDF-JSON: top level must be an object")
+    quads: list[tuple] = []
+    for subject, preds in data.items():
+        if not isinstance(preds, dict):
+            raise RdfParseError(f"RDF-JSON: subject {subject!r} must map to an object")
+        for predicate, objs in preds.items():
+            if not isinstance(objs, list):
+                raise RdfParseError(
+                    f"RDF-JSON: predicate {predicate!r} must map to an array"
+                )
+            for obj in objs:
+                if not isinstance(obj, dict):
+                    raise RdfParseError(f"RDF-JSON: object {obj!r} must be an object")
+                kind = obj.get("type")
+                value = obj.get("value")
+                if not isinstance(value, str) or kind not in ("uri", "literal", "bnode"):
+                    raise RdfParseError(f"RDF-JSON: bad object entry {obj!r}")
+                if kind == "uri":
+                    quads.append(
+                        (subject, predicate, value, "iri", None, None, default_graph)
+                    )
+                elif kind == "bnode":
+                    v = value if value.startswith("_:") else "_:" + value
+                    quads.append(
+                        (subject, predicate, v, "bnode", None, None, default_graph)
+                    )
+                else:
+                    lang = obj.get("lang")
+                    dtype = obj.get("datatype")
+                    # lang literals store XSD_STRING + lang, matching the
+                    # TriX/Turtle parsers' representation
+                    quads.append(
+                        (
+                            subject,
+                            predicate,
+                            value,
+                            "literal",
+                            XSD_STRING if (lang or not dtype) else dtype,
+                            lang,
+                            default_graph,
+                        )
+                    )
+    return quads
+
+
+def _graph_rdfjson(pdf: pd.DataFrame) -> str:
+    import json
+
+    pdf = pdf.sort_values(
+        ["subject", "predicate", "object_type", "object_value"], kind="mergesort"
+    )
+    out: dict[str, dict[str, list[dict]]] = {}
+    for r in pdf.itertuples():
+        o: dict[str, str] = {
+            "value": r.object_value,
+            "type": "uri" if r.object_type == "iri" else r.object_type,
+        }
+        if r.object_type == "literal":
+            if r.object_lang:
+                o["lang"] = r.object_lang
+            elif r.object_datatype and r.object_datatype != XSD_STRING:
+                o["datatype"] = r.object_datatype
+        out.setdefault(r.subject, {}).setdefault(r.predicate, []).append(o)
+    return json.dumps(out, ensure_ascii=False, indent=2)
+
+
+def serialize_rdfjson(quads: DataFrame) -> DataFrame:
+    """Quads → (graph, text) with one RDF-JSON document per named graph
+    (the pipeline's unit of replacement — same contract as
+    serialize_turtle_per_graph); graphs serialize in parallel. Keys are
+    emitted in sorted (subject, predicate) order so the document is
+    deterministic for diffing and hashing."""
+
+    def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"graph": [key[0]], "text": [_graph_rdfjson(pdf)]})
+
+    return quads.groupBy("graph").applyInPandas(emit, GRAPH_TEXT_SCHEMA)
+
+
+def rdfjson_string(quads: DataFrame) -> str:
+    """Whole-store single RDF-JSON document (collects — the graph-scoped
+    distributed path is serialize_rdfjson). RDF-JSON cannot express
+    contexts, so graphs merge, exactly as RDF4J's RDFJSONWriter flattens
+    them."""
+    return _graph_rdfjson(quads.toPandas()) + "\n"
