@@ -466,3 +466,39 @@ def test_histogram_quantiles_ignore_nulls(spark):
     assert set(got) == {0.1, 0.5, 0.99}
     assert all(v is not None for v in got.values())
     assert 1.0 <= got[0.1] <= 20.0 and got[0.99] >= 90.0
+
+
+def test_shingle_cache_pins_and_matches(spark):
+    """set_shingle_cache(True) memoizes identical shingle plans (one
+    persisted materialization shared by every dedup variant — the bench
+    harness opt-in) without changing any result; disabling unpersists
+    and restores fresh plans."""
+    from thymeflow_back_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " + ("epsilon" if i % 2 else "zeta"))
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    base = {
+        (r.a_id, r.b_id): (r.n_common, round(r.jaccard, 9))
+        for r in D.jaccard_near_dups(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    assert base
+    try:
+        D.set_shingle_cache(True)
+        a = D.doc_shingles(docs, "doc_id", "text", 3)
+        b = D.doc_shingles(docs, "doc_id", "text", 3)
+        assert a is b and a.storageLevel.useMemory
+        cached = {
+            (r.a_id, r.b_id): (r.n_common, round(r.jaccard, 9))
+            for r in D.jaccard_near_dups(docs, "doc_id", "text", 3, 0.5).collect()
+        }
+        assert cached == base
+        lsh = D.minhash_near_dups(docs, "doc_id", "text", 3, 0.5)
+        assert {(r.a_id, r.b_id) for r in lsh.collect()} == set(base)
+    finally:
+        D.set_shingle_cache(False)
+    fresh = D.doc_shingles(docs, "doc_id", "text", 3)
+    assert fresh is not a and not fresh.storageLevel.useMemory
+    assert not a.storageLevel.useMemory  # disabled -> unpersisted
