@@ -38,6 +38,8 @@ BNLJ_CROSS_OK = {
     # theta-join runs on the counters, never the data: <= n_buckets
     # cumulative rows x the fixed quantile list (both sketch-sized)
     "q_quantile_sketch",
+    "q_heavy_hitters",  # candidate counts × one broadcast total-count row
+    "q_tfidf_keywords",  # term df relation × one broadcast n_docs row
 }
 
 # queries whose construction executes jobs eagerly (iterative closures,
@@ -63,6 +65,9 @@ GLOBAL_WINDOW_OK = {
     "q_quantile_sketch",
     "q_vocab_topk",
     "q_fts_bm25",
+    # grouped_rank (operators/robust.py): the prefix-sum offset pass
+    # (#partitions rows) plus the group-start pass (#groups rows)
+    "q_outlier_mad",
 }
 
 _PLAN_CACHE: dict[str, str] = {}

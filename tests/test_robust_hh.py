@@ -1,0 +1,162 @@
+"""Tests for the round-5 operators: two-pass exact heavy hitters
+(operators/heavyhitters.py), grouped ranks / medians / MAD without
+per-group sorts (operators/robust.py), TF-DF keyphrases
+(operators/keywords.py), and the leakage-safe split property.
+
+The heavy-hitter tests use ADVERSARIAL data (vocabulary much larger than
+the counter budget, many partitions) so the Misra-Gries decrement path
+actually fires — the sf0.01 documents table's 31-token vocabulary never
+evicts a counter, so exactness there is trivial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from thymeflow_back_spark.operators.heavyhitters import heavy_hitters, mg_candidates
+from thymeflow_back_spark.operators.keywords import tfidf_keywords
+from thymeflow_back_spark.operators.robust import (
+    grouped_lower_median,
+    grouped_rank,
+    mad_outlier_stats,
+)
+
+
+def _skewed_tokens(spark, n_rows=20_000):
+    """Head-and-tail stream: three hot tokens own half the mass (~3333
+    occurrences each, well over N/k), while the other half is 10k
+    DISTINCT tail tokens — a vocabulary that dwarfs any counter budget,
+    forcing the Misra-Gries decrement path on every batch."""
+    half = n_rows // 2
+    return spark.range(n_rows).select(
+        F.when(
+            F.col("id") < half,
+            F.concat(F.lit("hot"), (F.col("id") % 3).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("tail"), F.col("id").cast("string")))
+        .alias("token")
+    )
+
+
+def test_heavy_hitters_exact_on_adversarial_stream(spark):
+    k = 20
+    tokens = _skewed_tokens(spark).repartition(16)
+    got = {
+        (r["token"], r["cnt"]) for r in heavy_hitters(tokens, "token", k).collect()
+    }
+    total = tokens.count()
+    exact = {
+        (r["token"], r["cnt"])
+        for r in tokens.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * k > F.lit(total))
+        .collect()
+    }
+    assert got == exact
+    assert len(exact) > 0  # the test must actually check something
+
+
+def test_mg_candidates_bounded_and_superset(spark):
+    """Per-partition MG emits at most k keys, and the union covers every
+    true heavy hitter even though vocab >> k forces constant evictions."""
+    k = 20
+    tokens = _skewed_tokens(spark).repartition(16)
+    per_part = (
+        mg_candidates(tokens, "token", k)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] <= k for r in per_part)
+    cands = {r["token"] for r in mg_candidates(tokens, "token", k).collect()}
+    total = tokens.count()
+    hh = {
+        r["token"]
+        for r in tokens.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * k > F.lit(total))
+        .collect()
+    }
+    assert hh <= cands
+    # and the candidate pool is actually small relative to the vocabulary
+    vocab = tokens.distinct().count()
+    assert len(cands) < vocab / 2
+
+
+def test_grouped_rank_matches_window(spark):
+    df = spark.range(5_000).select(
+        (F.col("id") % 7).alias("g"),
+        F.col("id").alias("i"),
+        ((F.col("id") * 2654435761) % 1000).alias("v"),
+    )
+    got = grouped_rank(df, "g", ["v", "i"], rank_col="rn", n_col="n")
+    w = Window.partitionBy("g").orderBy("v", "i")
+    want = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("g"))
+    )
+    a = {(r["g"], r["i"], r["rn"], r["n"]) for r in got.collect()}
+    b = {(r["g"], r["i"], r["rn"], r["n"]) for r in want.collect()}
+    assert a == b
+
+
+def test_grouped_lower_median_even_and_odd(spark):
+    rows = [("a", i, float(v)) for i, v in enumerate([5, 1, 3])] + [
+        ("b", i + 10, float(v)) for i, v in enumerate([4, 1, 2, 3])
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    got = {
+        (r["g"], r["median"], r["n"])
+        for r in grouped_lower_median(df, "g", "v", "i").collect()
+    }
+    # odd group: middle element; even group: LOWER median (rank 2 of 4)
+    assert got == {("a", 3.0, 3), ("b", 2.0, 4)}
+
+
+def test_mad_outlier_stats_flags_the_planted_outlier(spark):
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1000.0]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)] + [("g", 99, None)],
+        "grp string, i long, v double",
+    )
+    [r] = mad_outlier_stats(df, "grp", "v", "i", z=3.0).collect()
+    assert r["n"] == 6  # NULL excluded
+    assert r["median"] == 12.0
+    assert r["mad"] == 1.0  # |v-12| sorted: 0,1,1,2,2,988 -> lower median 1
+    assert r["n_outliers"] == 1
+
+
+def test_tfidf_keywords_ranks_rare_terms_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x y x y common common"),
+            (2, "p q p q common common"),
+            (3, "common common common common"),
+            (4, "common common r s"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(docs, "doc_id", "text", w=1, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["term"]))
+    # 'common' is in 4/4 docs -> above the 30% df ceiling, never a keyword
+    assert all(t != "common" for ranks in by_doc.values() for _, t in ranks)
+    # doc 1's keywords are its rare repeated terms, tie broken by text
+    assert sorted(by_doc[1]) == [(1, "x"), (2, "y")]
+    # every emitted rank is within top_k and scores are deterministic doubles
+    assert all(rk <= 2 for ranks in by_doc.values() for rk, _ in ranks)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from thymeflow_back_spark.queries.dedup import q_split_leakage_safe
+
+    out = q_split_leakage_safe(spark, "/root/testdata/sf0.001").collect()
+    split_by_cluster = {}
+    for r in out:
+        split_by_cluster.setdefault(r["canonical_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in split_by_cluster.values())
+    # at least one real (size > 1) cluster exists in the fixture data,
+    # otherwise the property is vacuous
+    assert any(r["cluster_size"] > 1 for r in out)

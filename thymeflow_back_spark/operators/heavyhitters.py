@@ -1,0 +1,98 @@
+"""Distributed EXACT heavy hitters: Misra-Gries candidates + exact recount.
+
+"Which tokens / URLs / n-grams exceed phi = 1/k of a 100 TB stream" is the
+corpus-analysis primitive behind stop-lists, boilerplate detection, and
+hot-key discovery — and the naive answer (groupBy token, filter by count)
+shuffles the ENTIRE distinct vocabulary, which for n-gram or URL domains is
+within an order of magnitude of the corpus itself. The classic two-pass
+fix (Misra & Gries 1982; merge step per Agarwal et al., "Mergeable
+Summaries", PODS 2012):
+
+  pass 1  each input partition maintains k frequency counters (O(k) memory,
+          no shuffle); when a batch overflows the budget, every counter is
+          decremented by the (k+1)-th largest value and non-positive
+          counters are dropped. Per-partition undercount <= N_p/(k+1), so
+          any item with GLOBAL count > N/k survives in at least one
+          partition (if it were evicted everywhere its total would be
+          <= sum_p N_p/(k+1) = N/(k+1) < N/k). Survivors are the
+          candidate set: at most k rows per partition.
+  pass 2  exact recount of candidates only — the token stream inner-joins
+          the BROADCAST candidate set (<= k x #partitions entries), so
+          map-side partial aggregation shrinks each task's output to the
+          candidate vocabulary before the one tiny shuffle.
+
+The candidate set depends on partitioning and batch order, but the FINAL
+output does not: pass 2's exact counts and the `cnt * k > N` filter make
+the result a pure function of the data (the MG guarantee is that the
+candidate set is a superset of the true heavy hitters, never that it is
+canonical). That determinism is what lets a plain GROUP-BY/HAVING SQL
+oracle hash-match the two-pass plan.
+
+Pass 1 is a Python stage, but Arrow-batched (mapInPandas) with the
+per-batch counting vectorized through pandas value_counts; the decrement
+loop touches at most k + batch-distinct counters per batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .skew import spread_small_input
+
+
+def _mg_partition(col: str, k: int):
+    """Per-partition Misra-Gries summary, yielding the surviving keys."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf[col].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > k:
+                # Mergeable-summaries reduction: subtract the (k+1)-th
+                # largest count from everything, keep strict positives —
+                # at most k survive, and the total undercount added per
+                # reduction is bounded by what the dropped mass absorbed.
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {t: c - cut for t, c in counters.items() if c > cut}
+        yield pd.DataFrame({col: sorted(counters)})
+
+    return gen
+
+
+def mg_candidates(tokens: DataFrame, col: str, k: int) -> DataFrame:
+    """Pass 1: the per-partition Misra-Gries candidate keys (<= k each)."""
+    field = tokens.schema[col]
+    return tokens.select(col).mapInPandas(
+        _mg_partition(col, k), schema=f"{field.name} {field.dataType.simpleString()}"
+    )
+
+
+def heavy_hitters(tokens: DataFrame, col: str, k: int) -> DataFrame:
+    """All items of `tokens[col]` with count > N/k: (col, cnt, share).
+
+    Exact (not estimated) counts and exact recall — see module docstring.
+    Three scans of the token stream (candidates, total, recount), zero
+    vocabulary-sized shuffles.
+    """
+    tokens = spread_small_input(tokens.select(col))
+    cands = mg_candidates(tokens, col, k).distinct()
+    total = tokens.agg(F.count(col).alias("__n"))
+    counts = (
+        tokens.join(F.broadcast(cands), col)
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(k) > F.col("__n"))
+        .select(
+            col,
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("__n")).alias("share"),
+        )
+    )

@@ -48,6 +48,11 @@ def query(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
 # these 25 were green only in local tools/check.py runs through round 4
 # (every other catalog row already has a green CORRECTNESS_r1-r4 entry).
 _DRIVER_PRIORITY = [
+    # round-5 additions, never driver-verified:
+    "q_heavy_hitters",
+    "q_tfidf_keywords",
+    "q_split_leakage_safe",
+    "q_outlier_mad",
     "q_quantile_sketch",
     "q_similarity_sq8",
     "q_similarity_pq",

@@ -302,3 +302,62 @@ def q_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_near_dups(
         docs, "doc_id", "text", SHINGLE_N, JACCARD_THRESHOLD, max_doc_freq=MAX_SHINGLE_DF
     ).orderBy("a_id", "b_id")
+
+
+# --- Q: leakage-safe train/test split -----------------------------------------
+
+SPLIT_TEST_FRAC = 0.1
+
+_SQL_U_CANON = (
+    "(('0x' || substr(md5('split:' || CAST(canonical_id AS VARCHAR)), 1, 8))::BIGINT"
+    " / 4294967296.0)"
+)
+
+
+@query(
+    "q_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_JACCARD},
+    pairs AS (
+      SELECT a_id, b_id FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS node, MIN(d) AS mn FROM reach GROUP BY s),
+    labeled AS (
+      SELECT doc.doc_id,
+             LEAST(COALESCE(c.mn, doc.doc_id), doc.doc_id) AS canonical_id
+      FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node
+    ),
+    csizes AS (
+      SELECT canonical_id, COUNT(*) AS cluster_size FROM labeled GROUP BY 1
+    )
+    SELECT l.doc_id, l.canonical_id, s.cluster_size,
+           CASE WHEN {_SQL_U_CANON} < {SPLIT_TEST_FRAC}
+                THEN 'test' ELSE 'train' END AS split
+    FROM labeled l JOIN csizes s USING (canonical_id)
+    ORDER BY l.doc_id
+    """,
+    doc="Leakage-safe train/test split: near-dup clusters (connected "
+    "components over the Jaccard pair graph) are assigned to a split as a "
+    "UNIT by hashing the cluster's canonical id — a near-duplicate of a "
+    "test document can never land in train, the contamination mode a "
+    "per-document hash split cannot prevent. Composes dedup_clusters with "
+    "the deterministic md5 split (operators/sampling.py).",
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import train_test_split
+
+    docs = load(spark, sf_dir, "documents")
+    clusters = D.dedup_clusters(docs, "doc_id", "text", SHINGLE_N, JACCARD_THRESHOLD)
+    return train_test_split(
+        clusters, "canonical_id", SPLIT_TEST_FRAC, salt="split"
+    ).orderBy("doc_id")

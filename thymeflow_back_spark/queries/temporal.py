@@ -584,3 +584,57 @@ def q_rolling_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts_us", "event_id")
     )
+
+
+# --- Q: robust outlier gate (exact grouped median / MAD) -----------------------
+
+MAD_Z = 3.0
+
+
+@query(
+    "q_outlier_mad",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ),
+    med AS (SELECT event_type, value AS median FROM r WHERE rn = (n + 1) // 2),
+    d AS (
+      SELECT e.event_type, e.event_id, m.median,
+             ABS(e.value - m.median) AS adev
+      FROM e JOIN med m USING (event_type)
+    ),
+    r2 AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn2,
+             COUNT(*) OVER (PARTITION BY event_type) AS n2
+      FROM d
+    ),
+    mad AS (SELECT event_type, adev AS mad FROM r2 WHERE rn2 = (n2 + 1) // 2)
+    SELECT event_type,
+           COUNT(*) AS n,
+           MAX(d.median) AS median,
+           MAX(mad.mad) AS mad,
+           COUNT(*) FILTER (d.adev > {MAD_Z} * mad.mad) AS n_outliers
+    FROM d JOIN mad USING (event_type)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Robust per-group outlier report: exact lower median and MAD of "
+    "event values, outlier = |v - median| > 3*MAD. The grouped ranks come "
+    "from the two-phase distributed prefix sum, NOT a per-group window "
+    "sort — five event types over 100 TB would otherwise each sort on one "
+    "task (operators/robust.py).",
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robust import mad_outlier_stats
+
+    events = load(spark, sf_dir, "events")
+    return mad_outlier_stats(
+        events, "event_type", "value", "event_id", z=MAD_Z
+    ).orderBy("event_type")

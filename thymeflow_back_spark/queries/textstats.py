@@ -231,3 +231,89 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return T.repetition_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# --- Q: exact heavy hitters (two-pass Misra-Gries) -----------------------------
+
+HH_K = 40  # heavy hitter = token with count > N/40 (share > 2.5%)
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    cnts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token)
+    SELECT token, cnt, CAST(cnt AS DOUBLE) / n AS share
+    FROM cnts, tot
+    WHERE cnt * {HH_K} > n
+    ORDER BY cnt DESC, token
+    """,
+    doc="Exact corpus heavy hitters (tokens with frequency share > 1/k): "
+    "per-partition Misra-Gries candidate summaries (O(k) memory, no "
+    "shuffle) + broadcast-joined exact recount — never shuffles the "
+    "vocabulary, and the MG superset guarantee makes the final answer a "
+    "pure function of the data (operators/heavyhitters.py).",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavyhitters import heavy_hitters
+
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(T.toks_col("text")).alias("token"))
+    return heavy_hitters(tokens, "token", HH_K).orderBy(F.desc("cnt"), "token")
+
+
+# --- Q: per-document TF-IDF keyphrases -----------------------------------------
+
+KW_TOP_K = 3
+KW_MAX_DF_NUM = 3  # keyphrase document frequency must be <= 3/10 of corpus
+KW_MAX_DF_DEN = 10
+
+
+@query(
+    "q_tfidf_keywords",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS term
+      FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf * n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (term), nd
+      WHERE df.df * {KW_MAX_DF_DEN} <= n_docs * {KW_MAX_DF_NUM}
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term
+      ) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, rnk
+    FROM ranked WHERE rnk <= {KW_TOP_K}
+    ORDER BY doc_id, rnk
+    """,
+    doc="Top-3 bigram keyphrases per document by exact-arithmetic TF-DF "
+    "salience (raw N/df instead of log-idf so the ranking is bit-stable "
+    "cross-engine); corpus-boilerplate terms above a df ceiling are "
+    "dropped BEFORE the term join, bounding join skew by construction "
+    "(operators/keywords.py).",
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.keywords import tfidf_keywords
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_keywords(
+        docs, "doc_id", "text", w=2, top_k=KW_TOP_K,
+        max_df_num=KW_MAX_DF_NUM, max_df_den=KW_MAX_DF_DEN,
+    ).orderBy("doc_id", "rnk")
