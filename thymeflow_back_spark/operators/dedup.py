@@ -747,3 +747,57 @@ def scrub_repeated_spans(
             F.expr("size(filter(__all, s -> s.__boiler))").alias("n_removed"),
         )
     )
+
+
+def containment_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Directional shingle-CONTAINMENT join: (src_id, dst_id, n_common,
+    containment) where containment = |sh(src) ∩ sh(dst)| / |sh(src)|.
+
+    Jaccard misses the quote/excerpt case: a paragraph lifted into a much
+    longer document scores near zero symmetric similarity while being a
+    100% copy of the shorter side. Containment normalizes by the SOURCE
+    set only, so "src is mostly contained in dst" fires regardless of the
+    length ratio — the duplication mode behind quote detection, page
+    templating, and excerpt-level training-set contamination.
+
+    Plan shape is the sanctioned blocked similarity join
+    (jaccard_near_dups): one shingle-keyed exchange reused by both
+    self-join sides, pair counts with min-carried set sizes, and BOTH
+    orientations derived from the single a_id < b_id intersection table —
+    the asymmetric measure costs no second join.
+    """
+    docs_sh = doc_shingles(df, id_col, text_col, n).withColumn("n_sh", F.size("sh"))
+    ex = docs_sh.selectExpr(id_col, "n_sh", "explode(sh) as shingle").repartition(
+        F.col("shingle")
+    )
+    a = ex.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("a_n"), "shingle")
+    b = ex.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("b_n"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min("a_n").alias("a_n"),
+            F.min("b_n").alias("b_n"),
+        )
+    )
+    fwd = inter.select(
+        F.col("a_id").alias("src_id"),
+        F.col("b_id").alias("dst_id"),
+        "n_common",
+        (F.col("n_common") / F.col("a_n")).alias("containment"),
+    )
+    rev = inter.select(
+        F.col("b_id").alias("src_id"),
+        F.col("a_id").alias("dst_id"),
+        "n_common",
+        (F.col("n_common") / F.col("b_n")).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

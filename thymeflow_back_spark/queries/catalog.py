@@ -53,6 +53,7 @@ _DRIVER_PRIORITY = [
     "q_tfidf_keywords",
     "q_split_leakage_safe",
     "q_outlier_mad",
+    "q_containment_join",
     "q_quantile_sketch",
     "q_similarity_sq8",
     "q_similarity_pq",

@@ -361,3 +361,44 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_test_split(
         clusters, "canonical_id", SPLIT_TEST_FRAC, salt="split"
     ).orderBy("doc_id")
+
+
+# --- Q: directional containment (quote / excerpt detection) --------------------
+
+CONTAIN_T = 0.6
+
+
+@query(
+    "q_containment_join",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dir AS (
+      SELECT a_id AS src_id, b_id AS dst_id, n_common,
+             CAST(n_common AS DOUBLE) / sa.n_sh AS containment
+      FROM inter JOIN sizes sa ON sa.doc_id = a_id
+      UNION ALL
+      SELECT b_id AS src_id, a_id AS dst_id, n_common,
+             CAST(n_common AS DOUBLE) / sb.n_sh AS containment
+      FROM inter JOIN sizes sb ON sb.doc_id = b_id
+    )
+    SELECT src_id, dst_id, n_common, containment
+    FROM dir WHERE containment >= {CONTAIN_T}
+    ORDER BY src_id, dst_id
+    """,
+    doc="Directional shingle-containment join (|src ∩ dst| / |src|): the "
+    "quote/excerpt duplication mode symmetric Jaccard misses — a short "
+    "document fully lifted into a long one. Both orientations derive from "
+    "ONE blocked intersection pass (operators/dedup.py).",
+)
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.containment_near_dups(
+        docs, "doc_id", "text", SHINGLE_N, CONTAIN_T
+    ).orderBy("src_id", "dst_id")
