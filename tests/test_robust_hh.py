@@ -160,3 +160,32 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     # at least one real (size > 1) cluster exists in the fixture data,
     # otherwise the property is vacuous
     assert any(r["cluster_size"] > 1 for r in out)
+
+
+def test_grouped_rank_consistent_on_imbalanced_cached_input(spark):
+    """Regression: RangePartitioner re-samples 'imbalanced' input
+    partitions with an RDD-id-derived seed, so two executions of the same
+    range exchange can draw different boundaries — the offset pass then
+    describes a different partitioning than the rank pass and ranks stop
+    being a bijection. A single fat cached partition forces the re-sample
+    path; distributed_prefix_sum must pin ONE boundary draw (persist)."""
+    df = (
+        spark.range(12_000)
+        .select(
+            (F.col("id") % 5).cast("string").alias("g"),
+            F.col("id").alias("i"),
+            ((F.col("id") * 48271) % 99991).alias("v"),
+        )
+        .coalesce(1)
+        .persist()
+    )
+    df.count()  # materialize the one fat cached partition
+    try:
+        got = grouped_rank(df, "g", ["v", "i"], rank_col="rn", n_col="n")
+        w = Window.partitionBy("g").orderBy("v", "i")
+        want = df.withColumn("rn", F.row_number().over(w))
+        a = {(r["g"], r["i"], r["rn"]) for r in got.select("g", "i", "rn").collect()}
+        b = {(r["g"], r["i"], r["rn"]) for r in want.select("g", "i", "rn").collect()}
+        assert a == b
+    finally:
+        df.unpersist()

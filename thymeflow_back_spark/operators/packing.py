@@ -47,10 +47,22 @@ def distributed_prefix_sum(
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # PERSIST is load-bearing, not a speedup: the per-partition pass and the
+    # offset pass both consume `parted`, and without pinning it each runs
+    # its own range exchange. RangePartitioner re-samples "imbalanced"
+    # input partitions with a seed derived from the RDD id — a global
+    # counter — so two executions can draw DIFFERENT range boundaries, and
+    # the offsets then describe a different partitioning than the local
+    # ranks (observed: non-bijective ranks on a single-partition cached
+    # input). Materializing the shuffled relation once freezes one
+    # boundary draw and one __pid assignment for every consumer; the final
+    # prefix values depend only on the global key order, so the OUTPUT is
+    # deterministic even though the partition split is not.
     parted = (
         df.withColumn("__v", value)
         .repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     run = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, 0

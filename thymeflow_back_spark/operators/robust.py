@@ -101,13 +101,24 @@ def mad_outlier_stats(
 
     The two median passes each cost one range shuffle; the join back is a
     broadcast of the #groups-row stats relations. |x-m| and z*MAD are
-    single IEEE operations — bit-stable cross-engine."""
-    e = df.select(group_col, id_col, value_col).filter(F.col(value_col).isNotNull())
+    single IEEE operations — bit-stable cross-engine.
+
+    The filtered input and the deviation relation are persisted: each
+    feeds BOTH a ranking pass and a join-back, and without pinning them
+    Spark re-derives the whole upstream subtree per consumer — the plan
+    audit showed 16 source scans for what is logically one read."""
+    e = (
+        df.select(group_col, id_col, value_col)
+        .filter(F.col(value_col).isNotNull())
+        .persist()
+    )
     med = grouped_lower_median(
         e, group_col, value_col, id_col, out_col="median", n_col="n"
     )
-    d = e.join(F.broadcast(med), group_col).withColumn(
-        "adev", F.abs(F.col(value_col) - F.col("median"))
+    d = (
+        e.join(F.broadcast(med), group_col)
+        .withColumn("adev", F.abs(F.col(value_col) - F.col("median")))
+        .persist()
     )
     mad = grouped_lower_median(
         d.select(group_col, id_col, "adev"),

@@ -42,8 +42,7 @@ _OPS = (
     "ArrowEvalPython",
     "BatchEvalPython",
     "MapInPandas",
-    "FileScan parquet",
-    "WholeStageCodegen",
+    "Scan parquet",
 )
 
 
@@ -51,34 +50,65 @@ def _plan_str(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _counts(plan: str) -> Counter:
+def _walk_plan(jnode, seen_caches: set, out: list) -> None:
+    """Collect (nodeName, jnode) over the physical-plan TREE.
+
+    String-counting the printed plan overstates cost for queries that
+    persist a shared intermediate: every InMemoryTableScan reference
+    re-prints the cache's entire build plan, so one parquet read showed
+    up as 16 scans. Walking the actual tree lets us descend into each
+    distinct cache's build plan exactly ONCE (keyed by its CachedRDDBuilder
+    identity — the object shared by every reference), matching what
+    executes. AQE roots are entered via initialPlan (shape-identical to
+    what AQE starts from); reused exchanges are counted but not descended."""
+    cls = jnode.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        _walk_plan(jnode.initialPlan(), seen_caches, out)
+        return
+    out.append((jnode.nodeName(), jnode))
+    if cls == "InMemoryTableScanExec":
+        key = jnode.relation().cacheBuilder().hashCode()
+        if key not in seen_caches:
+            seen_caches.add(key)
+            _walk_plan(jnode.relation().cacheBuilder().cachedPlan(), seen_caches, out)
+        return
+    if cls == "ReusedExchangeExec":
+        return
+    ch = jnode.children()
+    for i in range(ch.length()):
+        _walk_plan(ch.apply(i), seen_caches, out)
+
+
+def _tree_nodes(df) -> list:
+    out: list = []
+    _walk_plan(df._jdf.queryExecution().executedPlan(), set(), out)
+    return out
+
+
+def _counts(nodes: list) -> Counter:
     c: Counter = Counter()
-    for ln in plan.splitlines():
-        seen = set()
+    for name, _ in nodes:
         for op in _OPS:
-            if op in ln and op not in seen:
-                # "Exchange" would double-count under AQE's reused exchanges
-                if op == "Exchange" and "ReusedExchange" in ln:
-                    continue
+            if name.startswith(op):
+                # plain "Exchange" is the shuffle; BroadcastExchange is
+                # counted under its own name and folded into "Exchange"
+                # in the table only if callers ask — keep them separate
                 c[op] += 1
-                seen.add(op)
-        if "ReusedExchange" in ln:
+                break
+        if name.startswith("ReusedExchange"):
             c["ReusedExchange"] += 1
-    # WholeStageCodegen prints as "*(n)" prefixes, one per span id
-    spans = set(re.findall(r"\*\((\d+)\)", plan))
-    c["WholeStageCodegen"] = len(spans)
     return c
 
 
-def _scan_lines(plan: str) -> list[str]:
+def _scan_lines(nodes: list) -> list[str]:
     out = []
-    for ln in plan.splitlines():
-        if "FileScan parquet" not in ln:
+    for name, jnode in nodes:
+        if not name.startswith("Scan parquet"):
             continue
-        table = re.search(r"/(\w+)\.parquet", ln)
-        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", ln)
-        schema = re.search(r"ReadSchema: struct<([^>]*)", ln)
-        cols = (schema.group(1).count(":")) if schema else 0
+        s = jnode.simpleString(1000)
+        table = re.search(r"/(\w+)\.parquet", s)
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", s)
+        cols = jnode.output().length()
         out.append(
             f"{table.group(1) if table else '?'}: {cols} cols"
             + (f", filters [{pushed.group(1)[:120]}]" if pushed and pushed.group(1) else "")
@@ -103,11 +133,12 @@ def main() -> None:
         try:
             df = q.spark(spark, SF)
             plan = _plan_str(df)
+            nodes = _tree_nodes(df)
         except Exception as exc:  # noqa: BLE001 — audit must list, not die
             rows.append((name, None, f"ERROR: {exc}"))
             continue
-        c = _counts(plan)
-        rows.append((name, c, "; ".join(_scan_lines(plan))))
+        c = _counts(nodes)
+        rows.append((name, c, "; ".join(_scan_lines(nodes))))
         if q.bench or len(sys.argv) > 1:
             details.append((name, q.doc, _shorten(plan)))
 
@@ -121,7 +152,11 @@ def main() -> None:
             "# PLANS — physical-plan audit of the catalog\n\n"
             "Generated by `python tools/plan_audit.py` (sf0.001 plans; the plan\n"
             "SHAPE is scale-invariant — AQE may re-plan sort-merge to broadcast\n"
-            "at runtime, never the reverse blow-up). Columns: shuffle exchanges,\n"
+            "at runtime, never the reverse blow-up). Counts come from a walk of\n"
+            "the physical-plan TREE that enters each persisted relation's build\n"
+            "plan exactly once — the printed plan repeats a cache's subtree at\n"
+            "every reference, which overstated scans/exchanges for queries that\n"
+            "pin a shared intermediate. Columns: shuffle exchanges,\n"
             "join strategies, aggregate operators, Python boundaries,\n"
             "and what each parquet scan actually reads (pruned column\n"
             "count + pushed filters). Whole-stage-codegen spans are omitted:\n"
