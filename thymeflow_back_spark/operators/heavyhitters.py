@@ -15,7 +15,9 @@ Summaries", PODS 2012):
           any item with GLOBAL count > N/k survives in at least one
           partition (if it were evicted everywhere its total would be
           <= sum_p N_p/(k+1) = N/(k+1) < N/k). Survivors are the
-          candidate set: at most k rows per partition.
+          candidate set: at most k rows per partition. The same pass also
+          emits one sentinel row carrying the partition's row count, so
+          the stream total costs no extra scan.
   pass 2  exact recount of candidates only — the token stream inner-joins
           the BROADCAST candidate set (<= k x #partitions entries), so
           map-side partial aggregation shrinks each task's output to the
@@ -30,7 +32,12 @@ oracle hash-match the two-pass plan.
 
 Pass 1 is a Python stage, but Arrow-batched (mapInPandas) with the
 per-batch counting vectorized through pandas value_counts; the decrement
-loop touches at most k + batch-distinct counters per batch.
+loop touches at most k + batch-distinct counters per batch. Its tiny
+output (<= k+1 rows per partition) is persisted so the candidate and
+total consumers never re-run the scan.
+
+Input contract: the token column is non-null (NULL is reserved for the
+sentinel rows).
 """
 
 from __future__ import annotations
@@ -45,11 +52,14 @@ from .skew import spread_small_input
 
 
 def _mg_partition(col: str, k: int):
-    """Per-partition Misra-Gries summary, yielding the surviving keys."""
+    """Per-partition Misra-Gries summary: surviving keys plus one
+    NULL-keyed sentinel row carrying the partition row count."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
+        seen = 0
         for pdf in batches:
+            seen += len(pdf)
             for tok, c in pdf[col].value_counts().items():
                 counters[tok] = counters.get(tok, 0) + int(c)
             if len(counters) > k:
@@ -59,29 +69,46 @@ def _mg_partition(col: str, k: int):
                 # reduction is bounded by what the dropped mass absorbed.
                 cut = sorted(counters.values(), reverse=True)[k]
                 counters = {t: c - cut for t, c in counters.items() if c > cut}
-        yield pd.DataFrame({col: sorted(counters)})
+        keys = sorted(counters)
+        yield pd.DataFrame(
+            {
+                col: pd.Series(keys + [None], dtype=object),
+                "__part_n": pd.Series([0] * len(keys) + [seen], dtype="int64"),
+            }
+        )
 
     return gen
 
 
-def mg_candidates(tokens: DataFrame, col: str, k: int) -> DataFrame:
-    """Pass 1: the per-partition Misra-Gries candidate keys (<= k each)."""
+def mg_summary(tokens: DataFrame, col: str, k: int) -> DataFrame:
+    """Pass 1 output: (col, __part_n) — candidate keys (<= k per
+    partition, __part_n = 0) plus one NULL-keyed sentinel per partition
+    with its row count."""
     field = tokens.schema[col]
     return tokens.select(col).mapInPandas(
-        _mg_partition(col, k), schema=f"{field.name} {field.dataType.simpleString()}"
+        _mg_partition(col, k),
+        schema=f"{field.name} {field.dataType.simpleString()}, __part_n bigint",
     )
+
+
+def mg_candidates(tokens: DataFrame, col: str, k: int) -> DataFrame:
+    """The per-partition Misra-Gries candidate keys (<= k each)."""
+    return mg_summary(tokens, col, k).filter(F.col(col).isNotNull()).select(col)
 
 
 def heavy_hitters(tokens: DataFrame, col: str, k: int) -> DataFrame:
     """All items of `tokens[col]` with count > N/k: (col, cnt, share).
 
     Exact (not estimated) counts and exact recall — see module docstring.
-    Three scans of the token stream (candidates, total, recount), zero
+    Two scans of the token stream (MG summary, recount), zero
     vocabulary-sized shuffles.
     """
     tokens = spread_small_input(tokens.select(col))
-    cands = mg_candidates(tokens, col, k).distinct()
-    total = tokens.agg(F.count(col).alias("__n"))
+    # the summary is <= (k+1) x #partitions rows; persist so the candidate
+    # and total consumers read one materialized pass over the stream
+    summary = mg_summary(tokens, col, k).persist()
+    cands = summary.filter(F.col(col).isNotNull()).select(col).distinct()
+    total = summary.agg(F.sum("__part_n").alias("__n"))
     counts = (
         tokens.join(F.broadcast(cands), col)
         .groupBy(col)
