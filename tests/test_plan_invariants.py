@@ -68,6 +68,7 @@ GLOBAL_WINDOW_OK = {
     # grouped_rank (operators/robust.py): the prefix-sum offset pass
     # (#partitions rows) plus the group-start pass (#groups rows)
     "q_outlier_mad",
+    "q_value_percentiles",
 }
 
 _PLAN_CACHE: dict[str, str] = {}

@@ -414,20 +414,23 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type ORDER BY event_type
     """,
     doc="Exact per-group percentiles by rank selection (value at row "
-    "ceil(p*n) in a totally-ordered window) — engine-agnostic semantics "
-    "where builtin percentile functions disagree on interpolation; the "
-    "window sort is per-group, never global.",
+    "ceil(p*n) in the group's total order) — engine-agnostic semantics "
+    "where builtin percentile functions disagree on interpolation. Ranks "
+    "come from the two-phase distributed prefix sum (operators/robust.py), "
+    "NOT a per-group window sort: five event types over 100 TB would "
+    "otherwise each sort 20 TB on one task.",
 )
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robust import grouped_rank
+
     events = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
-    wn = Window.partitionBy("event_type")
-    ranked = events.select(
+    ranked = grouped_rank(
+        events.select("event_type", "event_id", "value"),
         "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
-    )
+        ["value", "event_id"],
+        rank_col="rn",
+        n_col="n",
+    ).select("event_type", "value", "rn", "n")
 
     def pick(p: float):
         return F.max(
