@@ -189,3 +189,38 @@ def test_grouped_rank_consistent_on_imbalanced_cached_input(spark):
         assert a == b
     finally:
         df.unpersist()
+
+
+def test_grouped_heavy_hitters_exact_per_group(spark):
+    """Each group's recall must be exact even though one group's tail
+    vocabulary forces evictions while another group is tiny."""
+    from thymeflow_back_spark.operators.heavyhitters import grouped_heavy_hitters
+
+    k = 20
+    half = 10_000
+    df = (
+        spark.range(2 * half)
+        .select(
+            F.when(F.col("id") % 2 == 0, F.lit("g0")).otherwise(F.lit("g1")).alias("g"),
+            F.when(
+                (F.col("id") % 2 == 0) & (F.col("id") < half),
+                F.concat(F.lit("hot"), (F.col("id") % 3).cast("string")),
+            )
+            .when(F.col("id") % 2 == 0, F.concat(F.lit("tail"), F.col("id").cast("string")))
+            .otherwise(F.concat(F.lit("t"), (F.col("id") % 7).cast("string")))
+            .alias("token"),
+        )
+        .repartition(16)
+    )
+    got = {
+        (r["g"], r["token"], r["cnt"])
+        for r in grouped_heavy_hitters(df, "g", "token", k).collect()
+    }
+    totals = {r["g"]: r["n"] for r in df.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    exact = {
+        (r["g"], r["token"], r["cnt"])
+        for r in df.groupBy("g", "token").agg(F.count("*").alias("cnt")).collect()
+        if r["cnt"] * k > totals[r["g"]]
+    }
+    assert got == exact
+    assert len({g for g, _, _ in exact}) == 2  # both groups contribute

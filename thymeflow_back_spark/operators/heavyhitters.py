@@ -123,3 +123,83 @@ def heavy_hitters(tokens: DataFrame, col: str, k: int) -> DataFrame:
             (F.col("cnt").cast("double") / F.col("__n")).alias("share"),
         )
     )
+
+
+def _mg_grouped_partition(group_col: str, col: str, k: int):
+    """Per-(partition, group) Misra-Gries summaries + per-group sentinel
+    row counts. Memory O(k x groups-per-partition)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, dict[str, int]] = {}
+        seen: dict[str, int] = {}
+        for pdf in batches:
+            for (g, tok), c in pdf.groupby([group_col, col]).size().items():
+                d = counters.setdefault(g, {})
+                d[tok] = d.get(tok, 0) + int(c)
+                seen[g] = seen.get(g, 0) + int(c)
+            for g, d in counters.items():
+                if len(d) > k:
+                    cut = sorted(d.values(), reverse=True)[k]
+                    counters[g] = {t: c - cut for t, c in d.items() if c > cut}
+        gs, toks, ns = [], [], []
+        for g in sorted(counters):
+            for t in sorted(counters[g]):
+                gs.append(g)
+                toks.append(t)
+                ns.append(0)
+        for g in sorted(seen):
+            gs.append(g)
+            toks.append(None)
+            ns.append(seen[g])
+        yield pd.DataFrame(
+            {
+                group_col: pd.Series(gs, dtype=object),
+                col: pd.Series(toks, dtype=object),
+                "__part_n": pd.Series(ns, dtype="int64"),
+            }
+        )
+
+    return gen
+
+
+def grouped_heavy_hitters(
+    df: DataFrame, group_col: str, col: str, k: int
+) -> DataFrame:
+    """Per-group exact heavy hitters: (group, col, cnt, share) for items
+    with count > N_group/k — "which tokens dominate WITHIN each language /
+    domain / source", the per-stratum boilerplate detector.
+
+    The Misra-Gries theorem holds group-wise (each group's counters see
+    only that group's stream), so recall stays exact per group; the
+    recount joins the broadcast (group, item) candidate set and the final
+    threshold uses each group's own sentinel-summed total. Same two-scan
+    budget as :func:`heavy_hitters`, zero vocabulary-sized shuffles."""
+    tokens = spread_small_input(df.select(group_col, col))
+    field = tokens.schema[col]
+    gfield = tokens.schema[group_col]
+    summary = tokens.mapInPandas(
+        _mg_grouped_partition(group_col, col, k),
+        schema=(
+            f"{gfield.name} {gfield.dataType.simpleString()}, "
+            f"{field.name} {field.dataType.simpleString()}, __part_n bigint"
+        ),
+    ).persist()
+    cands = (
+        summary.filter(F.col(col).isNotNull()).select(group_col, col).distinct()
+    )
+    totals = summary.groupBy(group_col).agg(F.sum("__part_n").alias("__n"))
+    counts = (
+        tokens.join(F.broadcast(cands), [group_col, col])
+        .groupBy(group_col, col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.join(F.broadcast(totals), group_col)
+        .filter(F.col("cnt") * F.lit(k) > F.col("__n"))
+        .select(
+            group_col,
+            col,
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("__n")).alias("share"),
+        )
+    )

@@ -317,3 +317,37 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", w=2, top_k=KW_TOP_K,
         max_df_num=KW_MAX_DF_NUM, max_df_den=KW_MAX_DF_DEN,
     ).orderBy("doc_id", "rnk")
+
+
+# --- Q: per-language heavy hitters ---------------------------------------------
+
+
+@query(
+    "q_heavy_hitters_by_lang",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents
+    ),
+    tot AS (SELECT lang, COUNT(*) AS n FROM toks GROUP BY lang),
+    cnts AS (SELECT lang, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2)
+    SELECT c.lang, c.token, c.cnt, CAST(c.cnt AS DOUBLE) / t.n AS share
+    FROM cnts c JOIN tot t USING (lang)
+    WHERE c.cnt * {HH_K} > t.n
+    ORDER BY c.lang, c.cnt DESC, c.token
+    """,
+    doc="Per-language exact heavy hitters (token share > 1/k WITHIN each "
+    "language) — the per-stratum boilerplate/stop-list detector. Misra-"
+    "Gries candidate summaries hold group-wise, so recall is exact per "
+    "group with the same two-scan budget and no vocabulary-sized shuffle "
+    "(operators/heavyhitters.py).",
+)
+def q_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavyhitters import grouped_heavy_hitters
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(T.toks_col("text")).alias("token"))
+    return grouped_heavy_hitters(toks, "lang", "token", HH_K).orderBy(
+        "lang", F.desc("cnt"), "token"
+    )
