@@ -290,11 +290,15 @@ def prefix_filtered_near_dups(
     w = Window.partitionBy(id_col).orderBy("df", "shingle")
     # ceil(t·n) = (tn·n + td - 1) div td — bigint `div`, no rounding
     ceil_tn = F.expr(f"(CAST({tn} AS BIGINT) * n_sh + {td - 1}) div {td}")
+    # anchor ONE shingle-keyed exchange for both self-join sides (same
+    # canonical subplan -> ReusedExchange), so the df join + rank window
+    # run once rather than per side
     prefix = (
         ex.join(dfreq, "shingle")
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= F.col("n_sh") - ceil_tn + 1)
         .select(id_col, "n_sh", "shingle")
+        .repartition(F.col("shingle"))
     )
     a = prefix.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("a_n"), "shingle")
     b = prefix.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("b_n"), "shingle")
@@ -536,19 +540,21 @@ def simhash_pairs(fps: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
         raise ValueError("max_hamming must be < SIMHASH_BANDS for exact recall")
     width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << width) - 1
-    chunks = []
-    for band in range(SIMHASH_BANDS):
-        chunks.append(
-            fps.select(
-                F.col(id_col),
-                F.col("fp"),
-                F.lit(band).alias("band"),
-                F.shiftright(F.col("fp"), band * width).bitwiseAND(mask).alias("bkey"),
-            )
-        )
-    exploded = chunks[0]
-    for c in chunks[1:]:
-        exploded = exploded.unionByName(c)
+    # band rows via ONE map-side explode — a per-band union would make the
+    # fingerprint aggregation an N-band-consumer subtree and recompute it
+    # per band; the explicit repartition on the join key gives both
+    # self-join sides the same canonical exchange (ReusedExchange), so the
+    # fingerprints materialize exactly once
+    exploded = fps.select(
+        F.col(id_col),
+        F.col("fp"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
+    ).selectExpr(
+        id_col,
+        "fp",
+        "band",
+        f"shiftright(fp, band * {width}) & {mask} as bkey",
+    ).repartition(F.col("band"), F.col("bkey"))
     a = exploded.select(F.col(id_col).alias("a_id"), F.col("fp").alias("a_fp"), "band", "bkey")
     b = exploded.select(F.col(id_col).alias("b_id"), F.col("fp").alias("b_fp"), "band", "bkey")
     return (
@@ -788,16 +794,28 @@ def containment_near_dups(
             F.min("b_n").alias("b_n"),
         )
     )
-    fwd = inter.select(
-        F.col("a_id").alias("src_id"),
-        F.col("b_id").alias("dst_id"),
-        "n_common",
-        (F.col("n_common") / F.col("a_n")).alias("containment"),
+    # both orientations via a map-side explode of ONE intersection row —
+    # a union of two selects would make `inter` a two-consumer subtree and
+    # re-execute the whole blocked join per orientation
+    return (
+        inter.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a_id").alias("src_id"),
+                        F.col("b_id").alias("dst_id"),
+                        F.col("n_common").alias("n_common"),
+                        (F.col("n_common") / F.col("a_n")).alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("b_id").alias("src_id"),
+                        F.col("a_id").alias("dst_id"),
+                        F.col("n_common").alias("n_common"),
+                        (F.col("n_common") / F.col("b_n")).alias("containment"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .filter(F.col("containment") >= threshold)
     )
-    rev = inter.select(
-        F.col("b_id").alias("src_id"),
-        F.col("a_id").alias("dst_id"),
-        "n_common",
-        (F.col("n_common") / F.col("b_n")).alias("containment"),
-    )
-    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

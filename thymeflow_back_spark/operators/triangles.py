@@ -81,7 +81,10 @@ def triangles(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     share one lineage and the exchange-reuse dedup is guaranteed rather
     than left to plan canonicalization."""
     deg = vertex_degrees(edges) if deg is None else deg
-    o = _oriented(edges, deg)
+    # the oriented edge list feeds the two wedge sides AND the closing
+    # join; pin it so those three consumers read one materialization
+    # instead of re-running the degree joins per consumer
+    o = _oriented(edges, deg).persist()
     w1 = o.select(F.col("src"), F.col("dst").alias("x"), F.col("ddst").alias("dx"))
     w2 = o.select(F.col("src"), F.col("dst").alias("y"), F.col("ddst").alias("dy"))
     wedges = w1.join(w2, "src").filter(
@@ -101,12 +104,14 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     one IEEE double division, so the value is bit-reproducible on any
     engine. Degree-1 vertices get 0.0 (no possible wedge).
     """
-    deg = vertex_degrees(edges)
+    edges = edges.persist()  # consumed by the degree agg AND orientation
+    deg = vertex_degrees(edges).persist()  # du/dv attach + final join-back
     tri = triangles(edges, deg)
+    # one map-side explode instead of a three-way union — a union would
+    # make `tri` a three-consumer subtree and re-run the wedge join per
+    # triangle corner
     per_vertex = (
-        tri.select(F.col("a").alias("id"))
-        .unionByName(tri.select(F.col("b").alias("id")))
-        .unionByName(tri.select(F.col("c").alias("id")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )

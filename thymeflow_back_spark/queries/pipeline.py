@@ -1647,17 +1647,24 @@ def q_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bpe_token_estimate, quality_filter
 
     docs = load(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "text", bpe_token_estimate("text").alias("est"))
+    # every funnel stage is consumed twice (its own survivor count + the
+    # next stage's input) and exact_kept three times (count, near-dup
+    # pairs, final anti-join) — persist them so each stage computes once;
+    # at scale this is the standard materialize-between-stages trade of a
+    # curation pipeline, not a local-mode hack
+    base = docs.select(
+        "doc_id", "text", bpe_token_estimate("text").alias("est")
+    ).persist()
     keep_ids = (
         quality_filter(docs, "doc_id", "text").filter("keep").select("doc_id")
     )
-    kept = base.join(keep_ids, "doc_id")
+    kept = base.join(keep_ids, "doc_id").persist()
     canon_ids = (
         kept.groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    exact_kept = kept.join(canon_ids, "doc_id")
+    exact_kept = kept.join(canon_ids, "doc_id").persist()
     pairs = D.minhash_near_dups(
         exact_kept.select("doc_id", "text"), "doc_id", "text", SHINGLE_N, JACCARD_THRESHOLD
     )
