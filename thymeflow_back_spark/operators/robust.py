@@ -45,7 +45,9 @@ def grouped_rank(
 ) -> DataFrame:
     """Per-group 1-based row numbers in `order_cols` order, plus the group
     size — without a per-group single-task sort. (group_col, *order_cols)
-    must be globally unique (same contract as distributed_prefix_sum)."""
+    must be globally unique (same contract as distributed_prefix_sum), and
+    group_col must be non-null (the offsets join-back is null-rejecting —
+    filter or coalesce NULL groups first)."""
     ranked = distributed_prefix_sum(
         df, [group_col, *order_cols], F.lit(1).cast("bigint"), out_col="__grk"
     )
