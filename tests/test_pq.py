@@ -79,3 +79,33 @@ def test_pq_encode_and_adc_match_reference(spark):
         for rank, (d, vid) in enumerate(dists[:topk], 1):
             ref[(q, rank)] = (vid, d)
     assert {(r.q_id, r.rank): (r.vec_id, r.adc_dist) for r in got} == ref
+
+
+def test_pq_rerank_recovers_exact_quality(spark):
+    """Rerank invariants on the fixture embeddings: every rerank hit comes
+    from the ADC shortlist, and exact-cosine recall@k of the reranked
+    top-k is at least the ADC-only top-k's (deterministic data, so this
+    is a fixed property, not a statistical one)."""
+    from pyspark.sql import functions as F
+
+    from thymeflow_back_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_rerank_topk,
+    )
+    from thymeflow_back_spark.operators.similarity import cosine_topk
+    from thymeflow_back_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    books = pq_codebooks(emb, "vec_id", "embedding", m=4, k=16, iterations=1)
+    queries = emb.filter(F.col("vec_id") < 4)
+    k, short = 5, 20
+    adc = {(r["q_id"], r["vec_id"]) for r in pq_adc_topk(emb, queries, "vec_id", "embedding", books, k).collect()}
+    shortlist = {(r["q_id"], r["vec_id"]) for r in pq_adc_topk(emb, queries, "vec_id", "embedding", books, short).collect()}
+    rr = {(r["q_id"], r["vec_id"]) for r in pq_rerank_topk(emb, queries, "vec_id", "embedding", books, short, k).collect()}
+    assert rr <= shortlist
+    probes = queries.select("vec_id", F.col("embedding").alias("emb"))
+    corpus = emb.select("vec_id", F.col("embedding").alias("emb"))
+    exact = {(r["q_id"], r["c_id"]) for r in cosine_topk(corpus, probes, "vec_id", "emb", k).collect()}
+    assert len(rr & exact) >= len(adc & exact)

@@ -312,3 +312,48 @@ def pq_adc_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k_results)
     )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: list[list[list[float]]],
+    shortlist: int,
+    k_results: int,
+) -> DataFrame:
+    """ADC shortlist + EXACT rerank: (q_id, vec_id, score, rank).
+
+    The standard serving pattern for quantized indexes (Jégou et al. 2011
+    §IV): the compressed codes produce a cheap shortlist of `shortlist`
+    candidates per query, then only those rows read their raw vectors for
+    an exact cosine, recovering near-exact quality at ADC cost. Scale
+    shape: the rerank side is queries×shortlist rows — BROADCAST against
+    the corpus, so raw 100 TB vectors are touched by one streaming scan
+    and only shortlisted rows do a d-dim dot."""
+    from .similarity import dot, norm
+
+    short = pq_adc_topk(corpus, queries, id_col, vec_col, books, shortlist).select(
+        "q_id", "vec_id"
+    )
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), as_double_array(F.col(vec_col)).alias("q_vec")
+    )
+    pairs = short.join(F.broadcast(qv), "q_id")
+    cv = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double_array(F.col(vec_col)).alias("c_vec")
+    )
+    ex = cv.join(F.broadcast(pairs), "vec_id").select(
+        "q_id",
+        "vec_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (norm(F.col("q_vec")) * norm(F.col("c_vec"))),
+            SCORE_DECIMALS,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return ex.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k_results
+    )

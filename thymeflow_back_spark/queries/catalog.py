@@ -55,6 +55,7 @@ _DRIVER_PRIORITY = [
     "q_outlier_mad",
     "q_containment_join",
     "q_heavy_hitters_by_lang",
+    "q_similarity_pq_rerank",
     "q_quantile_sketch",
     "q_similarity_sq8",
     "q_similarity_pq",

@@ -451,9 +451,10 @@ PQ_QUERIES = 8
 PQ_TOPK = 5
 
 
-@query(
-    "q_similarity_pq",
-    oracle=f"""
+# Shared PQ pipeline CTEs (seeding, per-subspace Lloyd, encoding, ADC
+# table, ordered fold) — reused by q_similarity_pq and the rerank query
+# so both oracles replay the identical quantizer.
+_PQ_ADC_CTES = f"""
     WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     seeds AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS code, v
@@ -515,7 +516,13 @@ PQ_TOPK = 5
              round(ts[1]+ts[2]+ts[3]+ts[4], 9) AS adc_dist
       FROM folded WHERE vec_id <> q_id
     )
-    SELECT q_id, vec_id, adc_dist, rank FROM (
+"""
+
+
+@query(
+    "q_similarity_pq",
+    oracle=_PQ_ADC_CTES
+    + f"""    SELECT q_id, vec_id, adc_dist, rank FROM (
       SELECT q_id, vec_id, adc_dist,
              row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
       FROM adc)
@@ -758,4 +765,54 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=IVFPQ_M,
         k=IVFPQ_K,
         refine_iters=1,
+    ).orderBy("q_id", "rank")
+
+
+# --- Q: PQ shortlist + exact rerank --------------------------------------------
+
+PQ_SHORTLIST = 20
+
+
+@query(
+    "q_similarity_pq_rerank",
+    oracle=_PQ_ADC_CTES
+    + f""",
+    short AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rank
+        FROM adc)
+      WHERE rank <= {PQ_SHORTLIST}
+    ),
+    ex AS (
+      SELECT s.q_id, s.vec_id,
+             round(list_dot_product(qv.v, cv.v)
+               / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))), 9) AS score
+      FROM short s
+      JOIN vecs qv ON qv.vec_id = s.q_id
+      JOIN vecs cv ON cv.vec_id = s.vec_id
+    )
+    SELECT q_id, vec_id, score, rank FROM (
+      SELECT q_id, vec_id, score,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+      FROM ex)
+    WHERE rank <= {PQ_TOPK}
+    ORDER BY q_id, rank
+    """,
+    doc="PQ ADC shortlist + EXACT cosine rerank (Jégou et al. 2011 §IV) — "
+    "the standard quantized-index serving pattern: compressed codes "
+    "shortlist 20 candidates per query, only those touch raw vectors for "
+    "the exact top-5. The rerank side is queries x shortlist rows, "
+    "broadcast against one streaming corpus scan; the oracle replays the "
+    "full quantizer, the shortlist, and the exact rerank "
+    "(operators/pq.py).",
+)
+def q_similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_codebooks, pq_rerank_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, "vec_id", "embedding", m=4, k=16, iterations=1)
+    queries = emb.filter(F.col("vec_id") < PQ_QUERIES)
+    return pq_rerank_topk(
+        emb, queries, "vec_id", "embedding", books, PQ_SHORTLIST, PQ_TOPK
     ).orderBy("q_id", "rank")
