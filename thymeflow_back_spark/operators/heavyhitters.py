@@ -173,7 +173,9 @@ def grouped_heavy_hitters(
     only that group's stream), so recall stays exact per group; the
     recount joins the broadcast (group, item) candidate set and the final
     threshold uses each group's own sentinel-summed total. Same two-scan
-    budget as :func:`heavy_hitters`, zero vocabulary-sized shuffles."""
+    budget as :func:`heavy_hitters`, zero vocabulary-sized shuffles.
+    Contract: group and item columns are non-null (pandas groupby and the
+    recount join are both null-dropping — coalesce NULL groups first)."""
     tokens = spread_small_input(df.select(group_col, col))
     field = tokens.schema[col]
     gfield = tokens.schema[group_col]
