@@ -27,6 +27,7 @@ CARTESIAN_OK = {"q_embedding_near_dup"}
 BNLJ_CROSS_OK = {
     "q_cosine_topk",  # corpus streams against a broadcast fixed probe set
     "q_similarity_sq8",  # same probe-set shape over the SQ8 codes
+    "q_similarity_jl",  # same probe-set shape over the JL projections
     "q_similarity_pq",  # corpus codes × broadcast query-id list (ADC probe set)
     "q_similarity_pq_rerank",  # same ADC shape + broadcast shortlist rerank
     "q_ann_recall",  # composes q_cosine_topk's exact baseline (same probe set)

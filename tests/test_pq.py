@@ -109,3 +109,27 @@ def test_pq_rerank_recovers_exact_quality(spark):
     corpus = emb.select("vec_id", F.col("embedding").alias("emb"))
     exact = {(r["q_id"], r["c_id"]) for r in cosine_topk(corpus, probes, "vec_id", "emb", k).collect()}
     assert len(rr & exact) >= len(adc & exact)
+
+
+def test_jl_projection_matches_numpy_reference(spark):
+    """jl_project must equal the hashlib-derived sign matrix times the
+    vector, computed in the same left-to-right fold order."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from thymeflow_back_spark.operators.jl import jl_project, jl_sign_matrix
+
+    d_in, d_out = 8, 3
+    vecs = [(0, [0.1 * (i + 1) for i in range(d_in)]), (1, [1.0 - 0.2 * i for i in range(d_in)])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["vec_jl"] for r in jl_project(df, "embedding", d_in, d_out).collect()}
+    signs = jl_sign_matrix("jl", d_in, d_out)
+    for vid, v in vecs:
+        for j in range(d_out):
+            acc = 0.0
+            for x, s in zip(v, signs[j]):
+                acc += x * s  # same fold order as similarity.dot
+            assert got[vid][j] == acc, (vid, j)
+    # the matrix is content-addressed: stable across calls and salts differ
+    assert jl_sign_matrix("jl", d_in, d_out) == signs
+    assert jl_sign_matrix("other", d_in, d_out) != signs

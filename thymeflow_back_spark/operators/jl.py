@@ -1,0 +1,70 @@
+"""Johnson-Lindenstrauss sign projection — DIMENSION reduction for ANN.
+
+The quantization ladder (operators/quantize.py SQ8, pq.py, ivfpq.py)
+shrinks PRECISION; the other axis is shrinking DIMENSION. A random ±1
+sign matrix is the classic JL construction (Achlioptas 2003, "Database-
+friendly random projections"): p_j = Σ_i v_i · s(j,i) with s ∈ {±1}
+preserves pairwise inner products in expectation with error O(1/√d_out),
+so a 64-dim embedding searched at 16 dims does 4× less arithmetic and
+4× less scan per candidate — the cheap pre-filter stage in front of an
+exact (or PQ) rerank.
+
+Determinism discipline (what makes this oracle-checkable): the sign
+matrix is CONTENT-ADDRESSED — s(j,i) = +1 iff the first hex digit of
+md5("<salt>:<j>:<i>") is 0-7 — no RNG state, any engine (or any Python
+process) derives the identical matrix. The matrix is computed ONCE at
+plan-build time and embedded as literals: md5 inside the row expression
+would hash d_in × d_out tiny strings PER ROW, a per-row cost that scales
+with the corpus for a matrix that never changes. Each output coordinate
+is the ordered left-to-right fold the repo uses for every dot product
+(similarity.dot / DuckDB list_dot_product), giving bit-identical
+projections cross-engine.
+
+Scale shape: the projection is a pure per-row codegen expression over
+~d_in·d_out literal coefficients (16×64 doubles ≈ 1 KB of plan) — no
+shuffle, no Python, no broadcast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import as_double_array, dot
+
+
+def jl_sign(salt: str, j: int, i: int) -> float:
+    """±1.0 from the content-addressed md5 coin for output dim j, input
+    dim i — identical to the SQL `md5('<salt>:<j>:<i>')` derivation."""
+    coin = hashlib.md5(f"{salt}:{j}:{i}".encode()).hexdigest()[0]
+    return 1.0 if coin <= "7" else -1.0
+
+
+def jl_sign_matrix(salt: str, d_in: int, d_out: int) -> list[list[float]]:
+    """d_out rows of d_in ±1 coefficients."""
+    return [[jl_sign(salt, j, i) for i in range(d_in)] for j in range(d_out)]
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str,
+    d_in: int,
+    d_out: int,
+    out_col: str = "vec_jl",
+    salt: str = "jl",
+) -> DataFrame:
+    """Append the d_out-dim sign projection of `vec_col` (array<double>).
+
+    p[j] = ordered-fold dot(v, signs_j) — one codegen'd expression per
+    row, zero shuffles."""
+    signs = jl_sign_matrix(salt, d_in, d_out)
+    v = as_double_array(F.col(vec_col))
+    proj = F.array(
+        *[
+            dot(v, F.array(*[F.lit(s) for s in row])).alias(f"p{j}")
+            for j, row in enumerate(signs)
+        ]
+    )
+    return df.withColumn(out_col, proj)

@@ -816,3 +816,97 @@ def q_similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_rerank_topk(
         emb, queries, "vec_id", "embedding", books, PQ_SHORTLIST, PQ_TOPK
     ).orderBy("q_id", "rank")
+
+
+# --- Q: JL sign-projection recall ----------------------------------------------
+
+JL_D_IN = 64
+JL_D_OUT = 16
+JL_SALT = "jl"
+
+
+def _jl_sql_rows() -> str:
+    from ..operators.jl import jl_sign_matrix
+
+    rows = jl_sign_matrix(JL_SALT, JL_D_IN, JL_D_OUT)
+    lists = ",\n        ".join(
+        "list_dot_product(v, [" + ", ".join(str(s) for s in row) + "])"
+        for row in rows
+    )
+    return lists
+
+
+@query(
+    "q_similarity_jl",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id, [
+        {_jl_sql_rows()}
+      ] AS p FROM vecs
+    ),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM vecs WHERE vec_id < {N_QUERIES}),
+    qp AS (SELECT vec_id AS q_id, p AS q_p FROM proj WHERE vec_id < {N_QUERIES}),
+    exact_ranked AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.vec_id AS c_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 round(list_dot_product(q.q_vec, c.v)
+                   / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.v, c.v))), 9) DESC,
+                 c.vec_id) AS rank
+        FROM vecs c CROSS JOIN q WHERE c.vec_id <> q.q_id)
+      WHERE rank <= {SQ_K}
+    ),
+    jl_ranked AS (
+      SELECT q_id, c_id FROM (
+        SELECT qp.q_id, c.vec_id AS c_id,
+               row_number() OVER (PARTITION BY qp.q_id ORDER BY
+                 round(list_dot_product(qp.q_p, c.p)
+                   / (sqrt(list_dot_product(qp.q_p, qp.q_p)) * sqrt(list_dot_product(c.p, c.p))), 9) DESC,
+                 c.vec_id) AS rank
+        FROM proj c CROSS JOIN qp WHERE c.vec_id <> qp.q_id)
+      WHERE rank <= {SQ_K}
+    )
+    SELECT e.q_id,
+           COUNT(j.c_id) AS n_overlap,
+           COUNT(j.c_id) / {SQ_K}.0 AS recall
+    FROM exact_ranked e
+    LEFT JOIN jl_ranked j USING (q_id, c_id)
+    GROUP BY e.q_id
+    ORDER BY e.q_id
+    """,
+    doc="Johnson-Lindenstrauss sign projection (Achlioptas 2003): project "
+    "64-dim embeddings to 16 dims with a content-addressed ±1 matrix "
+    "(md5-derived, no RNG state — any engine reproduces it), search "
+    "cosine top-10 in the PROJECTED space (4x less arithmetic and scan "
+    "per candidate), and report recall@10 vs the exact ranking. The "
+    "dimension-reduction rung of the compression ladder next to "
+    "SQ8/PQ/IVF-PQ's precision rungs (operators/jl.py).",
+)
+def q_similarity_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.jl import jl_project
+
+    emb = load(spark, sf_dir, "embeddings")
+    projected = jl_project(emb, "embedding", JL_D_IN, JL_D_OUT).select(
+        "vec_id", F.col("vec_jl").alias("emb")
+    )
+    probes_raw = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    probes_jl = projected.filter(F.col("vec_id") < N_QUERIES)
+    exact_corpus = emb.select("vec_id", F.col("embedding").alias("emb"))
+    exact = cosine_topk(exact_corpus, probes_raw, "vec_id", "emb", SQ_K).select(
+        "q_id", "c_id"
+    )
+    jl = cosine_topk(projected, probes_jl, "vec_id", "emb", SQ_K).select(
+        "q_id", "c_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(jl, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("hit").alias("n_overlap"))
+        .withColumn("recall", F.col("n_overlap") / F.lit(float(SQ_K)))
+        .orderBy("q_id")
+    )
