@@ -58,7 +58,9 @@ def jl_project(
     """Append the d_out-dim sign projection of `vec_col` (array<double>).
 
     p[j] = ordered-fold dot(v, signs_j) — one codegen'd expression per
-    row, zero shuffles."""
+    row, zero shuffles. `d_in` must equal the actual array length: the
+    zip_with inside the fold NULL-pads a shorter side, which would
+    propagate NULL into the projection rather than raise."""
     signs = jl_sign_matrix(salt, d_in, d_out)
     v = as_double_array(F.col(vec_col))
     proj = F.array(

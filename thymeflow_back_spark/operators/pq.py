@@ -334,6 +334,12 @@ def pq_rerank_topk(
     and only shortlisted rows do a d-dim dot."""
     from .similarity import dot, norm
 
+    if shortlist < k_results:
+        raise ValueError(
+            f"shortlist ({shortlist}) must be >= k_results ({k_results}): "
+            "the rerank can only reorder candidates the ADC pass surfaced"
+        )
+
     short = pq_adc_topk(corpus, queries, id_col, vec_col, books, shortlist).select(
         "q_id", "vec_id"
     )
