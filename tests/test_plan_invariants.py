@@ -51,6 +51,7 @@ SKIP = {
     "q_streaming_near_dup",  # drives a real foreachBatch stream
     "q_streaming_window_counts",
     "q_streaming_sessions",
+    "q_streaming_quality_profile",
 }
 
 

@@ -26,6 +26,10 @@ def spread_small_input(df: DataFrame, target: int | None = None) -> DataFrame:
     partitions wide and no shuffle is added, so it is safe to leave in the
     operator as the permanent guard rather than a local-mode hack.
     """
+    if df.isStreaming:
+        # no static partition count to inspect (and .rdd is illegal on a
+        # stream); micro-batch parallelism is the source's to decide
+        return df
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

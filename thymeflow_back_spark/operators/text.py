@@ -171,9 +171,15 @@ QF_MIN_STOPWORD_RATIO = 0.01
 QF_MIN_UNIQUE_RATIO = 0.3
 
 
-def quality_filter(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Rule-chain document filter: (id, n_words, rep_ratio, stopword_ratio,
-    unique_ratio, drop_reason, keep).
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Rule-chain document filter: (id, *carry, n_words, rep_ratio,
+    stopword_ratio, unique_ratio, drop_reason, keep). ``carry`` columns
+    pass through untouched (e.g. lang/source for keep-rate profiles).
 
     The C4/Gopher-shaped heuristic gate of a training pipeline: length
     bounds, max word length, single-token repetition, stopword presence,
@@ -189,7 +195,7 @@ def quality_filter(df: DataFrame, id_col: str, text_col: str = "text") -> DataFr
     # too_few_words — without it every rule compares NULL and no
     # drop_reason fires, so the most degenerate input passed the gate
     toks = F.coalesce(toks_col(text_col), F.array().cast("array<string>"))
-    d = df.select(F.col(id_col), toks.alias("toks"))
+    d = df.select(F.col(id_col), *[F.col(c) for c in carry], toks.alias("toks"))
     n = F.size("toks")
     # The top-token scan is O(unique·n) per row — guarded behind the length
     # bound so a pathological multi-100k-word document (which the
@@ -209,6 +215,7 @@ def quality_filter(df: DataFrame, id_col: str, text_col: str = "text") -> DataFr
     n_unique = F.size(F.array_distinct("toks"))
     d = d.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         n.alias("n_words"),
         F.coalesce(max_len, F.lit(0)).alias("max_word_len"),
         (top_freq / F.nullif(n, F.lit(0))).alias("rep_ratio"),

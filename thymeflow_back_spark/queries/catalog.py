@@ -57,6 +57,7 @@ _DRIVER_PRIORITY = [
     "q_heavy_hitters_by_lang",
     "q_similarity_pq_rerank",
     "q_similarity_jl",
+    "q_streaming_quality_profile",
     "q_quantile_sketch",
     "q_similarity_sq8",
     "q_similarity_pq",

@@ -249,3 +249,72 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" unix_micros(session_window.end) AS session_end_us, n_events"
         f" FROM {sink}"
     ).orderBy("user_id", "session_start_us")
+
+
+# --- Q: streaming quality-gate profile (oracle-backed) ------------------------
+
+
+@query(
+    "q_streaming_quality_profile",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_words,
+             COALESCE(list_max(list_transform(toks, t -> length(t))), 0) AS max_word_len,
+             CASE WHEN len(toks) <= 5000 THEN
+               list_max(list_transform(list_distinct(toks),
+                 t -> len(list_filter(toks, x -> x = t)))) / NULLIF(len(toks), 0)
+             END AS rep_ratio,
+             len(list_filter(toks, t -> list_contains(
+               ['a','an','and','in','is','of','the','to'], t))) / NULLIF(len(toks), 0) AS stopword_ratio,
+             len(list_distinct(toks)) / NULLIF(len(toks), 0) AS unique_ratio
+      FROM t
+    ),
+    r AS (
+      SELECT *,
+        CASE WHEN n_words < 5 THEN 'too_few_words'
+             WHEN n_words > 5000 THEN 'too_many_words'
+             WHEN max_word_len > 20 THEN 'word_too_long'
+             WHEN rep_ratio > 0.25 THEN 'too_repetitive'
+             WHEN stopword_ratio < 0.01 THEN 'low_stopword'
+             WHEN unique_ratio < 0.3 THEN 'low_diversity'
+        END AS drop_reason
+      FROM m
+    )
+    SELECT lang, drop_reason IS NULL AS keep,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="STREAMING quality-gate profile, value-checked end to end: "
+    "documents arrive as two micro-batches, each passes the C4/Gopher "
+    "rule chain as a stateless projection, and a per-(lang, keep) count/"
+    "token aggregate carries state across batches — the complete-mode "
+    "result must hash-match the batch GROUP BY over the same rows. The "
+    "live-ingest form of corpus quality monitoring (operators/text.py "
+    "quality_filter; scaffold queries/streamdedup.py).",
+)
+def q_streaming_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_filter
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sink = _memory_sink_stream(
+        spark,
+        docs,
+        "doc_id",
+        "doc_id bigint, lang string, text string",
+        lambda stream: quality_filter(stream, "doc_id", "text", carry=("lang",))
+        .groupBy("lang", "keep")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        ),
+        "quality_profile",
+    )
+    return spark.sql(
+        f"SELECT lang, keep, n_docs, total_words FROM {sink}"
+    ).orderBy("lang", "keep")

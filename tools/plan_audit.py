@@ -25,7 +25,12 @@ SF = "/root/testdata/sf0.001"
 
 # Streaming rows drive real foreachBatch streams during construction —
 # their scale stories live in their own tests, not in a batch plan.
-SKIP = {"q_streaming_near_dup", "q_streaming_window_counts", "q_streaming_sessions"}
+SKIP = {
+    "q_streaming_near_dup",
+    "q_streaming_window_counts",
+    "q_streaming_sessions",
+    "q_streaming_quality_profile",
+}
 
 _OPS = (
     "Exchange",
