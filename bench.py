@@ -1,9 +1,24 @@
 """Headline benchmark: run the bench-flagged catalog queries and print one
-JSON line {"metric", "value", "unit", "queries", "sf"}.
+JSON line {"metric", "value", "unit", "queries", "sf", ...}.
 
 SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) selects the data;
 SPARK_GRAFT_CPUS the local[] parallelism. Each query is fully executed
 (collect-to-count) but results stay on the executors except the final rows.
+
+Robustness (round 6): a 10-query single-shot total is fragile to a busy
+machine — BENCH_r05 recorded +74% uniform inflation with warm runs SLOWER
+than cold (impossible without external interference). So per query:
+
+- run 1 = the historical COLD headline (includes that query's plan +
+  whole-stage-codegen compile — comparable across rounds),
+- runs 2-4 = steady state; ``queries_warm`` reports the per-query MEDIAN
+  of the three, which one interfering burst cannot shift.
+
+Two self-identifying canaries ride along: ``loadavg`` (1-min system load
+before/after — on an otherwise idle 32-core box, a before-value far above
+the Spark session's own footprint means a polluted run) and
+``warm_spread`` (max-min across the steady reps, summed over queries —
+large spread = noisy machine, distrust the totals).
 """
 
 from __future__ import annotations
@@ -11,19 +26,24 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from thymeflow_back_spark import queries as catalog
+from thymeflow_back_spark.operators.cachereg import release_pinned
 from thymeflow_back_spark.session import get_spark
+
+WARM_REPS = 3
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    load_before = round(os.getloadavg()[0], 2)
     spark = get_spark("bench")
 
     bench_queries = {name: q for name, q in catalog.QUERIES.items() if q.bench}
@@ -37,20 +57,23 @@ def main() -> None:
 
     set_shingle_cache(True)
 
-    # First run per query = the historical headline metric (includes that
-    # query's plan + whole-stage-codegen compile — comparable across rounds).
-    # Second run = steady-state execute time, the number that scales with
-    # data volume: at 100 TB compile is amortized noise and execute is
-    # everything, so both are reported.
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    spread = 0.0
     for name, q in bench_queries.items():
         t0 = time.time()
         q.spark(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        q.spark(spark, sf_dir).count()
-        warm[name] = round(time.time() - t0, 3)
+        reps: list[float] = []
+        for _ in range(WARM_REPS):
+            t0 = time.time()
+            q.spark(spark, sf_dir).count()
+            reps.append(time.time() - t0)
+        warm[name] = round(statistics.median(reps), 3)
+        spread += max(reps) - min(reps)
+        # operator-internal pins are per-query state (the shared shingle
+        # cache is managed separately above) — free them between queries
+        release_pinned()
 
     total = round(sum(timings.values()), 3)
     print(
@@ -62,6 +85,9 @@ def main() -> None:
                 "queries": timings,
                 "value_warm": round(sum(warm.values()), 3),
                 "queries_warm": warm,
+                "warm_reps": WARM_REPS,
+                "warm_spread": round(spread, 3),
+                "loadavg": [load_before, round(os.getloadavg()[0], 2)],
                 "sf": sf,
             }
         )

@@ -94,15 +94,23 @@ def _schema(store: StatementStore) -> tuple[DataFrame, DataFrame, DataFrame]:
 def owl_enricher(store: StatementStore, diff: Diff, max_iterations: int = 25) -> Diff:
     """Materialize OWL consequences of the diff's added statements to
     fixpoint (semi-naïve: each round joins only the new-fact delta)."""
+    from ..operators.cachereg import pin
+
     inv, sym, trans = _schema(store)
     inv, sym, trans = F.broadcast(inv), F.broadcast(sym), F.broadcast(trans)
 
-    known = _iri_triples(store.quads)
-    delta = _iri_triples(diff.added)
+    # the store-wide IRI-triple projection feeds the seeding join, the
+    # transitive known-side join, and the per-round anti-join; the diff
+    # projection feeds the delta plus both schema-seed branches — pin
+    # both so an enrich over a derived quad relation scans it once
+    # (released via operators.cachereg.release_pinned)
+    known = pin(_iri_triples(store.quads))
+    added_iri = pin(_iri_triples(diff.added))
+    delta = added_iri
 
     # schema additions re-fire the rules over the WHOLE store for the newly
     # declared properties (the reference's rule-1 variants)
-    new_inv_props = _iri_triples(diff.added).filter(F.col("predicate") == INVERSE_OF)
+    new_inv_props = added_iri.filter(F.col("predicate") == INVERSE_OF)
     new_props = (
         new_inv_props.select(F.col("subject").alias("p"))
         .unionByName(new_inv_props.select(F.col("object_value").alias("p")))

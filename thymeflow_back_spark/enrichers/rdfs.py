@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.cachereg import pin
 from ..operators.closure import transitive_closure
 from ..rdf import vocab
 from ..rdf.model import QUAD_COLUMNS
@@ -39,9 +40,16 @@ def rdfs_derivations(
     reference's startup-loaded ontology graph), so running this on added
     and removed premises symmetrically yields exact ref-counts for the
     CountingInferencer."""
-    ontology = store.quads.filter(
-        F.col("predicate").isin(SUB_CLASS_OF, SUB_PROPERTY_OF, DOMAIN, RANGE)
-    ).select("subject", "predicate", "object_value")
+    # the schema filter feeds FOUR consumers (subclass, subproperty,
+    # domain, range); in an enrich over a derived quad relation (e.g. the
+    # tpch quad encoding) each consumer would otherwise re-derive the
+    # whole store scan — pin it (released by the harness via
+    # operators.cachereg.release_pinned once results are materialized)
+    ontology = pin(
+        store.quads.filter(
+            F.col("predicate").isin(SUB_CLASS_OF, SUB_PROPERTY_OF, DOMAIN, RANGE)
+        ).select("subject", "predicate", "object_value")
+    )
 
     # transitively close the subclass/subproperty hierarchies (small, local)
     sub_class = transitive_closure(
@@ -62,10 +70,16 @@ def rdfs_derivations(
     )
 
     # premise identity is the triple (graph-insensitive, like cross-context
-    # dedup): multiple graph copies of one triple are one premise
-    added = premises.select(
-        "subject", "predicate", "object_value", "object_type"
-    ).dropDuplicates()
+    # dedup): multiple graph copies of one triple are one premise.
+    # This is THE multi-consumer subtree of the rule joins (types,
+    # subproperty lift, domain, range all read it) — materialize the
+    # premise diff ONCE per enrich call instead of re-deriving the quad
+    # encoding per rule join (the plan audit showed ~30 base-table scans).
+    added = pin(
+        premises.select(
+            "subject", "predicate", "object_value", "object_type"
+        ).dropDuplicates()
+    )
 
     # rdfs9/11: x a C, C ⊑* D → x a D
     types = added.filter(F.col("predicate") == vocab.RDF_TYPE).select(
@@ -94,7 +108,9 @@ def rdfs_derivations(
     )
 
     # rdfs2/3: s p o, domain(p)=C → s a C ; range(p)=C, o iri → o a C
-    all_props = props.unionByName(super_props)
+    # two consumers (domain + range) — pin so the subproperty lift join
+    # runs once, not per rule
+    all_props = pin(props.unionByName(super_props))
     domain_types = (
         all_props.join(F.broadcast(domains), all_props["predicate"] == domains["p"])
         .select(
@@ -115,7 +131,13 @@ def rdfs_derivations(
         )
     )
 
-    derived = super_types.unionByName(super_props).unionByName(domain_types).unionByName(range_types)
+    # two consumers (the subclass re-closure + the final union) — pin so
+    # the four rule joins execute once
+    derived = pin(
+        super_types.unionByName(super_props)
+        .unionByName(domain_types)
+        .unionByName(range_types)
+    )
     # close derived types under subclass again (domain/range may introduce new
     # types whose superclasses must also be materialized) — one extra round
     # suffices because sub_class is already transitively closed

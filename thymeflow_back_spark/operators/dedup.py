@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .cachereg import pin
+
 # 31-bit Mersenne prime: a·h + b stays < 2^62, no signed-64 overflow.
 MERSENNE_P = 2147483647
 
@@ -279,9 +281,15 @@ def prefix_filtered_near_dups(
     # ceil/compare in bigint arithmetic.
     frac = Fraction(str(threshold))
     tn, td = frac.numerator, frac.denominator
-    docs_sh = _by_id(
-        doc_shingles(df, id_col, text_col, n).withColumn("n_sh", F.size("sh")),
-        id_col,
+    # the shingle stage feeds the prefix build AND both verify-join sides;
+    # the id-keyed anchor alone still re-tokenized the corpus per consumer
+    # (6 source scans in the plan audit) — pin it for the call's scope
+    # (released by the harness via operators.cachereg.release_pinned)
+    docs_sh = pin(
+        _by_id(
+            doc_shingles(df, id_col, text_col, n).withColumn("n_sh", F.size("sh")),
+            id_col,
+        )
     )
     ex = docs_sh.selectExpr(id_col, "n_sh", "explode(sh) as shingle")
     dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -761,6 +769,7 @@ def containment_near_dups(
     text_col: str,
     n: int = 3,
     threshold: float = 0.6,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Directional shingle-CONTAINMENT join: (src_id, dst_id, n_common,
     containment) where containment = |sh(src) ∩ sh(dst)| / |sh(src)|.
@@ -777,13 +786,55 @@ def containment_near_dups(
     self-join sides, pair counts with min-carried set sizes, and BOTH
     orientations derived from the single a_id < b_id intersection table —
     the asymmetric measure costs no second join.
+
+    ``max_doc_freq``: opt-in hot-shingle cap (same trade-off as
+    jaccard_near_dups). Quote/template detection is EXACTLY the workload
+    where one corpus-wide boilerplate shingle makes the blocked self-join
+    quadratic in that shingle's document frequency, so at scale cap the
+    blocking frequency; candidate pairs re-verify containment against
+    the FULL shingle sets (in-row array_intersect), so the value stays
+    exact and only recall is approximate — a pair whose every common
+    shingle is hot is missed (the standard stop-shingle trade-off).
     """
     docs_sh = doc_shingles(df, id_col, text_col, n).withColumn("n_sh", F.size("sh"))
+    if max_doc_freq is not None:
+        docs_sh = _by_id(docs_sh, id_col)
     ex = docs_sh.selectExpr(id_col, "n_sh", "explode(sh) as shingle").repartition(
         F.col("shingle")
     )
     a = ex.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("a_n"), "shingle")
     b = ex.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("b_n"), "shingle")
+    if max_doc_freq is not None:
+        rare = (
+            ex.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        cands = (
+            a.select("a_id", "shingle")
+            .join(rare, "shingle")
+            .join(b.select("b_id", "shingle"), "shingle")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        anchored = _by_id(docs_sh, id_col)
+        paired = cands.join(
+            anchored.select(F.col(id_col).alias("a_id"), F.col("sh").alias("a_sh")),
+            "a_id",
+        ).join(
+            anchored.select(F.col(id_col).alias("b_id"), F.col("sh").alias("b_sh")),
+            "b_id",
+        )
+        inter = paired.select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("a_sh", "b_sh")).cast("bigint").alias("n_common"),
+            F.size("a_sh").cast("bigint").alias("a_n"),
+            F.size("b_sh").cast("bigint").alias("b_n"),
+        ).filter(F.col("n_common") > 0)
+        return _containment_orientations(inter, threshold)
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a_id") < F.col("b_id"))
@@ -794,9 +845,15 @@ def containment_near_dups(
             F.min("b_n").alias("b_n"),
         )
     )
-    # both orientations via a map-side explode of ONE intersection row —
-    # a union of two selects would make `inter` a two-consumer subtree and
-    # re-execute the whole blocked join per orientation
+    return _containment_orientations(inter, threshold)
+
+
+def _containment_orientations(inter: DataFrame, threshold: float) -> DataFrame:
+    """(a_id, b_id, n_common, a_n, b_n) → both containment orientations.
+
+    Both orientations via a map-side explode of ONE intersection row —
+    a union of two selects would make `inter` a two-consumer subtree and
+    re-execute the whole blocked join per orientation."""
     return (
         inter.select(
             F.explode(

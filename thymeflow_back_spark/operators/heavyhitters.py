@@ -48,6 +48,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cachereg import pin
 from .skew import spread_small_input
 
 
@@ -106,7 +107,7 @@ def heavy_hitters(tokens: DataFrame, col: str, k: int) -> DataFrame:
     tokens = spread_small_input(tokens.select(col))
     # the summary is <= (k+1) x #partitions rows; persist so the candidate
     # and total consumers read one materialized pass over the stream
-    summary = mg_summary(tokens, col, k).persist()
+    summary = pin(mg_summary(tokens, col, k))
     cands = summary.filter(F.col(col).isNotNull()).select(col).distinct()
     total = summary.agg(F.sum("__part_n").alias("__n"))
     counts = (
@@ -185,7 +186,8 @@ def grouped_heavy_hitters(
             f"{gfield.name} {gfield.dataType.simpleString()}, "
             f"{field.name} {field.dataType.simpleString()}, __part_n bigint"
         ),
-    ).persist()
+    )
+    summary = pin(summary)
     cands = (
         summary.filter(F.col(col).isNotNull()).select(group_col, col).distinct()
     )

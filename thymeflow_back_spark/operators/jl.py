@@ -60,7 +60,10 @@ def jl_project(
     p[j] = ordered-fold dot(v, signs_j) — one codegen'd expression per
     row, zero shuffles. `d_in` must equal the actual array length: the
     zip_with inside the fold NULL-pads a shorter side, which would
-    propagate NULL into the projection rather than raise."""
+    silently propagate NULL into the projection — so the expression
+    FAILS FAST (raise_error) on any row whose vector length differs,
+    surfacing a dimension mismatch as an error instead of corrupting
+    downstream recall with NULL projections."""
     signs = jl_sign_matrix(salt, d_in, d_out)
     v = as_double_array(F.col(vec_col))
     proj = F.array(
@@ -69,4 +72,13 @@ def jl_project(
             for j, row in enumerate(signs)
         ]
     )
-    return df.withColumn(out_col, proj)
+    guarded = F.when(F.size(F.col(vec_col)) == F.lit(d_in), proj).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"jl_project: {vec_col} has length "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(f", expected d_in={d_in}"),
+            )
+        )
+    )
+    return df.withColumn(out_col, guarded)

@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .cachereg import pin
+
 
 def distributed_prefix_sum(
     df: DataFrame,
@@ -62,8 +64,8 @@ def distributed_prefix_sum(
         df.withColumn("__v", value)
         .repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
     )
+    parted = pin(parted)
     run = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, 0
     )

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .cachereg import pin
 from .packing import distributed_prefix_sum
 
 
@@ -45,9 +46,12 @@ def grouped_rank(
 ) -> DataFrame:
     """Per-group 1-based row numbers in `order_cols` order, plus the group
     size — without a per-group single-task sort. (group_col, *order_cols)
-    must be globally unique (same contract as distributed_prefix_sum), and
-    group_col must be non-null (the offsets join-back is null-rejecting —
-    filter or coalesce NULL groups first)."""
+    must be globally unique (same contract as distributed_prefix_sum).
+
+    NULL group keys are a group of their own (the SQL `PARTITION BY`
+    semantics both engines use): the offsets join-back is NULL-SAFE, and
+    the range shuffle and the offsets window both order NULL first, so
+    the two passes agree on where the NULL group starts."""
     ranked = distributed_prefix_sum(
         df, [group_col, *order_cols], F.lit(1).cast("bigint"), out_col="__grk"
     )
@@ -57,11 +61,14 @@ def grouped_rank(
     before = Window.orderBy(group_col).rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
         "__before", F.coalesce(F.sum(n_col).over(before), F.lit(0).cast("bigint"))
-    )
+    ).withColumnRenamed(group_col, "__grp")
     return (
-        ranked.join(F.broadcast(offsets), group_col)
+        ranked.join(
+            F.broadcast(offsets),
+            F.col(group_col).eqNullSafe(F.col("__grp")),
+        )
         .withColumn(rank_col, F.col("__grk") - F.col("__before"))
-        .drop("__grk", "__before")
+        .drop("__grk", "__before", "__grp")
     )
 
 
@@ -105,22 +112,24 @@ def mad_outlier_stats(
     broadcast of the #groups-row stats relations. |x-m| and z*MAD are
     single IEEE operations — bit-stable cross-engine.
 
-    The filtered input and the deviation relation are persisted: each
-    feeds BOTH a ranking pass and a join-back, and without pinning them
+    The filtered input and the deviation relation are pinned (persisted
+    via the cachereg registry — release with
+    ``operators.cachereg.release_pinned`` once results are collected):
+    each feeds BOTH a ranking pass and a join-back, and without pinning
     Spark re-derives the whole upstream subtree per consumer — the plan
     audit showed 16 source scans for what is logically one read."""
-    e = (
-        df.select(group_col, id_col, value_col)
-        .filter(F.col(value_col).isNotNull())
-        .persist()
+    e = pin(
+        df.select(group_col, id_col, value_col).filter(
+            F.col(value_col).isNotNull()
+        )
     )
     med = grouped_lower_median(
         e, group_col, value_col, id_col, out_col="median", n_col="n"
-    )
-    d = (
-        e.join(F.broadcast(med), group_col)
+    ).withColumnRenamed(group_col, "__grp")
+    d = pin(
+        e.join(F.broadcast(med), F.col(group_col).eqNullSafe(F.col("__grp")))
+        .drop("__grp")
         .withColumn("adev", F.abs(F.col(value_col) - F.col("median")))
-        .persist()
     )
     mad = grouped_lower_median(
         d.select(group_col, id_col, "adev"),
@@ -129,10 +138,11 @@ def mad_outlier_stats(
         id_col,
         out_col="mad",
         n_col="__n2",
-    ).drop("__n2")
+    ).drop("__n2").withColumnRenamed(group_col, "__grp")
     z_lit: Column = F.lit(float(z))
     return (
-        d.join(F.broadcast(mad), group_col)
+        d.join(F.broadcast(mad), F.col(group_col).eqNullSafe(F.col("__grp")))
+        .drop("__grp")
         .groupBy(group_col)
         .agg(
             F.count("*").alias("n"),

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cachereg import pin
+
 
 def undirected_edges(pairs: DataFrame, u_col: str, v_col: str) -> DataFrame:
     """Canonical distinct undirected edge set (u < v) from a pair relation."""
@@ -84,7 +86,7 @@ def triangles(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     # the oriented edge list feeds the two wedge sides AND the closing
     # join; pin it so those three consumers read one materialization
     # instead of re-running the degree joins per consumer
-    o = _oriented(edges, deg).persist()
+    o = pin(_oriented(edges, deg))
     w1 = o.select(F.col("src"), F.col("dst").alias("x"), F.col("ddst").alias("dx"))
     w2 = o.select(F.col("src"), F.col("dst").alias("y"), F.col("ddst").alias("dy"))
     wedges = w1.join(w2, "src").filter(
@@ -104,8 +106,8 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     one IEEE double division, so the value is bit-reproducible on any
     engine. Degree-1 vertices get 0.0 (no possible wedge).
     """
-    edges = edges.persist()  # consumed by the degree agg AND orientation
-    deg = vertex_degrees(edges).persist()  # du/dv attach + final join-back
+    edges = pin(edges)  # consumed by the degree agg AND orientation
+    deg = pin(vertex_degrees(edges))  # du/dv attach + final join-back
     tri = triangles(edges, deg)
     # one map-side explode instead of a three-way union — a union would
     # make `tri` a three-consumer subtree and re-run the wedge join per

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators.cachereg import pin
 from ..operators.packing import pack_chunks
 from ..operators.sampling import stratified_sample, train_test_split
 from ..operators.sketch import kmv_estimate
@@ -1248,6 +1249,110 @@ def q_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q: exact duplicated-substring spans + keep-first scrub -------------------
+
+SUBSTR_W = 8
+
+_SUBSTR_WINS = f"""
+    toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             {" || ' ' || ".join(f"toks[i+{j}]" for j in range(SUBSTR_W))} AS win
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(toks) - {SUBSTR_W - 1})) AS i) s
+    )"""
+
+
+@query(
+    "q_substring_spans",
+    oracle=f"""
+    WITH {_SUBSTR_WINS},
+    dup AS (SELECT win FROM wins GROUP BY win HAVING COUNT(*) >= 2),
+    flagged AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (win)),
+    brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             + {SUBSTR_W}
+                  THEN 1 ELSE 0 END AS brk
+      FROM flagged
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM brks
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {SUBSTR_W} AS span_end,
+           MAX(pos) + {SUBSTR_W} - MIN(pos) AS span_tokens
+    FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start
+    """,
+    doc="Exact duplicated-substring spans (Lee et al. 2022 ExactSubstr, "
+    f"distributed at window granularity {SUBSTR_W}): maximal token spans "
+    "covered by windows whose exact text occurs >= 2 times corpus-wide "
+    "(any position — intra-document repeats count). One hash-agg keyed by "
+    "window text (hot boilerplate windows collapse to one row before the "
+    "semi-join back), then a per-document gaps-and-islands merge — window "
+    "state is one document's flagged positions, never the corpus "
+    "(operators/substring.py).",
+)
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.substring import duplicated_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        duplicated_spans(docs, "doc_id", "text", SUBSTR_W)
+        .orderBy("doc_id", "span_start")
+    )
+
+
+@query(
+    "q_substring_scrub",
+    oracle=f"""
+    WITH {_SUBSTR_WINS},
+    canon AS (
+      SELECT doc_id, pos, win,
+             ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rk,
+             COUNT(*) OVER (PARTITION BY win) AS occ
+      FROM wins
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + j AS tpos
+      FROM (SELECT doc_id, pos FROM canon WHERE occ >= 2 AND rk > 1) nc,
+           LATERAL (SELECT unnest(generate_series(0, {SUBSTR_W - 1})) AS j) s
+    ),
+    toks2 AS (
+      SELECT doc_id, i - 1 AS tpos, toks[i] AS tok
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+    )
+    SELECT t.doc_id,
+           COALESCE(string_agg(CASE WHEN c.tpos IS NULL THEN t.tok END, ' '
+                               ORDER BY t.tpos), '') AS clean_text,
+           COUNT(*) AS n_tokens,
+           COUNT(c.tpos) AS n_removed
+    FROM toks2 t LEFT JOIN covered c
+      ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Keep-first removal of exact duplicated substrings: every token "
+    "covered by a NON-canonical occurrence ((id, pos)-smallest survives) "
+    f"of a duplicated {SUBSTR_W}-token window is cut and survivors "
+    "reassemble in order. The canonical pick is a hash-agg struct-MIN, "
+    "never a per-window sort; covered positions fan out map-side bounded "
+    f"by {SUBSTR_W}; reassembly state is one document's own tokens "
+    "(operators/substring.py scrub_duplicated_spans).",
+)
+def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.substring import scrub_duplicated_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return scrub_duplicated_spans(docs, "doc_id", "text", SUBSTR_W).orderBy("doc_id")
+
+
 # --- Q: boilerplate span scrub (paragraph dedup) ------------------------------
 
 SPAN_K = 3
@@ -1652,19 +1757,19 @@ def q_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs, final anti-join) — persist them so each stage computes once;
     # at scale this is the standard materialize-between-stages trade of a
     # curation pipeline, not a local-mode hack
-    base = docs.select(
+    base = pin(docs.select(
         "doc_id", "text", bpe_token_estimate("text").alias("est")
-    ).persist()
+    ))
     keep_ids = (
         quality_filter(docs, "doc_id", "text").filter("keep").select("doc_id")
     )
-    kept = base.join(keep_ids, "doc_id").persist()
+    kept = pin(base.join(keep_ids, "doc_id"))
     canon_ids = (
         kept.groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    exact_kept = kept.join(canon_ids, "doc_id").persist()
+    exact_kept = pin(kept.join(canon_ids, "doc_id"))
     pairs = D.minhash_near_dups(
         exact_kept.select("doc_id", "text"), "doc_id", "text", SHINGLE_N, JACCARD_THRESHOLD
     )

@@ -22,6 +22,7 @@ import pandas as pd
 sys.path.insert(0, ".")
 
 from thymeflow_back_spark import queries as catalog  # noqa: E402
+from thymeflow_back_spark.operators.cachereg import release_pinned  # noqa: E402
 from thymeflow_back_spark.session import get_spark  # noqa: E402
 from thymeflow_back_spark.tables import TABLE_NAMES  # noqa: E402
 
@@ -83,6 +84,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # operator-internal pins are per-query state: results are
+            # materialized by now, so free them before the next query
+            release_pinned()
         if q.oracle is None:
             print(f"ok   {name}: rows-only ({len(spark_pd)} rows) [{time.time()-t0:.1f}s]")
             continue
