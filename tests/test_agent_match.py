@@ -8,6 +8,9 @@ from __future__ import annotations
 import math
 
 import pytest
+
+# AgentMatch ER end-to-end (quick tier keeps the q_agent_name_weights oracle row + operator tests)
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from thymeflow_back_spark.algorithms.er_scoring import (

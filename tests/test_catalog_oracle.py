@@ -28,8 +28,13 @@ def oracle_con():
 
 @pytest.mark.parametrize("name", sorted(catalog.QUERIES))
 def test_query_matches_oracle(name, spark, oracle_con):
+    from thymeflow_back_spark.operators.cachereg import release_pinned
+
     q = catalog.QUERIES[name]
-    spark_pd = q.spark(spark, SF_SMOKE).toPandas()
+    try:
+        spark_pd = q.spark(spark, SF_SMOKE).toPandas()
+    finally:
+        release_pinned()  # operator/store pins are per-query state
     if q.oracle is None:
         assert spark_pd is not None  # rows-only check
         return

@@ -2,6 +2,10 @@
 RDFS forward chaining, and the foreachBatch streaming drive."""
 
 from __future__ import annotations
+import pytest
+
+# streaming enricher pipeline e2e (quick tier keeps test_enrichment_suite + the RDF closure oracle rows)
+pytestmark = pytest.mark.slow
 
 import time
 

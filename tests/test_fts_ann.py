@@ -211,3 +211,26 @@ def test_semantic_dedup_chain_resolves_to_keeper(spark):
     assert resolved[2]["dup_of"] == 0  # chain collapsed to the keeper
     assert resolved[0]["dup_of"] == -1
     assert {v["keep"] for v in resolved.values()} == {0, 1}
+
+
+def test_jl_rerank_recall_dominates_jl_only(spark):
+    """The JL-shortlist + exact-rerank composition must recover at least
+    the recall of ranking in the projected space alone: the reranked
+    top-k is the exact-cosine best of a SUPERSET of the projected top-k,
+    so per-query recall can only go up. Checked end-to-end via the two
+    catalog rows at sf0.001 (same data the oracle gate smoke uses)."""
+    from thymeflow_back_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    jl = {
+        r["q_id"]: r["recall"]
+        for r in QUERIES["q_similarity_jl"].spark(spark, sf).collect()
+    }
+    rer = {
+        r["q_id"]: r["recall"]
+        for r in QUERIES["q_similarity_jl_rerank"].spark(spark, sf).collect()
+    }
+    assert set(rer) == set(jl)
+    assert all(rer[q] >= jl[q] for q in jl)
+    # and the composition should genuinely help somewhere, not just tie
+    assert sum(rer.values()) > sum(jl.values())

@@ -28,6 +28,7 @@ BNLJ_CROSS_OK = {
     "q_cosine_topk",  # corpus streams against a broadcast fixed probe set
     "q_similarity_sq8",  # same probe-set shape over the SQ8 codes
     "q_similarity_jl",  # same probe-set shape over the JL projections
+    "q_similarity_jl_rerank",  # JL probe-set shortlist + broadcast rerank side
     "q_similarity_pq",  # corpus codes × broadcast query-id list (ADC probe set)
     "q_similarity_pq_rerank",  # same ADC shape + broadcast shortlist rerank
     "q_ann_recall",  # composes q_cosine_topk's exact baseline (same probe set)
@@ -75,6 +76,7 @@ GLOBAL_WINDOW_OK = {
 }
 
 _PLAN_CACHE: dict[str, str] = {}
+_SCAN_CACHE: dict[str, int] = {}
 
 
 def _physical_plan(df) -> str:
@@ -83,8 +85,19 @@ def _physical_plan(df) -> str:
 
 def _plan(spark, name: str) -> str:
     if name not in _PLAN_CACHE:
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from tools.plan_audit import _tree_nodes
+
         df = catalog.QUERIES[name].spark(spark, SF)
         _PLAN_CACHE[name] = _physical_plan(df)
+        # source-scan count from the cache-deduplicated TREE walk (one
+        # descent per persisted relation — the printed plan repeats them)
+        _SCAN_CACHE[name] = sum(
+            1 for n, _ in _tree_nodes(df) if n.startswith("Scan parquet")
+        )
     return _PLAN_CACHE[name]
 
 
@@ -209,4 +222,51 @@ def test_plan_size_bounded(spark, name):
         f"{name}: optimized plan is {size/1e6:.1f} MB — expression trees are "
         f"being multiplied by optimizer substitution (see pq.codebook_row); "
         f"anchor large constants as one-row broadcast relations"
+    )
+
+
+# --- source-scan budget -------------------------------------------------------
+
+# Every query gets a default budget of source scans (distinct parquet reads
+# in the deduplicated plan tree). A multi-consumer subtree left unpersisted
+# re-derives its upstream per consumer — the disease that had
+# q_rdf_rdfs_closure at ~30 base scans and q_rdf_facet_rank at 42 before
+# the store/enricher pins — and a regression lands HERE before it lands at
+# 100 TB. Queries legitimately above the default (unions of many narrow
+# reads by construction) carry explicit budgets.
+SCAN_BUDGET_DEFAULT = 10
+# The tpch quad encoding is a union of 11 narrow per-property projections
+# by construction (rdf/tpch.py) — pinned, it appears ONCE per plan, so
+# every store-backed RDF query measures 11. The two IFP-derived stores
+# (facet_rank, primary_facet) pin the base∪sameas union as a second
+# cache whose build re-counts the encoding — 22, still one actual
+# encoding pass at runtime (the inner reads come from the tpch cache).
+SCAN_BUDGET = {
+    "q_rdf_bgp_region": 12,
+    "q_rdf_ifp_sameas": 12,
+    "q_rdf_describe_nations": 12,
+    "q_rdf_construct_euro": 12,
+    "q_rdf_grouped_path": 12,
+    "q_rdf_negated_pathset": 12,
+    "q_rdf_group_concat": 12,
+    "q_rdf_rdfs_closure": 14,  # encoding + enricher/final union legs
+    "q_rdf_facet_rank": 24,
+    "q_primary_facet": 24,
+    # brute-force oracle side reads raw vectors per ANN stage comparison
+    "q_embedding_near_dup_ann": 12,
+}
+
+
+@pytest.mark.parametrize(
+    "name", [q for q in catalog.QUERIES if q not in SKIP]
+)
+def test_source_scan_budget(spark, name):
+    _plan(spark, name)  # populates _SCAN_CACHE
+    budget = SCAN_BUDGET.get(name, SCAN_BUDGET_DEFAULT)
+    n = _SCAN_CACHE[name]
+    assert n <= budget, (
+        f"{name}: {n} source scans in the deduplicated plan tree "
+        f"(budget {budget}) — a multi-consumer subtree is probably "
+        f"re-deriving its upstream per consumer; pin it (operators/cachereg) "
+        f"or raise the budget here with a justification"
     )

@@ -3,6 +3,7 @@ agreement with an order-faithful reference computation."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from thymeflow_back_spark.operators.pq import (
@@ -81,6 +82,7 @@ def test_pq_encode_and_adc_match_reference(spark):
     assert {(r.q_id, r.rank): (r.vec_id, r.adc_dist) for r in got} == ref
 
 
+@pytest.mark.slow
 def test_pq_rerank_recovers_exact_quality(spark):
     """Rerank invariants on the fixture embeddings: every rerank hit comes
     from the ADC shortlist, and exact-cosine recall@k of the reranked

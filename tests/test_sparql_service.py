@@ -9,6 +9,9 @@ import urllib.parse
 import urllib.request
 
 import pytest
+
+# HTTP endpoint e2e
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from thymeflow_back_spark.api.service import (

@@ -2,6 +2,12 @@
 
 from __future__ import annotations
 
+import pytest
+
+# structured-streaming near-dup e2e incl. crash-restart (quick tier keeps
+# the q_streaming_* oracle rows)
+pytestmark = pytest.mark.slow
+
 from thymeflow_back_spark.streaming.dedup_stream import (
     document_stream,
     run_incremental_near_dup,

@@ -3,6 +3,10 @@ geocoder enricher (reference Supervisor.scala:42-116,
 EventsWithStaysGeocoderEnricher.scala:49-98)."""
 
 from __future__ import annotations
+import pytest
+
+# full supervisor pipeline e2e
+pytestmark = pytest.mark.slow
 
 from pyspark.sql import functions as F
 

@@ -5,6 +5,10 @@ in-memory fake transports (reference EmailSynchronizer.scala,
 BaseDavSynchronizer.scala:130-240, FacebookSynchronizer.scala)."""
 
 from __future__ import annotations
+import pytest
+
+# IMAP/DAV/Graph-API sync protocol e2e (quick tier keeps test_sync_state + the q_sync_delta oracle row)
+pytestmark = pytest.mark.slow
 
 from pyspark.sql import functions as F
 

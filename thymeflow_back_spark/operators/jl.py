@@ -82,3 +82,66 @@ def jl_project(
         )
     )
     return df.withColumn(out_col, guarded)
+
+
+def jl_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    d_in: int,
+    d_out: int,
+    shortlist: int,
+    k_results: int,
+    salt: str = "jl",
+) -> DataFrame:
+    """JL shortlist + EXACT rerank: (q_id, vec_id, score, rank).
+
+    The two-stage serving pattern with the DIMENSION rung as stage one
+    (the precision-rung sibling is operators/pq.pq_rerank_topk): cosine
+    top-``shortlist`` in the d_out-dim projected space — d_in/d_out times
+    less arithmetic and scan per candidate — then only the shortlisted
+    rows read their raw d_in-dim vectors for an exact cosine top-k.
+
+    Scale shape: the projection is per-row codegen (zero shuffles); the
+    shortlist pass is the broadcast-probe streaming scan of cosine_topk;
+    the rerank side is queries x shortlist rows — BROADCAST against the
+    corpus, so raw vectors are touched by ONE streaming scan and only
+    shortlisted rows do a d_in-dim dot.
+    """
+    from pyspark.sql.window import Window
+
+    from .similarity import SCORE_DECIMALS, cosine_topk, norm
+
+    if shortlist < k_results:
+        raise ValueError(
+            f"shortlist ({shortlist}) must be >= k_results ({k_results}): "
+            "the rerank can only reorder candidates the JL pass surfaced"
+        )
+    pc = jl_project(corpus, vec_col, d_in, d_out, salt=salt).select(
+        F.col(id_col), F.col("vec_jl").alias("__pv")
+    )
+    pq = jl_project(queries, vec_col, d_in, d_out, salt=salt).select(
+        F.col(id_col), F.col("vec_jl").alias("__pv")
+    )
+    short = cosine_topk(pc, pq, id_col, "__pv", shortlist).select("q_id", "c_id")
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), as_double_array(F.col(vec_col)).alias("q_vec")
+    )
+    pairs = short.join(F.broadcast(qv), "q_id").withColumnRenamed("c_id", "vec_id")
+    cv = corpus.select(
+        F.col(id_col).alias("vec_id"), as_double_array(F.col(vec_col)).alias("c_vec")
+    )
+    ex = cv.join(F.broadcast(pairs), "vec_id").select(
+        "q_id",
+        "vec_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (norm(F.col("q_vec")) * norm(F.col("c_vec"))),
+            SCORE_DECIMALS,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return ex.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k_results
+    )

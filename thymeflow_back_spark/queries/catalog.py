@@ -44,45 +44,81 @@ def query(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
 
 
 # The driver's per-round correctness file caps at 50 rows taken in
-# queries() order, so rows the driver has never verified lead the map:
-# these 25 were green only in local tools/check.py runs through round 4
-# (every other catalog row already has a green CORRECTNESS_r1-r4 entry).
+# queries() order. After round 5 every catalog row has appeared green in
+# SOME CORRECTNESS_r*.json; to keep that record fresh under rotation,
+# rows whose LAST driver check is oldest lead the map: the round-6
+# additions (never driver-verified), then the 29 rows last seen in r3,
+# then the r4 block (r5's 50 rows are the freshest and go last).
 _DRIVER_PRIORITY = [
-    # round-5 additions, never driver-verified:
-    "q_heavy_hitters",
-    "q_tfidf_keywords",
-    "q_split_leakage_safe",
-    "q_outlier_mad",
-    "q_containment_join",
-    "q_heavy_hitters_by_lang",
-    "q_similarity_pq_rerank",
-    "q_similarity_jl",
-    "q_streaming_quality_profile",
-    "q_quantile_sketch",
-    "q_similarity_sq8",
-    "q_similarity_pq",
-    "q_similarity_ivfpq",
-    "q_ann_recall",
-    "q_semantic_dedup",
-    "q_streaming_near_dup",
-    "q_streaming_window_counts",
-    "q_streaming_sessions",
-    "q_counts_cm",
-    "q_fts_bm25",
-    "q_spatial_pairs",
-    "q_zorder_layout",
-    "q_rdf_grouped_path",
-    "q_rdf_negated_pathset",
-    "q_rdf_group_concat",
-    "q_multimodal_features",
-    "q_multimodal_audio",
-    "q_sample_weighted",
-    "q_deterministic_shuffle",
-    "q_salted_join",
-    "q_salted_agg",
-    "q_dup_windows",
-    "q_boilerplate_scrub",
-    "q_pipeline_end2end",
+    # round-6 additions, never driver-verified:
+    "q_substring_spans",
+    "q_substring_scrub",
+    "q_similarity_jl_rerank",
+    # last driver-verified in round 3:
+    "q_agent_name_weights",
+    "q_asof_purchase_view",
+    "q_corpus_profile",
+    "q_cosine_topk",
+    "q_doc_fingerprint",
+    "q_embedding_near_dup",
+    "q_embedding_near_dup_ann",
+    "q_er_part_names",
+    "q_events_pivot",
+    "q_fts_part_search",
+    "q_geo_track_length",
+    "q_label_centroid_stats",
+    "q_lang_id",
+    "q_movement_smoothing",
+    "q_owl_closure",
+    "q_paris_agents",
+    "q_primary_facet",
+    "q_rdf_bgp_region",
+    "q_rdf_construct_euro",
+    "q_rdf_describe_nations",
+    "q_rdf_facet_rank",
+    "q_rdf_ifp_sameas",
+    "q_rdf_rdfs_closure",
+    "q_rdf_sameas_components",
+    "q_similarity_ivf",
+    "q_staypoints",
+    "q_text_repetition",
+    "q_text_stats",
+    "q_token_estimates",
+    # last driver-verified in round 4:
+    "q_bloom_semijoin",
+    "q_bpe_pair_counts",
+    "q_cohort_retention",
+    "q_contamination",
+    "q_daily_order_stats",
+    "q_dataset_mixture",
+    "q_dedup_clusters",
+    "q_dedup_exact",
+    "q_dedup_jaccard_capped",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_prefix_filter",
+    "q_dedup_simhash",
+    "q_distinct_hll",
+    "q_distinct_kmv",
+    "q_doc_chunks",
+    "q_funnel",
+    "q_incremental_agg",
+    "q_kcore",
+    "q_lm_bigram_score",
+    "q_pagerank",
+    "q_pii_scrub",
+    "q_quality_filter",
+    "q_rolling_activity",
+    "q_sample_fixed_n",
+    "q_sample_stratified",
+    "q_scd2_intervals",
+    "q_sync_delta",
+    "q_table_profile",
+    "q_token_packing",
+    "q_train_test_split",
+    "q_triangle_stats",
+    "q_url_canonical",
+    "q_vocab_topk",
 ]
 
 

@@ -166,7 +166,12 @@ def q_paris_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k") % 5 == 0, F.concat(F.lit("email:other"), "k", F.lit("@ex.com"))
         ).otherwise(F.concat(F.lit("email:c"), "k", F.lit("@ex.com"))).alias("y"),
     )
-    stmts = crm_name.unionByName(crm_email).unionByName(mail_name).unionByName(mail_email)
+    # the statement relation feeds every functionality/evidence pass of
+    # the PARIS step (the plan audit counted 40 re-derivations of the
+    # four-projection union) — materialize it once per query
+    from ..operators.cachereg import pin
+
+    stmts = pin(crm_name.unionByName(crm_email).unionByName(mail_name).unionByName(mail_email))
     pairs = paris_step(stmts, exact_literal_eq(stmts))
     return pairs.select(
         F.col("x").alias("agent"),

@@ -457,7 +457,12 @@ def q_primary_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("object_lang"),
         F.lit("g:ifp").alias("graph"),
     )
-    store = StatementStore(base.unionByName(sameas))
+    # the store relation is scanned once per compiled statement pattern
+    # — pin the union so the sameas derivation (a join + distinct) runs
+    # once, not per pattern (released via operators/cachereg)
+    from ..operators.cachereg import pin
+
+    store = StatementStore(pin(base.unionByName(sameas)))
     diff = primary_facet_enricher(
         store, Diff(added=sameas, removed=sameas.limit(0))
     )
@@ -520,7 +525,11 @@ def q_rdf_facet_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("object_lang"),
         F.lit("g:ifp").alias("graph"),
     )
-    quads = base.unionByName(sameas)
+    # pin the queried store: the SPARQL text compiles one pattern scan
+    # per triple pattern and the sameas arm re-derived its join per scan
+    from ..operators.cachereg import pin
+
+    quads = pin(base.unionByName(sameas))
     return sparql_select(
         quads,
         f"""

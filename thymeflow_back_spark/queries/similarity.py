@@ -910,3 +910,95 @@ def q_similarity_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("recall", F.col("n_overlap") / F.lit(float(SQ_K)))
         .orderBy("q_id")
     )
+
+
+# --- Q: JL shortlist + exact rerank (two-stage serving) -----------------------
+
+JL_SHORTLIST = 30
+
+
+@query(
+    "q_similarity_jl_rerank",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id, [
+        {_jl_sql_rows()}
+      ] AS p FROM vecs
+    ),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM vecs WHERE vec_id < {N_QUERIES}),
+    qp AS (SELECT vec_id AS q_id, p AS q_p FROM proj WHERE vec_id < {N_QUERIES}),
+    exact_ranked AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.vec_id AS c_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 round(list_dot_product(q.q_vec, c.v)
+                   / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.v, c.v))), 9) DESC,
+                 c.vec_id) AS rank
+        FROM vecs c CROSS JOIN q WHERE c.vec_id <> q.q_id)
+      WHERE rank <= {SQ_K}
+    ),
+    jl_short AS (
+      SELECT q_id, c_id FROM (
+        SELECT qp.q_id, c.vec_id AS c_id,
+               row_number() OVER (PARTITION BY qp.q_id ORDER BY
+                 round(list_dot_product(qp.q_p, c.p)
+                   / (sqrt(list_dot_product(qp.q_p, qp.q_p)) * sqrt(list_dot_product(c.p, c.p))), 9) DESC,
+                 c.vec_id) AS rank
+        FROM proj c CROSS JOIN qp WHERE c.vec_id <> qp.q_id)
+      WHERE rank <= {JL_SHORTLIST}
+    ),
+    reranked AS (
+      SELECT q_id, c_id FROM (
+        SELECT s.q_id, s.c_id,
+               row_number() OVER (PARTITION BY s.q_id ORDER BY
+                 round(list_dot_product(q.q_vec, c.v)
+                   / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.v, c.v))), 9) DESC,
+                 s.c_id) AS rank
+        FROM jl_short s
+        JOIN vecs c ON c.vec_id = s.c_id
+        JOIN q ON q.q_id = s.q_id)
+      WHERE rank <= {SQ_K}
+    )
+    SELECT e.q_id,
+           COUNT(r.c_id) AS n_overlap,
+           COUNT(r.c_id) / {SQ_K}.0 AS recall
+    FROM exact_ranked e
+    LEFT JOIN reranked r USING (q_id, c_id)
+    GROUP BY e.q_id
+    ORDER BY e.q_id
+    """,
+    doc="Two-stage ANN serving: JL sign-projection shortlist "
+    f"(cosine top-{JL_SHORTLIST} in the 16-dim projected space — 4x less "
+    "arithmetic and scan per candidate) then EXACT cosine rerank of only "
+    f"the shortlisted raw vectors to top-{SQ_K}, reported as recall@{SQ_K} "
+    "vs the exact ranking. Composes the dimension rung with the "
+    "rerank stage (operators/jl.py jl_rerank_topk; the precision-rung "
+    "sibling is q_similarity_pq_rerank) — the rerank side is "
+    "queries x shortlist rows broadcast against ONE streaming corpus "
+    "scan. Recall dominates the JL-only row by construction whenever the "
+    "shortlist covers more of the true top-k than the projected top-k "
+    "alone (tests/test_fts_ann.py pins the dominance).",
+)
+def q_similarity_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.jl import jl_rerank_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    rer = jl_rerank_topk(
+        emb, probes, "vec_id", "embedding", JL_D_IN, JL_D_OUT, JL_SHORTLIST, SQ_K
+    ).select("q_id", F.col("vec_id").alias("c_id"), F.lit(1).alias("hit"))
+    exact_corpus = emb.select("vec_id", F.col("embedding").alias("emb"))
+    probes_raw = probes.select("vec_id", F.col("embedding").alias("emb"))
+    exact = cosine_topk(exact_corpus, probes_raw, "vec_id", "emb", SQ_K).select(
+        "q_id", "c_id"
+    )
+    return (
+        exact.join(rer, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(F.count("hit").alias("n_overlap"))
+        .withColumn("recall", F.col("n_overlap") / F.lit(float(SQ_K)))
+        .orderBy("q_id")
+    )

@@ -82,4 +82,13 @@ def tpch_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         _quad(r_iri, TYPE, F.lit("schema:Region"), "iri", None),
         _quad(r_iri, NAME, F.col("r_name"), "literal", XSD_STRING),
     )
-    return c_quads.unionByName(bs_quads).unionByName(n_quads).unionByName(r_quads)
+    # PIN the quad relation: a SPARQL query compiles one statement-pattern
+    # scan PER TRIPLE PATTERN, so a multi-pattern query over this derived
+    # union re-encoded the base tables dozens of times (q_rdf_facet_rank:
+    # 42 source scans, q_paris_agents: 40 — the plan-audit worst cases).
+    # A real store holds quads physically materialized; the pin is that
+    # materialization for the derived encoding, one compute per query.
+    # Released between queries by the harness (operators/cachereg).
+    from ..operators.cachereg import pin
+
+    return pin(c_quads.unionByName(bs_quads).unionByName(n_quads).unionByName(r_quads))
