@@ -73,6 +73,7 @@ GLOBAL_WINDOW_OK = {
     # (#partitions rows) plus the group-start pass (#groups rows)
     "q_outlier_mad",
     "q_value_percentiles",
+    "q_distinct_kmv_by_group",
 }
 
 _PLAN_CACHE: dict[str, str] = {}

@@ -224,3 +224,32 @@ def test_grouped_heavy_hitters_exact_per_group(spark):
     }
     assert got == exact
     assert len({g for g, _, _ in exact}) == 2  # both groups contribute
+
+
+def test_grouped_kmv_exact_below_k_and_matches_global(spark):
+    """Per-group KMV: exhaustive groups (n < k) report the EXACT distinct
+    count; a big group's row equals the global sketch restricted to it;
+    NULL groups are their own partition; NULL values are excluded."""
+    from thymeflow_back_spark.operators.sketch import (
+        grouped_kmv_estimate,
+        kmv_estimate,
+    )
+
+    rows = (
+        [("a", i % 7) for i in range(50)]            # 7 distinct, n < k
+        + [("b", i) for i in range(200)]             # 200 distinct, n > k
+        + [(None, i % 3) for i in range(9)]          # NULL group, 3 distinct
+        + [("a", None)]                              # NULL value: ignored
+    )
+    df = spark.createDataFrame(rows, "g string, v int")
+    k = 16
+    got = {r.g: r for r in grouped_kmv_estimate(df, "g", "v", k).collect()}
+    assert set(got) == {"a", "b", None}
+    assert got["a"].k_used == 7 and got["a"].est_distinct == 7.0
+    assert got[None].k_used == 3 and got[None].est_distinct == 3.0
+    g = kmv_estimate(df.filter(F.col("g") == "b"), "v", k).collect()[0]
+    assert (got["b"].k_used, got["b"].kth_min, got["b"].est_distinct) == (
+        g.k_used, g.kth_min, g.est_distinct,
+    )
+    # the estimate is a real estimate in the >k regime: within 50% here
+    assert 100 <= got["b"].est_distinct <= 400

@@ -75,6 +75,8 @@ def brute_scrub():
     out = []
     for doc, text in DOCS:
         toks = [t for t in text.split(" ") if t]
+        if not toks:
+            continue  # operator contract: rows only for docs with >= 1 token
         cut = covered.get(doc, set())
         kept = [t for i, t in enumerate(toks) if i not in cut]
         out.append((doc, " ".join(kept), len(toks), len(toks) - len(kept)))
@@ -117,3 +119,35 @@ def test_scrub_idempotent_on_clean_corpus(spark):
     rows = scrub_duplicated_spans(df, "doc_id", "text", W).collect()
     assert all(r.n_removed == 0 for r in rows)
     assert {r.clean_text for r in rows} == {t for _, t in clean}
+
+
+def test_substring_ops_match_brute_force_random_corpora(spark):
+    """Randomized sweep: small token alphabet + short docs force heavy
+    window collisions, shared runs that abut island boundaries, and
+    intra-document repeats — the regimes where off-by-one in the island
+    merge or canonical tie-break would show. Deterministic seeds."""
+    import random
+
+    for seed in (7, 23, 101):
+        rng = random.Random(seed)
+        docs = [
+            (i, " ".join(rng.choice("abcdef") for _ in range(rng.randint(0, 14))))
+            for i in range(12)
+        ]
+        global DOCS
+        saved = DOCS
+        try:
+            DOCS = docs
+            df = spark.createDataFrame(docs, "doc_id int, text string")
+            got_spans = sorted(
+                (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+                for r in duplicated_spans(df, "doc_id", "text", W).collect()
+            )
+            assert got_spans == brute_spans(), f"spans diverge at seed {seed}"
+            got_scrub = sorted(
+                (r.doc_id, r.clean_text, r.n_tokens, r.n_removed)
+                for r in scrub_duplicated_spans(df, "doc_id", "text", W).collect()
+            )
+            assert got_scrub == brute_scrub(), f"scrub diverges at seed {seed}"
+        finally:
+            DOCS = saved

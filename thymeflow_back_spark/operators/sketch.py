@@ -343,3 +343,43 @@ def histogram_quantiles(
         )
     )
     return hits.select("quantile", "target", "bucket", est.alias("est"))
+
+
+def grouped_kmv_estimate(
+    df: DataFrame, group_col: str, col: str | Column, k: int
+) -> DataFrame:
+    """Per-group KMV distinct-count: (group, k_used, kth_min, est_distinct).
+
+    The grouped form of :func:`kmv_estimate` — per-group cardinality
+    ("distinct users per event type", "distinct shingles per language")
+    with the same determinism contract: estimates are a pure function of
+    each group's value set, bit-reproducible on any engine.
+
+    Scale shape: per-group k-minima need per-group ranks, and a
+    ``Window.partitionBy(group).orderBy(h)`` moves each group to ONE task
+    — a 20 TB group on one core at low group cardinality. Ranks come from
+    the distributed grouped rank instead (operators/robust.grouped_rank:
+    one range shuffle + sketch-sized offset passes, every core busy
+    regardless of group count). NULL group keys are a group of their own
+    (grouped_rank's null-safe contract, matching SQL PARTITION BY);
+    NULL values are excluded as in the global sketch. Groups with no
+    non-null values produce no row.
+    """
+    from .robust import grouped_rank
+
+    c = F.col(col) if isinstance(col, str) else col
+    hashed = (
+        df.select(F.col(group_col), h32(c).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .dropDuplicates([group_col, "h"])
+    )
+    r = grouped_rank(hashed, group_col, ["h"], rank_col="__rn", n_col="__nd")
+    kth = r.filter(F.col("__rn") == F.least(F.lit(k), F.col("__nd")))
+    return kth.select(
+        group_col,
+        F.least(F.lit(k), F.col("__nd")).alias("k_used"),
+        F.col("h").alias("kth_min"),
+        F.when(F.col("__nd") < k, F.col("__nd").cast("double"))
+        .otherwise((F.lit(k) - 1) * F.lit(TWO_32) / F.col("h"))
+        .alias("est_distinct"),
+    )

@@ -52,6 +52,7 @@ def query(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
 _DRIVER_PRIORITY = [
     # round-6 additions, never driver-verified:
     "q_substring_spans",
+    "q_distinct_kmv_by_group",
     "q_substring_scrub",
     "q_similarity_jl_rerank",
     # last driver-verified in round 3:

@@ -1798,3 +1798,47 @@ def q_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(final, 4, "near_dedup"))
         .orderBy("stage_no")
     )
+
+
+# --- Q: grouped KMV cardinality (distinct users per event type) ---------------
+
+GKMV_K = 32
+
+
+@query(
+    "q_distinct_kmv_by_group",
+    oracle=f"""
+    WITH hs AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    r AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM hs
+    )
+    SELECT event_type,
+           LEAST({GKMV_K}, nd) AS k_used,
+           h AS kth_min,
+           CASE WHEN nd < {GKMV_K} THEN nd::DOUBLE
+                ELSE ({GKMV_K} - 1) * 4294967296.0 / h END AS est_distinct
+    FROM r WHERE rn = LEAST({GKMV_K}, nd)
+    ORDER BY event_type
+    """,
+    doc="Per-group KMV distinct-count sketch — distinct users per event "
+    f"type via each group's {GKMV_K} smallest md5-derived hashes. The "
+    "grouped cardinality question every pipeline dashboard asks, answered "
+    "WITHOUT a per-group sort task: per-group ranks come from the "
+    "distributed prefix-sum grouped rank (operators/robust.py), so five "
+    "event types over 100 TB never put 20 TB on one core "
+    "(operators/sketch.py grouped_kmv_estimate).",
+)
+def q_distinct_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import grouped_kmv_estimate
+
+    events = load(spark, sf_dir, "events")
+    return grouped_kmv_estimate(events, "event_type", "user_id", GKMV_K).orderBy(
+        "event_type"
+    )
