@@ -876,3 +876,106 @@ def _containment_orientations(inter: DataFrame, threshold: float) -> DataFrame:
         .select("e.*")
         .filter(F.col("containment") >= threshold)
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Quality-aware cluster collapse: the HIGHEST-``quality_col`` member of
+    each near-dup cluster survives (tie-break: smallest id).
+
+    ``dedup_clusters`` elects the smallest id as canonical — fine for
+    counting, wrong for curation, where the standard policy is "keep the
+    best copy" (longest / highest-quality duplicate; Lee et al. 2022 keep
+    one representative, RefinedWeb keeps by quality). Output: one row per
+    cluster — (id, canonical_id, cluster_size, quality) of the survivor.
+
+    Plan: cluster labels from the components pass, one broadcast-sized
+    join back to (id, quality), then a single groupBy(canonical_id) whose
+    argmax is a struct MAX((quality, -id)) — no per-cluster window sort,
+    so a 100 TB corpus with billions of singleton clusters never ranks
+    inside a skewed window partition.
+    """
+    clusters = dedup_clusters(df, id_col, text_col, n, threshold)
+    quality = df.select(F.col(id_col), F.col(quality_col).cast("bigint").alias("__q"))
+    return (
+        clusters.join(quality, id_col)
+        .groupBy("canonical_id", "cluster_size")
+        .agg(
+            F.max(
+                F.struct(F.col("__q").alias("q"), (-F.col(id_col)).alias("negid"))
+            ).alias("m")
+        )
+        .select(
+            (-F.col("m.negid")).alias(id_col),
+            "canonical_id",
+            "cluster_size",
+            F.col("m.q").alias(quality_col),
+        )
+    )
+
+
+def cross_contamination_lsh(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination at LSH scale: training docs whose n-gram
+    Jaccard against ANY benchmark doc reaches ``threshold``, found via
+    MinHash band collisions across the two tables (never an all-pairs or
+    all-shingles cross join).
+
+    ``benchmark_contamination`` is the exact-overlap form (any shared
+    n-gram ⇒ broadcast probe); this is the scale form for when the
+    benchmark side is itself large (a full eval-suite union): both sides
+    compute fixed-size signatures map-side, candidates meet ONLY inside
+    (band, bkey) buckets, and exact Jaccard re-verifies candidates from
+    the in-row shingle arrays. Same recall contract as
+    ``minhash_near_dups``, directed train→bench.
+
+    Output: (train_id, bench_id, n_common, jaccard), one row per
+    contaminated (train, bench) pair at jaccard >= threshold.
+    """
+    t_sh = _by_id(doc_shingles(train, id_col, text_col, n), id_col)
+    b_sh = _by_id(doc_shingles(bench, id_col, text_col, n), id_col)
+    t_bands = lsh_band_rows(minhash_signatures_mapside(t_sh, id_col), id_col).select(
+        F.col(id_col).alias("train_id"), "band", "bkey"
+    )
+    b_bands = lsh_band_rows(minhash_signatures_mapside(b_sh, id_col), id_col).select(
+        F.col(id_col).alias("bench_id"), "band", "bkey"
+    )
+    cands = (
+        t_bands.join(b_bands, ["band", "bkey"])
+        .select("train_id", "bench_id")
+        .dropDuplicates(["train_id", "bench_id"])
+    )
+    paired = cands.join(
+        t_sh.select(F.col(id_col).alias("train_id"), F.col("sh").alias("t_sh")),
+        "train_id",
+    ).join(
+        b_sh.select(F.col(id_col).alias("bench_id"), F.col("sh").alias("b_sh")),
+        "bench_id",
+    )
+    return (
+        paired.select(
+            "train_id",
+            "bench_id",
+            F.size(F.array_intersect("t_sh", "b_sh")).cast("bigint").alias("n_common"),
+            F.size("t_sh").cast("bigint").alias("t_n"),
+            F.size("b_sh").cast("bigint").alias("b_n"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("t_n") + F.col("b_n") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("train_id", "bench_id", "n_common", "jaccard")
+    )

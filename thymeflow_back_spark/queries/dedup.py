@@ -10,6 +10,7 @@ literals from operators/dedup.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..tables import load
@@ -402,3 +403,118 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_near_dups(
         docs, "doc_id", "text", SHINGLE_N, CONTAIN_T
     ).orderBy("src_id", "dst_id")
+
+
+# --- Q: quality-aware cluster collapse (keep the best duplicate) ---------------
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_JACCARD},
+    pairs AS (
+      SELECT a_id, b_id FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS node, MIN(d) AS mn FROM reach GROUP BY s),
+    labeled AS (
+      SELECT doc.doc_id, doc.n_chars,
+             LEAST(COALESCE(c.mn, doc.doc_id), doc.doc_id) AS canonical_id
+      FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.node
+    ),
+    csizes AS (
+      SELECT canonical_id, COUNT(*) AS cluster_size FROM labeled GROUP BY 1
+    ),
+    ranked AS (
+      SELECT l.doc_id, l.canonical_id, s.cluster_size, l.n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY l.canonical_id
+               ORDER BY l.n_chars DESC, l.doc_id ASC
+             ) AS rn
+      FROM labeled l JOIN csizes s USING (canonical_id)
+    )
+    SELECT doc_id, canonical_id, cluster_size, n_chars
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    doc="Quality-aware dedup collapse: per near-dup cluster, keep the "
+    "HIGHEST-quality member (longest document, ties to smallest id) — the "
+    "curation policy (keep the best copy, not the arbitrary smallest id). "
+    "Argmax is a struct MAX per cluster, never a per-cluster window sort "
+    "(operators/dedup.py dedup_keep_best).",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.dedup_keep_best(
+        docs, "doc_id", "text", "n_chars", SHINGLE_N, JACCARD_THRESHOLD
+    ).select("doc_id", "canonical_id", "cluster_size", "n_chars").orderBy("doc_id")
+
+
+# --- Q: cross-table LSH decontamination ----------------------------------------
+
+LSH_PROBE_MOD = 7  # doc_id % 7 == 0 -> held-out benchmark side
+
+
+@query(
+    "q_contamination_lsh",
+    oracle=f"""
+    WITH {_SQL_SHINGLES},
+    perms(i, a, b) AS (VALUES {_PERMS_VALUES}),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {D.MERSENNE_P} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, i, MIN((a * h + b) % {D.MERSENNE_P}) AS mh
+      FROM hashed CROSS JOIN perms
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, i // {D.ROWS_PER_BAND} AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkey
+      FROM sig GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS bench_id
+      FROM bands t JOIN bands e USING (band, bkey)
+      WHERE t.doc_id % {LSH_PROBE_MOD} <> 0 AND e.doc_id % {LSH_PROBE_MOD} = 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.train_id, c.bench_id, COUNT(*) AS n_common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.train_id
+      JOIN sh b ON b.doc_id = c.bench_id AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.train_id, i.bench_id, i.n_common,
+           i.n_common / (st.n_sh + sb.n_sh - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes st ON st.doc_id = i.train_id
+    JOIN sizes sb ON sb.doc_id = i.bench_id
+    WHERE i.n_common / (st.n_sh + sb.n_sh - i.n_common) >= {JACCARD_THRESHOLD}
+    ORDER BY i.train_id, i.bench_id
+    """,
+    doc="Benchmark decontamination at LSH scale: training docs (doc_id % 7 "
+    "!= 0) near-duplicating any benchmark doc (doc_id % 7 == 0), found via "
+    "MinHash band collisions ACROSS the two tables and verified with exact "
+    "Jaccard — the scale form of q_contamination for when the benchmark "
+    "union is too large to broadcast its shingles "
+    "(operators/dedup.py cross_contamination_lsh).",
+)
+def q_contamination_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % LSH_PROBE_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % LSH_PROBE_MOD == 0)
+    return D.cross_contamination_lsh(
+        train, bench, "doc_id", "text", SHINGLE_N, JACCARD_THRESHOLD
+    ).orderBy("train_id", "bench_id")

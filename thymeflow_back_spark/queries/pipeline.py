@@ -1842,3 +1842,63 @@ def q_distinct_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_kmv_estimate(events, "event_type", "user_id", GKMV_K).orderBy(
         "event_type"
     )
+
+
+# --- Q: DSIR importance resampling --------------------------------------------
+
+DSIR_N = 100
+DSIR_BUCKETS = 256
+
+
+@query(
+    "q_dsir_resample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, lang = 'en' AS is_target,
+             ('0x' || substr(md5('dsir:' || ' ' || toks[i] || ' ' || toks[i+1]), 1, 8))::BIGINT
+               % {DSIR_BUCKETS} AS bucket
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
+    ),
+    counts AS (
+      SELECT bucket, COUNT(*) AS r_cnt, COUNT(*) FILTER (is_target) AS t_cnt
+      FROM occ GROUP BY 1
+    ),
+    masses AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(t_cnt) AS BIGINT) AS t_mass,
+             CAST(SUM(r_cnt) AS BIGINT) AS r_mass
+      FROM occ JOIN counts USING (bucket) GROUP BY 1
+    ),
+    weighted AS (
+      SELECT doc_id, n_bigrams, t_mass, r_mass,
+             CAST(t_mass + 1 AS DOUBLE) / CAST(r_mass + 1 AS DOUBLE) AS weight
+      FROM masses
+    ),
+    top AS (
+      SELECT * FROM weighted
+      ORDER BY pow({_SQL_U.format(salt="dsir")}, 1.0 / weight) DESC, doc_id
+      LIMIT {DSIR_N}
+    )
+    SELECT doc_id, n_bigrams, t_mass, r_mass, weight FROM top ORDER BY doc_id
+    """,
+    doc="DSIR-style data selection (Xie et al. 2023): hashed-bigram bucket "
+    "counts of the target subset (lang='en') vs the raw corpus give each "
+    "document an exact-integer importance weight (t_mass+1)/(r_mass+1); "
+    "the corpus is then resampled by deterministic A-ES with inclusion "
+    "odds proportional to the weight. One map-side feature explode, one "
+    f"{DSIR_BUCKETS}-key aggregate (both target and corpus counts in the "
+    "same pass), broadcast join back, one per-doc fold — no Python, no "
+    "vocabulary shuffle (operators/dsir.py).",
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dsir import dsir_resample
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_resample(
+        docs, "doc_id", "text", F.col("lang") == "en", DSIR_N, DSIR_BUCKETS
+    ).orderBy("doc_id")
