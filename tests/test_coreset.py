@@ -1,0 +1,57 @@
+"""kcenter_sample vs a NumPy brute-force greedy replica."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from thymeflow_back_spark.operators.coreset import kcenter_sample
+
+K = 6
+
+
+def _greedy_numpy(ids, vecs, k):
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order]
+    chosen = [0]  # smallest id seeds
+    out = [(1, int(ids[0]), 0.0)]
+    for r in range(2, k + 1):
+        d2 = np.full(len(ids), np.inf)
+        for c in chosen:
+            # same expression shape as the engine: x.x - 2 x.c + c.c
+            cand = (
+                (vecs * vecs).sum(axis=1)
+                - 2.0 * vecs @ vecs[c]
+                + float(vecs[c] @ vecs[c])
+            )
+            d2 = np.minimum(d2, cand)
+        d2 = np.round(d2, 9)
+        d2[chosen] = -np.inf
+        best = int(np.argmax(d2))  # argmax takes the FIRST max -> smallest id
+        chosen.append(best)
+        out.append((r, int(ids[best]), float(d2[best])))
+    return out
+
+
+def test_kcenter_matches_bruteforce_greedy(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = [
+        (r["rank"], r["vec_id"], r["dist"])
+        for r in kcenter_sample(emb, "vec_id", "embedding", K).orderBy("rank").collect()
+    ]
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    want = _greedy_numpy(ids, vecs, K)
+    assert [(r, i) for r, i, _ in got] == [(r, i) for r, i, _ in want]
+    # distances agree to the rounding grid and are non-increasing after rank 2
+    for (_, _, dg), (_, _, dw) in zip(got, want):
+        assert abs(dg - dw) < 2e-9
+    dists = [d for _, _, d in got][1:]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+
+
+def test_kcenter_handles_k_exceeding_rows(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(3)
+    out = kcenter_sample(emb, "vec_id", "embedding", 10).collect()
+    assert len(out) == 3  # stops when the pool is exhausted

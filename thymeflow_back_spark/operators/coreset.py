@@ -1,0 +1,86 @@
+"""Diversity sampling over embedding columns: greedy k-center (coreset seed).
+
+Gonzalez (1985) farthest-first traversal — the classic 2-approximation for
+the k-center objective, and the standard "pick a maximally diverse subset"
+primitive of training-data curation (coreset selection, visual dedup
+seeding, k-means++-style initialization without randomness).
+
+Distributed shape: the selection loop runs k-1 rounds; each round is ONE
+embarrassingly-parallel scan computing every point's distance to its
+nearest chosen center (the chosen centers are plan-time array literals —
+at most k·d doubles shipped inside the plan, nothing broadcast-joined) and
+a single MAX(struct) aggregate whose result — one row — is collected.
+Driver state is k vectors; executor memory is O(d) per row. The same
+precedent as the IVF/BPE driver loops (ivf.py collects k×d means per
+Lloyd round, bpe.py one row per merge): the COLLECTED data is tiny and
+bounded by construction, the scans are fully distributed.
+
+Determinism: squared L2 distances are computed as dot(x,x) − 2·dot(x,c) +
+dot(c,c) with the left-to-right ordered fold (similarity.dot) and ROUNDED
+to 9 decimals before the argmax, ties broken by smallest id — the same
+cross-engine float discipline as cosine_topk, so the DuckDB oracle replays
+the exact selection sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import SCORE_DECIMALS, as_double_array, dot
+
+
+def _d2(v: Column, center: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in center])
+    return dot(v, v) - F.lit(2.0) * dot(v, c) + dot(c, c)
+
+
+def _min_dist(v: Column, centers: list[list[float]]) -> Column:
+    terms = [_d2(v, c) for c in centers]
+    mind = terms[0] if len(terms) == 1 else F.least(*terms)
+    return F.round(mind, SCORE_DECIMALS)
+
+
+def kcenter_sample(df: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
+    """Greedy k-center selection: (rank, id, dist) for k diverse rows.
+
+    rank 1 is the deterministic seed (smallest id, dist 0.0); rank r > 1 is
+    the point FARTHEST from the already-chosen set (rounded squared L2,
+    ties to smallest id), with ``dist`` its distance-to-set at selection
+    time — a non-increasing sequence whose last value is the coverage
+    radius of the selected set.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    vecs = df.select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
+    )
+    seed = vecs.orderBy("id").limit(1).collect()
+    if not seed:
+        raise ValueError("kcenter_sample: empty input")
+    chosen: list[tuple[int, float, list[float]]] = [
+        (seed[0]["id"], 0.0, list(seed[0]["v"]))
+    ]
+    for _ in range(1, k):
+        centers = [v for _, _, v in chosen]
+        ids = [i for i, _, _ in chosen]
+        picked = (
+            vecs.filter(~F.col("id").isin(ids))
+            .select(
+                F.max(
+                    F.struct(
+                        _min_dist(F.col("v"), centers).alias("mind"),
+                        (-F.col("id")).alias("negid"),
+                        F.col("v").alias("v"),
+                    )
+                ).alias("m")
+            )
+            .collect()[0]["m"]
+        )
+        if picked is None:
+            break  # fewer than k distinct rows
+        chosen.append((-picked["negid"], float(picked["mind"]), list(picked["v"])))
+    rows = [(r + 1, i, d) for r, (i, d, _) in enumerate(chosen)]
+    return df.sparkSession.createDataFrame(
+        rows, f"rank int, {id_col} bigint, dist double"
+    )

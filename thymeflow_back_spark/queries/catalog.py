@@ -55,6 +55,10 @@ _DRIVER_PRIORITY = [
     "q_distinct_kmv_by_group",
     "q_substring_scrub",
     "q_similarity_jl_rerank",
+    "q_dedup_keep_best",
+    "q_contamination_lsh",
+    "q_dsir_resample",
+    "q_kcenter_sample",
     # last driver-verified in round 3:
     "q_agent_name_weights",
     "q_asof_purchase_view",

@@ -1002,3 +1002,69 @@ def q_similarity_jl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("recall", F.col("n_overlap") / F.lit(float(SQ_K)))
         .orderBy("q_id")
     )
+
+
+# --- Q: greedy k-center diversity sample ---------------------------------------
+
+KCENTER_K = 8
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy farthest-first replay: one CTE per selection round.
+
+    Distances use the same dot(x,x) - 2 dot(x,c) + dot(c,c) expression and
+    round-to-9 discipline as the Spark side, so the argmax sequence is
+    engine-identical (ties broken by smallest vec_id)."""
+
+    def d2(cte: str) -> str:
+        return (
+            f"(list_dot_product(x.v, x.v)"
+            f" - 2 * list_dot_product(x.v, (SELECT v FROM {cte}))"
+            f" + list_dot_product((SELECT v FROM {cte}), (SELECT v FROM {cte})))"
+        )
+
+    def mind(prev: list[str]) -> str:
+        terms = [d2(p) for p in prev]
+        inner = terms[0] if len(terms) == 1 else "LEAST(" + ", ".join(terms) + ")"
+        return f"round({inner}, 9)"
+
+    # MATERIALIZED: DuckDB inlines plain CTEs, so the O(k^2) scalar
+    # subqueries would each re-open the parquet (fd exhaustion) and redo
+    # the whole prefix of the greedy chain per reference.
+    parts = [
+        "vecs AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "c1 AS MATERIALIZED (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 1)",
+    ]
+    for r in range(2, k + 1):
+        prev = [f"c{i}" for i in range(1, r)]
+        notin = " UNION ALL ".join(f"SELECT vec_id FROM {p}" for p in prev)
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT x.vec_id, x.v FROM vecs x"
+            f" WHERE x.vec_id NOT IN ({notin})"
+            f" ORDER BY {mind(prev)} DESC, x.vec_id LIMIT 1)"
+        )
+    selects = ["SELECT 1 AS rank, vec_id, 0.0 AS dist FROM c1"]
+    for r in range(2, k + 1):
+        prev = [f"c{i}" for i in range(1, r)]
+        selects.append(
+            f"SELECT {r} AS rank, x.vec_id, {mind(prev)} AS dist FROM c{r} x"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY rank"
+
+
+@query(
+    "q_kcenter_sample",
+    oracle=_kcenter_oracle(KCENTER_K),
+    doc="Greedy k-center diversity sample (Gonzalez 1985 farthest-first): "
+    f"{KCENTER_K} maximally-spread embeddings, each round one distributed "
+    "scan + MAX(struct) argmax against plan-time center literals, ties to "
+    "smallest id; dist is the (rounded) squared-L2 distance to the chosen "
+    "set at selection time — the coverage-radius sequence. The diverse-"
+    "subset / coreset-seed primitive of embedding-level curation "
+    "(operators/coreset.py).",
+)
+def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.coreset import kcenter_sample
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kcenter_sample(emb, "vec_id", "embedding", KCENTER_K).orderBy("rank")
