@@ -43,6 +43,9 @@ BNLJ_CROSS_OK = {
     "q_quantile_sketch",
     "q_heavy_hitters",  # candidate counts × one broadcast total-count row
     "q_tfidf_keywords",  # term df relation × one broadcast n_docs row
+    "q_knn_classify",  # composes q_cosine_topk's probe-set cross shape
+    "q_hybrid_rrf",  # BM25 stats row + the cosine probe-set cross shape
+    "q_quality_pr_curve",  # score groups × one broadcast total-positives row
 }
 
 # queries whose construction executes jobs eagerly (iterative closures,
@@ -74,6 +77,10 @@ GLOBAL_WINDOW_OK = {
     "q_outlier_mad",
     "q_value_percentiles",
     "q_distinct_kmv_by_group",
+    # rank-after-limit (rrf_fuse: fused_rank over the top-n rows only)
+    "q_hybrid_rrf",
+    # distributed_prefix_sum offset passes over the score-group summary
+    "q_quality_pr_curve",
 }
 
 _PLAN_CACHE: dict[str, str] = {}

@@ -1,0 +1,72 @@
+"""Unit tests for the serving/eval operators: k-NN labeling, RRF fusion,
+and the PR-curve threshold sweep."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from thymeflow_back_spark.operators.evalcurves import pr_curve
+from thymeflow_back_spark.operators.fusion import RRF_SCALE, rrf_fuse
+from thymeflow_back_spark.operators.similarity import knn_classify
+
+
+def test_knn_classify_majority_and_tie_break(spark):
+    # probe at origin-ish; 3 neighbors labeled 2, 2 labeled 1 -> majority 2
+    corpus_rows = [
+        (10, [1.0, 0.0], 2),
+        (11, [0.9, 0.1], 2),
+        (12, [0.8, 0.2], 2),
+        (13, [0.0, 1.0], 1),
+        (14, [0.1, 0.9], 1),
+        (15, [0.05, 1.0], 1),
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    probe = spark.createDataFrame(
+        [(0, [1.0, 0.05])], "vec_id bigint, embedding array<float>"
+    )
+    out = knn_classify(corpus, probe, "vec_id", "embedding", "label", 5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["pred_label"] == 2 and r["n_votes"] == 3 and abs(r["vote_share"] - 0.6) < 1e-12
+
+    # exact 3-3 split within k=6 -> smaller label wins
+    out2 = knn_classify(corpus, probe, "vec_id", "embedding", "label", 6).collect()[0]
+    assert out2["n_votes"] == 3 and out2["pred_label"] == 1
+
+
+def test_rrf_fuse_matches_reference_formula(spark):
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id bigint, rank int")
+    sem = spark.createDataFrame([(3, 1), (2, 2), (9, 3)], "id bigint, rank int")
+    out = {r["id"]: r for r in rrf_fuse([lex, sem], "id", 10).collect()}
+
+    def c(rank):
+        return RRF_SCALE // (60 + rank)
+
+    assert out[2]["rrf_score"] == (c(2) + c(2)) / float(RRF_SCALE)
+    assert out[3]["rrf_score"] == (c(3) + c(1)) / float(RRF_SCALE)
+    assert out[1]["n_lists"] == 1 and out[2]["n_lists"] == 2
+    # c(1)+c(3) > c(2)+c(2): the rank-1 hit dominates the balanced pair
+    ranks = {r["id"]: r["fused_rank"] for r in out.values()}
+    assert ranks[3] == 1 and ranks[2] == 2
+    # fused_rank is dense 1..n in score order
+    assert sorted(ranks.values()) == [1, 2, 3, 4]
+
+
+def test_pr_curve_exact_counts(spark):
+    rows = [(i, 100 - i, i % 2 == 0) for i in range(10)]  # scores 91..100
+    df = spark.createDataFrame(rows, "id bigint, score bigint, is_pos boolean")
+    out = {r["score"]: r for r in pr_curve(df, "score", F.col("is_pos")).collect()}
+    assert len(out) == 10
+    # highest threshold: only the score-100 row (id 0, positive)
+    top = out[100]
+    assert (top["cum_n"], top["cum_pos"]) == (1, 1)
+    assert top["prec"] == 1.0 and top["recall"] == 1.0 / 5.0
+    # lowest threshold keeps everything
+    bot = out[91]
+    assert (bot["cum_n"], bot["cum_pos"]) == (10, 5)
+    assert bot["prec"] == 0.5 and bot["recall"] == 1.0
+    # cum_n strictly increases as the threshold drops
+    ordered = [out[s]["cum_n"] for s in sorted(out, reverse=True)]
+    assert ordered == sorted(ordered) and len(set(ordered)) == 10

@@ -74,3 +74,52 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """k-NN majority-vote labeling: (q_id, pred_label, n_votes, vote_share).
+
+    The embedding-space auto-labeling primitive of a curation pipeline
+    (propagate a small set of human/model labels to the corpus by nearest
+    neighbors — the FineWeb-Edu-style classifier stand-in when the corpus
+    already carries reference labels). Exact semantics: top-``k`` cosine
+    neighbors (rounded-score ranking, ties to smallest id), then the label
+    with the most votes, ties to the smallest label.
+
+    Plan: cosine_topk's broadcast probe scan; the vote is a groupBy over
+    q×k rows (tiny by construction) joined back to corpus labels — AQE
+    broadcasts the neighbor side, so the label join never shuffles the
+    corpus. Vote share is one exact division by the literal k.
+    """
+    nn = cosine_topk(corpus, queries, id_col, vec_col, k, query_id_col)
+    labels = corpus.select(F.col(id_col).alias("c_id"), F.col(label_col).alias("__lbl"))
+    votes = (
+        nn.join(labels, "c_id")
+        .groupBy(query_id_col, "__lbl")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    return (
+        votes.groupBy(query_id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_votes").alias("n"),
+                    (-F.col("__lbl")).cast("bigint").alias("neglbl"),
+                )
+            ).alias("m")
+        )
+        .select(
+            query_id_col,
+            (-F.col("m.neglbl")).alias("pred_label"),
+            F.col("m.n").alias("n_votes"),
+            (F.col("m.n") / F.lit(float(k))).alias("vote_share"),
+        )
+    )

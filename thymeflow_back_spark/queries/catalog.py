@@ -59,6 +59,9 @@ _DRIVER_PRIORITY = [
     "q_contamination_lsh",
     "q_dsir_resample",
     "q_kcenter_sample",
+    "q_knn_classify",
+    "q_hybrid_rrf",
+    "q_quality_pr_curve",
     # last driver-verified in round 3:
     "q_agent_name_weights",
     "q_asof_purchase_view",

@@ -112,3 +112,100 @@ def q_fts_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bm25_rank(docs, "doc_id", "text", list(BM25_TERMS), BM25_K).orderBy("rank")
+
+
+# --- Q: hybrid lexical+semantic retrieval (RRF fusion) -------------------------
+
+RRF_PROBE_ID = 0  # embedding probe; doc_id/vec_id spaces are aligned
+RRF_TOP = 10
+
+
+@query(
+    "q_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM toks),
+    tf AS (
+      SELECT doc_id, dl, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM toks)
+      GROUP BY 1, 2, 3
+    ),
+    terms(tok) AS (VALUES {_TERMS_SQL}),
+    postings AS (SELECT * FROM tf JOIN terms USING (tok)),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM postings GROUP BY 1),
+    bm25 AS (
+      SELECT doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (p.tf * (1.2 + 1))
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl))
+             ), 6) AS score
+      FROM postings p JOIN dfreq d USING (tok) CROSS JOIN stats s
+      GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id AS id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM bm25 QUALIFY rank <= {BM25_K}
+    ),
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v AS q_vec FROM vecs WHERE vec_id = {RRF_PROBE_ID}),
+    cos AS (
+      SELECT c.vec_id AS id,
+             round(
+               list_dot_product((SELECT q_vec FROM qv), c.v)
+               / (sqrt(list_dot_product((SELECT q_vec FROM qv), (SELECT q_vec FROM qv)))
+                  * sqrt(list_dot_product(c.v, c.v))),
+               9
+             ) AS score
+      FROM vecs c WHERE c.vec_id <> {RRF_PROBE_ID}
+    ),
+    sem AS (
+      SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rank
+      FROM cos QUALIFY rank <= {BM25_K}
+    ),
+    contribs AS (
+      SELECT id, 1000000000000 // (60 + rank) AS c FROM lex
+      UNION ALL
+      SELECT id, 1000000000000 // (60 + rank) AS c FROM sem
+    ),
+    fused AS (
+      SELECT id, CAST(SUM(c) AS BIGINT) AS s, COUNT(*) AS n_lists
+      FROM contribs GROUP BY id
+    ),
+    top AS (
+      SELECT id, s, n_lists,
+             ROW_NUMBER() OVER (ORDER BY s DESC, id) AS fused_rank
+      FROM fused QUALIFY fused_rank <= {RRF_TOP}
+    )
+    SELECT id, s / 1000000000000.0 AS rrf_score, n_lists,
+           CAST(fused_rank AS INTEGER) AS fused_rank
+    FROM top ORDER BY fused_rank
+    """,
+    doc="Hybrid retrieval: BM25 lexical top-20 and embedding-cosine top-20 "
+    "(probe vec_id=0; the doc_id/vec_id spaces are aligned) fused by "
+    "Reciprocal Rank Fusion (Cormack et al. 2009) with integer-quantized "
+    "contributions floor(1e12/(60+rank)) so the fused score is an exact, "
+    "order-free bigint sum on any engine "
+    "(operators/fusion.py rrf_fuse).",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.fts import bm25_rank
+    from ..operators.fusion import rrf_fuse
+    from ..operators.similarity import cosine_topk
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = bm25_rank(docs, "doc_id", "text", list(BM25_TERMS), BM25_K).select(
+        F.col("doc_id").alias("id"), "rank"
+    )
+    probe = emb.filter(F.col("vec_id") == RRF_PROBE_ID)
+    sem = cosine_topk(emb, probe, "vec_id", "embedding", BM25_K).select(
+        F.col("c_id").alias("id"), "rank"
+    )
+    return rrf_fuse([lex, sem], "id", RRF_TOP).orderBy("fused_rank")

@@ -1902,3 +1902,48 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_resample(
         docs, "doc_id", "text", F.col("lang") == "en", DSIR_N, DSIR_BUCKETS
     ).orderBy("doc_id")
+
+
+# --- Q: quality-gate PR curve --------------------------------------------------
+
+
+@query(
+    "q_quality_pr_curve",
+    oracle="""
+    WITH labeled AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    groups AS (
+      SELECT score, COUNT(*) AS n_at, SUM(pos) AS pos_at
+      FROM labeled GROUP BY 1
+    ),
+    cum AS (
+      SELECT score,
+             CAST(SUM(n_at) OVER w AS BIGINT) AS cum_n,
+             CAST(SUM(pos_at) OVER w AS BIGINT) AS cum_pos
+      FROM groups
+      WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS total_pos FROM labeled)
+    SELECT score, cum_n, cum_pos,
+           cum_pos / cum_n AS prec,
+           cum_pos / total_pos AS recall
+    FROM cum CROSS JOIN tot
+    ORDER BY score DESC
+    """,
+    doc="Threshold sweep of the length gate against the lang='en' reference "
+    "label: precision/recall at every distinct score threshold (keep-if-"
+    "score>=s policy). Per-score aggregation first (one corpus shuffle), "
+    "then the deterministic distributed prefix sum over the score-group "
+    "summary only — the filter-calibration curve without a corpus-sized "
+    "sort task (operators/evalcurves.py pr_curve).",
+)
+def q_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evalcurves import pr_curve
+
+    docs = load(spark, sf_dir, "documents")
+    return pr_curve(docs, "n_chars", F.col("lang") == "en").orderBy(
+        F.desc("score")
+    )

@@ -1068,3 +1068,61 @@ def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return kcenter_sample(emb, "vec_id", "embedding", KCENTER_K).orderBy("rank")
+
+
+# --- Q: k-NN majority-vote labeling --------------------------------------------
+
+
+@query(
+    "q_knn_classify",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM vecs WHERE vec_id < {N_QUERIES}),
+    corpus AS (SELECT vec_id AS c_id, label, v FROM vecs WHERE vec_id >= {N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, c.c_id, c.label,
+             round(
+               list_dot_product(q.q_vec, c.v)
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.v, c.v))),
+               9
+             ) AS score
+      FROM corpus c CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT q_id, c_id, label,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+      FROM scored
+    ),
+    votes AS (
+      SELECT q_id, label AS pred_label, COUNT(*) AS n_votes
+      FROM ranked WHERE rank <= {TOP_K}
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT q_id, pred_label, n_votes,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY n_votes DESC, pred_label ASC
+             ) AS rn
+      FROM votes
+    )
+    SELECT q_id, pred_label, n_votes, n_votes / {float(TOP_K)} AS vote_share
+    FROM best WHERE rn = 1
+    ORDER BY q_id
+    """,
+    doc="k-NN majority-vote auto-labeling: each probe (vec_id < 10) takes "
+    f"the majority label of its {TOP_K} nearest corpus embeddings "
+    "(vec_id >= 10, cosine, rounded-score ranking), ties to the smallest "
+    "label — the propagate-labels-by-neighbors primitive of embedding-"
+    "level curation (operators/similarity.py knn_classify).",
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_classify
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    return knn_classify(corpus, probes, "vec_id", "embedding", "label", TOP_K).orderBy(
+        "q_id"
+    )
