@@ -81,6 +81,7 @@ GLOBAL_WINDOW_OK = {
     "q_hybrid_rrf",
     # distributed_prefix_sum offset passes over the score-group summary
     "q_quality_pr_curve",
+    "q_score_auc",
 }
 
 _PLAN_CACHE: dict[str, str] = {}

@@ -70,3 +70,23 @@ def test_pr_curve_exact_counts(spark):
     # cum_n strictly increases as the threshold drops
     ordered = [out[s]["cum_n"] for s in sorted(out, reverse=True)]
     assert ordered == sorted(ordered) and len(set(ordered)) == 10
+
+
+def test_roc_auc_matches_pair_counting(spark):
+    from thymeflow_back_spark.operators.evalcurves import roc_auc
+
+    # ties included: scores with mixed labels at the same value
+    rows = [
+        (1, 10, True), (2, 10, False), (3, 8, True), (4, 8, True),
+        (5, 8, False), (6, 5, False), (7, 5, True), (8, 3, False),
+        (9, 2, False), (10, 1, True),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, score bigint, is_pos boolean")
+    r = roc_auc(df, "score", F.col("is_pos")).collect()[0]
+    pos = [s for _, s, p in rows if p]
+    neg = [s for _, s, p in rows if not p]
+    # pair counting: wins + half-ties
+    u2 = sum(2 if p > q else (1 if p == q else 0) for p in pos for q in neg)
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    assert r["u2"] == u2
+    assert r["auc"] == u2 / (2.0 * len(pos) * len(neg))

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .packing import distributed_prefix_sum
+from .packing import distributed_prefix_sum, distributed_prefix_sums
 
 
 def pr_curve(df: DataFrame, score_col: str, label_pred: Column) -> DataFrame:
@@ -40,8 +40,10 @@ def pr_curve(df: DataFrame, score_col: str, label_pred: Column) -> DataFrame:
         F.count("*").alias("__n_at"), F.sum("__pos").alias("__pos_at")
     )
     g = groups.withColumn("__negscore", -F.col("score"))
-    g = distributed_prefix_sum(g, "__negscore", "__n_at", "cum_n")
-    g = distributed_prefix_sum(g, "__negscore", "__pos_at", "cum_pos")
+    # both running sums share ONE range exchange over the score groups
+    g = distributed_prefix_sums(
+        g, "__negscore", {"cum_n": "__n_at", "cum_pos": "__pos_at"}
+    )
     totals = labeled.agg(F.sum("__pos").alias("__total_pos"))
     return (
         g.crossJoin(F.broadcast(totals))
@@ -52,4 +54,47 @@ def pr_curve(df: DataFrame, score_col: str, label_pred: Column) -> DataFrame:
             (F.col("cum_pos") / F.col("cum_n")).alias("prec"),
             (F.col("cum_pos") / F.col("__total_pos")).alias("recall"),
         )
+    )
+
+
+def roc_auc(df: DataFrame, score_col: str, label_pred: Column) -> DataFrame:
+    """EXACT ROC-AUC (Mann-Whitney U with average-rank tie handling), one row.
+
+    AUC = (Σ_pos avgrank − n_pos(n_pos+1)/2) / (n_pos · n_neg) with ranks
+    ascending in score. Everything stays integer until the final division:
+    doubling the identity gives 2·avgrank over a tie group [a..b] =
+    a + b = 2·cum_n − n_at + 1, so u2 = Σ_groups pos_at·(2·cum_n − n_at
+    + 1) − n_pos(n_pos+1) is an exact bigint and auc = u2 / (2·n_pos·n_neg)
+    is a single engine-identical division.
+
+    Same scale shape as :func:`pr_curve`: per-score aggregation over the
+    corpus, then ONE distributed prefix sum over the score-group summary.
+    Returns (n, n_pos, n_neg, u2, auc).
+    """
+    labeled = df.select(
+        F.col(score_col).alias("score"),
+        F.when(label_pred, F.lit(1)).otherwise(F.lit(0)).alias("__pos"),
+    )
+    groups = labeled.groupBy("score").agg(
+        F.count("*").alias("__n_at"), F.sum("__pos").alias("__pos_at")
+    )
+    g = distributed_prefix_sum(groups, "score", "__n_at", "cum_n")
+    contrib = g.agg(
+        F.sum(
+            F.col("__pos_at") * (F.lit(2) * F.col("cum_n") - F.col("__n_at") + F.lit(1))
+        ).alias("__ranksum2"),
+        F.sum("__n_at").alias("n"),
+        F.sum("__pos_at").alias("n_pos"),
+    )
+    return contrib.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        (F.col("n") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+        (F.col("__ranksum2") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("bigint")
+        .alias("u2"),
+        (
+            (F.col("__ranksum2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (F.lit(2) * F.col("n_pos") * (F.col("n") - F.col("n_pos")))
+        ).alias("auc"),
     )

@@ -45,9 +45,34 @@ def distributed_prefix_sum(
     ``exclusive=True`` yields the sum of strictly-preceding rows (0 for the
     first row). Values may be negative; totals are computed with SUM, not
     from the running column.
+
+    For several running sums over the SAME order, use
+    :func:`distributed_prefix_sums` — it pays the range exchange once.
+    """
+    return distributed_prefix_sums(
+        df, order_col, {out_col: value_col}, exclusive=exclusive,
+        num_partitions=num_partitions,
+    )
+
+
+def distributed_prefix_sums(
+    df: DataFrame,
+    order_col: str | list[str],
+    values: dict[str, str | Column],
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Several global prefix sums sharing ONE range exchange.
+
+    ``values`` maps output column name -> value column (name or Column).
+    Semantics per output match :func:`distributed_prefix_sum`; the range
+    shuffle, the pinned boundary draw, the per-partition running pass, and
+    the offsets pass are all paid once for the whole set.
     """
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    vals = {
+        out: (F.col(v) if isinstance(v, str) else v) for out, v in values.items()
+    }
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # PERSIST is load-bearing, not a speedup: the per-partition pass and the
     # offset pass both consume `parted`, and without pinning it each runs
@@ -60,37 +85,41 @@ def distributed_prefix_sum(
     # boundary draw and one __pid assignment for every consumer; the final
     # prefix values depend only on the global key order, so the OUTPUT is
     # deterministic even though the partition split is not.
-    parted = (
-        df.withColumn("__v", value)
-        .repartitionByRange(n, *[F.col(c) for c in order_cols])
-        .withColumn("__pid", F.spark_partition_id())
-    )
+    keys = list(vals)
+    parted = df
+    for i, out in enumerate(keys):
+        parted = parted.withColumn(f"__v{i}", vals[out])
+    parted = parted.repartitionByRange(
+        n, *[F.col(c) for c in order_cols]
+    ).withColumn("__pid", F.spark_partition_id())
     parted = pin(parted)
     run = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    local = parted.withColumn("__local", F.sum("__v").over(run))
+    local = parted
+    for i in range(len(keys)):
+        local = local.withColumn(f"__local{i}", F.sum(f"__v{i}").over(run))
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         parted.groupBy("__pid")
-        .agg(F.sum("__v").alias("__tot"))
-        .withColumn(
-            "__off",
-            F.coalesce(
-                F.sum("__tot").over(
-                    Window.orderBy("__pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
+        .agg(*[F.sum(f"__v{i}").alias(f"__tot{i}") for i in range(len(keys))])
+        .select(
+            "__pid",
+            *[
+                F.coalesce(F.sum(f"__tot{i}").over(off_w), F.lit(0)).alias(f"__off{i}")
+                for i in range(len(keys))
+            ],
         )
-        .select("__pid", "__off")
     )
-    out = local.join(F.broadcast(offsets), "__pid")
-    prefix = F.col("__local") + F.col("__off")
-    if exclusive:
-        prefix = prefix - F.col("__v")
-    return out.withColumn(out_col, prefix).drop("__v", "__pid", "__local", "__off")
+    out_df = local.join(F.broadcast(offsets), "__pid")
+    drops = ["__pid"]
+    for i, out in enumerate(keys):
+        prefix = F.col(f"__local{i}") + F.col(f"__off{i}")
+        if exclusive:
+            prefix = prefix - F.col(f"__v{i}")
+        out_df = out_df.withColumn(out, prefix)
+        drops += [f"__v{i}", f"__local{i}", f"__off{i}"]
+    return out_df.drop(*drops)
 
 
 def pack_chunks(

@@ -1947,3 +1947,47 @@ def q_quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_curve(docs, "n_chars", F.col("lang") == "en").orderBy(
         F.desc("score")
     )
+
+
+# --- Q: exact ROC-AUC of the length gate ---------------------------------------
+
+
+@query(
+    "q_score_auc",
+    oracle="""
+    WITH labeled AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    groups AS (
+      SELECT score, COUNT(*) AS n_at, SUM(pos) AS pos_at
+      FROM labeled GROUP BY 1
+    ),
+    cum AS (
+      SELECT score, n_at, pos_at,
+             SUM(n_at) OVER (ORDER BY score ASC ROWS UNBOUNDED PRECEDING) AS cum_n
+      FROM groups
+    ),
+    agg AS (
+      SELECT CAST(SUM(n_at) AS BIGINT) AS n,
+             CAST(SUM(pos_at) AS BIGINT) AS n_pos,
+             CAST(SUM(pos_at * (2 * cum_n - n_at + 1)) AS BIGINT) AS ranksum2
+      FROM cum
+    )
+    SELECT n, n_pos, n - n_pos AS n_neg,
+           ranksum2 - n_pos * (n_pos + 1) AS u2,
+           (ranksum2 - n_pos * (n_pos + 1)) / (2 * n_pos * (n - n_pos)) AS auc
+    FROM agg
+    """,
+    doc="Exact ROC-AUC of the length score against the lang='en' label: "
+    "Mann-Whitney U with average-rank ties, all-integer until one final "
+    "division (u2 = 2U is exact bigint). Per-score aggregation + one "
+    "distributed prefix sum over the score-group summary — AUC over "
+    "100 TB without a global sort (operators/evalcurves.py roc_auc).",
+)
+def q_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evalcurves import roc_auc
+
+    docs = load(spark, sf_dir, "documents")
+    return roc_auc(docs, "n_chars", F.col("lang") == "en")
