@@ -82,6 +82,7 @@ GLOBAL_WINDOW_OK = {
     # distributed_prefix_sum offset passes over the score-group summary
     "q_quality_pr_curve",
     "q_score_auc",
+    "q_balanced_bins",
 }
 
 _PLAN_CACHE: dict[str, str] = {}

@@ -90,3 +90,30 @@ def test_roc_auc_matches_pair_counting(spark):
     assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
     assert r["u2"] == u2
     assert r["auc"] == u2 / (2.0 * len(pos) * len(neg))
+
+
+def test_balanced_bins_beat_hash_assignment_on_heavy_tail(spark):
+    from thymeflow_back_spark.operators.binning import balanced_bin_summary, balanced_bins
+    from thymeflow_back_spark.operators.sampling import hash_uniform
+
+    # heavy-tailed weights: a few giants, many small docs
+    rows = [(i, 10_000 if i < 4 else 10 + (i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, w bigint")
+    k = 4
+    summary = balanced_bin_summary(df, "id", "w", k).collect()
+    totals = sorted(r["total_weight"] for r in summary)
+    assert len(summary) == k
+    # LPT round-robin: each giant lands in its own bin; spread stays tiny
+    assert all(r["max_weight"] == 10_000 for r in summary)
+    assert totals[-1] - totals[0] <= 20  # within a couple of small docs
+    # hash assignment on the same data is far worse
+    hashed = (
+        df.withColumn("bin", (hash_uniform(F.col("id"), "b") * k).cast("int"))
+        .groupBy("bin").agg(F.sum("w").alias("t")).collect()
+    )
+    h_totals = sorted(r["t"] for r in hashed)
+    assert h_totals[-1] - h_totals[0] > totals[-1] - totals[0]
+    # assignment is a pure function of (key, weight) set
+    a = sorted(map(tuple, balanced_bins(df, "id", "w", k).collect()))
+    b = sorted(map(tuple, balanced_bins(df, "id", "w", k).collect()))
+    assert a == b

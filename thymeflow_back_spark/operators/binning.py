@@ -1,0 +1,64 @@
+"""Length-balanced bin assignment: straggler-free batch assembly.
+
+Inference and tokenization jobs are bottlenecked by their largest shard;
+assigning documents to k workers round-robin IN DESCENDING LENGTH ORDER
+(the distributed form of the LPT/greedy multiprocessor-scheduling
+heuristic: each of the k largest items lands on its own bin, then the next
+k, …) keeps per-bin totals within one document of each other for smooth
+length distributions — versus hash assignment whose imbalance is unbounded
+by heavy-tailed document lengths.
+
+Distributed shape: the global descending-length rank comes from the
+deterministic distributed prefix sum (one range shuffle, never a
+single-task sort); the bin id is then a pure projection ((rank-1) mod k)
+and the per-bin summary one k-row aggregate. Everything is exact integer
+arithmetic, reproducible on any engine or partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .packing import distributed_prefix_sum
+
+
+def balanced_bins(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Assign each row a bin in [0, k): (id, weight, bin).
+
+    Round-robin over the global (weight DESC, id ASC) rank. Deterministic:
+    the rank is a pure function of the key set, so re-runs and different
+    cluster layouts assign identical bins.
+    """
+    ranked = distributed_prefix_sum(
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("bigint").alias("weight"),
+            (-F.col(weight_col)).cast("bigint").alias("__negw"),
+        ),
+        ["__negw", id_col],
+        F.lit(1).cast("bigint"),
+        out_col="__rank",
+    )
+    return ranked.select(
+        id_col,
+        "weight",
+        ((F.col("__rank") - 1) % k).cast("int").alias("bin"),
+    )
+
+
+def balanced_bin_summary(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Per-bin load report: (bin, n_rows, total_weight, max_weight)."""
+    return (
+        balanced_bins(df, id_col, weight_col, k)
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("weight").alias("total_weight"),
+            F.max("weight").alias("max_weight"),
+        )
+    )

@@ -63,6 +63,7 @@ _DRIVER_PRIORITY = [
     "q_hybrid_rrf",
     "q_quality_pr_curve",
     "q_score_auc",
+    "q_balanced_bins",
     # last driver-verified in round 3:
     "q_agent_name_weights",
     "q_asof_purchase_view",

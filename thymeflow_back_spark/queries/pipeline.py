@@ -1991,3 +1991,39 @@ def q_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return roc_auc(docs, "n_chars", F.col("lang") == "en")
+
+
+# --- Q: length-balanced bin assembly -------------------------------------------
+
+BIN_K = 8
+
+
+@query(
+    "q_balanced_bins",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, n_chars AS weight,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rnk
+      FROM documents
+    ),
+    binned AS (
+      SELECT doc_id, weight, CAST((rnk - 1) % {BIN_K} AS INTEGER) AS bin
+      FROM ranked
+    )
+    SELECT bin, COUNT(*) AS n_rows,
+           CAST(SUM(weight) AS BIGINT) AS total_weight,
+           MAX(weight) AS max_weight
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    doc="Straggler-free batch assembly: documents assigned to 8 bins "
+    "round-robin in descending length order (the distributed LPT "
+    "heuristic) — per-bin totals stay balanced under heavy-tailed "
+    "lengths, unlike hash assignment. The global rank is the "
+    "deterministic distributed prefix sum, never a single-task sort "
+    "(operators/binning.py).",
+)
+def q_balanced_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.binning import balanced_bin_summary
+
+    docs = load(spark, sf_dir, "documents")
+    return balanced_bin_summary(docs, "doc_id", "n_chars", BIN_K).orderBy("bin")
