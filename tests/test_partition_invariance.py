@@ -56,3 +56,25 @@ def test_result_invariant_under_shuffle_partitions(spark, name):
     finally:
         spark.conf.set(key, orig)
     assert a == b
+
+
+@pytest.mark.parametrize("name", ["q_token_packing", "q_outlier_mad",
+                                  "q_dsir_resample", "q_hybrid_rrf",
+                                  "q_dedup_clusters", "q_balanced_bins"])
+def test_result_invariant_under_aqe_toggle(spark, name):
+    """AQE rewrites exchanges and coalesces partitions at runtime; values
+    must not depend on whether it ran."""
+    from thymeflow_back_spark.operators.cachereg import release_pinned
+
+    key = "spark.sql.adaptive.enabled"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        a = _rows(spark, name)
+        release_pinned()
+        spark.conf.set(key, "true")
+        b = _rows(spark, name)
+        release_pinned()
+    finally:
+        spark.conf.set(key, orig)
+    assert a == b
