@@ -45,6 +45,7 @@ BNLJ_CROSS_OK = {
     "q_tfidf_keywords",  # term df relation × one broadcast n_docs row
     "q_knn_classify",  # composes q_cosine_topk's probe-set cross shape
     "q_hybrid_rrf",  # BM25 stats row + the cosine probe-set cross shape
+    "q_similarity_filtered",  # probe-set cross over the label-filtered scan
     "q_quality_pr_curve",  # score groups × one broadcast total-positives row
 }
 
@@ -280,3 +281,13 @@ def test_source_scan_budget(spark, name):
         f"re-deriving its upstream per consumer; pin it (operators/cachereg) "
         f"or raise the budget here with a justification"
     )
+
+
+def test_filtered_search_pushes_label_predicate(spark):
+    """q_similarity_filtered: the label predicate must reach the parquet
+    scan (the corpus side skips non-matching row groups BEFORE any vector
+    math) — the point of filtered vector search at scale."""
+    df = catalog.QUERIES["q_similarity_filtered"].spark(spark, SF)
+    plan = _physical_plan(df)
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert any("EqualTo(label,1)" in ln for ln in scans), "\n".join(scans)

@@ -64,6 +64,8 @@ _DRIVER_PRIORITY = [
     "q_quality_pr_curve",
     "q_score_auc",
     "q_balanced_bins",
+    "q_similarity_filtered",
+    "q_domain_quota",
     # last driver-verified in round 3:
     "q_agent_name_weights",
     "q_asof_purchase_view",

@@ -2027,3 +2027,45 @@ def q_balanced_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return balanced_bin_summary(docs, "doc_id", "n_chars", BIN_K).orderBy("bin")
+
+
+# --- Q: per-domain quota (domain cap, best-quality first) -----------------------
+
+QUOTA_PER_SOURCE = 3
+
+
+@query(
+    "q_domain_quota",
+    oracle=f"""
+    SELECT source, doc_id, n_chars, rnk
+    FROM (
+      SELECT source, doc_id, n_chars,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+             ) AS INTEGER) AS rnk
+      FROM documents
+    )
+    WHERE rnk <= {QUOTA_PER_SOURCE}
+    ORDER BY source, rnk
+    """,
+    doc="Domain cap: at most 3 documents per source, best quality "
+    "(longest) first — the per-domain quota step of web-corpus curation "
+    "(one shuffle on the domain key, rank inside partitions; "
+    "operators/topk.py top_k_per_group).",
+)
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.topk import top_k_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        top_k_per_group(
+            docs,
+            ["source"],
+            [F.desc("n_chars"), F.asc("doc_id")],
+            QUOTA_PER_SOURCE,
+            rank_col="rnk",
+            keep_rank=True,
+        )
+        .select("source", "doc_id", "n_chars", "rnk")
+        .orderBy("source", "rnk")
+    )

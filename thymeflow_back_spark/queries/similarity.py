@@ -1126,3 +1126,50 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_classify(corpus, probes, "vec_id", "embedding", "label", TOP_K).orderBy(
         "q_id"
     )
+
+
+# --- Q: metadata-filtered vector search ----------------------------------------
+
+FILTER_LABEL = 1
+FILTERED_QUERIES = 5
+
+
+@query(
+    "q_similarity_filtered",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM vecs WHERE vec_id < {FILTERED_QUERIES}),
+    corpus AS (SELECT vec_id AS c_id, v FROM vecs WHERE label = {FILTER_LABEL}),
+    scored AS (
+      SELECT q.q_id, c.c_id,
+             round(
+               list_dot_product(q.q_vec, c.v)
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.v, c.v))),
+               9
+             ) AS score
+      FROM corpus c CROSS JOIN q
+      WHERE c.c_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, c_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, c_id, score, rank FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY q_id, rank
+    """,
+    doc="Metadata-filtered vector search: exact cosine top-5 restricted to "
+    f"corpus rows with label = {FILTER_LABEL} — the filtered-ANN serving "
+    "surface (predicate + similarity in one query). The label predicate is "
+    "pushed into the parquet scan (PushedFilters), so the corpus side "
+    "reads only matching row groups before any vector math.",
+)
+def q_similarity_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < FILTERED_QUERIES)
+    corpus = emb.filter(F.col("label") == FILTER_LABEL)
+    return cosine_topk(corpus, probes, "vec_id", "embedding", TOP_K).orderBy(
+        "q_id", "rank"
+    )
