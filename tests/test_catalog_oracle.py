@@ -52,3 +52,24 @@ def test_entry_runs(spark):
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 10
+
+
+def test_driver_priority_names_exist():
+    """A typo in _DRIVER_PRIORITY silently deprioritizes a query in the
+    driver's 50-row rotation window — fail loudly instead."""
+    from thymeflow_back_spark.queries.catalog import _DRIVER_PRIORITY, QUERIES
+
+    missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
+    assert not missing, f"unknown names in _DRIVER_PRIORITY: {missing}"
+    assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)
+
+
+def test_query_map_order_leads_with_unverified():
+    """queries() must present the never-driver-verified round-6 rows first
+    so the driver's 50-row window re-greens the stalest record."""
+    from thymeflow_back_spark.queries.catalog import query_map
+
+    head = list(query_map())[:15]
+    for name in ("q_substring_spans", "q_dsir_resample", "q_kcenter_sample",
+                 "q_balanced_bins", "q_domain_quota"):
+        assert name in head, (name, head)
