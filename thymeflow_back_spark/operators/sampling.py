@@ -179,3 +179,34 @@ def weighted_sample_n(
         .limit(n)
         .drop("__es_key")
     )
+
+
+def weighted_sample_n_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weight_col: str,
+    n_per_group: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """A-ES weighted sampling without replacement, ``n`` rows PER GROUP.
+
+    The per-stratum form of :func:`weighted_sample_n` — "200 quality-
+    weighted documents per language". Same es_key = u^(1/w) construction
+    (deterministic, engine-reproducible); the per-group top-n is one
+    window partitioned by the group (rank inside partitions, parallel
+    across groups — a skewed giant stratum would call for the grouped-rank
+    prefix-sum form, operators/robust.py). Rows with weight <= 0 excluded.
+    """
+    from pyspark.sql.window import Window
+
+    u = hash_uniform(F.col(key_col), salt)
+    es_key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    w = Window.partitionBy(group_col).orderBy(F.desc("__es_key"), F.col(key_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__es_key", es_key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__es_key", "__rn")
+    )

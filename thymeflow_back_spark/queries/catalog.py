@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "q_balanced_bins",
     "q_similarity_filtered",
     "q_domain_quota",
+    "q_sample_weighted_by_lang",
     # last driver-verified in round 3:
     "q_agent_name_weights",
     "q_asof_purchase_view",

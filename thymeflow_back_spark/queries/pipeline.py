@@ -2069,3 +2069,43 @@ def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_chars", "rnk")
         .orderBy("source", "rnk")
     )
+
+
+# --- Q: per-language quality-weighted subsample ----------------------------------
+
+GW_N = 20
+
+
+@query(
+    "q_sample_weighted_by_lang",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             pow({_SQL_U.format(salt="wsample")}, 1.0 / n_chars) AS es_key
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY es_key DESC, doc_id
+             ) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= {GW_N}
+    ORDER BY doc_id
+    """,
+    doc="Per-stratum weighted sampling without replacement: 20 documents "
+    "per language, inclusion odds proportional to length (A-ES es_key = "
+    "u^(1/w) on the deterministic keyed uniform, per-group top-n) — the "
+    "quality-weighted per-language subsample of a multilingual corpus "
+    "(operators/sampling.py weighted_sample_n_per_group).",
+)
+def q_sample_weighted_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample_n_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        weighted_sample_n_per_group(docs, "doc_id", "lang", "n_chars", GW_N)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
