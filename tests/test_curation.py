@@ -3,10 +3,20 @@ cross-table LSH decontamination, and DSIR importance resampling."""
 
 from __future__ import annotations
 
+import hashlib
+import math
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import functions as F
 
 from thymeflow_back_spark.operators import dedup as D
-from thymeflow_back_spark.operators.dsir import dsir_resample, dsir_weights
+from thymeflow_back_spark.operators.dsir import (
+    LOGW_SCALE,
+    dsir_logratio_weights,
+    dsir_resample,
+    dsir_weights,
+)
 
 
 def _docs(spark, rows):
@@ -58,6 +68,77 @@ def test_cross_contamination_lsh_matches_direct_jaccard(spark):
             if t % 7 != 0 and b % 7 == 0:
                 want[(t, b)] = (r["n_common"], round(r["jaccard"], 9))
     assert got == want and len(want) > 0
+
+
+def test_keep_best_keeps_fractional_quality_exact(spark):
+    # ADVICE r6: a bigint cast truncated fractional quality, electing the
+    # wrong survivor (0.9 vs 0.2 both truncate to 0). Native-type ranking
+    # must elect the 0.9 copy and report the unmodified score.
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, base, 0.2), (2, base + " iota", 0.9), (3, base, 0.1)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, q double")
+    out = D.dedup_keep_best(df, "doc_id", "text", "q").collect()
+    assert len(out) == 1
+    assert out[0]["doc_id"] == 2 and out[0]["q"] == 0.9
+
+
+def _logratio_expected(rows, n_buckets):
+    """Brute-force replica of dsir_logratio_weights in plain Python."""
+
+    def bucket(a, b):
+        h = hashlib.md5(f"dsir: {a} {b}".encode()).hexdigest()[:8]
+        return int(h, 16) % n_buckets
+
+    occ = []  # (doc_id, bucket, is_target)
+    for doc_id, text, lang in rows:
+        toks = [t for t in text.split(" ") if t]
+        for i in range(len(toks) - 1):
+            occ.append((doc_id, bucket(toks[i], toks[i + 1]), lang == "en"))
+    r_cnt = Counter(b for _, b, _ in occ)
+    t_cnt = Counter(b for _, b, t in occ if t)
+    r_tot, t_tot = sum(r_cnt.values()), sum(t_cnt.values())
+    lr_q = {
+        b: int(
+            Decimal(
+                (
+                    math.log(t_cnt.get(b, 0) + 1)
+                    - math.log(r_cnt[b] + 1)
+                    + math.log(r_tot + n_buckets)
+                    - math.log(t_tot + n_buckets)
+                )
+                * LOGW_SCALE
+            ).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+        for b in r_cnt
+    }
+    want = {}
+    for doc_id in {d for d, _, _ in occ}:
+        terms = [lr_q[b] for d, b, _ in occ if d == doc_id]
+        want[doc_id] = (len(terms), sum(terms))
+    return want
+
+
+def test_dsir_logratio_matches_bruteforce(spark):
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the cat sat on the mat and the cat ran", "en"),
+        (3, "the cat sat on the mat", "raw"),
+        (4, "zzq qxv vnm mlp plk lkj", "raw"),
+        (5, "only", "raw"),  # no bigrams -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["logw_q"], r["logw"])
+        for r in dsir_logratio_weights(
+            df, "doc_id", "text", F.col("lang") == "en", n_buckets=64
+        ).collect()
+    }
+    want = _logratio_expected(rows, 64)
+    assert set(got) == set(want) == {1, 2, 3, 4}
+    for doc_id, (n_bg, logw_q) in want.items():
+        assert got[doc_id] == (n_bg, logw_q, logw_q / LOGW_SCALE)
+    # the paper's estimator must rank target-like docs above disjoint ones
+    assert got[1][2] > got[4][2]
 
 
 def test_dsir_weights_favor_target_like_documents(spark):

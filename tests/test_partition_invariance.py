@@ -26,6 +26,7 @@ NAMES = [
     "q_dedup_clusters",
     "q_sample_weighted",
     "q_dsir_resample",
+    "q_dsir_logratio",
     "q_kcenter_sample",
     "q_quality_pr_curve",
     "q_score_auc",

@@ -47,6 +47,7 @@ BNLJ_CROSS_OK = {
     "q_hybrid_rrf",  # BM25 stats row + the cosine probe-set cross shape
     "q_similarity_filtered",  # probe-set cross over the label-filtered scan
     "q_quality_pr_curve",  # score groups × one broadcast total-positives row
+    "q_dsir_logratio",  # bucket counts × one broadcast corpus-totals row
 }
 
 # queries whose construction executes jobs eagerly (iterative closures,

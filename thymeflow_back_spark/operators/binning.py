@@ -31,12 +31,17 @@ def balanced_bins(
     Round-robin over the global (weight DESC, id ASC) rank. Deterministic:
     the rank is a pure function of the key set, so re-runs and different
     cluster layouts assign identical bins.
+
+    ``weight_col`` may be any numeric type: the rank orders on the
+    untruncated value (negated as double — exact for integers below 2^53
+    and correct for fractional weights), and the output ``weight`` column
+    carries the native input value, not a bigint truncation.
     """
     ranked = distributed_prefix_sum(
         df.select(
             F.col(id_col),
-            F.col(weight_col).cast("bigint").alias("weight"),
-            (-F.col(weight_col)).cast("bigint").alias("__negw"),
+            F.col(weight_col).alias("weight"),
+            (-F.col(weight_col).cast("double")).alias("__negw"),
         ),
         ["__negw", id_col],
         F.lit(1).cast("bigint"),

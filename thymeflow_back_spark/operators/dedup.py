@@ -900,9 +900,15 @@ def dedup_keep_best(
     argmax is a struct MAX((quality, -id)) — no per-cluster window sort,
     so a 100 TB corpus with billions of singleton clusters never ranks
     inside a skewed window partition.
+
+    ``quality_col`` keeps its native numeric type throughout — fractional
+    quality scores (RefinedWeb-style) rank exactly, and the survivor's
+    reported quality is the unmodified input value. (Spark SQL ordering
+    treats NaN as larger than any number, so a NaN-scored member would
+    win its cluster — filter or clamp NaNs upstream if that matters.)
     """
     clusters = dedup_clusters(df, id_col, text_col, n, threshold)
-    quality = df.select(F.col(id_col), F.col(quality_col).cast("bigint").alias("__q"))
+    quality = df.select(F.col(id_col), F.col(quality_col).alias("__q"))
     return (
         clusters.join(quality, id_col)
         .groupBy("canonical_id", "cluster_size")

@@ -91,11 +91,17 @@ def dsir_weights(
 
     weight = (t_mass + 1) / (r_mass + 1), where t_mass / r_mass sum the
     target-side / corpus-side occurrence counts of the document's hashed
-    bigram buckets — the exact-integer form of DSIR's ratio of hashed
-    n-gram language models (add-one keeps the weight defined and positive
-    for documents whose buckets never occur in the target). Documents with
-    fewer than 2 tokens have no bigrams and are excluded, mirroring
-    bigram_lm_scores.
+    bigram buckets. NOTE: this is a COUNT-MASS HEURISTIC *inspired by*
+    DSIR — a ratio of summed bucket counts, linearly dominated by the
+    document's hottest buckets — not the paper's importance weight, which
+    is a log-ratio of hashed n-gram language-model probabilities (a sum of
+    per-occurrence log ratios). For the paper-faithful estimator use
+    :func:`dsir_logratio_weights`; this form is kept because its
+    arithmetic is exact-integer until one final division (bit-identical on
+    any engine/layout) and it needs no transcendental calls. Add-one keeps
+    the weight defined and positive for documents whose buckets never
+    occur in the target. Documents with fewer than 2 tokens have no
+    bigrams and are excluded, mirroring bigram_lm_scores.
     """
     occ = bigram_bucket_rows(df, id_col, text_col, target_pred, n_buckets)
     counts = occ.groupBy("bucket").agg(
@@ -114,6 +120,72 @@ def dsir_weights(
             "weight",
             (F.col("t_mass") + F.lit(1)).cast("double")
             / (F.col("r_mass") + F.lit(1)).cast("double"),
+        )
+    )
+
+
+LOGW_SCALE = 1_000_000  # quantization grid for log-weights: micro-nats
+
+
+def dsir_logratio_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Paper-faithful DSIR importance weight (Xie et al. 2023, §2.2):
+    (id, n_bigrams, logw_q, logw).
+
+    log w(x) = Σ_j f_j(x) · [ln p_t(j) − ln p_r(j)] over hashed bigram
+    buckets j, with add-one-smoothed hashed-LM probabilities
+    p_t(j) = (t_cnt_j + 1) / (T + B) and p_r(j) = (r_cnt_j + 1) / (R + B)
+    (T / R = total target / raw bigram occurrences, B = n_buckets). Unlike
+    :func:`dsir_weights` — a count-mass heuristic — this is the paper's
+    log-ratio of bag-of-hashed-n-gram language models: each occurrence
+    contributes its bucket's log probability ratio, so no single hot
+    bucket linearly dominates the score.
+
+    Engine/layout determinism: the transcendental work happens ONCE per
+    bucket (B rows) — lr(j) = ln(t_cnt+1) − ln(r_cnt+1) + ln(R+B) −
+    ln(T+B) — then quantizes to integer micro-nats (round(1e6·lr) as
+    bigint). A document's logw_q is an order-free BIGINT SUM of its
+    occurrences' quantized terms, so float summation order never enters;
+    logw = logw_q / 1e6 is one final division. (A 1-ulp ln() divergence
+    between engines moves lr·1e6 by ~1e-8 of the rounding grid — the same
+    integer-quantized-contribution discipline as hybrid RRF fusion.)
+
+    Scale: identical shuffle shape to :func:`dsir_weights`; the only
+    addition is a one-row totals aggregate folded into the broadcast
+    bucket table before the join back to the occurrence stream.
+    """
+    occ = bigram_bucket_rows(df, id_col, text_col, target_pred, n_buckets)
+    counts = occ.groupBy("bucket").agg(
+        F.count("*").alias("r_cnt"),
+        F.count_if(F.col("is_target")).alias("t_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("r_cnt").alias("__r_tot"), F.sum("t_cnt").alias("__t_tot")
+    )
+    lr = (
+        F.log(F.col("t_cnt") + F.lit(1))
+        - F.log(F.col("r_cnt") + F.lit(1))
+        + F.log(F.col("__r_tot") + F.lit(n_buckets))
+        - F.log(F.col("__t_tot") + F.lit(n_buckets))
+    )
+    bucket_lr = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(lr * F.lit(LOGW_SCALE), 0).cast("bigint").alias("__lr_q"),
+    )
+    return (
+        occ.join(F.broadcast(bucket_lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("__lr_q").alias("logw_q"),
+        )
+        .withColumn(
+            "logw", F.col("logw_q").cast("double") / F.lit(float(LOGW_SCALE))
         )
     )
 

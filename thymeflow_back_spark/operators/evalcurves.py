@@ -70,6 +70,16 @@ def roc_auc(df: DataFrame, score_col: str, label_pred: Column) -> DataFrame:
     Same scale shape as :func:`pr_curve`: per-score aggregation over the
     corpus, then ONE distributed prefix sum over the score-group summary.
     Returns (n, n_pos, n_neg, u2, auc).
+
+    Overflow discipline: the rank-sum accumulates as decimal(38,0) — each
+    term is ≈ pos_at·2n and their sum ≈ 2·n_pos·n, which passes 2^63
+    around n ≈ 3×10⁹ rows, i.e. well inside the advertised scale; a
+    bigint SUM would wrap silently there. ``auc`` divides the exact
+    decimal as doubles (bit-identical to the oracle's exact-int/double
+    division whenever u2 < 2^53, and correctly rounded beyond). The
+    ``u2`` *output column* stays bigint for oracle parity — it is exact
+    while 2·n_pos·n_neg < 2^63; the internal arithmetic never wraps
+    either way.
     """
     labeled = df.select(
         F.col(score_col).alias("score"),
@@ -81,20 +91,28 @@ def roc_auc(df: DataFrame, score_col: str, label_pred: Column) -> DataFrame:
     g = distributed_prefix_sum(groups, "score", "__n_at", "cum_n")
     contrib = g.agg(
         F.sum(
-            F.col("__pos_at") * (F.lit(2) * F.col("cum_n") - F.col("__n_at") + F.lit(1))
+            (
+                F.col("__pos_at")
+                * (F.lit(2) * F.col("cum_n") - F.col("__n_at") + F.lit(1))
+            ).cast("decimal(38,0)")
         ).alias("__ranksum2"),
         F.sum("__n_at").alias("n"),
         F.sum("__pos_at").alias("n_pos"),
+    )
+    u2 = F.col("__ranksum2") - (F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+        "decimal(38,0)"
     )
     return contrib.select(
         F.col("n").cast("bigint").alias("n"),
         F.col("n_pos").cast("bigint").alias("n_pos"),
         (F.col("n") - F.col("n_pos")).cast("bigint").alias("n_neg"),
-        (F.col("__ranksum2") - F.col("n_pos") * (F.col("n_pos") + 1))
-        .cast("bigint")
-        .alias("u2"),
+        u2.cast("bigint").alias("u2"),
         (
-            (F.col("__ranksum2") - F.col("n_pos") * (F.col("n_pos") + 1))
-            / (F.lit(2) * F.col("n_pos") * (F.col("n") - F.col("n_pos")))
+            u2.cast("double")
+            / (
+                F.lit(2).cast("double")
+                * F.col("n_pos").cast("double")
+                * (F.col("n") - F.col("n_pos")).cast("double")
+            )
         ).alias("auc"),
     )

@@ -44,65 +44,21 @@ def query(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
 
 
 # The driver's per-round correctness file caps at 50 rows taken in
-# queries() order. After round 5 every catalog row has appeared green in
-# SOME CORRECTNESS_r*.json; to keep that record fresh under rotation,
-# rows whose LAST driver check is oldest lead the map: the round-6
-# additions (never driver-verified), then the 29 rows last seen in r3,
-# then the r4 block (r5's 50 rows are the freshest and go last).
+# queries() order. Every catalog row has appeared green in SOME
+# CORRECTNESS_r*.json (after r6, none's latest check is a fail); to keep
+# that record fresh under rotation, rows whose LAST driver check is
+# oldest lead the map: round-7 additions (never driver-verified), then
+# the 29 rows last seen in r4, then the 50 r5 rows (r6's 50 are the
+# freshest and fall to the tail via registration order).
 _DRIVER_PRIORITY = [
-    # round-6 additions, never driver-verified:
-    "q_substring_spans",
-    "q_distinct_kmv_by_group",
-    "q_substring_scrub",
-    "q_similarity_jl_rerank",
-    "q_dedup_keep_best",
-    "q_contamination_lsh",
-    "q_dsir_resample",
-    "q_kcenter_sample",
-    "q_knn_classify",
-    "q_hybrid_rrf",
-    "q_quality_pr_curve",
-    "q_score_auc",
-    "q_balanced_bins",
-    "q_similarity_filtered",
-    "q_domain_quota",
-    "q_sample_weighted_by_lang",
-    # last driver-verified in round 3:
-    "q_agent_name_weights",
-    "q_asof_purchase_view",
-    "q_corpus_profile",
-    "q_cosine_topk",
-    "q_doc_fingerprint",
-    "q_embedding_near_dup",
-    "q_embedding_near_dup_ann",
-    "q_er_part_names",
-    "q_events_pivot",
-    "q_fts_part_search",
-    "q_geo_track_length",
-    "q_label_centroid_stats",
-    "q_lang_id",
-    "q_movement_smoothing",
-    "q_owl_closure",
-    "q_paris_agents",
-    "q_primary_facet",
-    "q_rdf_bgp_region",
-    "q_rdf_construct_euro",
-    "q_rdf_describe_nations",
-    "q_rdf_facet_rank",
-    "q_rdf_ifp_sameas",
-    "q_rdf_rdfs_closure",
-    "q_rdf_sameas_components",
-    "q_similarity_ivf",
-    "q_staypoints",
-    "q_text_repetition",
-    "q_text_stats",
-    "q_token_estimates",
-    # last driver-verified in round 4:
-    "q_bloom_semijoin",
-    "q_bpe_pair_counts",
-    "q_cohort_retention",
-    "q_contamination",
-    "q_daily_order_stats",
+    # round-7 additions, never driver-verified (unimplemented names are skipped):
+    "q_dsir_logratio",
+    "q_html_extract",
+    "q_html_quality_funnel",
+    "q_shard_manifest",
+    "q_kcenter_parallel",
+    "q_time_pruned_revenue",
+    # last driver-verified in round 4 (stalest existing rows):
     "q_dataset_mixture",
     "q_dedup_clusters",
     "q_dedup_exact",
@@ -132,6 +88,57 @@ _DRIVER_PRIORITY = [
     "q_triangle_stats",
     "q_url_canonical",
     "q_vocab_topk",
+    # last driver-verified in round 5 (overflow past slot 50 rolls to round 8):
+    "q_agents_by_nation",
+    "q_ann_recall",
+    "q_boilerplate_scrub",
+    "q_containment_join",
+    "q_counts_cm",
+    "q_customer_order_profile",
+    "q_customers_without_orders",
+    "q_dedup_consecutive",
+    "q_deterministic_shuffle",
+    "q_dup_windows",
+    "q_event_histogram",
+    "q_events_json",
+    "q_fts_bm25",
+    "q_heavy_hitters",
+    "q_heavy_hitters_by_lang",
+    "q_location_events",
+    "q_multimodal_audio",
+    "q_multimodal_features",
+    "q_orders_rollup",
+    "q_outlier_mad",
+    "q_overlapping_activity",
+    "q_parts_by_brand",
+    "q_pipeline_end2end",
+    "q_pricing_summary",
+    "q_priority_discounted_orders",
+    "q_quantile_sketch",
+    "q_rdf_group_concat",
+    "q_rdf_grouped_path",
+    "q_rdf_negated_pathset",
+    "q_regional_revenue",
+    "q_salted_agg",
+    "q_salted_join",
+    "q_sample_weighted",
+    "q_semantic_dedup",
+    "q_similarity_ivfpq",
+    "q_similarity_jl",
+    "q_similarity_pq",
+    "q_similarity_pq_rerank",
+    "q_similarity_sq8",
+    "q_spatial_pairs",
+    "q_split_leakage_safe",
+    "q_streaming_near_dup",
+    "q_streaming_quality_profile",
+    "q_streaming_sessions",
+    "q_streaming_window_counts",
+    "q_tfidf_keywords",
+    "q_top_order_per_customer",
+    "q_user_sessions",
+    "q_value_percentiles",
+    "q_zorder_layout",
 ]
 
 

@@ -1886,14 +1886,16 @@ DSIR_BUCKETS = 256
     )
     SELECT doc_id, n_bigrams, t_mass, r_mass, weight FROM top ORDER BY doc_id
     """,
-    doc="DSIR-style data selection (Xie et al. 2023): hashed-bigram bucket "
-    "counts of the target subset (lang='en') vs the raw corpus give each "
-    "document an exact-integer importance weight (t_mass+1)/(r_mass+1); "
-    "the corpus is then resampled by deterministic A-ES with inclusion "
-    "odds proportional to the weight. One map-side feature explode, one "
-    f"{DSIR_BUCKETS}-key aggregate (both target and corpus counts in the "
-    "same pass), broadcast join back, one per-doc fold — no Python, no "
-    "vocabulary shuffle (operators/dsir.py).",
+    doc="DSIR-inspired data selection: hashed-bigram bucket counts of the "
+    "target subset (lang='en') vs the raw corpus give each document an "
+    "exact-integer count-mass weight (t_mass+1)/(r_mass+1) — a heuristic "
+    "inspired by Xie et al. 2023, not the paper's log-ratio estimator "
+    "(that one is q_dsir_logratio); the corpus is then resampled by "
+    "deterministic A-ES with inclusion odds proportional to the weight. "
+    f"One map-side feature explode, one {DSIR_BUCKETS}-key aggregate "
+    "(both target and corpus counts in the same pass), broadcast join "
+    "back, one per-doc fold — no Python, no vocabulary shuffle "
+    "(operators/dsir.py).",
 )
 def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dsir import dsir_resample
@@ -1902,6 +1904,73 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_resample(
         docs, "doc_id", "text", F.col("lang") == "en", DSIR_N, DSIR_BUCKETS
     ).orderBy("doc_id")
+
+
+# --- Q: paper-faithful DSIR log-ratio selection ---------------------------------
+
+
+@query(
+    "q_dsir_logratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, lang = 'en' AS is_target,
+             ('0x' || substr(md5('dsir:' || ' ' || toks[i] || ' ' || toks[i+1]), 1, 8))::BIGINT
+               % {DSIR_BUCKETS} AS bucket
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
+    ),
+    counts AS (
+      SELECT bucket, COUNT(*) AS r_cnt, COUNT(*) FILTER (is_target) AS t_cnt
+      FROM occ GROUP BY 1
+    ),
+    totals AS (
+      SELECT CAST(SUM(r_cnt) AS BIGINT) AS r_tot,
+             CAST(SUM(t_cnt) AS BIGINT) AS t_tot
+      FROM counts
+    ),
+    lr AS (
+      SELECT bucket,
+             CAST(round(
+               (ln(t_cnt + 1) - ln(r_cnt + 1)
+                + ln(r_tot + {DSIR_BUCKETS}) - ln(t_tot + {DSIR_BUCKETS}))
+               * 1000000, 0) AS BIGINT) AS lr_q
+      FROM counts CROSS JOIN totals
+    ),
+    docw AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(lr_q) AS BIGINT) AS logw_q
+      FROM occ JOIN lr USING (bucket) GROUP BY 1
+    ),
+    top AS (
+      SELECT doc_id, n_bigrams, logw_q, logw_q / 1000000.0 AS logw
+      FROM docw ORDER BY logw_q DESC, doc_id LIMIT {DSIR_N}
+    )
+    SELECT doc_id, n_bigrams, logw_q, logw FROM top ORDER BY doc_id
+    """,
+    doc="Paper-faithful DSIR selection (Xie et al. 2023 §2.2): per-document "
+    "importance log-weight = Σ occurrences ln(p_target/p_raw) over "
+    f"add-one-smoothed hashed-bigram LMs ({DSIR_BUCKETS} buckets); top-"
+    f"{DSIR_N} documents by log-weight. Transcendentals run once per "
+    "BUCKET, quantized to integer micro-nats, and each document's score "
+    "is an order-free bigint sum — engine- and layout-deterministic "
+    "float discipline (operators/dsir.py dsir_logratio_weights).",
+)
+def q_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dsir import dsir_logratio_weights
+
+    docs = load(spark, sf_dir, "documents")
+    w = dsir_logratio_weights(
+        docs, "doc_id", "text", F.col("lang") == "en", DSIR_BUCKETS
+    )
+    return (
+        w.orderBy(F.desc("logw_q"), "doc_id")
+        .limit(DSIR_N)
+        .select("doc_id", "n_bigrams", "logw_q", "logw")
+        .orderBy("doc_id")
+    )
 
 
 # --- Q: quality-gate PR curve --------------------------------------------------

@@ -23,11 +23,27 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def main() -> int:
-    args = sys.argv[1:]
-    shards = 4
-    if args[:1] == ["-n"]:
-        shards = int(args[1])
-        args = args[2:]
+    # Accept -n anywhere in argv (e.g. "--runslow -n 8"); everything else is
+    # forwarded to pytest verbatim. -n is consumed here because pytest-xdist
+    # is absent and a forwarded -n would make pytest error out.
+    raw, args, shards = sys.argv[1:], [], 4
+    i = 0
+    while i < len(raw):
+        if raw[i] == "-n":
+            if i + 1 >= len(raw):
+                print("fasttest: -n requires a shard count", file=sys.stderr)
+                return 2
+            shards = int(raw[i + 1])
+            i += 2
+        elif raw[i].startswith("-n") and raw[i][2:].isdigit():
+            shards = int(raw[i][2:])
+            i += 1
+        else:
+            args.append(raw[i])
+            i += 1
+    if shards < 1:
+        print("fasttest: shard count must be >= 1", file=sys.stderr)
+        return 2
     files = sorted(REPO.glob("tests/test_*.py"))
     weights = [(sum(1 for _ in f.open()), f) for f in files]
     buckets: list[list[Path]] = [[] for _ in range(shards)]
