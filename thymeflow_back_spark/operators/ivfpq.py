@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .ivf import refine_centroids, seed_centroids
+from .cachereg import pin
 from .pq import _dot_col, _scores_col, _with_subvectors, codebook_row, pq_codebooks
 from .similarity import SCORE_DECIMALS, as_double_array
 
@@ -122,7 +123,11 @@ def ivfpq_index(
             for j in range(m)
         ],
     )
-    return cents, books, codes
+    # Materialize the (cell, codes) table: the index is a write-once
+    # artifact at scale, and a lazy code relation re-evaluates the
+    # interpreted argmin trees once per downstream ADC join via inferred
+    # IsNotNull(code_j) pushdown (see pq.pq_adc_topk — measured 5× there).
+    return cents, books, pin(codes)
 
 
 def ivfpq_topk(

@@ -104,6 +104,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_prefix_filter",
+    bench=True,
     oracle=f"""
     WITH {_SQL_SHINGLES}, {_SQL_JACCARD}
     SELECT a_id, b_id, n_common, jaccard
@@ -466,6 +467,7 @@ LSH_PROBE_MOD = 7  # doc_id % 7 == 0 -> held-out benchmark side
 
 @query(
     "q_contamination_lsh",
+    bench=True,
     oracle=f"""
     WITH {_SQL_SHINGLES},
     perms(i, a, b) AS (VALUES {_PERMS_VALUES}),

@@ -437,6 +437,7 @@ def _link_graph_3out(nodes: DataFrame, n: int) -> DataFrame:
 
 @query(
     "q_pagerank",
+    bench=True,
     oracle=_pagerank_oracle(PR_ITERS),
     doc="PageRank over a synthesized 3-out link graph, every step in "
     "scaled-BIGINT fixed-point arithmetic (operators/pagerank.py): "
@@ -1268,6 +1269,7 @@ _SUBSTR_WINS = f"""
 
 @query(
     "q_substring_spans",
+    bench=True,
     oracle=f"""
     WITH {_SUBSTR_WINS},
     dup AS (SELECT win FROM wins GROUP BY win HAVING COUNT(*) >= 2),

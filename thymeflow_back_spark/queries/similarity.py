@@ -775,6 +775,7 @@ PQ_SHORTLIST = 20
 
 @query(
     "q_similarity_pq_rerank",
+    bench=True,
     oracle=_PQ_ADC_CTES
     + f""",
     short AS (
