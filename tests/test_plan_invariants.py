@@ -216,6 +216,22 @@ def test_scan_pushdown(spark):
     assert schema.count(":") <= 4, schema
 
 
+def test_time_partition_pruning(spark):
+    """q_time_pruned_revenue: the two-year month range must prune at the
+    DIRECTORY level (PartitionFilters), with no residual DataFilters and a
+    one-column ReadSchema — the derived-layout answer to timestamp_ntz
+    predicates never reaching parquet as PushedFilters (round-6 finding)."""
+    plan = _physical_plan(catalog.QUERIES["q_time_pruned_revenue"].spark(spark, SF))
+    scan = next(
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln
+    )
+    pf = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_month" in pf and ">=" in pf and "<=" in pf, scan
+    assert "DataFilters: []" in scan, scan
+    schema = scan.split("ReadSchema: ", 1)[1]
+    assert schema.count(":") <= 1, schema
+
+
 @pytest.mark.parametrize(
     "name", [q for q in catalog.QUERIES if q not in SKIP]
 )

@@ -133,6 +133,50 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q: time-partition-pruned monthly revenue ---------------------------------
+
+
+@query(
+    "q_time_pruned_revenue",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') >= '1996-01'
+      AND strftime(o_orderdate, '%Y-%m') <= '1997-12'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Monthly order revenue over a two-year range read from the DERIVED "
+    "date-partitioned orders layout (sources/timeparted.py): the driver "
+    "parquet's TIMESTAMP(NANOS, ntz) order dates never reach the scan as "
+    "PushedFilters (no row-group skipping — verified round 6), so the "
+    "write-once month-partitioned layout turns the range into "
+    "PartitionFilters directory pruning — unselected months are never "
+    "opened, footers included. Plan-pinned in tests/test_plan_invariants "
+    "(non-empty PartitionFilters, only in-range partitions scanned).",
+)
+def q_time_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.timeparted import ensure_time_partitioned
+
+    orders = ensure_time_partitioned(
+        spark, sf_dir, "orders", "o_orderdate", out_col="o_month"
+    )
+    return (
+        orders.filter(
+            (F.col("o_month") >= F.lit("1996-01"))
+            & (F.col("o_month") <= F.lit("1997-12"))
+        )
+        .groupBy("o_month")
+        .agg(
+            dsum("o_totalprice").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_month")
+    )
+
+
 # --- Q: top order per customer (window top-1 per group; reference §2.6) ------
 
 
