@@ -1,0 +1,111 @@
+"""Unit tests for HTML main-content extraction (operators/html.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from thymeflow_back_spark.operators.html import (
+    _BlockParser,
+    extract_main_content,
+    html_blocks,
+)
+
+PAGE = (
+    "<html><body>"
+    '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+    "<p>the quick brown fox jumps over the lazy dog</p>"
+    "<p>pack my box with five dozen liquor jugs</p>"
+    '<aside><a href="/r1">Related post 1</a></aside>'
+    '<footer><a href="/tos">Terms of Service</a> '
+    '<a href="/privacy">Privacy Policy</a> (c) 2024 site7.com</footer>'
+    "</body></html>"
+)
+
+
+def test_parser_blocks_and_link_chars():
+    blocks = _BlockParser().parse(PAGE)
+    assert [t for t, _, _ in blocks] == ["nav", "p", "p", "aside", "footer"]
+    nav_text, nav_link = blocks[0][1], blocks[0][2]
+    assert nav_text == "Home About"
+    assert nav_link == len("Home") + len("About")  # the separator space is non-link
+    assert blocks[1] == ("p", "the quick brown fox jumps over the lazy dog", 0)
+    aside_text, aside_link = blocks[3][1], blocks[3][2]
+    assert aside_link == len(aside_text) == len("Related post 1")
+    foot_text, foot_link = blocks[4][1], blocks[4][2]
+    assert foot_text == "Terms of Service Privacy Policy (c) 2024 site7.com"
+    assert foot_link == len("Terms of Service") + len("Privacy Policy")
+
+
+def test_parser_normalizes_whitespace_and_entities():
+    blocks = _BlockParser().parse("<p>  a\n\t b &amp; c  </p><div>\n  </div>")
+    # whitespace-only blocks are dropped; entity decoded; runs collapsed
+    assert blocks == [("p", "a b & c", 0)]
+
+
+def test_parser_untagged_prefix_text_is_its_own_block():
+    blocks = _BlockParser().parse("stray lead-in<p>real para</p>")
+    assert blocks == [("", "stray lead-in", 0), ("p", "real para", 0)]
+
+
+def test_html_blocks_dataframe(spark):
+    df = spark.createDataFrame([(1, PAGE)], "doc_id bigint, html string")
+    rows = html_blocks(df, "doc_id", "html").orderBy("block_idx").collect()
+    assert [r["is_content"] for r in rows] == [False, True, True, False, False]
+    assert rows[1]["text_chars"] == len(rows[1]["text"])
+
+
+def test_extract_main_content_end_to_end(spark):
+    df = spark.createDataFrame(
+        [(1, PAGE, "en"), (2, "<p></p>", "de")], "doc_id bigint, html string, lang string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in extract_main_content(df, "doc_id", "html", carry=("lang",)).collect()
+    }
+    r1 = out[1]
+    assert r1["n_blocks"] == 5 and r1["n_content_blocks"] == 2
+    assert r1["extracted_text"] == (
+        "the quick brown fox jumps over the lazy dog\n"
+        "pack my box with five dozen liquor jugs"
+    )
+    assert r1["lang"] == "en"
+    total = r1["content_chars"] + r1["boiler_chars"]
+    assert r1["boilerplate_frac"] == round(r1["boiler_chars"] / total, 9)
+    # a page with no visible text: zero blocks, NULL frac (no 0/0)
+    r2 = out[2]
+    assert r2["n_blocks"] == 0 and r2["extracted_text"] == ""
+    assert r2["boilerplate_frac"] is None
+
+
+def test_link_density_threshold_boundary(spark):
+    # exactly half anchor text -> boilerplate (strict <); just under -> content
+    half = '<p><a href="/x">aaaa</a> bbb</p>'  # 4 link / 8 total
+    under = '<p><a href="/x">aaa</a> bbbb</p>'  # 3 link / 8 total
+    df = spark.createDataFrame(
+        [(1, half), (2, under)], "doc_id bigint, html string"
+    )
+    rows = {r["doc_id"]: r for r in html_blocks(df, "doc_id", "html").collect()}
+    assert rows[1]["is_content"] is False
+    assert rows[2]["is_content"] is True
+
+
+def test_funnel_matches_quality_gate_on_recovered_text(spark, sf_dir):
+    # extraction recovers exactly the original tokens, so the funnel's keep
+    # decision per document equals the plain quality gate's on `text`
+    from thymeflow_back_spark.operators.text import quality_filter
+    from thymeflow_back_spark.queries.webcorpus import with_synth_html
+    from thymeflow_back_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    pages = with_synth_html(docs)
+    ex = extract_main_content(pages, "doc_id", "html").withColumn(
+        "flat_text", F.translate("extracted_text", "\n", " ")
+    )
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in quality_filter(ex, "doc_id", "flat_text").collect()
+    }
+    want = {
+        r["doc_id"]: r["keep"] for r in quality_filter(docs, "doc_id", "text").collect()
+    }
+    assert got == want

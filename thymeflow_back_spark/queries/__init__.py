@@ -22,6 +22,7 @@ from . import dedup  # noqa: F401,E402
 from . import pipeline  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402
 from . import textstats  # noqa: F401,E402
+from . import webcorpus  # noqa: F401,E402
 from . import rdf  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
 from . import er  # noqa: F401,E402

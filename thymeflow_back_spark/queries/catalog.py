@@ -51,12 +51,12 @@ def query(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
 # the 29 rows last seen in r4, then the 50 r5 rows (r6's 50 are the
 # freshest and fall to the tail via registration order).
 _DRIVER_PRIORITY = [
-    # round-7 additions, never driver-verified (unimplemented names are skipped):
+    # round-7 additions, never driver-verified (each name is appended in the
+    # commit that implements it — test_driver_priority_names_exist keeps the
+    # list typo-free):
     "q_dsir_logratio",
     "q_html_extract",
     "q_html_quality_funnel",
-    "q_shard_manifest",
-    "q_kcenter_parallel",
     "q_time_pruned_revenue",
     # last driver-verified in round 4 (stalest existing rows):
     "q_dataset_mixture",
