@@ -1,0 +1,80 @@
+"""Training-shard export (sources/shards.py): asserted on-disk layout —
+one file per bin directory, deterministic intra-file row order — plus
+write-once reuse and agreement with the balanced_bins operator."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from thymeflow_back_spark.operators.binning import balanced_bins
+from thymeflow_back_spark.sources.shards import (
+    ensure_training_shards,
+    shard_path,
+    write_training_shards,
+)
+from thymeflow_back_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+K = 4
+
+
+def _data_files(d: str) -> list[str]:
+    return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+
+def test_layout_one_file_per_bin_in_seq_order(spark, tmp_path):
+    docs = load(spark, SF, "documents")
+    toks = F.size(F.expr("filter(split(text, ' '), t -> t != '')")).cast("bigint")
+    path = str(tmp_path / "shards")
+    write_training_shards(
+        docs.withColumn("n_tok", toks), path, "doc_id", "n_tok", K, carry=("lang",)
+    )
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("bin="))
+    assert dirs == [f"bin={i}" for i in range(K)]
+    n_total = 0
+    for d in dirs:
+        files = _data_files(os.path.join(path, d))
+        assert len(files) == 1, (d, files)
+        tbl = pq.read_table(os.path.join(path, d, files[0]))
+        seqs = tbl.column("seq").to_pylist()
+        # physical row order IS the LPT order: seq is exactly 1..n
+        assert seqs == list(range(1, len(seqs) + 1))
+        weights = tbl.column("weight").to_pylist()
+        assert weights == sorted(weights, reverse=True)
+        n_total += len(seqs)
+    assert n_total == docs.count()
+
+
+def test_shards_match_balanced_bins_operator(spark, tmp_path):
+    docs = load(spark, SF, "documents").select(
+        "doc_id", F.col("n_chars").alias("w")
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, "doc_id", "w", K)
+    got = {
+        (r["doc_id"], r["bin"])
+        for r in spark.read.parquet(path).select("doc_id", "bin").collect()
+    }
+    want = {
+        (r["doc_id"], r["bin"])
+        for r in balanced_bins(docs, "doc_id", "w", K).collect()
+    }
+    assert got == want
+
+
+def test_ensure_is_write_once(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_DERIVED_DIR", str(tmp_path))
+    first = ensure_training_shards(
+        spark, SF, "documents", "doc_id", F.lit(1).cast("bigint"), K
+    )
+    path = shard_path(SF, "documents", K)
+    marker = os.path.join(path, "_SUCCESS")
+    mtime = os.path.getmtime(marker)
+    again = ensure_training_shards(
+        spark, SF, "documents", "doc_id", F.lit(1).cast("bigint"), K
+    )
+    assert os.path.getmtime(marker) == mtime
+    assert first.count() == again.count() == load(spark, SF, "documents").count()

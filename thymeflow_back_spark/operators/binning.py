@@ -24,9 +24,14 @@ from .packing import distributed_prefix_sum
 
 
 def balanced_bins(
-    df: DataFrame, id_col: str, weight_col: str, k: int
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    carry: tuple[str, ...] = (),
+    seq_col: str | None = None,
 ) -> DataFrame:
-    """Assign each row a bin in [0, k): (id, weight, bin).
+    """Assign each row a bin in [0, k): (id, weight, *carry, bin[, seq]).
 
     Round-robin over the global (weight DESC, id ASC) rank. Deterministic:
     the rank is a pure function of the key set, so re-runs and different
@@ -36,22 +41,33 @@ def balanced_bins(
     untruncated value (negated as double — exact for integers below 2^53
     and correct for fractional weights), and the output ``weight`` column
     carries the native input value, not a bigint truncation.
+
+    ``carry`` columns pass through untouched (payload for a shard writer).
+    ``seq_col`` additionally emits the 1-based position WITHIN the bin in
+    descending-weight order — a pure projection of the global rank
+    ((rank-1) div k + 1), costing nothing beyond the one range exchange.
     """
     ranked = distributed_prefix_sum(
         df.select(
             F.col(id_col),
             F.col(weight_col).alias("weight"),
+            *[F.col(c) for c in carry],
             (-F.col(weight_col).cast("double")).alias("__negw"),
         ),
         ["__negw", id_col],
         F.lit(1).cast("bigint"),
         out_col="__rank",
     )
-    return ranked.select(
-        id_col,
-        "weight",
+    out = [
+        F.col(id_col),
+        F.col("weight"),
+        *[F.col(c) for c in carry],
         ((F.col("__rank") - 1) % k).cast("int").alias("bin"),
-    )
+    ]
+    if seq_col is not None:
+        # integer div: exact at any rank, no double rounding
+        out.append(F.expr(f"((__rank - 1) div {k}) + 1").alias(seq_col))
+    return ranked.select(*out)
 
 
 def balanced_bin_summary(

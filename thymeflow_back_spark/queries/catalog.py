@@ -57,6 +57,7 @@ _DRIVER_PRIORITY = [
     "q_dsir_logratio",
     "q_html_extract",
     "q_html_quality_funnel",
+    "q_shard_manifest",
     "q_time_pruned_revenue",
     # last driver-verified in round 4 (stalest existing rows):
     "q_dataset_mixture",

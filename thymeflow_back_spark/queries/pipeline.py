@@ -2100,6 +2100,64 @@ def q_balanced_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balanced_bin_summary(docs, "doc_id", "n_chars", BIN_K).orderBy("bin")
 
 
+# --- Q: deterministic training-shard export ------------------------------------
+
+SHARD_BINS = 8
+
+
+@query(
+    "q_shard_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS n_tok FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tok,
+             ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id ASC) AS rnk
+      FROM t
+    ),
+    shards AS (
+      SELECT doc_id, n_tok,
+             CAST((rnk - 1) % {SHARD_BINS} AS INTEGER) AS bin,
+             (rnk - 1) // {SHARD_BINS} + 1 AS seq
+      FROM ranked
+    )
+    SELECT bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MAX(seq) AS BIGINT) AS max_seq,
+           CAST(SUM(seq * doc_id) AS BIGINT) AS order_sig
+    FROM shards GROUP BY bin ORDER BY bin
+    """,
+    doc="Training-shard manifest over the WRITTEN layout: documents are "
+    "exported once as 8 length-balanced parquet shards (one directory and "
+    "one file per bin, rows in descending-token LPT order with a stored "
+    "seq — sources/shards.py), then the manifest is computed by READING "
+    "the shards back: per-bin doc/token totals, the max sequence number, "
+    "and an order signature sum(seq*doc_id) binding each document to its "
+    "position. The oracle replays the assignment formula from the base "
+    "table, so a wrong write (lost rows, misrouted bins, scrambled seq) "
+    "hash-mismatches. Plan: one range exchange for the global rank, one "
+    "routing exchange, in-task sort — no single-task global sort.",
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.shards import ensure_training_shards
+
+    toks = F.size(F.expr("filter(split(text, ' '), t -> t != '')")).cast("bigint")
+    sh = ensure_training_shards(
+        spark, sf_dir, "documents", "doc_id", toks, SHARD_BINS, carry=("text", "lang")
+    )
+    return (
+        sh.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("weight").alias("n_tokens"),
+            F.max("seq").alias("max_seq"),
+            F.sum(F.col("seq") * F.col("doc_id")).alias("order_sig"),
+        )
+        .orderBy("bin")
+    )
+
+
 # --- Q: per-domain quota (domain cap, best-quality first) -----------------------
 
 QUOTA_PER_SOURCE = 3

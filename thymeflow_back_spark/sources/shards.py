@@ -1,0 +1,98 @@
+"""Deterministic training-shard export: the last mile before a training job.
+
+``balanced_bins`` (operators/binning.py) computes straggler-free bin
+assignments and ``pack_chunks`` (operators/packing.py) computes context
+windows — but a training job consumes FILES. This writer materializes the
+bin assignment as a partitioned parquet layout with an asserted physical
+structure:
+
+- one directory per bin (``bin=0`` .. ``bin=k-1``),
+- exactly ONE data file per bin directory (each bin's rows are routed to a
+  single task before the dynamic-partitioned write),
+- rows inside the file in a deterministic order: descending weight,
+  ties by id — the bin's LPT assignment order — with the 1-based position
+  stored as ``seq`` so the order is checkable after any re-read.
+
+Everything is a pure function of the (id, weight) key set: re-running the
+writer on any cluster layout produces byte-identical bin membership,
+sequence numbers, and file-per-bin structure (asserted in
+tests/test_shards.py). The write-once ``ensure`` idiom matches the other
+derived layouts (sources/bucketed.py, sources/timeparted.py, operators/
+ivf.py's cell index).
+
+Scale note: one file per bin is the contract a k-worker training job wants
+(worker i streams ``bin=i``); at 100 TB per-file size is corpus/k, so k is
+chosen as the training world size, not a small constant. If a deployment
+needs bounded file sizes instead, ``spark.sql.files.maxRecordsPerFile``
+splits each bin into deterministically ordered sequential files without
+touching row order — the seq column keeps the layout verifiable either way.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.binning import balanced_bins
+from ..tables import load
+from .timeparted import derived_root
+
+SHARD_K = 8
+
+
+def shard_path(sf_dir: str, table: str, k: int) -> str:
+    tag = re.sub(r"[^A-Za-z0-9._-]+", "_", sf_dir.strip("/"))
+    return os.path.join(derived_root(), tag, f"{table}_shards_{k}")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    carry: tuple[str, ...] = (),
+) -> None:
+    """Materialize ``df`` as k length-balanced shards (see module doc).
+
+    Plan shape: ONE range exchange (the prefix-sum rank inside
+    balanced_bins), one hash exchange routing each bin to a single writer
+    task, and an in-task sort — no global single-task sort anywhere.
+    """
+    binned = balanced_bins(
+        df, id_col, weight_col, k, carry=carry, seq_col="seq"
+    )
+    (
+        binned.repartition(k, F.col("bin"))  # one task -> one file per bin dir
+        .sortWithinPartitions("bin", "seq")
+        .write.partitionBy("bin")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ensure_training_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    id_col: str,
+    weight_col,
+    k: int = SHARD_K,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Write-once: materialize the shard layout if absent, then read it.
+
+    ``weight_col`` is a column name or a Column expression (aliased name
+    required when passing an expression is not needed — the output weight
+    column is always named ``weight``)."""
+    path = shard_path(sf_dir, table, k)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        src = load(spark, sf_dir, table)
+        if not isinstance(weight_col, str):
+            src = src.withColumn("__w", weight_col)
+            weight_col = "__w"
+        write_training_shards(src, path, id_col, weight_col, k, carry=carry)
+    return spark.read.parquet(path)
