@@ -55,3 +55,52 @@ def test_kcenter_handles_k_exceeding_rows(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(3)
     out = kcenter_sample(emb, "vec_id", "embedding", 10).collect()
     assert len(out) == 3  # stops when the pool is exhausted
+
+
+def test_kcenter_parallel_batch1_equals_greedy(spark):
+    from thymeflow_back_spark.operators.coreset import kcenter_parallel
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    par = kcenter_parallel(emb, "vec_id", "embedding", K, batch=1).orderBy("rnd").collect()
+    greedy = kcenter_sample(emb, "vec_id", "embedding", K).orderBy("rank").collect()
+    assert [(r["rnd"] + 1, r["vec_id"], r["dist"]) for r in par] == [
+        (r["rank"], r["vec_id"], r["dist"]) for r in greedy
+    ]
+
+
+def test_kcenter_parallel_radius_close_to_greedy(spark):
+    # fixture regression check (not a theorem): the oversampled batch
+    # variant's coverage radius stays within 1.5x of exact greedy at the
+    # same k on the test embeddings
+    from thymeflow_back_spark.operators.coreset import (
+        coverage_radius,
+        kcenter_parallel,
+        kcenter_sample,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas().set_index("vec_id")
+    k = 9
+
+    def centers(rows):
+        return [
+            [float(x) for x in pdf.loc[r["vec_id"], "embedding"]] for r in rows
+        ]
+
+    r_par = coverage_radius(
+        emb, "vec_id", "embedding",
+        centers(kcenter_parallel(emb, "vec_id", "embedding", k, batch=4).collect()),
+    )
+    r_greedy = coverage_radius(
+        emb, "vec_id", "embedding",
+        centers(kcenter_sample(emb, "vec_id", "embedding", k).collect()),
+    )
+    assert 0 < r_par <= 1.5 * r_greedy, (r_par, r_greedy)
+
+
+def test_kcenter_parallel_stops_when_pool_exhausted(spark):
+    from thymeflow_back_spark.operators.coreset import kcenter_parallel
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(5)
+    out = kcenter_parallel(emb, "vec_id", "embedding", 12, batch=4).collect()
+    assert len(out) == 5

@@ -84,3 +84,82 @@ def kcenter_sample(df: DataFrame, id_col: str, vec_col: str, k: int) -> DataFram
     return df.sparkSession.createDataFrame(
         rows, f"rank int, {id_col} bigint, dist double"
     )
+
+
+def _centers_min_dist(v: Column, centers: list[list[float]]) -> Column:
+    """round-9 squared L2 distance to the nearest of ``centers``, with the
+    center list shipped as ONE array-of-arrays plan literal (k*d doubles)
+    so the per-row work is a single array_min over a transform — the plan
+    stays linear in k, not a k-term LEAST tree."""
+    arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centers])
+    d2 = lambda c: dot(v, v) - F.lit(2.0) * dot(v, c) + dot(c, c)  # noqa: E731
+    return F.round(F.array_min(F.transform(arr, d2)), SCORE_DECIMALS)
+
+
+def kcenter_parallel(
+    df: DataFrame, id_col: str, vec_col: str, k: int, batch: int
+) -> DataFrame:
+    """Batched farthest-first (oversampled Gonzalez): k diverse rows in
+    ceil((k-1)/batch) distributed rounds instead of k-1.
+
+    Each round is ONE scan: every unchosen point's (rounded) squared-L2
+    distance to the PRE-ROUND center set, then the ``batch`` farthest
+    points join at once (TakeOrdered — per-partition top-b merge, no
+    global sort), ties to smallest id. Within a round the picks are
+    mutually blind — the standard oversampling trade (k-means|| makes the
+    same one, Bahmani et al. 2012): b-fold fewer driver rounds for a
+    slightly less spread batch. ``batch=1`` reproduces
+    :func:`kcenter_sample`'s exact greedy sequence.
+
+    Output: (rnd, id, dist) — rnd 0 is the deterministic seed (smallest
+    id); ``dist`` is the distance to the pre-round set at selection time.
+    Scale: rounds collect batch rows each (batch*d doubles of driver
+    state); for k in the thousands pick batch ~ k/10 so the job count
+    stays constant while each scan remains embarrassingly parallel. The
+    center literals grow k*d doubles — beyond ~10^5 entries swap the
+    plan-literal array for a broadcast-joined centers relation.
+    """
+    if k < 1 or batch < 1:
+        raise ValueError("k and batch must be >= 1")
+    vecs = df.select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
+    )
+    seed = vecs.orderBy("id").limit(1).collect()
+    if not seed:
+        raise ValueError("kcenter_parallel: empty input")
+    chosen: list[tuple[int, int, float, list[float]]] = [
+        (0, seed[0]["id"], 0.0, list(seed[0]["v"]))
+    ]
+    rnd = 0
+    while len(chosen) < k:
+        rnd += 1
+        b = min(batch, k - len(chosen))
+        centers = [v for _, _, _, v in chosen]
+        ids = [i for _, i, _, _ in chosen]
+        picked = (
+            vecs.filter(~F.col("id").isin(ids))
+            .select("id", "v", _centers_min_dist(F.col("v"), centers).alias("mind"))
+            .orderBy(F.desc("mind"), F.asc("id"))
+            .limit(b)
+            .collect()
+        )
+        for r in picked:
+            chosen.append((rnd, r["id"], float(r["mind"]), list(r["v"])))
+        if len(picked) < b:
+            break  # fewer than k distinct rows
+    rows = [(r, i, d) for r, i, d, _ in chosen]
+    return df.sparkSession.createDataFrame(
+        rows, f"rnd int, {id_col} bigint, dist double"
+    )
+
+
+def coverage_radius(
+    df: DataFrame, id_col: str, vec_col: str, centers: list[list[float]]
+) -> float:
+    """max over all rows of the (rounded) squared-L2 distance to the
+    nearest center — the k-center objective value, one distributed scan."""
+    vecs = df.select(as_double_array(F.col(vec_col)).alias("v"))
+    row = vecs.select(
+        F.max(_centers_min_dist(F.col("v"), centers)).alias("r")
+    ).collect()[0]
+    return float(row["r"])

@@ -1071,6 +1071,76 @@ def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcenter_sample(emb, "vec_id", "embedding", KCENTER_K).orderBy("rank")
 
 
+# --- Q: batched farthest-first (large-k diversity sampling) ---------------------
+
+KCP_K = 25
+KCP_BATCH = 8
+
+
+def _kcenter_parallel_oracle(k: int, batch: int) -> str:
+    """Chained-CTE replay of the batched farthest-first rounds: per round,
+    min-distance to the accumulated center set via a grouped CROSS JOIN
+    (the centers are data, not literals, so no O(k^2) scalar subqueries),
+    then the batch of farthest points, then the union into the next set."""
+    d2 = (
+        "list_dot_product(x.v, x.v) - 2 * list_dot_product(x.v, c.v)"
+        " + list_dot_product(c.v, c.v)"
+    )
+    parts = [
+        "vecs AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "s0 AS MATERIALIZED (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 1)",
+    ]
+    selects = ["SELECT 0 AS rnd, vec_id, 0.0 AS dist FROM s0"]
+    picked, r = 1, 0
+    while picked < k:
+        r += 1
+        b = min(batch, k - picked)
+        picked += b
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT x.vec_id, round(MIN({d2}), 9) AS mind"
+            f" FROM vecs x CROSS JOIN s{r - 1} c"
+            f" WHERE x.vec_id NOT IN (SELECT vec_id FROM s{r - 1})"
+            f" GROUP BY x.vec_id)"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT m.vec_id, v.v, m.mind FROM m{r} m"
+            f" JOIN vecs v USING (vec_id)"
+            f" ORDER BY m.mind DESC, m.vec_id LIMIT {b})"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT vec_id, v FROM s{r - 1}"
+            f" UNION ALL SELECT vec_id, v FROM c{r})"
+        )
+        selects.append(f"SELECT {r} AS rnd, vec_id, mind AS dist FROM c{r}")
+    return (
+        "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY rnd, dist DESC, vec_id"
+    )
+
+
+@query(
+    "q_kcenter_parallel",
+    oracle=_kcenter_parallel_oracle(KCP_K, KCP_BATCH),
+    doc=f"Batched farthest-first diversity sample (operators/coreset.py "
+    f"kcenter_parallel): {KCP_K} spread embeddings in ceil((k-1)/b) = 3 "
+    f"distributed rounds of {KCP_BATCH} picks instead of k-1 = 24 — the "
+    "oversampled large-k variant of q_kcenter_sample (the k-means|| "
+    "trade, Bahmani et al. 2012). Per round one scan computes every "
+    "point's rounded distance to the pre-round set (one array-of-arrays "
+    "plan literal, array_min transform) and TakeOrdered picks the batch; "
+    "the oracle replays each round as a grouped CROSS JOIN over the "
+    "accumulated center CTE. batch=1 reproduces the exact greedy chain "
+    "(pytest golden).",
+)
+def q_kcenter_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.coreset import kcenter_parallel
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kcenter_parallel(emb, "vec_id", "embedding", KCP_K, KCP_BATCH).orderBy(
+        "rnd", F.desc("dist"), "vec_id"
+    )
+
+
 # --- Q: k-NN majority-vote labeling --------------------------------------------
 
 
