@@ -80,3 +80,31 @@ def test_bpe_encode_roundtrip_and_consistency(spark):
         words = [w for w in row.text.split(" ") if w]
         want = [s for ws in encode_words(words, merges) for s in ws]
         assert list(row.bpe_tokens) == want
+
+
+def test_train_bpe_batched_equals_sequential_on_corpus(spark):
+    from thymeflow_back_spark.operators.bpe import train_bpe_batched
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    want = train_bpe(df, "text", 12)
+    for b in (2, 4, 8):
+        got = train_bpe_batched(df, "text", 12, batch=b)
+        assert got == want, (b, got, want)
+
+
+def test_train_bpe_batched_equals_sequential_on_documents(spark):
+    from thymeflow_back_spark.operators.bpe import train_bpe_batched
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    want = train_bpe(docs, "text", 16)
+    got = train_bpe_batched(docs, "text", 16, batch=4)
+    assert got == want
+
+
+def test_train_bpe_batched_respects_num_merges(spark):
+    from thymeflow_back_spark.operators.bpe import train_bpe_batched
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    got = train_bpe_batched(df, "text", 3, batch=8)
+    assert got == train_bpe(df, "text", 3)
+    assert len(got) == 3

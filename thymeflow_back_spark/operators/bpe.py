@@ -127,6 +127,125 @@ def train_bpe(df: DataFrame, text_col: str, num_merges: int) -> list[tuple[str, 
     return merges
 
 
+def _apply_merges(symed: DataFrame, batch: list[tuple[str, str]]) -> DataFrame:
+    """Apply a list of merges IN ORDER in one Arrow pass (m merges for the
+    price of one mapInPandas plan node)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = []
+            for s in pdf["syms"]:
+                syms = list(s)
+                for a, b in batch:
+                    syms = _merge_pair(syms, a, b)
+                out.append(syms)
+            pdf["syms"] = out
+            yield pdf
+
+    return symed.mapInPandas(run, "word string, count long, syms array<string>")
+
+
+def train_bpe_batched(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    batch: int = 8,
+    candidates: int | None = None,
+) -> list[tuple[str, str]]:
+    """Learn merges in rounds of up to ``batch`` at a time — BIT-IDENTICAL
+    to :func:`train_bpe`'s one-merge loop, with up to batch-fold fewer
+    driver rounds (the standard batched-BPE trick, made exact).
+
+    Batched BPE is only equal to sequential BPE when no accepted merge can
+    change what the next selection would have been. Each round therefore
+    accepts the maximal PROVABLY-SAFE prefix of the ranked candidate list:
+
+    - *Disjointness*: a candidate (c, d) must share no symbol with any
+      accepted merge (a, b) or its product a+b, and its own product c+d
+      must be a fresh symbol — then applying (a, b) cannot change the
+      count of (c, d).
+    - *Created-pair dominance*: merging (a, b) creates only pairs adjacent
+      to a merge site, so every created pair's weighted count is bounded by
+      C = min(count(a,b), max(M_end[a], M_start[b], C_prev)), where
+      M_end[a] / M_start[b] are the max counts of existing pairs ending at
+      ``a`` / starting at ``b`` (the created pair (x, ab) needs an (x, a)
+      occurrence; (ab, y) needs (b, y); run-merges (ab, ab) need (b, a);
+      C_prev folds in pairs created by earlier merges of the same round).
+      A candidate is accepted only while its count strictly exceeds every
+      accepted merge's bound — then no created pair can outrank or tie it.
+
+    The first candidate that fails either check ends the round (skipping
+    it would break the sequential order), the accepted merges apply in one
+    Arrow pass, and the next round recounts. Worst case (every adjacent
+    candidate interacting) degenerates to one merge per round — sequential
+    behavior, never a wrong model. Golden-tested equal to ``train_bpe``
+    and the local dict reference in tests/test_bpe.py.
+
+    ``candidates`` caps the per-round collect (default 4*batch ranked
+    pairs — driver state stays O(batch), never vocabulary-sized).
+    """
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
+    n_cand = candidates or 4 * batch
+    symed = _initial_symbols(word_shapes(df, text_col)).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges:
+        counts = _pair_counts(symed).persist()
+        try:
+            cands = (
+                counts.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+                .limit(n_cand)
+                .collect()
+            )
+            if not cands or cands[0].pair_count < 2:
+                break
+            firsts = {r.a for r in cands}
+            seconds = {r.b for r in cands}
+            # per-symbol max pair counts, aggregated BEFORE collecting:
+            # driver state is O(#candidate symbols), never vocabulary-sized
+            start_rows = (
+                counts.filter(F.col("a").isin(seconds))
+                .groupBy("a").agg(F.max("pair_count").alias("c"))
+                .collect()
+            )
+            end_rows = (
+                counts.filter(F.col("b").isin(firsts))
+                .groupBy("b").agg(F.max("pair_count").alias("c"))
+                .collect()
+            )
+        finally:
+            counts.unpersist()
+        m_start = {r.a: r.c for r in start_rows}  # max count of (b_cand, y)
+        m_end = {r.b: r.c for r in end_rows}  # max count of (x, a_cand)
+
+        accepted: list[tuple[str, str]] = []
+        used: set[str] = set()
+        bound = 0  # max created-pair count over accepted merges
+        for r in cands:
+            if len(accepted) >= batch or len(merges) + len(accepted) >= num_merges:
+                break
+            a, b, n = r.a, r.b, r.pair_count
+            if n < 2:
+                break
+            if accepted:
+                if a in used or b in used or (a + b) in used or n <= bound:
+                    break
+                bound_here = min(
+                    n, max(m_end.get(a, 0), m_start.get(b, 0), bound)
+                )
+            else:
+                bound_here = min(n, max(m_end.get(a, 0), m_start.get(b, 0)))
+            accepted.append((a, b))
+            used |= {a, b, a + b}
+            bound = max(bound, bound_here)
+        if not accepted:
+            break
+        merges.extend(accepted)
+        symed = _apply_merges(symed, accepted).localCheckpoint(eager=True)
+    return merges
+
+
 def encode_words(words: list[str], merges: list[tuple[str, str]]) -> list[list[str]]:
     """Driver-side reference encoder: apply merges in learned order."""
     out = []
