@@ -112,6 +112,11 @@ def ivf_assign(
     centroids: list[list[float]],
 ) -> DataFrame:
     """(c_id, cell, c_vec) — the inverted file, computed map-side."""
+    from .skew import spread_small_input
+
+    # the per-row cell argmax is an interpreted n_cells-dot expression —
+    # spread a narrow scan so it parallelizes (no-op on a wide scan)
+    corpus = spread_small_input(corpus)
     v = as_double_array(F.col(vec_col))
     return corpus.select(
         F.col(id_col).alias("c_id"),

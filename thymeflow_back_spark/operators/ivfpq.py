@@ -66,8 +66,11 @@ def _assign(corpus: DataFrame, id_col: str, vec_col: str, cents_df: DataFrame) -
     """(c_id, cell, c_vec, cents) — coarse assignment against the one-row
     centroid relation; max centroid dot, lowest cell on ties (ivf_assign
     parity: bit-identical dots, same argmax tie-break)."""
+    from .skew import spread_small_input
+
     v = as_double_array(F.col(vec_col))
-    scored = corpus.crossJoin(F.broadcast(cents_df)).select(
+    # interpreted per-row dot transform: spread a narrow scan (no-op when wide)
+    scored = spread_small_input(corpus).crossJoin(F.broadcast(cents_df)).select(
         F.col(id_col).alias("c_id"),
         v.alias("c_vec"),
         F.col("cents"),
@@ -184,18 +187,22 @@ def ivfpq_topk(
         sub_d,
         carry=("cell", "books", "ccs"),
     )
+    # per (q_id, cell) one row carrying the FULL m×k term matrix
+    # (terms[j][code]) — ONE broadcast instead of an m-join chain; the
+    # probed cells' code rows stream through per-row array lookups
+    qterms = qh.select(
+        "q_id", "cell", F.array(*[_scores_col(j) for j in range(m)]).alias("__terms")
+    )
     pairs = codes.withColumnRenamed("c_id", "vec_id").join(
-        F.broadcast(probe.select("q_id", "cell")), "cell"
+        F.broadcast(qterms), "cell"
     ).filter(F.col("vec_id") != F.col("q_id"))
-    for j in range(m):
-        # pos IS the code (codes enumerate the codebook in order)
-        dtab = qh.select(
-            "q_id", "cell", F.posexplode(_scores_col(j)).alias(f"code{j}", f"__t{j}")
-        )
-        pairs = pairs.join(F.broadcast(dtab), ["q_id", "cell", f"code{j}"])
-    adc = F.col("__t0")
+    # terms[j][code_j]: identical doubles to the per-subspace join lookups,
+    # chained in subspace order, never an unordered SUM
+    adc = F.element_at(F.element_at("__terms", 1), F.col("code0") + 1)
     for j in range(1, m):
-        adc = adc + F.col(f"__t{j}")
+        adc = adc + F.element_at(
+            F.element_at("__terms", j + 1), F.col(f"code{j}") + 1
+        )
     w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
     return (
         pairs.withColumn("adc_dist", F.round(adc, SCORE_DECIMALS))

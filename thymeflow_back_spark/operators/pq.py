@@ -169,11 +169,17 @@ def _with_codes(
     data, not literals). Each score subtree is materialized ONCE — argmin
     references the scores COLUMN twice, which would otherwise clone the
     whole arithmetic tree into array_position and array_min."""
+    from .skew import spread_small_input
+
     m = len(books)
     sub_d = len(books[0][0])
     bdf = codebook_row(corpus.sparkSession, books)
+    # the argmin trees below are interpreted higher-order functions — a
+    # single-file scan would run them on ONE core (measured 2.5 s -> 0.7 s
+    # at sf0.1); no-op when the scan is already wide
     hoisted = _with_subvectors(
-        corpus.crossJoin(F.broadcast(bdf)), id_col, vec_col, m, sub_d,
+        spread_small_input(corpus).crossJoin(F.broadcast(bdf)),
+        id_col, vec_col, m, sub_d,
         carry=("books", "ccs"),
     )
     carry = [F.col(f"x{j}") for j in range(m)] if keep_subvectors else []
@@ -285,13 +291,12 @@ def pq_adc_topk(
     # into the filter and re-evaluating the scoring arithmetic once per
     # join (16k-row ADC at sf0.1: 12.8 s lazy vs 2.7 s pinned).
     codes = pin(pq_encode(corpus, id_col, vec_col, books))
-    # the ADC table, one subspace at a time: (q_id, code, term) where
-    # term = ||q_j||² + ||c_{j,code}||² - 2·q_j·c_{j,code}. Exactly
-    # queries×k rows per subspace — the only place a query-side dot
-    # happens; candidates below never touch raw vectors again.
-    pairs = codes.withColumnRenamed(id_col, "vec_id").crossJoin(
-        F.broadcast(queries.select(F.col(id_col).alias("q_id")))
-    )
+    # the ADC table: per query one row carrying the FULL m×k term matrix
+    # (terms[j][code] = ||q_j||² + ||c_{j,code}||² - 2·q_j·c_{j,code}) —
+    # the only place a query-side dot happens; candidates below never
+    # touch raw vectors again. ONE broadcast of queries×m×k doubles and
+    # the corpus-code table streams through per-row array lookups — no
+    # per-subspace join chain (m broadcast builds collapsed to one).
     qh = _with_subvectors(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col)).crossJoin(
             F.broadcast(codebook_row(queries.sparkSession, books))
@@ -302,17 +307,19 @@ def pq_adc_topk(
         sub_d,
         carry=("books", "ccs"),
     )
-    for j in range(m):
-        # posexplode of the per-subspace score array: pos IS the code
-        # (codes enumerate the codebook in order), term the ADC entry
-        dtab = qh.select(
-            "q_id", F.posexplode(_scores_col(j)).alias(f"code{j}", f"__t{j}")
-        )
-        # broadcast hash lookup — the corpus-code side streams, no shuffle
-        pairs = pairs.join(F.broadcast(dtab), ["q_id", f"code{j}"])
-    adc = F.col("__t0")
+    qterms = qh.select(
+        "q_id", F.array(*[_scores_col(j) for j in range(m)]).alias("__terms")
+    )
+    pairs = codes.withColumnRenamed(id_col, "vec_id").crossJoin(
+        F.broadcast(qterms)
+    )
+    # terms[j][code_j]: the identical doubles the per-subspace join lookups
+    # produced, chained in subspace order, never an unordered SUM
+    adc = F.element_at(F.element_at("__terms", 1), F.col("code0") + 1)
     for j in range(1, m):
-        adc = adc + F.col(f"__t{j}")  # chained in subspace order, never SUM
+        adc = adc + F.element_at(
+            F.element_at("__terms", j + 1), F.col(f"code{j}") + 1
+        )
     w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
     return (
         pairs.filter(F.col("vec_id") != F.col("q_id"))

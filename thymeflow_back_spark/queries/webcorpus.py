@@ -150,6 +150,7 @@ def with_synth_html(docs: DataFrame, out_col: str = "html") -> DataFrame:
 
 @query(
     "q_html_extract",
+    bench=True,  # the one Arrow mapInPandas family in the headline set
     oracle=f"""
     WITH {_SQL_DIMS}
     SELECT doc_id,
