@@ -340,12 +340,19 @@ def test_debounce_quads_quiet_period(spark, tmp_path):
     try:
         # second delivery to the same graph inside the quiet window refolds
         time.sleep(1.0)
+        t_second = time.time()
         make_quads(spark, [iri_q("a", "p:y", "2", "g:doc")]).write.mode("append").parquet(
             str(staging)
         )
         time.sleep(1.0)
         early = spark.sql("select * from debounced").count()
-        assert early == 0, "emitted before the quiet period elapsed"
+        # only meaningful while the quiet window is still open in wall time:
+        # on a loaded machine micro-batches can take seconds each, so by the
+        # time this check runs the 3 s window may have legitimately elapsed
+        # (observed under the 4-shard test runner) — emission then is
+        # CORRECT debounce behavior, not a bug
+        if time.time() - t_second < 2.0:
+            assert early == 0, "emitted before the quiet period elapsed"
         deadline = time.time() + 30
         while time.time() < deadline:
             if spark.sql("select * from debounced").count() >= 2:

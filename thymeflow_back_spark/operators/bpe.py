@@ -152,7 +152,8 @@ def train_bpe_batched(
     num_merges: int,
     batch: int = 8,
     candidates: int | None = None,
-) -> list[tuple[str, str]]:
+    return_counts: bool = False,
+) -> list[tuple[str, str]] | list[tuple[str, str, int]]:
     """Learn merges in rounds of up to ``batch`` at a time — BIT-IDENTICAL
     to :func:`train_bpe`'s one-merge loop, with up to batch-fold fewer
     driver rounds (the standard batched-BPE trick, made exact).
@@ -184,12 +185,15 @@ def train_bpe_batched(
 
     ``candidates`` caps the per-round collect (default 4*batch ranked
     pairs — driver state stays O(batch), never vocabulary-sized).
+    ``return_counts`` appends each merge's weighted pair count (the value
+    the selection maximized) — (a, b, count) triples.
     """
     if batch < 1:
         raise ValueError("batch must be >= 1")
     n_cand = candidates or 4 * batch
     symed = _initial_symbols(word_shapes(df, text_col)).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
+    counts_log: list[int] = []
     while len(merges) < num_merges:
         counts = _pair_counts(symed).persist()
         try:
@@ -237,12 +241,15 @@ def train_bpe_batched(
             else:
                 bound_here = min(n, max(m_end.get(a, 0), m_start.get(b, 0)))
             accepted.append((a, b))
+            counts_log.append(int(n))
             used |= {a, b, a + b}
             bound = max(bound, bound_here)
         if not accepted:
             break
         merges.extend(accepted)
         symed = _apply_merges(symed, accepted).localCheckpoint(eager=True)
+    if return_counts:
+        return [(a, b, c) for (a, b), c in zip(merges, counts_log)]
     return merges
 
 

@@ -880,6 +880,82 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b")).limit(BPE_TOP)
 
 
+# --- Q: BPE merge learning (full trainer, oracle-replayed) ---------------------
+
+BPE_MERGES = 12
+BPE_BATCH = 4
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Sequential-BPE replay, one CTE trio per merge. Word shapes ride as
+    delimiter-WRAPPED symbol strings ('·a··b··</w>·' — every symbol is
+    '·sym·', so the merge is replace('·a··b·' -> '·ab·'): left-to-right
+    non-overlapping string replace IS the BPE merge scan, and a symbol
+    that merely starts with b can never false-match thanks to the closing
+    delimiter. Assumes '·' does not occur in the corpus text (true of the
+    test tables; the Spark trainer has no such restriction)."""
+    parts = [
+        """w AS MATERIALIZED (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents) GROUP BY 1
+    ),
+    s0 AS MATERIALIZED (
+      SELECT cnt, concat('·', array_to_string(string_split(word, ''), '··'), '··</w>·') AS s
+      FROM w
+    )"""
+    ]
+    selects = []
+    for r in range(1, n_merges + 1):
+        parts.append(f"""p{r} AS MATERIALIZED (
+      SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM (SELECT cnt, list_filter(string_split(s, '·'), x -> x <> '') AS syms FROM s{r - 1}),
+           LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+      GROUP BY 1, 2
+    ),
+    t{r} AS MATERIALIZED (
+      SELECT a, b, pair_count FROM p{r}
+      WHERE pair_count >= 2
+      ORDER BY pair_count DESC, a, b LIMIT 1
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT sp.cnt, CASE WHEN t.a IS NULL THEN sp.s
+        ELSE replace(sp.s, '·' || t.a || '··' || t.b || '·', '·' || t.a || t.b || '·') END AS s
+      FROM s{r - 1} sp LEFT JOIN t{r} t ON TRUE
+    )""")
+        selects.append(f"SELECT {r} AS step, a, b, pair_count FROM t{r}")
+    return (
+        "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY step"
+    )
+
+
+@query(
+    "q_bpe_train",
+    oracle=_bpe_train_oracle(BPE_MERGES),
+    doc=f"BPE merge learning, the full trainer: the first {BPE_MERGES} "
+    "learned merges (step, a, b, pair_count) over the corpus word shapes. "
+    f"Spark runs the BATCHED trainer (batch={BPE_BATCH} — operators/"
+    "bpe.py train_bpe_batched, whose per-round safe-prefix acceptance is "
+    "provably equal to the one-merge loop); the oracle replays SEQUENTIAL "
+    "BPE merge by merge in SQL (delimiter-wrapped symbol strings, "
+    "left-to-right replace = the merge scan) — so the driver gate "
+    "cross-checks batched == sequential on real data across engines, on "
+    "top of the pytest goldens.",
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import train_bpe_batched
+
+    docs = load(spark, sf_dir, "documents")
+    triples = train_bpe_batched(
+        docs, "text", BPE_MERGES, batch=BPE_BATCH, return_counts=True
+    )
+    rows = [(i + 1, a, b, c) for i, (a, b, c) in enumerate(triples)]
+    return spark.createDataFrame(
+        rows, "step int, a string, b string, pair_count bigint"
+    ).orderBy("step")
+
+
 # --- Q: PII scrubbing ----------------------------------------------------------
 
 
