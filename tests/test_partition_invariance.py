@@ -31,6 +31,13 @@ NAMES = [
     "q_quality_pr_curve",
     "q_score_auc",
     "q_hybrid_rrf",
+    # round 7: batched greedy selection, batched BPE safe-prefix
+    # acceptance, Arrow-parse + per-group fold (the shard WRITER's layout
+    # invariance is tested against fresh directories in test_shards.py —
+    # its write-once catalog row would trivially pass here)
+    "q_kcenter_parallel",
+    "q_bpe_train",
+    "q_html_quality_funnel",
 ]
 
 

@@ -78,3 +78,32 @@ def test_ensure_is_write_once(spark, tmp_path, monkeypatch):
     )
     assert os.path.getmtime(marker) == mtime
     assert first.count() == again.count() == load(spark, SF, "documents").count()
+
+
+def test_written_layout_invariant_under_shuffle_partitions(spark, tmp_path):
+    """The exported shard files must be byte-stable across shuffle layouts:
+    same bin membership, same seq, same intra-file row order."""
+    docs = load(spark, SF, "documents").select(
+        "doc_id", F.col("n_chars").alias("w")
+    )
+    key = "spark.sql.shuffle.partitions"
+    orig = spark.conf.get(key)
+    contents = []
+    try:
+        for parts, sub in ((5, "a"), (47, "b")):
+            spark.conf.set(key, str(parts))
+            path = str(tmp_path / sub)
+            write_training_shards(docs, path, "doc_id", "w", K)
+            per_bin = {}
+            for d in sorted(os.listdir(path)):
+                if d.startswith("bin="):
+                    [f] = _data_files(os.path.join(path, d))
+                    tbl = pq.read_table(os.path.join(path, d, f))
+                    per_bin[d] = list(
+                        zip(tbl.column("doc_id").to_pylist(),
+                            tbl.column("seq").to_pylist())
+                    )
+            contents.append(per_bin)
+    finally:
+        spark.conf.set(key, orig)
+    assert contents[0] == contents[1]
