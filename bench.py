@@ -66,6 +66,11 @@ def main() -> None:
     bench_queries = {name: q for name, q in catalog.QUERIES.items() if q.bench}
     # warm the JVM + parquet footers once (excluded from timings)
     next(iter(bench_queries.values())).spark(spark, sf_dir).count()
+    # spin up the Arrow Python worker pool once, same class of session
+    # infrastructure as the JVM start above (measured ~7 s for 32 workers
+    # — it was dominating q_html_extract's cold number, which should time
+    # the operator, not pool creation)
+    spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
 
     # pin the tokenize/shingle stage across the dedup variants: the n-gram
     # join and MinHash+LSH otherwise recompute identical shingles (the

@@ -42,6 +42,14 @@ def test_parser_normalizes_whitespace_and_entities():
     assert blocks == [("p", "a b & c", 0)]
 
 
+def test_parser_suppresses_invisible_elements():
+    blocks = _BlockParser().parse(
+        "<p>before<script>var x = 'no';</script> after</p>"
+        "<style>p { color: red }</style><p>real</p>"
+    )
+    assert blocks == [("p", "before after", 0), ("p", "real", 0)]
+
+
 def test_parser_untagged_prefix_text_is_its_own_block():
     blocks = _BlockParser().parse("stray lead-in<p>real para</p>")
     assert blocks == [("", "stray lead-in", 0), ("p", "real para", 0)]

@@ -48,6 +48,9 @@ BLOCK_TAGS = frozenset(
 # A block is content iff its anchor-text share is strictly below this.
 MAX_LINK_DENSITY = 0.5
 
+# Elements whose character data is never visible text.
+_INVISIBLE = frozenset({"script", "style", "noscript", "template"})
+
 
 def _is_content(text_chars: int, link_chars: int, max_link_density: float) -> bool:
     return link_chars < max_link_density * text_chars
@@ -69,6 +72,7 @@ class _BlockParser(HTMLParser):
         self._parts: list[str] = []
         self._anchor_parts: list[str] | None = None
         self._link_chars = 0
+        self._invisible = 0
 
     def _flush(self) -> None:
         text = " ".join("".join(self._parts).split())
@@ -78,14 +82,18 @@ class _BlockParser(HTMLParser):
         self._link_chars = 0
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        if tag in BLOCK_TAGS:
+        if tag in _INVISIBLE:
+            self._invisible += 1
+        elif tag in BLOCK_TAGS:
             self._flush()
             self._tag = tag
         elif tag == "a":
             self._anchor_parts = []
 
     def handle_endtag(self, tag: str) -> None:
-        if tag in BLOCK_TAGS:
+        if tag in _INVISIBLE:
+            self._invisible = max(0, self._invisible - 1)
+        elif tag in BLOCK_TAGS:
             self._flush()
             self._tag = ""
         elif tag == "a" and self._anchor_parts is not None:
@@ -93,6 +101,8 @@ class _BlockParser(HTMLParser):
             self._anchor_parts = None
 
     def handle_data(self, data: str) -> None:
+        if self._invisible:
+            return  # script/style/noscript text is never visible
         self._parts.append(data)
         if self._anchor_parts is not None:
             self._anchor_parts.append(data)

@@ -85,9 +85,8 @@ def ensure_training_shards(
 ) -> DataFrame:
     """Write-once: materialize the shard layout if absent, then read it.
 
-    ``weight_col`` is a column name or a Column expression (aliased name
-    required when passing an expression is not needed — the output weight
-    column is always named ``weight``)."""
+    ``weight_col`` is a column name or a Column expression; either way the
+    output weight column is always named ``weight``."""
     path = shard_path(sf_dir, table, k)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         src = load(spark, sf_dir, table)
