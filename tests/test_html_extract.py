@@ -97,6 +97,72 @@ def test_link_density_threshold_boundary(spark):
     assert rows[2]["is_content"] is True
 
 
+def test_parser_properties_on_generated_pages():
+    """Hypothesis sweep: arbitrary nesting of block/inline/invisible tags
+    with arbitrary text never crashes the parser, and two invariants hold —
+    every block's link_chars <= text_chars, and visible non-whitespace
+    characters are conserved (sum over blocks == sum over visible text
+    nodes after whitespace collapse)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FF),
+        min_size=0, max_size=12,
+    )
+
+    def node(children):
+        return st.one_of(
+            words.map(lambda w: ("text", w)),
+            st.tuples(
+                st.sampled_from(["p", "div", "nav", "li", "h1"]),
+                st.lists(children, max_size=4),
+            ).map(lambda t: ("block", *t)),
+            st.lists(children, max_size=3).map(lambda c: ("a", c)),
+            words.map(lambda w: ("script", w)),
+        )
+
+    trees = st.lists(st.recursive(words.map(lambda w: ("text", w)), node, max_leaves=20), max_size=6)
+
+    def render(nodes):
+        out = []
+        for n in nodes:
+            if n[0] == "text":
+                from html import escape
+
+                out.append(escape(n[1]))
+            elif n[0] == "block":
+                out.append(f"<{n[1]}>" + render(n[2]) + f"</{n[1]}>")
+            elif n[0] == "a":
+                out.append('<a href="/x">' + render(n[1]) + "</a>")
+            else:
+                out.append("<script>" + n[1].replace("<", " ") + "</script>")
+        return "".join(out)
+
+    def visible_chars(nodes, in_script=False):
+        total = 0
+        for n in nodes:
+            if n[0] == "text":
+                total += len("".join(n[1].split()))
+            elif n[0] == "block":
+                total += visible_chars(n[2])
+            elif n[0] == "a":
+                total += visible_chars(n[1])
+        return total
+
+    @settings(max_examples=200, deadline=None)
+    @given(tree=trees)
+    def prop(tree):
+        blocks = _BlockParser().parse(render(tree))
+        for _, text, link in blocks:
+            assert 0 <= link <= len(text)
+            assert text == " ".join(text.split())  # normalized
+        got = sum(len("".join(t.split())) for _, t, _ in blocks)
+        assert got == visible_chars(tree)
+
+    prop()
+
+
 def test_funnel_matches_quality_gate_on_recovered_text(spark, sf_dir):
     # extraction recovers exactly the original tokens, so the funnel's keep
     # decision per document equals the plain quality gate's on `text`
