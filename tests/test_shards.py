@@ -107,3 +107,39 @@ def test_written_layout_invariant_under_shuffle_partitions(spark, tmp_path):
     finally:
         spark.conf.set(key, orig)
     assert contents[0] == contents[1]
+
+
+def test_shuffled_order_is_deterministic_hash_order(spark, tmp_path):
+    import hashlib
+
+    docs = load(spark, SF, "documents").select(
+        "doc_id", F.col("n_chars").alias("w")
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, "doc_id", "w", K, order="shuffled")
+    n_total = 0
+    for i in range(K):
+        d = os.path.join(path, f"bin={i}")
+        [f] = _data_files(d)
+        tbl = pq.read_table(os.path.join(d, f))
+        ids = tbl.column("doc_id").to_pylist()
+        seqs = tbl.column("seq").to_pylist()
+        assert seqs == list(range(1, len(ids) + 1))
+        # physical order == ascending md5('shard:'||id) within the bin
+        want = sorted(ids, key=lambda i: (hashlib.md5(f"shard:{i}".encode()).hexdigest(), i))
+        assert ids == want
+        # NOT length-sorted (the point of the shuffled order)
+        ws = tbl.column("weight").to_pylist()
+        assert ws != sorted(ws, reverse=True)
+        n_total += len(ids)
+    assert n_total == docs.count()
+    # membership is unchanged by the order choice
+    want_bins = {
+        (r["doc_id"], r["bin"])
+        for r in balanced_bins(docs, "doc_id", "w", K).collect()
+    }
+    got_bins = {
+        (r["doc_id"], r["bin"])
+        for r in spark.read.parquet(path).select("doc_id", "bin").collect()
+    }
+    assert got_bins == want_bins

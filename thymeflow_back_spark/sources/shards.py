@@ -55,16 +55,42 @@ def write_training_shards(
     weight_col: str,
     k: int,
     carry: tuple[str, ...] = (),
+    order: str = "lpt",
+    salt: str = "shard",
 ) -> None:
     """Materialize ``df`` as k length-balanced shards (see module doc).
+
+    ``order`` picks the intra-shard row order (bin MEMBERSHIP is always
+    the LPT assignment):
+
+    - ``"lpt"`` — descending weight, ties by id (the assignment order;
+      natural for inference batching where same-length rows co-batch),
+    - ``"shuffled"`` — deterministic pseudo-random: ascending
+      md5(salt:id), the q_deterministic_shuffle idiom. Training jobs want
+      this one — length-sorted batches bias gradients, and a hash order
+      is reproducible on any cluster (no RNG, no layout dependence).
+
+    Either way ``seq`` stores the 1-based position in the chosen order,
+    so the physical layout stays verifiable after any re-read.
 
     Plan shape: ONE range exchange (the prefix-sum rank inside
     balanced_bins), one hash exchange routing each bin to a single writer
     task, and an in-task sort — no global single-task sort anywhere.
     """
+    if order not in ("lpt", "shuffled"):
+        raise ValueError(f"order must be 'lpt' or 'shuffled', got {order!r}")
     binned = balanced_bins(
         df, id_col, weight_col, k, carry=carry, seq_col="seq"
     )
+    if order == "shuffled":
+        from pyspark.sql.window import Window
+
+        key = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+        # per-bin rank over the hash order; each bin is one writer task's
+        # worth of rows (corpus/k), so the in-task window sort is the same
+        # cost class as the sortWithinPartitions below, never corpus-global
+        w = Window.partitionBy("bin").orderBy(key, F.col(id_col))
+        binned = binned.withColumn("seq", F.row_number().over(w).cast("bigint"))
     (
         binned.repartition(k, F.col("bin"))  # one task -> one file per bin dir
         .sortWithinPartitions("bin", "seq")
