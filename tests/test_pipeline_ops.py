@@ -615,3 +615,34 @@ def test_text_ops_degenerate_documents(spark):
     for i in (1, 2, 3):
         assert qf[i]["keep"] is False
         assert qf[i]["drop_reason"] == "too_few_words"
+
+
+def test_pretokenizer_matches_python_re(spark):
+    """The RE2-compatible GPT-2-ish pretokenizer splits identically to a
+    local Python re replay on adversarial strings (contractions, unicode
+    letters, digit runs, punct runs, mixed whitespace). Python re lacks
+    \\p classes, so the replay substitutes equivalent unicode-aware
+    classes ([^\\W\\d_] for letters, \\d for numbers) — exact for
+    these fixtures."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from thymeflow_back_spark.operators.text import pretokens_col
+
+    pat = re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+",
+        re.UNICODE,
+    )
+    texts = [
+        "hello world's fine, 42 times!",
+        "  a  b\tc\nd",
+        "don't stop-me 3.14 ... x'll y've",
+        "caf\u00e9 \u00fcber stra\u00dfe 99",
+        "",
+        "!!!",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r["p"] for r in df.select(pretokens_col("text").alias("p")).collect()]
+    want = [pat.findall(t) for t in texts]
+    assert got == want

@@ -68,6 +68,25 @@ def token_stats(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
     return d.withColumn("quality", quality)
 
 
+# GPT-2-style pretokenizer, restricted to RE2-compatible constructs (no
+# lookahead — the original's `\s+(?!\S)` branch is dropped, so a run of
+# spaces before a word stays attached to the whitespace run; same
+# discipline as pii_scrub). Leftmost-first alternation behaves identically
+# in Java regex (Spark) and RE2 (DuckDB) — cross-checked on fixtures.
+PRETOKEN_REGEX = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def pretokens_col(text_col: str = "text") -> Column:
+    """array<string> of GPT-2-ish pretokens — the split BPE operates on.
+
+    A pure JVM regexp projection (no Python), the realistic token-count
+    accounting pass next to the ceil(len/4) heuristic
+    (:func:`bpe_token_estimate`)."""
+    return F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(PRETOKEN_REGEX), F.lit(0)
+    )
+
+
 def bpe_token_estimate(text_col: str = "text") -> Column:
     """BPE-ish token-count estimate: ceil(len/4) per whitespace word, summed.
 

@@ -60,6 +60,7 @@ _DRIVER_PRIORITY = [
     "q_shard_manifest",
     "q_kcenter_parallel",
     "q_bpe_train",
+    "q_pretoken_counts",
     "q_time_pruned_revenue",
     # last driver-verified in round 4 (stalest existing rows):
     "q_dataset_mixture",

@@ -117,6 +117,57 @@ def q_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pretoken_counts",
+    oracle=f"""
+    WITH p AS (
+      SELECT lang,
+             regexp_extract_all(text, '{T.PRETOKEN_REGEX.replace("'", "''")}') AS pre
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, len(pre) AS n_pre,
+             len(list_filter(pre, t -> regexp_matches(t, '^ ?\\p{{L}}'))) AS n_word,
+             len(list_filter(pre, t -> regexp_matches(t, '^\\s+$'))) AS n_ws
+      FROM p
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_pre) AS BIGINT) AS total_pretokens,
+           CAST(SUM(n_word) AS BIGINT) AS word_pretokens,
+           CAST(SUM(n_ws) AS BIGINT) AS ws_pretokens
+    FROM c GROUP BY lang ORDER BY lang
+    """,
+    doc="Realistic token accounting: per-language pretoken totals under a "
+    "GPT-2-style pretokenizer regex (contractions, space-prefixed "
+    "letter/digit/punct runs, whitespace runs) restricted to "
+    "RE2-compatible constructs so Java regex (Spark) and RE2 (DuckDB) "
+    "split identically — a pure JVM regexp projection + one aggregate, "
+    "the counting pass a token-budgeted pipeline runs before committing "
+    "to a tokenizer (operators/text.py pretokens_col).",
+)
+def q_pretoken_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pre = T.pretokens_col("text")
+    is_word = lambda t: t.rlike(r"^ ?\p{L}")  # noqa: E731
+    is_ws = lambda t: t.rlike(r"^\s+$")  # noqa: E731
+    d = docs.select(
+        "lang",
+        F.size(pre).alias("n_pre"),
+        F.size(F.filter(pre, is_word)).alias("n_word"),
+        F.size(F.filter(pre, is_ws)).alias("n_ws"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_pre").alias("total_pretokens"),
+            F.sum("n_word").alias("word_pretokens"),
+            F.sum("n_ws").alias("ws_pretokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "q_doc_fingerprint",
     oracle="""
     WITH toks AS (
