@@ -183,3 +183,10 @@ def test_funnel_matches_quality_gate_on_recovered_text(spark, sf_dir):
         r["doc_id"]: r["keep"] for r in quality_filter(docs, "doc_id", "text").collect()
     }
     assert got == want
+
+
+def test_anchor_spanning_block_boundary():
+    # a link card: the whole block sits inside one anchor — its text is
+    # fully link text, and nothing leaks into the following block
+    blocks = _BlockParser().parse('<a href="/x"><p>card title</p></a><p>body</p>')
+    assert blocks == [("p", "card title", len("card title")), ("p", "body", 0)]

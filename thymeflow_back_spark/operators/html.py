@@ -75,6 +75,13 @@ class _BlockParser(HTMLParser):
         self._invisible = 0
 
     def _flush(self) -> None:
+        if self._anchor_parts is not None:
+            # an anchor spanning a block boundary (link cards wrap whole
+            # blocks): settle its text into THIS block's link count and
+            # restart the buffer for the next block — otherwise the chars
+            # would leak into the following block's count
+            self._link_chars += len(" ".join("".join(self._anchor_parts).split()))
+            self._anchor_parts = []
         text = " ".join("".join(self._parts).split())
         if text:
             self.blocks.append((self._tag, text, self._link_chars))
