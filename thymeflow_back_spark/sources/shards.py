@@ -43,9 +43,12 @@ from .timeparted import derived_root
 SHARD_K = 8
 
 
-def shard_path(sf_dir: str, table: str, k: int) -> str:
+def shard_path(sf_dir: str, table: str, k: int, order: str = "lpt") -> str:
+    # the intra-shard order is part of the layout's identity: a write-once
+    # reuse must never hand an lpt-ordered layout to a caller asking for
+    # the shuffled one (or vice versa)
     tag = re.sub(r"[^A-Za-z0-9._-]+", "_", sf_dir.strip("/"))
-    return os.path.join(derived_root(), tag, f"{table}_shards_{k}")
+    return os.path.join(derived_root(), tag, f"{table}_shards_{k}_{order}")
 
 
 def write_training_shards(
@@ -108,16 +111,17 @@ def ensure_training_shards(
     weight_col,
     k: int = SHARD_K,
     carry: tuple[str, ...] = (),
+    order: str = "lpt",
 ) -> DataFrame:
     """Write-once: materialize the shard layout if absent, then read it.
 
     ``weight_col`` is a column name or a Column expression; either way the
     output weight column is always named ``weight``."""
-    path = shard_path(sf_dir, table, k)
+    path = shard_path(sf_dir, table, k, order)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         src = load(spark, sf_dir, table)
         if not isinstance(weight_col, str):
             src = src.withColumn("__w", weight_col)
             weight_col = "__w"
-        write_training_shards(src, path, id_col, weight_col, k, carry=carry)
+        write_training_shards(src, path, id_col, weight_col, k, carry=carry, order=order)
     return spark.read.parquet(path)
