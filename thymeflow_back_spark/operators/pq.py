@@ -43,6 +43,29 @@ from .similarity import SCORE_DECIMALS, as_double_array
 PQ_M = 8  # subspaces
 PQ_K = 16  # codes per subspace
 
+# Opt-in cross-query index cache (the set_shingle_cache pattern): a PQ
+# index is a BUILD-ONCE artifact — at scale it's materialized like
+# ivf_write_index's parquet — so a harness running several PQ queries
+# over the same corpus should not re-train codebooks / re-encode per
+# query. Keyed by plan semanticHash + parameters; OFF by default (pinning
+# corpus-sized code tables is a per-run capacity decision).
+_PQ_CACHE: dict | None = None
+
+
+def set_pq_cache(enabled: bool) -> None:
+    """Opt-in memoization of trained codebooks and the persisted code
+    table across queries (see comment above). Disabling unpersists any
+    cached code tables."""
+    global _PQ_CACHE
+    if enabled:
+        if _PQ_CACHE is None:
+            _PQ_CACHE = {}
+    elif _PQ_CACHE is not None:
+        for v in _PQ_CACHE.values():
+            if isinstance(v, DataFrame):
+                v.unpersist()
+        _PQ_CACHE = None
+
 
 def _sub(vec: Column, j: int, sub_d: int) -> Column:
     return F.slice(vec, j * sub_d + 1, sub_d)
@@ -217,6 +240,12 @@ def pq_codebooks(
     subvector) assignments through an inline explode, and a single
     (j, code)-keyed aggregate produces all m·k means (m·k rows × sub_d
     sum columns after map-side combine) — not m separate corpus scans."""
+    ck = None
+    if _PQ_CACHE is not None:
+        ck = ("books", corpus.semanticHash(), id_col, vec_col, m, k, iterations)
+        cached = _PQ_CACHE.get(ck)
+        if cached is not None:
+            return cached
     seeds = seed_centroids(corpus, id_col, vec_col, k)
     d = len(seeds[0])
     if d % m:
@@ -250,7 +279,32 @@ def pq_codebooks(
         for r in sums:
             nxt[r["j"]][r["code"]] = [r[f"s{i}"] / r["n"] for i in range(sub_d)]
         books = nxt
+    if ck is not None:
+        _PQ_CACHE[ck] = books
     return books
+
+
+def _code_table(
+    corpus: DataFrame, id_col: str, vec_col: str, books: list[list[list[float]]]
+) -> DataFrame:
+    """The materialized (id, code0..code{m-1}) table pq_adc_topk probes.
+
+    Materialization is load-bearing either way (see the comment at the
+    call site); with the opt-in cache it is ALSO memoized across queries
+    — persisted instead of query-scope pinned, keyed by the corpus plan
+    and the codebook values."""
+    if _PQ_CACHE is not None:
+        ck = (
+            "codes", corpus.semanticHash(), id_col, vec_col,
+            tuple(tuple(tuple(c) for c in book) for book in books),
+        )
+        cached = _PQ_CACHE.get(ck)
+        if cached is not None:
+            return cached
+        out = pq_encode(corpus, id_col, vec_col, books).persist()
+        _PQ_CACHE[ck] = out
+        return out
+    return pin(pq_encode(corpus, id_col, vec_col, books))
 
 
 def pq_encode(
@@ -290,7 +344,7 @@ def pq_adc_topk(
     # projection, substituting the full interpreted argmin/zip_with tree
     # into the filter and re-evaluating the scoring arithmetic once per
     # join (16k-row ADC at sf0.1: 12.8 s lazy vs 2.7 s pinned).
-    codes = pin(pq_encode(corpus, id_col, vec_col, books))
+    codes = _code_table(corpus, id_col, vec_col, books)
     # the ADC table: per query one row carrying the FULL m×k term matrix
     # (terms[j][code] = ||q_j||² + ||c_{j,code}||² - 2·q_j·c_{j,code}) —
     # the only place a query-side dot happens; candidates below never
