@@ -104,3 +104,13 @@ def test_kcenter_parallel_stops_when_pool_exhausted(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(5)
     out = kcenter_parallel(emb, "vec_id", "embedding", 12, batch=4).collect()
     assert len(out) == 5
+
+
+def test_coverage_radius_empty_input_raises(spark):
+    import pytest
+
+    from thymeflow_back_spark.operators.coreset import coverage_radius
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(0)
+    with pytest.raises(ValueError, match="empty input"):
+        coverage_radius(emb, "vec_id", "embedding", [[0.0] * 16])

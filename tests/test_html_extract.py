@@ -190,3 +190,31 @@ def test_anchor_spanning_block_boundary():
     # fully link text, and nothing leaks into the following block
     blocks = _BlockParser().parse('<a href="/x"><p>card title</p></a><p>body</p>')
     assert blocks == [("p", "card title", len("card title")), ("p", "body", 0)]
+
+
+def test_string_doc_ids(spark):
+    """Web-corpus ids are often URL/hash strings: the Arrow schema must
+    follow the input id type instead of hardcoding bigint."""
+    df = spark.createDataFrame(
+        [("https://ex.com/a", PAGE)], "doc_id string, html string"
+    )
+    blocks = html_blocks(df, "doc_id", "html")
+    assert dict(blocks.dtypes)["doc_id"] == "string"
+    rows = blocks.collect()
+    assert {r["doc_id"] for r in rows} == {"https://ex.com/a"}
+    out = extract_main_content(df, "doc_id", "html").collect()
+    assert out[0]["doc_id"] == "https://ex.com/a" and out[0]["n_content_blocks"] == 2
+
+
+def test_synth_html_escapes_markup_unsafe_text(spark):
+    """with_synth_html must HTML-escape tokens so '&'/'<'/'>' in document
+    text round-trip through the parser unchanged (convert_charrefs)."""
+    from thymeflow_back_spark.queries.webcorpus import with_synth_html
+
+    text = "a&b <tag> x>y plain"
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    page = with_synth_html(df).select("html").collect()[0]["html"]
+    assert "a&amp;b" in page and "&lt;tag&gt;" in page
+    out = extract_main_content(with_synth_html(df), "doc_id", "html").collect()[0]
+    assert out["extracted_text"] == text
+    assert out["content_chars"] == len(text)

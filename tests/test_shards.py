@@ -67,17 +67,33 @@ def test_shards_match_balanced_bins_operator(spark, tmp_path):
 
 def test_ensure_is_write_once(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_DERIVED_DIR", str(tmp_path))
-    first = ensure_training_shards(
-        spark, SF, "documents", "doc_id", F.lit(1).cast("bigint"), K
-    )
-    path = shard_path(SF, "documents", K)
+    w = F.lit(1).cast("bigint")
+    first = ensure_training_shards(spark, SF, "documents", "doc_id", w, K)
+    path = shard_path(SF, "documents", K, weight_col=w)
     marker = os.path.join(path, "_SUCCESS")
     mtime = os.path.getmtime(marker)
-    again = ensure_training_shards(
-        spark, SF, "documents", "doc_id", F.lit(1).cast("bigint"), K
-    )
+    again = ensure_training_shards(spark, SF, "documents", "doc_id", w, K)
     assert os.path.getmtime(marker) == mtime
     assert first.count() == again.count() == load(spark, SF, "documents").count()
+
+
+def test_layout_identity_includes_weight_and_carry(spark, tmp_path, monkeypatch):
+    """Two ensure calls that differ only in weight expression (or carry)
+    must NOT share a materialized layout."""
+    monkeypatch.setenv("SPARK_GRAFT_DERIVED_DIR", str(tmp_path))
+    by_chars = ensure_training_shards(spark, SF, "documents", "doc_id", "n_chars", K)
+    by_const = ensure_training_shards(
+        spark, SF, "documents", "doc_id", F.lit(1).cast("bigint"), K
+    )
+    assert shard_path(SF, "documents", K, weight_col="n_chars") != shard_path(
+        SF, "documents", K, weight_col=F.lit(1).cast("bigint")
+    )
+    # the two layouts really are different materializations, not a reuse
+    chars_w = {r["weight"] for r in by_chars.select("weight").distinct().collect()}
+    const_w = {r["weight"] for r in by_const.select("weight").distinct().collect()}
+    assert const_w == {1} and chars_w != {1}
+    with_carry = shard_path(SF, "documents", K, weight_col="n_chars", carry=("lang",))
+    assert with_carry != shard_path(SF, "documents", K, weight_col="n_chars")
 
 
 def test_written_layout_invariant_under_shuffle_partitions(spark, tmp_path):

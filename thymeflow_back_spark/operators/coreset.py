@@ -162,4 +162,8 @@ def coverage_radius(
     row = vecs.select(
         F.max(_centers_min_dist(F.col("v"), centers)).alias("r")
     ).collect()[0]
+    if row["r"] is None:
+        # MAX over zero rows (or all-null vectors) is NULL; mirror
+        # kcenter_parallel's empty-seed guard instead of float(None)
+        raise ValueError("coverage_radius: empty input")
     return float(row["r"])

@@ -52,6 +52,13 @@ MAX_LINK_DENSITY = 0.5
 _INVISIBLE = frozenset({"script", "style", "noscript", "template"})
 
 
+def _id_type(df: DataFrame, id_col: str) -> str:
+    """The id column's own DDL type: web-corpus doc ids are as often URL
+    or hash STRINGS as integers, so the Arrow schema follows the input
+    instead of hardcoding bigint."""
+    return dict(df.dtypes)[id_col]
+
+
 def _is_content(text_chars: int, link_chars: int, max_link_density: float) -> bool:
     return link_chars < max_link_density * text_chars
 
@@ -132,7 +139,7 @@ def html_blocks(
     import pandas as pd
 
     schema = (
-        f"{id_col} bigint, block_idx int, tag string, text string, "
+        f"{id_col} {_id_type(df, id_col)}, block_idx int, tag string, text string, "
         "text_chars int, link_chars int, is_content boolean"
     )
     cols = [id_col, "block_idx", "tag", "text", "text_chars", "link_chars", "is_content"]
@@ -171,7 +178,7 @@ def extract_main_content(
     import pandas as pd
 
     schema = (
-        f"{id_col} bigint, "
+        f"{id_col} {_id_type(df, id_col)}, "
         + "".join(f"{c} string, " for c in carry)
         + "n_blocks int, n_content_blocks int, extracted_text string, "
         "content_chars bigint, boiler_chars bigint"

@@ -67,6 +67,14 @@ def set_pq_cache(enabled: bool) -> None:
         _PQ_CACHE = None
 
 
+def _plan_key(df: DataFrame) -> tuple:
+    """Cache key for a corpus plan: semanticHash is a 32-bit plan hash, so
+    two different corpora in one session could collide and silently serve
+    the wrong codebooks/codes — ride the schema string along as a cheap
+    disambiguator (collisions now also need identical schemas)."""
+    return (df.semanticHash(), str(df.schema))
+
+
 def _sub(vec: Column, j: int, sub_d: int) -> Column:
     return F.slice(vec, j * sub_d + 1, sub_d)
 
@@ -242,7 +250,7 @@ def pq_codebooks(
     sum columns after map-side combine) — not m separate corpus scans."""
     ck = None
     if _PQ_CACHE is not None:
-        ck = ("books", corpus.semanticHash(), id_col, vec_col, m, k, iterations)
+        ck = ("books", _plan_key(corpus), id_col, vec_col, m, k, iterations)
         cached = _PQ_CACHE.get(ck)
         if cached is not None:
             return cached
@@ -295,7 +303,7 @@ def _code_table(
     and the codebook values."""
     if _PQ_CACHE is not None:
         ck = (
-            "codes", corpus.semanticHash(), id_col, vec_col,
+            "codes", _plan_key(corpus), id_col, vec_col,
             tuple(tuple(tuple(c) for c in book) for book in books),
         )
         cached = _PQ_CACHE.get(ck)

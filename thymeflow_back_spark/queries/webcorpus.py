@@ -86,10 +86,30 @@ def _b(m: Column, i: int) -> Column:
     return F.conv(F.substring(m, 2 * i + 1, 2), 16, 10).cast("bigint")
 
 
+def _html_esc(t: Column) -> Column:
+    """Minimal HTML escaping (& first, then < and >): the parser runs with
+    convert_charrefs=True, so escaped text parses back to the ORIGINAL
+    characters — the render is markup-safe for any token content while the
+    oracle keeps deriving truth from the raw text, char counts unchanged."""
+    t = F.replace(t, F.lit("&"), F.lit("&amp;"))
+    t = F.replace(t, F.lit("<"), F.lit("&lt;"))
+    return F.replace(t, F.lit(">"), F.lit("&gt;"))
+
+
 def with_synth_html(docs: DataFrame, out_col: str = "html") -> DataFrame:
-    """Render each document as a deterministic HTML page (see module doc)."""
+    """Render each document as a deterministic HTML page (see module doc).
+
+    Precondition (oracle parity, not parser correctness): every document's
+    text must contain at least one non-space character — an all-empty text
+    renders an empty <p> the parser (correctly) drops, while the formula
+    oracle counts nch+3 blocks. The test tables satisfy this (same class
+    of data assumption as the '·' delimiter note in the BPE oracle).
+    Markup-unsafe characters are fine: tokens are HTML-escaped below and
+    unescape back to the original on parse."""
     m = F.md5(F.concat(F.lit("html:"), F.col("doc_id").cast("string")))
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    toks = F.transform(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != ""), _html_esc
+    )
     nch = F.greatest(
         F.ceil(F.size(toks) / F.lit(float(HTML_PARA_WORDS))).cast("int"), F.lit(1)
     )

@@ -30,6 +30,7 @@ touching row order — the seq column keeps the layout verifiable either way.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 
@@ -43,12 +44,29 @@ from .timeparted import derived_root
 SHARD_K = 8
 
 
-def shard_path(sf_dir: str, table: str, k: int, order: str = "lpt") -> str:
-    # the intra-shard order is part of the layout's identity: a write-once
-    # reuse must never hand an lpt-ordered layout to a caller asking for
-    # the shuffled one (or vice versa)
+def shard_path(
+    sf_dir: str,
+    table: str,
+    k: int,
+    order: str = "lpt",
+    weight_col=None,
+    carry: tuple[str, ...] = (),
+) -> str:
+    # the intra-shard order, the weight expression, and the carry columns
+    # are all part of the layout's identity: a write-once reuse must never
+    # hand an lpt-ordered layout to a caller asking for the shuffled one,
+    # nor a layout binned on one weight to a caller asking for another —
+    # fold a digest of (weight, carry) into the directory name
     tag = re.sub(r"[^A-Za-z0-9._-]+", "_", sf_dir.strip("/"))
-    return os.path.join(derived_root(), tag, f"{table}_shards_{k}_{order}")
+    name = f"{table}_shards_{k}_{order}"
+    if weight_col is not None or carry:
+        # str(Column) renders the unresolved expression tree; a plain
+        # column name digests as itself
+        sig = hashlib.md5(
+            repr((str(weight_col), tuple(carry))).encode()
+        ).hexdigest()[:10]
+        name += f"_{sig}"
+    return os.path.join(derived_root(), tag, name)
 
 
 def write_training_shards(
@@ -117,7 +135,7 @@ def ensure_training_shards(
 
     ``weight_col`` is a column name or a Column expression; either way the
     output weight column is always named ``weight``."""
-    path = shard_path(sf_dir, table, k, order)
+    path = shard_path(sf_dir, table, k, order, weight_col=weight_col, carry=carry)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         src = load(spark, sf_dir, table)
         if not isinstance(weight_col, str):
