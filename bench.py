@@ -19,6 +19,23 @@ before/after — on an otherwise idle 32-core box, a before-value far above
 the Spark session's own footprint means a polluted run) and
 ``warm_spread`` (max-min across the steady reps, summed over queries —
 large spread = noisy machine, distrust the totals).
+
+Self-defense (round 8 — the canaries flagged two of the last three driver
+bench files as load-polluted; detection alone doesn't fix the record):
+
+- *Idle gate*: before the Spark session starts, spin-wait (bounded
+  IDLE_WAIT_MAX seconds) until the 1-min loadavg drops below
+  IDLE_LOAD_MAX. A gate that times out is reported (``idle_gate``
+  "timeout") rather than blocking the run forever — the loadavg canary
+  then tells the reader how bad it still was.
+- *Warm retry*: if the steady-state spread across reps exceeds
+  WARM_SPREAD_MAX seconds, the warm reps (only) re-run once after a
+  second idle wait, and the LOWER-SPREAD attempt becomes the headline
+  ``queries_warm``/``value_warm``; both attempts ride in
+  ``warm_attempts``. The COLD numbers are never re-measured in-process —
+  a retry pass runs against a warmed JVM, so re-timing "cold" there
+  would flatter the series; the single genuine cold pass stays, with the
+  loadavg canary to qualify it.
 """
 
 from __future__ import annotations
@@ -37,6 +54,30 @@ from thymeflow_back_spark.operators.cachereg import release_pinned
 from thymeflow_back_spark.session import get_spark
 
 WARM_REPS = 3
+IDLE_LOAD_MAX = 2.0  # 1-min loadavg below this counts as idle (32-core box)
+IDLE_WAIT_MAX = 120.0  # give up waiting after this many seconds
+# Summed rep spread above this triggers the warm retry. Calibration: idle
+# sf0.1 runs measure ~3.3-3.4 s total spread across the 16-query set, the
+# two load-polluted driver runs 6.8+ — halfway between, so an honest idle
+# run doesn't pay a pointless second pass.
+WARM_SPREAD_MAX = 4.5
+
+
+def wait_for_idle(
+    load_max: float = IDLE_LOAD_MAX, wait_max: float = IDLE_WAIT_MAX
+) -> tuple[str, float]:
+    """Bounded spin-wait for system idleness; returns (gate, waited_sec).
+
+    gate: "idle" (loadavg under the threshold when timing may start) or
+    "timeout" (still busy after wait_max — run proceeds, canaries qualify it).
+    """
+    t0 = time.time()
+    while True:
+        if os.getloadavg()[0] < load_max:
+            return "idle", round(time.time() - t0, 1)
+        if time.time() - t0 >= wait_max:
+            return "timeout", round(time.time() - t0, 1)
+        time.sleep(5.0)
 
 # The r1-r6 headline set: "value"/"value_warm" stay the sum over exactly
 # these ten so the cross-round series (and the 2x self-baseline gate)
@@ -56,10 +97,28 @@ CLASSIC = [
 ]
 
 
+def _warm_pass(bench_queries: dict, spark, sf_dir: str) -> tuple[dict, float]:
+    """One steady-state pass: WARM_REPS timed executions per query;
+    returns (per-query median map, summed rep spread)."""
+    warm: dict[str, float] = {}
+    spread = 0.0
+    for name, q in bench_queries.items():
+        reps: list[float] = []
+        for _ in range(WARM_REPS):
+            t0 = time.time()
+            q.spark(spark, sf_dir).count()
+            reps.append(time.time() - t0)
+        warm[name] = round(statistics.median(reps), 3)
+        spread += max(reps) - min(reps)
+        release_pinned()
+    return warm, round(spread, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    idle_gate, idle_wait = wait_for_idle()
     load_before = round(os.getloadavg()[0], 2)
     spark = get_spark("bench")
 
@@ -87,24 +146,32 @@ def main() -> None:
     set_pq_cache(True)
 
     timings: dict[str, float] = {}
-    warm: dict[str, float] = {}
-    spread = 0.0
     for name, q in bench_queries.items():
         t0 = time.time()
         q.spark(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
-        reps: list[float] = []
-        for _ in range(WARM_REPS):
-            t0 = time.time()
-            q.spark(spark, sf_dir).count()
-            reps.append(time.time() - t0)
-        warm[name] = round(statistics.median(reps), 3)
-        spread += max(reps) - min(reps)
         # operator-internal pins are per-query state (the shared shingle
         # cache is managed separately above) — free them between queries
         release_pinned()
 
     classic = [n for n in CLASSIC if n in timings]
+    warm, spread = _warm_pass(bench_queries, spark, sf_dir)
+    attempts = [
+        {"value_warm": round(sum(warm[n] for n in classic), 3), "warm_spread": spread}
+    ]
+    retried = False
+    if spread > WARM_SPREAD_MAX:
+        retried = True
+        wait_for_idle()
+        warm2, spread2 = _warm_pass(bench_queries, spark, sf_dir)
+        attempts.append(
+            {
+                "value_warm": round(sum(warm2[n] for n in classic), 3),
+                "warm_spread": spread2,
+            }
+        )
+        if spread2 < spread:
+            warm, spread = warm2, spread2
     print(
         json.dumps(
             {
@@ -119,6 +186,10 @@ def main() -> None:
                 "value_extended_warm": round(sum(warm.values()), 3),
                 "warm_reps": WARM_REPS,
                 "warm_spread": round(spread, 3),
+                "warm_attempts": attempts,
+                "warm_retried": retried,
+                "idle_gate": idle_gate,
+                "idle_wait_sec": idle_wait,
                 "loadavg": [load_before, round(os.getloadavg()[0], 2)],
                 "sf": sf,
             }
