@@ -108,3 +108,50 @@ def test_train_bpe_batched_respects_num_merges(spark):
     got = train_bpe_batched(df, "text", 3, batch=8)
     assert got == train_bpe(df, "text", 3)
     assert len(got) == 3
+
+
+def test_encode_memo_is_model_keyed_and_bounded():
+    """The per-worker shape memo must never serve one model's encoding to
+    another, and must stop growing at the cap."""
+    import thymeflow_back_spark.operators.bpe as B
+
+    B._ENCODE_MEMOS.clear()
+    m1 = [("l", "o"), ("lo", "w")]
+    m2 = [("e", "r"), ("er", B.EOW)]
+    memo1, memo2 = B._model_memo(m1), B._model_memo(m2)
+    assert B._encode_word("lower", m1, memo1) == ["low", "e", "r", B.EOW]
+    assert B._encode_word("lower", m2, memo2) == ["l", "o", "w", "er</w>"]
+    # second call is a memo hit returning the identical object
+    assert B._encode_word("lower", m1, memo1) is memo1["lower"]
+    # model eviction: exceeding the model cap clears rather than grows
+    old_max = B._ENCODE_MEMO_MAX_MODELS
+    try:
+        B._ENCODE_MEMO_MAX_MODELS = 2
+        B._model_memo([("x", "y")])
+        assert len(B._ENCODE_MEMOS) == 1  # cleared then re-seeded
+    finally:
+        B._ENCODE_MEMO_MAX_MODELS = old_max
+    # shape cap: at the cap new shapes still encode but are not stored
+    old_shapes = B._ENCODE_MEMO_MAX_SHAPES
+    try:
+        B._ENCODE_MEMO_MAX_SHAPES = 1
+        memo = {}
+        B._encode_word("aa", m1, memo)
+        B._encode_word("bb", m1, memo)
+        assert list(memo) == ["aa"]
+        assert B._encode_word("bb", m1, memo) == ["b", "b", B.EOW]
+    finally:
+        B._ENCODE_MEMO_MAX_SHAPES = old_shapes
+    B._ENCODE_MEMOS.clear()
+
+
+def test_encode_word_equals_reference_replay():
+    from thymeflow_back_spark.operators.bpe import (
+        _encode_word,
+        encode_words,
+        train_bpe,  # noqa: F401  (import parity with module surface)
+    )
+
+    merges = [("e", "s"), ("es", "t"), ("est", EOW), ("l", "o"), ("lo", "w")]
+    for w in ("lowest", "newest", "widest", "low", "x", "est"):
+        assert _encode_word(w, merges, {}) == encode_words([w], merges)[0]

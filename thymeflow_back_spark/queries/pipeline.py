@@ -886,14 +886,16 @@ BPE_MERGES = 12
 BPE_BATCH = 4
 
 
-def _bpe_train_oracle(n_merges: int) -> str:
-    """Sequential-BPE replay, one CTE trio per merge. Word shapes ride as
-    delimiter-WRAPPED symbol strings ('·a··b··</w>·' — every symbol is
-    '·sym·', so the merge is replace('·a··b·' -> '·ab·'): left-to-right
-    non-overlapping string replace IS the BPE merge scan, and a symbol
-    that merely starts with b can never false-match thanks to the closing
-    delimiter. Assumes '·' does not occur in the corpus text (true of the
-    test tables; the Spark trainer has no such restriction)."""
+def _bpe_chain_parts(n_merges: int) -> list[str]:
+    """Sequential-BPE replay CTE chain, one trio per merge. Word shapes
+    ride as delimiter-WRAPPED symbol strings ('·a··b··</w>·' — every
+    symbol is '·sym·', so the merge is replace('·a··b·' -> '·ab·'):
+    left-to-right non-overlapping string replace IS the BPE merge scan,
+    and a symbol that merely starts with b can never false-match thanks
+    to the closing delimiter. Assumes '·' does not occur in the corpus
+    text (true of the test tables; the Spark trainer has no such
+    restriction). The shape's original ``word`` rides through every
+    s{r} so consumers can join encodings back to documents."""
     parts = [
         """w AS MATERIALIZED (
       SELECT word, COUNT(*) AS cnt FROM (
@@ -901,11 +903,10 @@ def _bpe_train_oracle(n_merges: int) -> str:
         FROM documents) GROUP BY 1
     ),
     s0 AS MATERIALIZED (
-      SELECT cnt, concat('·', array_to_string(string_split(word, ''), '··'), '··</w>·') AS s
+      SELECT word, cnt, concat('·', array_to_string(string_split(word, ''), '··'), '··</w>·') AS s
       FROM w
     )"""
     ]
-    selects = []
     for r in range(1, n_merges + 1):
         parts.append(f"""p{r} AS MATERIALIZED (
       SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS pair_count
@@ -919,11 +920,19 @@ def _bpe_train_oracle(n_merges: int) -> str:
       ORDER BY pair_count DESC, a, b LIMIT 1
     ),
     s{r} AS MATERIALIZED (
-      SELECT sp.cnt, CASE WHEN t.a IS NULL THEN sp.s
+      SELECT sp.word, sp.cnt, CASE WHEN t.a IS NULL THEN sp.s
         ELSE replace(sp.s, '·' || t.a || '··' || t.b || '·', '·' || t.a || t.b || '·') END AS s
       FROM s{r - 1} sp LEFT JOIN t{r} t ON TRUE
     )""")
-        selects.append(f"SELECT {r} AS step, a, b, pair_count FROM t{r}")
+    return parts
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    parts = _bpe_chain_parts(n_merges)
+    selects = [
+        f"SELECT {r} AS step, a, b, pair_count FROM t{r}"
+        for r in range(1, n_merges + 1)
+    ]
     return (
         "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
         + "\nORDER BY step"
@@ -954,6 +963,74 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, a string, b string, pair_count bigint"
     ).orderBy("step")
+
+
+# --- Q: BPE corpus encoding (the tokenizer's serving side) --------------------
+
+BPE_ENCODE_TOP = 30
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Train (sequential replay chain) then ENCODE the corpus: the final
+    s{N} relation IS the encoded distinct-shape table, so encoding is one
+    join of exploded document words against it — exactly the distinct-
+    shape amortization the Spark encoder's per-worker memo implements."""
+    parts = _bpe_chain_parts(n_merges)
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+    enc AS (
+      SELECT word, list_filter(string_split(s, '·'), x -> x <> '') AS toks
+      FROM s{n_merges}
+    ),
+    docwords AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS token
+      FROM docwords JOIN enc USING (word)
+    )
+    SELECT token, COUNT(*) AS total_count,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM tok GROUP BY token
+    ORDER BY total_count DESC, token LIMIT {BPE_ENCODE_TOP}"""
+    )
+
+
+@query(
+    "q_bpe_encode",
+    oracle=_bpe_encode_oracle(BPE_MERGES),
+    bench=True,  # the encode scan is the serving-side cost that matters at 100 TB
+    doc=f"BPE corpus encoding: train a {BPE_MERGES}-merge model (batched "
+    "trainer), encode every document, and profile the resulting token "
+    f"distribution — top-{BPE_ENCODE_TOP} tokens by occurrence count with "
+    "document frequencies. The Spark encoder (operators/bpe.py "
+    "bpe_encode) replays the merge list per DISTINCT word shape via a "
+    "per-worker memo (bounded, model-keyed) instead of per occurrence; "
+    "the oracle proves the equivalence by construction — it encodes the "
+    "distinct-shape table (the replay chain's final relation) and joins "
+    "documents back against it. Value-checks token identities AND both "
+    "count kinds, so a wrong memo hit or a wrong merge order surfaces as "
+    "a hash mismatch.",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode, train_bpe_batched
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe_batched(docs, "text", BPE_MERGES, batch=BPE_BATCH)
+    encoded = bpe_encode(docs.select("doc_id", "text"), "text", merges)
+    toks = encoded.select(
+        "doc_id", F.explode("bpe_tokens").alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("total_count"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("total_count"), F.asc("token"))
+        .limit(BPE_ENCODE_TOP)
+    )
 
 
 # --- Q: PII scrubbing ----------------------------------------------------------
