@@ -155,3 +155,88 @@ def test_encode_word_equals_reference_replay():
     merges = [("e", "s"), ("es", "t"), ("est", EOW), ("l", "o"), ("lo", "w")]
     for w in ("lowest", "newest", "widest", "low", "x", "est"):
         assert _encode_word(w, merges, {}) == encode_words([w], merges)[0]
+
+
+def local_bpe_bytelevel(texts: list[str], num_merges: int) -> list[tuple[str, str]]:
+    """Reference byte-level implementation: GPT-2 pretokens, byte symbols
+    through the bytes->unicode map, no EOW."""
+    import re
+
+    from thymeflow_back_spark.operators.bpe import bytes_to_unicode
+    from thymeflow_back_spark.operators.text import PRETOKEN_REGEX
+
+    b2u = bytes_to_unicode()
+    # Python re lacks \p{..}: translate for the TEST reference only
+    # ([^\W\d_] == unicode letters; the corpora here have ASCII digits)
+    pat = re.compile(
+        PRETOKEN_REGEX.replace(r"\p{L}", r"[^\W\d_]").replace(r"\p{N}", r"\d")
+    )
+    counts = Counter(w for t in texts for w in pat.findall(t))
+    shapes = {w: [b2u[b] for b in w.encode("utf-8")] for w in counts}
+    merges = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for w, syms in shapes.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += counts[w]
+        if not pairs:
+            break
+        top_count = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top_count)
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        for w, syms in shapes.items():
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            shapes[w] = out
+    return merges
+
+
+def test_bytes_to_unicode_is_a_reversible_256_table():
+    from thymeflow_back_spark.operators.bpe import bytes_to_unicode
+
+    t = bytes_to_unicode()
+    assert sorted(t) == list(range(256))
+    assert len(set(t.values())) == 256  # injective
+    assert t[ord("a")] == "a" and t[ord("!")] == "!"
+    assert t[ord(" ")] == chr(288)  # 'Ġ'
+    assert t[ord("\n")] == chr(266)  # 'Ċ'
+    # no mapped char is whitespace or a control char
+    assert all(not c.isspace() and c.isprintable() for c in t.values())
+
+
+def test_train_bpe_bytelevel_matches_local_reference(spark):
+    from thymeflow_back_spark.operators.bpe import train_bpe_bytelevel
+
+    # include non-ASCII + punctuation: the Spark path is fully general
+    corpus = CORPUS + ["naïve café déjà-vu!", "it's low, it's low..."]
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    want = local_bpe_bytelevel(corpus, 14)
+    for b in (1, 4):
+        got = train_bpe_bytelevel(df, "text", 14, batch=b)
+        assert got == want, (b, got, want)
+
+
+def test_bpe_encode_bytelevel_roundtrip(spark):
+    from thymeflow_back_spark.operators.bpe import (
+        bpe_encode_bytelevel,
+        bytes_to_unicode,
+        train_bpe_bytelevel,
+    )
+
+    corpus = CORPUS + ["naïve café — twenty£"]
+    df = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    merges = train_bpe_bytelevel(df, "text", 10)
+    u2b = {u: bytes([b]) for b, u in bytes_to_unicode().items()}
+    for row in bpe_encode_bytelevel(df, "text", merges).collect():
+        # unmapping the concatenated tokens reproduces the exact text
+        raw = b"".join(u2b[c] for tok in row.bpe_tokens for c in tok)
+        assert raw.decode("utf-8") == row.text

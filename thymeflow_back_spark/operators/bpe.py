@@ -24,6 +24,17 @@ ordered list of string pairs.
 
 End-of-word marker: '</w>' is appended as its own initial symbol so merges
 can distinguish suffixes (the original formulation).
+
+Byte-level variant (GPT-2's actual tokenizer — Radford et al. 2019):
+units are GPT-2 pretokens (operators/text.py PRETOKEN_REGEX, JVM-side),
+initial symbols are the UTF-8 BYTES of each pretoken mapped through the
+reversible bytes->printable-unicode table (:func:`bytes_to_unicode`), and
+there is no end-of-word marker — word boundaries live in the pretokens
+themselves (the leading-space convention: 'Ġ' opens a new word). The
+byte mapping runs only over the DISTINCT pretoken-shape table; the
+corpus-scale pretokenize stays a JVM regexp. Training and encoding reuse
+the exact same pair-count / merge / memo machinery as the char-level
+form.
 """
 
 from __future__ import annotations
@@ -188,10 +199,24 @@ def train_bpe_batched(
     ``return_counts`` appends each merge's weighted pair count (the value
     the selection maximized) — (a, b, count) triples.
     """
+    symed = _initial_symbols(word_shapes(df, text_col))
+    return _train_batched_core(symed, num_merges, batch, candidates, return_counts)
+
+
+def _train_batched_core(
+    symed: DataFrame,
+    num_merges: int,
+    batch: int,
+    candidates: int | None,
+    return_counts: bool,
+) -> list[tuple[str, str]] | list[tuple[str, str, int]]:
+    """The batched merge-learning loop over a prepared (word, count, syms)
+    relation — shared by the char-level and byte-level trainers (the loop
+    is symbol-agnostic; only the initial symbolization differs)."""
     if batch < 1:
         raise ValueError("batch must be >= 1")
     n_cand = candidates or 4 * batch
-    symed = _initial_symbols(word_shapes(df, text_col)).localCheckpoint(eager=True)
+    symed = symed.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     counts_log: list[int] = []
     while len(merges) < num_merges:
@@ -277,8 +302,12 @@ _ENCODE_MEMO_MAX_MODELS = 4
 _ENCODE_MEMO_MAX_SHAPES = 1_000_000
 
 
-def _model_memo(merges: list[tuple[str, str]]) -> dict[str, list[str]]:
-    key = tuple(merges)
+def _model_memo(
+    merges: list[tuple[str, str]], mode: str = "char"
+) -> dict[str, list[str]]:
+    # mode rides in the key: a char-level and a byte-level model with the
+    # same merge list encode differently (EOW vs byte symbols)
+    key = (mode, tuple(merges))
     memo = _ENCODE_MEMOS.get(key)
     if memo is None:
         if len(_ENCODE_MEMOS) >= _ENCODE_MEMO_MAX_MODELS:
@@ -330,3 +359,127 @@ def bpe_encode(df: DataFrame, text_col: str, merges: list[tuple[str, str]]) -> D
         f"{name} {dtype}" for name, dtype in df.dtypes
     )
     return df.mapInPandas(run, f"{fields}, bpe_tokens array<string>")
+
+
+# --- Byte-level BPE (GPT-2's formulation) ------------------------------------
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The reversible byte -> printable-unicode table of GPT-2 (Radford et
+    al. 2019, public `bpe` reference): printable latin-1 bytes map to
+    themselves, the rest to code points 256+ in byte order, so every byte
+    string becomes a visible unicode string with no whitespace/control
+    characters (space is 'Ġ' = chr(288), newline 'Ċ'). Re-derived from
+    the published algorithm."""
+    keep = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAC + 1))
+        + list(range(0xAE, 0xFF + 1))
+    )
+    table = {b: chr(b) for b in keep}
+    n = 0
+    for b in range(256):
+        if b not in table:
+            table[b] = chr(256 + n)
+            n += 1
+    return table
+
+
+def pretoken_shapes(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, count) over GPT-2 pretokens — the byte-level shape table.
+    The pretokenize is a pure JVM regexp over the corpus (operators/
+    text.py pretokens_col); only the distinct shapes flow further."""
+    from .skew import spread_small_input
+    from .text import pretokens_col
+
+    return (
+        spread_small_input(df)
+        .select(F.explode(pretokens_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def _initial_symbols_bytes(shapes: DataFrame) -> DataFrame:
+    """(word, count, syms): UTF-8 bytes mapped through bytes_to_unicode,
+    one symbol per byte, NO end-of-word marker. Runs over the distinct
+    shape table only (log-scale in corpus size), so the Python cost is
+    bounded by vocabulary, not data."""
+    b2u = bytes_to_unicode()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["syms"] = [
+                [b2u[b] for b in w.encode("utf-8")] for w in pdf["word"]
+            ]
+            yield pdf
+
+    return shapes.mapInPandas(
+        run, "word string, count long, syms array<string>"
+    ).filter(F.size("syms") > 1)
+
+
+def train_bpe_bytelevel(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    batch: int = 8,
+    candidates: int | None = None,
+    return_counts: bool = False,
+) -> list[tuple[str, str]] | list[tuple[str, str, int]]:
+    """Byte-level BPE training: GPT-2 pretokens, byte symbols, the same
+    provably-exact batched merge loop as :func:`train_bpe_batched`."""
+    symed = _initial_symbols_bytes(pretoken_shapes(df, text_col))
+    return _train_batched_core(symed, num_merges, batch, candidates, return_counts)
+
+
+def _encode_pretoken(
+    word: str,
+    merges: list[tuple[str, str]],
+    memo: dict[str, list[str]],
+    b2u: dict[int, str],
+) -> list[str]:
+    toks = memo.get(word)
+    if toks is None:
+        toks = [b2u[b] for b in word.encode("utf-8")]
+        for a, b in merges:
+            if len(toks) == 1:
+                break
+            toks = _merge_pair(toks, a, b)
+        if len(memo) < _ENCODE_MEMO_MAX_SHAPES:
+            memo[word] = toks
+    return toks
+
+
+def bpe_encode_bytelevel(
+    df: DataFrame, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Add a ``bpe_tokens`` array<string> column: GPT-2 pretokenize (the
+    SAME JVM regexp column as training — Python's ``re`` lacks ``\\p{L}``,
+    so the split never re-implements the pattern), byte-map, replay the
+    merge list per DISTINCT pretoken shape via the per-worker memo.
+    Tokens are in the mapped alphabet ('Ġhello'); mapping back to bytes
+    is the b2u inverse."""
+    from .text import pretokens_col
+
+    b2u = bytes_to_unicode()
+    pre_col = "__pretoks"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo = _model_memo(merges, mode="byte")
+        for pdf in batches:
+            toks = []
+            for pres in pdf[pre_col]:
+                row: list[str] = []
+                for w in pres:
+                    row.extend(_encode_pretoken(w, merges, memo, b2u))
+                toks.append(row)
+            pdf = pdf.drop(columns=[pre_col])
+            pdf["bpe_tokens"] = toks
+            yield pdf
+
+    fields = ", ".join(f"{name} {dtype}" for name, dtype in df.dtypes)
+    return df.withColumn(pre_col, pretokens_col(text_col)).mapInPandas(
+        run, f"{fields}, bpe_tokens array<string>"
+    )

@@ -927,6 +927,34 @@ def _bpe_chain_parts(n_merges: int) -> list[str]:
     return parts
 
 
+def _bpe_byte_chain_parts(n_merges: int) -> list[str]:
+    """The byte-level replay chain: shapes are GPT-2 PRETOKENS (the
+    q_pretoken_counts regex, proven to split identically in Java regex and
+    RE2), initial symbols are the pretoken's bytes mapped through GPT-2's
+    bytes->unicode table, and there is no end-of-word marker. The test
+    corpus is printable ASCII whose only whitespace is ' ' (checked:
+    distinct chars are [a-z ] at every SF), so the byte mapping reduces
+    to replace(' ' -> chr(288)='Ġ') in SQL — the Spark side
+    (operators/bpe.py bytes_to_unicode) implements the full 256-entry
+    table. Rounds reuse the char-level chain's p/t/s template via the
+    same delimiter-wrapped-string replay."""
+    from ..operators.text import PRETOKEN_REGEX
+
+    regex_sql = PRETOKEN_REGEX.replace("'", "''")
+    char_parts = _bpe_chain_parts(n_merges)
+    byte_head = f"""w AS MATERIALIZED (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(text, '{regex_sql}')) AS word
+        FROM documents) GROUP BY 1
+    ),
+    s0 AS MATERIALIZED (
+      SELECT word, cnt,
+             concat('·', array_to_string(string_split(replace(word, ' ', chr(288)), ''), '··'), '·') AS s
+      FROM w
+    )"""
+    return [byte_head, *char_parts[1:]]
+
+
 def _bpe_train_oracle(n_merges: int) -> str:
     parts = _bpe_chain_parts(n_merges)
     selects = [
@@ -1031,6 +1059,48 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_count"), F.asc("token"))
         .limit(BPE_ENCODE_TOP)
     )
+
+
+# --- Q: byte-level BPE (GPT-2's actual tokenizer) -----------------------------
+
+
+def _bpe_bytelevel_oracle(n_merges: int) -> str:
+    parts = _bpe_byte_chain_parts(n_merges)
+    selects = [
+        f"SELECT {r} AS step, a, b, pair_count FROM t{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY step"
+    )
+
+
+@query(
+    "q_bpe_bytelevel",
+    oracle=_bpe_bytelevel_oracle(BPE_MERGES),
+    doc=f"Byte-level BPE (GPT-2's formulation, Radford et al. 2019): the "
+    f"first {BPE_MERGES} merges learned over GPT-2 PRETOKENS (the "
+    "q_pretoken_counts regex) with byte initial symbols mapped through "
+    "the reversible bytes->unicode table ('Ġ' = leading space), no "
+    "end-of-word marker. Spark runs the batched trainer over the "
+    "distinct pretoken-shape table (operators/bpe.py train_bpe_bytelevel "
+    "— the byte mapping touches only distinct shapes, the pretokenize is "
+    "a JVM regexp); the oracle replays sequential byte-level BPE in SQL, "
+    "so the gate cross-checks batched == sequential AND the byte "
+    "symbolization across engines.",
+)
+def q_bpe_bytelevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import train_bpe_bytelevel
+
+    docs = load(spark, sf_dir, "documents")
+    triples = train_bpe_bytelevel(
+        docs, "text", BPE_MERGES, batch=BPE_BATCH, return_counts=True
+    )
+    rows = [(i + 1, a, b, c) for i, (a, b, c) in enumerate(triples)]
+    return spark.createDataFrame(
+        rows, "step int, a string, b string, pair_count bigint"
+    ).orderBy("step")
 
 
 # --- Q: PII scrubbing ----------------------------------------------------------
