@@ -114,3 +114,62 @@ def test_coverage_radius_empty_input_raises(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(0)
     with pytest.raises(ValueError, match="empty input"):
         coverage_radius(emb, "vec_id", "embedding", [[0.0] * 16])
+
+
+def test_kcenter_parallel_broadcast_equals_literal(spark):
+    """The broadcast-relation center shipping must reproduce the literal
+    form's picks exactly (same arithmetic column), with the plan showing a
+    broadcast join instead of k*d plan literals."""
+    from thymeflow_back_spark.operators.coreset import kcenter_parallel
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lit = kcenter_parallel(
+        emb, "vec_id", "embedding", 10, batch=3, centers_mode="literal"
+    ).collect()
+    bc = kcenter_parallel(
+        emb, "vec_id", "embedding", 10, batch=3, centers_mode="broadcast"
+    ).collect()
+    assert [tuple(r) for r in lit] == [tuple(r) for r in bc]
+
+    # plan shape: the broadcast form is a one-row broadcast join with NO
+    # k*d literal array; the literal form embeds the doubles in the plan
+    from pyspark.sql import functions as F2
+
+    from thymeflow_back_spark.operators.coreset import (
+        _centers_min_dist,
+        _min_dist_over,
+    )
+
+    centers = [[float(x) for x in r["v"]] for r in
+               emb.selectExpr("embedding as v").limit(3).collect()]
+    cdf = spark.createDataFrame([(centers,)], "centers array<array<double>>")
+    vecs = emb.selectExpr("vec_id as id", "embedding as v")
+    bcast_plan = (
+        vecs.crossJoin(F2.broadcast(cdf))
+        .select(_min_dist_over(F2.col("v"), F2.col("centers")).alias("m"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in bcast_plan
+    lit_plan = (
+        vecs.select(_centers_min_dist(F2.col("v"), centers).alias("m"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in lit_plan
+
+
+def test_kcenter_auto_crosses_over_to_broadcast(spark):
+    import thymeflow_back_spark.operators.coreset as C
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    old = C.CENTER_LITERAL_MAX
+    try:
+        # force the crossover at 2 centers so round 2 uses broadcast
+        C.CENTER_LITERAL_MAX = 2 * dim - 1
+        out = C.kcenter_parallel(emb, "vec_id", "embedding", 7, batch=2)
+        want = C.kcenter_parallel(
+            emb, "vec_id", "embedding", 7, batch=2, centers_mode="literal"
+        )
+        assert [tuple(r) for r in out.collect()] == [tuple(r) for r in want.collect()]
+    finally:
+        C.CENTER_LITERAL_MAX = old

@@ -86,18 +86,38 @@ def kcenter_sample(df: DataFrame, id_col: str, vec_col: str, k: int) -> DataFram
     )
 
 
-def _centers_min_dist(v: Column, centers: list[list[float]]) -> Column:
-    """round-9 squared L2 distance to the nearest of ``centers``, with the
-    center list shipped as ONE array-of-arrays plan literal (k*d doubles)
-    so the per-row work is a single array_min over a transform — the plan
-    stays linear in k, not a k-term LEAST tree."""
-    arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centers])
+def _min_dist_over(v: Column, centers_col: Column) -> Column:
+    """round-9 squared L2 distance to the nearest element of an
+    array<array<double>> centers column — the ONE arithmetic definition
+    both center-shipping modes share, so their results are bit-equal."""
     d2 = lambda c: dot(v, v) - F.lit(2.0) * dot(v, c) + dot(c, c)  # noqa: E731
-    return F.round(F.array_min(F.transform(arr, d2)), SCORE_DECIMALS)
+    return F.round(F.array_min(F.transform(centers_col, d2)), SCORE_DECIMALS)
+
+
+def _centers_min_dist(v: Column, centers: list[list[float]]) -> Column:
+    """:func:`_min_dist_over` with the center list shipped as ONE
+    array-of-arrays plan literal (k*d doubles) so the per-row work is a
+    single array_min over a transform — the plan stays linear in k, not a
+    k-term LEAST tree."""
+    arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centers])
+    return _min_dist_over(v, arr)
+
+
+# k*d doubles above this ship as a broadcast one-row relation instead of
+# plan literals: analysis/serialization of a 10^5-literal expression tree
+# costs more per round than broadcasting the same doubles as DATA, and
+# very large plans can hit codegen/plan-size limits. Below it, literals
+# win (no join node at all). The arithmetic is identical either way.
+CENTER_LITERAL_MAX = 65536
 
 
 def kcenter_parallel(
-    df: DataFrame, id_col: str, vec_col: str, k: int, batch: int
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    batch: int,
+    centers_mode: str = "auto",
 ) -> DataFrame:
     """Batched farthest-first (oversampled Gonzalez): k diverse rows in
     ceil((k-1)/batch) distributed rounds instead of k-1.
@@ -115,12 +135,25 @@ def kcenter_parallel(
     id); ``dist`` is the distance to the pre-round set at selection time.
     Scale: rounds collect batch rows each (batch*d doubles of driver
     state); for k in the thousands pick batch ~ k/10 so the job count
-    stays constant while each scan remains embarrassingly parallel. The
-    center literals grow k*d doubles — beyond ~10^5 entries swap the
-    plan-literal array for a broadcast-joined centers relation.
+    stays constant while each scan remains embarrassingly parallel.
+
+    ``centers_mode`` picks how the pre-round center set ships to
+    executors — the RESULTS are bit-identical (same arithmetic column,
+    :func:`_min_dist_over`; asserted equal in tests):
+
+    - ``"literal"`` — one array-of-arrays plan literal (k*d doubles).
+      No join node; right while k*d stays plan-sized.
+    - ``"broadcast"`` — a ONE-ROW broadcast relation crossJoined in
+      (BroadcastNestedLoopJoin of a single row — bounded by
+      construction, the pq.py codebook idiom). Still a single scan with
+      a per-row local array_min: no shuffle, no per-pair blow-up.
+    - ``"auto"`` (default) — literal until k*d exceeds
+      ``CENTER_LITERAL_MAX``, broadcast after.
     """
     if k < 1 or batch < 1:
         raise ValueError("k and batch must be >= 1")
+    if centers_mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown centers_mode {centers_mode!r}")
     vecs = df.select(
         F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
     )
@@ -136,10 +169,24 @@ def kcenter_parallel(
         b = min(batch, k - len(chosen))
         centers = [v for _, _, _, v in chosen]
         ids = [i for _, i, _, _ in chosen]
+        pool = vecs.filter(~F.col("id").isin(ids))
+        use_bcast = centers_mode == "broadcast" or (
+            centers_mode == "auto"
+            and len(centers) * len(centers[0]) > CENTER_LITERAL_MAX
+        )
+        if use_bcast:
+            cdf = df.sparkSession.createDataFrame(
+                [(centers,)], "centers array<array<double>>"
+            )
+            scored = pool.crossJoin(F.broadcast(cdf)).select(
+                "id", "v", _min_dist_over(F.col("v"), F.col("centers")).alias("mind")
+            )
+        else:
+            scored = pool.select(
+                "id", "v", _centers_min_dist(F.col("v"), centers).alias("mind")
+            )
         picked = (
-            vecs.filter(~F.col("id").isin(ids))
-            .select("id", "v", _centers_min_dist(F.col("v"), centers).alias("mind"))
-            .orderBy(F.desc("mind"), F.asc("id"))
+            scored.orderBy(F.desc("mind"), F.asc("id"))
             .limit(b)
             .collect()
         )
