@@ -66,3 +66,54 @@ def test_range_filter_prunes_partition_directories(spark, tmp_path):
     with _pytest.raises(Exception) as exc_info:
         spark.read.parquet(path).filter(F.col("o_month") == "1995-06").count()
     assert isinstance(exc_info.value, (Py4JJavaError, Exception))
+
+
+def test_publish_once_committed_layout_short_circuits(tmp_path):
+    from thymeflow_back_spark.sources.timeparted import publish_once
+
+    dst = str(tmp_path / "layout")
+    os.makedirs(dst)
+    open(os.path.join(dst, "_SUCCESS"), "w").close()
+    publish_once(dst, lambda t: (_ for _ in ()).throw(AssertionError("called")))
+
+
+def test_publish_once_loser_discards_cleanly(tmp_path):
+    """If another writer commits the target while ours is writing, our
+    rename loses and our temp copy is discarded — the winner's layout is
+    never touched."""
+    from thymeflow_back_spark.sources.timeparted import publish_once
+
+    dst = str(tmp_path / "layout")
+
+    def write(tmp: str) -> None:
+        os.makedirs(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        open(os.path.join(tmp, "loser.parquet"), "w").close()
+        # the concurrent winner commits first
+        os.makedirs(dst)
+        open(os.path.join(dst, "_SUCCESS"), "w").close()
+        open(os.path.join(dst, "winner.parquet"), "w").close()
+
+    publish_once(dst, write)
+    assert sorted(os.listdir(dst)) == ["_SUCCESS", "winner.parquet"]
+    # no stranded temp directories
+    assert os.listdir(tmp_path) == ["layout"]
+
+
+def test_publish_once_refuses_uncommitted_residue(tmp_path):
+    import pytest
+
+    from thymeflow_back_spark.sources.timeparted import publish_once
+
+    dst = str(tmp_path / "layout")
+    # non-empty but uncommitted: a non-atomic writer's crash residue
+    # (an EMPTY residue dir is atomically replaced by rename — harmless)
+    os.makedirs(dst)
+    open(os.path.join(dst, "part-0.parquet"), "w").close()
+
+    def write(tmp: str) -> None:
+        os.makedirs(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    with pytest.raises(RuntimeError, match="without _SUCCESS"):
+        publish_once(dst, write)

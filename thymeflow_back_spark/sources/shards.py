@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..operators.binning import balanced_bins
 from ..tables import load
-from .timeparted import derived_root
+from .timeparted import derived_root, publish_once
 
 SHARD_K = 8
 
@@ -134,12 +134,18 @@ def ensure_training_shards(
     """Write-once: materialize the shard layout if absent, then read it.
 
     ``weight_col`` is a column name or a Column expression; either way the
-    output weight column is always named ``weight``."""
+    output weight column is always named ``weight``. Concurrent
+    first-callers are safe: the write commits via
+    :func:`~..sources.timeparted.publish_once`'s atomic rename."""
     path = shard_path(sf_dir, table, k, order, weight_col=weight_col, carry=carry)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def write(tmp: str) -> None:
         src = load(spark, sf_dir, table)
-        if not isinstance(weight_col, str):
-            src = src.withColumn("__w", weight_col)
-            weight_col = "__w"
-        write_training_shards(src, path, id_col, weight_col, k, carry=carry, order=order)
+        w = weight_col
+        if not isinstance(w, str):
+            src = src.withColumn("__w", w)
+            w = "__w"
+        write_training_shards(src, tmp, id_col, w, k, carry=carry, order=order)
+
+    publish_once(path, write)
     return spark.read.parquet(path)

@@ -30,7 +30,9 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,6 +49,36 @@ def derived_root() -> str:
         "SPARK_GRAFT_DERIVED_DIR",
         os.path.join(tempfile.gettempdir(), "spark_graft_derived"),
     )
+
+
+def publish_once(path: str, write_fn) -> None:
+    """Write-once publish with a commit-by-rename: materialize into a
+    unique sibling temp directory, then atomically rename into place.
+
+    Concurrent first-callers race SAFELY: each writes its own temp dir,
+    exactly one rename wins, and a loser (rename fails because the target
+    now exists) detects the winner's committed ``_SUCCESS`` and discards
+    its own copy — the published path never holds a torn layout. POSIX
+    rename semantics (derived layouts live on local disk); the Hadoop-FS
+    variant of the same idiom is streaming/dedup_stream.py's
+    compact_index swap. A pre-existing target WITHOUT ``_SUCCESS`` can
+    only be residue from a non-atomic writer crash — refused with a
+    clean-up message rather than silently clobbered."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    write_fn(tmp)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race cleanly
+        else:
+            raise RuntimeError(
+                f"publish_once: {path} exists without _SUCCESS (crashed "
+                "non-atomic writer residue?) — remove it and retry"
+            )
 
 
 def time_partitioned_path(sf_dir: str, table: str, out_col: str) -> str:
@@ -87,8 +119,14 @@ def ensure_time_partitioned(
     The layout is keyed by (sf_dir, table, out_col) under
     :func:`derived_root`; a committed write (parquet ``_SUCCESS`` marker)
     is reused by every later caller in any session — the scan then reads
-    ONLY the partitions a caller's ``out_col`` predicate selects."""
+    ONLY the partitions a caller's ``out_col`` predicate selects.
+    Concurrent first-callers are safe: the write commits via
+    :func:`publish_once`'s atomic rename."""
     path = time_partitioned_path(sf_dir, table, out_col)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_time_partitioned(load(spark, sf_dir, table), path, ts_col, out_col, fmt)
+    publish_once(
+        path,
+        lambda tmp: write_time_partitioned(
+            load(spark, sf_dir, table), tmp, ts_col, out_col, fmt
+        ),
+    )
     return spark.read.parquet(path)
