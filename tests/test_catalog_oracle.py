@@ -65,15 +65,14 @@ def test_driver_priority_names_exist():
 
 
 def test_query_map_order_leads_with_unverified():
-    """queries() must present the never-driver-verified round-7 rows first,
-    then the rows whose last driver check is oldest (r4), so the driver's
+    """queries() must present the never-driver-verified round-8 rows first,
+    then the rows whose last driver check is oldest (r5), so the driver's
     50-row window re-greens the stalest record."""
     from thymeflow_back_spark.queries.catalog import query_map
 
     head = list(query_map())[:15]
-    for name in ("q_dsir_logratio", "q_html_extract", "q_html_quality_funnel",
-                 "q_time_pruned_revenue"):
+    for name in ("q_bpe_encode", "q_bpe_bytelevel"):
         assert name in head, (name, head)
-    # r4-stale rows follow immediately after the round-7 block
-    for name in ("q_dataset_mixture", "q_dedup_exact", "q_dedup_minhash_lsh"):
+    # r5-stale rows follow immediately after the round-8 block
+    for name in ("q_heavy_hitters", "q_location_events", "q_pricing_summary"):
         assert name in head, (name, head)

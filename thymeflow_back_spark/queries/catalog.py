@@ -47,65 +47,18 @@ def query(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
 # queries() order. Every catalog row has appeared green in SOME
 # CORRECTNESS_r*.json (after r6, none's latest check is a fail); to keep
 # that record fresh under rotation, rows whose LAST driver check is
-# oldest lead the map: round-7 additions (never driver-verified), then
-# the 29 rows last seen in r4, then the 50 r5 rows (r6's 50 are the
-# freshest and fall to the tail via registration order).
+# oldest lead the map: round-8 additions (never driver-verified), then
+# the 37 rows whose freshest check is r5 (r7's slot-50 cap reached only
+# the first 13 of the r5 block), then the r6 rows in registration order
+# to fill slot 50 (r7's 50 are the freshest and fall to the tail via
+# registration order).
 _DRIVER_PRIORITY = [
-    # round-7 additions, never driver-verified (each name is appended in the
+    # round-8 additions, never driver-verified (each name is appended in the
     # commit that implements it — test_driver_priority_names_exist keeps the
     # list typo-free):
-    "q_dsir_logratio",
-    "q_html_extract",
-    "q_html_quality_funnel",
-    "q_shard_manifest",
-    "q_kcenter_parallel",
-    "q_bpe_train",
-    "q_pretoken_counts",
-    "q_time_pruned_revenue",
-    # last driver-verified in round 4 (stalest existing rows):
-    "q_dataset_mixture",
-    "q_dedup_clusters",
-    "q_dedup_exact",
-    "q_dedup_jaccard_capped",
-    "q_dedup_minhash_lsh",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_prefix_filter",
-    "q_dedup_simhash",
-    "q_distinct_hll",
-    "q_distinct_kmv",
-    "q_doc_chunks",
-    "q_funnel",
-    "q_incremental_agg",
-    "q_kcore",
-    "q_lm_bigram_score",
-    "q_pagerank",
-    "q_pii_scrub",
-    "q_quality_filter",
-    "q_rolling_activity",
-    "q_sample_fixed_n",
-    "q_sample_stratified",
-    "q_scd2_intervals",
-    "q_sync_delta",
-    "q_table_profile",
-    "q_token_packing",
-    "q_train_test_split",
-    "q_triangle_stats",
-    "q_url_canonical",
-    "q_vocab_topk",
-    # last driver-verified in round 5 (overflow past slot 50 rolls to round 8):
-    "q_agents_by_nation",
-    "q_ann_recall",
-    "q_boilerplate_scrub",
-    "q_containment_join",
-    "q_counts_cm",
-    "q_customer_order_profile",
-    "q_customers_without_orders",
-    "q_dedup_consecutive",
-    "q_deterministic_shuffle",
-    "q_dup_windows",
-    "q_event_histogram",
-    "q_events_json",
-    "q_fts_bm25",
+    "q_bpe_encode",
+    "q_bpe_bytelevel",
+    # last driver-verified in round 5 (stalest existing rows):
     "q_heavy_hitters",
     "q_heavy_hitters_by_lang",
     "q_location_events",
@@ -143,6 +96,23 @@ _DRIVER_PRIORITY = [
     "q_user_sessions",
     "q_value_percentiles",
     "q_zorder_layout",
+    # last driver-verified in round 6, earliest-registered first (overflow
+    # past slot 50 rolls to round 9):
+    "q_daily_order_stats",
+    "q_cohort_retention",
+    "q_dedup_keep_best",
+    "q_contamination_lsh",
+    "q_contamination",
+    "q_bloom_semijoin",
+    "q_bpe_pair_counts",
+    "q_substring_spans",
+    "q_substring_scrub",
+    "q_distinct_kmv_by_group",
+    "q_dsir_resample",
+    "q_quality_pr_curve",
+    "q_score_auc",
+    "q_balanced_bins",
+    "q_domain_quota",
 ]
 
 
