@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = [
     # list typo-free):
     "q_bpe_encode",
     "q_bpe_bytelevel",
+    "q_token_budget_mixture",
     # last driver-verified in round 5 (stalest existing rows):
     "q_heavy_hitters",
     "q_heavy_hitters_by_lang",

@@ -1103,6 +1103,96 @@ def q_bpe_bytelevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
+# --- Q: token-budget mixture rebalancing --------------------------------------
+
+
+def _token_budget_mixture_oracle(n_merges: int) -> str:
+    """q_dataset_mixture's uniform-over-language rebalance, but the budget
+    is REAL tokenizer tokens: per-doc counts come from the BPE replay
+    chain's encoded distinct-shape table (the q_bpe_encode oracle join)."""
+    parts = _bpe_chain_parts(n_merges)
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+    enc AS (
+      SELECT word, len(list_filter(string_split(s, '·'), x -> x <> '')) AS wt
+      FROM s{n_merges}
+    ),
+    docwords AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      FROM documents
+    ),
+    dsum AS (
+      SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS n_tok
+      FROM docwords JOIN enc USING (word) GROUP BY 1
+    ),
+    dtok AS (
+      SELECT d.doc_id, d.lang, COALESCE(t.n_tok, 0) AS n_tok
+      FROM documents d LEFT JOIN dsum t USING (doc_id)
+    ),
+    c AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lang_tokens FROM dtok GROUP BY 1),
+    m AS (SELECT MIN(lang_tokens) AS mn FROM c),
+    r AS (SELECT lang, lang_tokens, mn / lang_tokens AS rate FROM c, m),
+    kept AS (
+      SELECT dtok.lang, dtok.n_tok
+      FROM dtok JOIN r USING (lang)
+      WHERE {_SQL_U.format(salt="tokmix")} < r.rate
+    ),
+    k AS (
+      SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+      FROM kept GROUP BY 1
+    )
+    SELECT r.lang, r.lang_tokens, r.rate,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.kept_tokens, 0) AS kept_tokens
+    FROM r LEFT JOIN k USING (lang)
+    ORDER BY r.lang"""
+    )
+
+
+@query(
+    "q_token_budget_mixture",
+    oracle=_token_budget_mixture_oracle(BPE_MERGES),
+    doc="Mixture rebalancing toward a uniform-over-language TOKEN budget: "
+    "training mixtures are specified in tokenizer tokens, not document "
+    "counts, so the per-language keep rate is min_tokens/lang_tokens with "
+    "counts from the real (trained) BPE encoder — q_dataset_mixture's "
+    "shape with q_bpe_encode's accounting. Selection stays a pure "
+    "function of doc_id (deterministic hash sampling); kept documents "
+    "and kept tokens are both reported per language.",
+)
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode, train_bpe_batched
+    from ..operators.sampling import hash_uniform
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe_batched(docs, "text", BPE_MERGES, batch=BPE_BATCH)
+    enc = bpe_encode(docs.select("doc_id", "lang", "text"), "text", merges).select(
+        "doc_id", "lang", F.size("bpe_tokens").cast("bigint").alias("n_tok")
+    )
+    c = enc.groupBy("lang").agg(F.sum("n_tok").alias("lang_tokens"))
+    mn = c.agg(F.min("lang_tokens").alias("mn"))
+    rates = c.crossJoin(F.broadcast(mn)).select(
+        "lang", "lang_tokens", (F.col("mn") / F.col("lang_tokens")).alias("rate")
+    )
+    kept = (
+        enc.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .filter(hash_uniform(F.col("doc_id"), "tokmix") < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_tok").alias("kept_tokens"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "lang_tokens",
+            "rate",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --- Q: PII scrubbing ----------------------------------------------------------
 
 
