@@ -1166,8 +1166,12 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     merges = train_bpe_batched(docs, "text", BPE_MERGES, batch=BPE_BATCH)
-    enc = bpe_encode(docs.select("doc_id", "lang", "text"), "text", merges).select(
-        "doc_id", "lang", F.size("bpe_tokens").cast("bigint").alias("n_tok")
+    # pin: the encoded counts feed BOTH the rate derivation and the kept
+    # aggregation — without it the Python encode pass runs twice
+    enc = pin(
+        bpe_encode(docs.select("doc_id", "lang", "text"), "text", merges).select(
+            "doc_id", "lang", F.size("bpe_tokens").cast("bigint").alias("n_tok")
+        )
     )
     c = enc.groupBy("lang").agg(F.sum("n_tok").alias("lang_tokens"))
     mn = c.agg(F.min("lang_tokens").alias("mn"))
