@@ -272,3 +272,24 @@ def test_model_cache_opt_in(spark):
     finally:
         B._train_batched_core = orig
         B.set_bpe_model_cache(False)
+
+
+def test_save_load_merges_roundtrip(tmp_path):
+    from thymeflow_back_spark.operators.bpe import (
+        bpe_vocab,
+        bytes_to_unicode,
+        load_merges,
+        save_merges,
+    )
+
+    merges = [("Ġ", "l"), ("Ġl", "ow"), ("e", "r")]
+    p = str(tmp_path / "model.json")
+    save_merges(merges, p, mode="byte")
+    got, mode = load_merges(p)
+    assert got == merges and mode == "byte"
+    vocab = bpe_vocab(merges, mode="byte")
+    assert len(vocab) == 256 + 3
+    assert vocab[:256] == list(bytes_to_unicode().values())
+    assert vocab[-3:] == ["Ġl", "Ġlow", "er"]
+    # no stranded temp files from the atomic publish
+    assert [f for f in __import__("os").listdir(tmp_path)] == ["model.json"]
