@@ -32,6 +32,7 @@ BNLJ_CROSS_OK = {
     "q_similarity_pq",  # corpus codes × broadcast query-id list (ADC probe set)
     "q_similarity_pq_rerank",  # same ADC shape + broadcast shortlist rerank
     "q_ann_recall",  # composes q_cosine_topk's exact baseline (same probe set)
+    "q_search_ndcg",  # same exact-baseline probe-set cross as q_ann_recall
     # one-row broadcast centroid/codebook relations (data-not-literals —
     # pq.codebook_row) + the probe-set shape of the exact comparisons
     "q_similarity_ivfpq",
@@ -48,6 +49,9 @@ BNLJ_CROSS_OK = {
     "q_similarity_filtered",  # probe-set cross over the label-filtered scan
     "q_quality_pr_curve",  # score groups × one broadcast total-positives row
     "q_dsir_logratio",  # bucket counts × one broadcast corpus-totals row
+    # per-lang token counts × one broadcast min-tokens row (the
+    # q_dataset_mixture shape with real-token budgets)
+    "q_token_budget_mixture",
 }
 
 # queries whose construction executes jobs eagerly (iterative closures,

@@ -59,6 +59,12 @@ _DRIVER_PRIORITY = [
     "q_bpe_encode",
     "q_bpe_bytelevel",
     "q_token_budget_mixture",
+    "q_gopher_repetition",
+    "q_gopher_dup_ngrams",
+    "q_tokenizer_fertility",
+    "q_context_chunks",
+    "q_kmeans_clusters",
+    "q_search_ndcg",
     # last driver-verified in round 5 (stalest existing rows):
     "q_heavy_hitters",
     "q_heavy_hitters_by_lang",

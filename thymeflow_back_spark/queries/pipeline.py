@@ -2555,3 +2555,190 @@ def q_sample_weighted_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# --- Q: tokenizer fertility (byte-level encode in the catalog) -----------------
+
+
+def _tokenizer_fertility_oracle(n_merges: int) -> str:
+    """Byte-level replay chain -> the encoded distinct-PRETOKEN table, then
+    per-language fertility accounting over the join back to documents. The
+    corpus is ASCII, so a pretoken's mapped symbol length equals its raw
+    length (1 byte = 1 mapped char)."""
+    from ..operators.text import PRETOKEN_REGEX
+
+    regex_sql = PRETOKEN_REGEX.replace("'", "''")
+    parts = _bpe_byte_chain_parts(n_merges)
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+    enc AS (
+      SELECT word, len(list_filter(string_split(s, '·'), x -> x <> '')) AS n_tok
+      FROM s{n_merges}
+    ),
+    docpre AS (
+      SELECT doc_id, lang, unnest(regexp_extract_all(text, '{regex_sql}')) AS word
+      FROM documents
+    ),
+    j AS (
+      SELECT lang, doc_id, n_tok, len(word) AS wchars
+      FROM docpre JOIN enc USING (word)
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_pretokens,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(wchars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_tok) AS BIGINT) / COUNT(*) AS tokens_per_pretoken,
+           CAST(SUM(wchars) AS BIGINT) / CAST(SUM(n_tok) AS BIGINT) AS chars_per_token
+    FROM j GROUP BY lang ORDER BY lang"""
+    )
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle=_tokenizer_fertility_oracle(BPE_MERGES),
+    doc="Tokenizer fertility report: train the byte-level (GPT-2 "
+    f"formulation) BPE model ({BPE_MERGES} merges), encode the corpus "
+    "with the shape-memoized byte-level encoder, and report per-language "
+    "token economics — tokens per pretoken (fertility) and characters "
+    "per token (compression) — the numbers a multilingual pipeline "
+    "checks before committing to a tokenizer (a tokenizer that is cheap "
+    "on English and 2x-fertile on another language silently skews a "
+    "token-budgeted mixture). Spark side: operators/bpe.py "
+    "train_bpe_bytelevel + bpe_encode_bytelevel; the oracle replays "
+    "training AND encoding over the distinct-pretoken table in SQL. "
+    "Fractions are single BIGINT/BIGINT divisions (bit-exact).",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode_bytelevel, train_bpe_bytelevel
+    from ..operators.text import pretokens_col
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe_bytelevel(docs, "text", BPE_MERGES, batch=BPE_BATCH)
+    enc = bpe_encode_bytelevel(
+        docs.select("doc_id", "lang", "text"), "text", merges
+    )
+    rows = enc.select(
+        "doc_id",
+        "lang",
+        F.size("bpe_tokens").cast("long").alias("n_tok"),
+        F.aggregate(
+            "bpe_tokens", F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).alias("n_chars"),
+        F.size(pretokens_col("text")).cast("long").alias("n_pre"),
+    )
+    return (
+        rows.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_pre").alias("n_pretokens"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_pretokens",
+            "n_tokens",
+            "n_chars",
+            (F.col("n_tokens") / F.col("n_pretokens")).alias(
+                "tokens_per_pretoken"
+            ),
+            (F.col("n_chars") / F.col("n_tokens")).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- Q: context-window chunking (token-budgeted document splitting) ------------
+
+CHUNK_BUDGET = 64  # power of two: floor(pre/64) is exact in binary FP
+
+
+def _context_chunks_oracle(n_merges: int) -> str:
+    parts = _bpe_chain_parts(n_merges)
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+    enc AS (
+      SELECT word, len(list_filter(string_split(s, '·'), x -> x <> '')) AS n_tok
+      FROM s{n_merges}
+    ),
+    dw AS (
+      SELECT doc_id, i - 1 AS pos, toks[i] AS word
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+    ),
+    c AS (
+      SELECT doc_id, pos, n_tok,
+             COALESCE(SUM(n_tok) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      FROM dw JOIN enc USING (word)
+    )
+    SELECT doc_id,
+           CAST(floor(pre / {CHUNK_BUDGET}) AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(pos) AS start_pos,
+           MAX(pos) AS end_pos
+    FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_id"""
+    )
+
+
+@query(
+    "q_context_chunks",
+    oracle=_context_chunks_oracle(BPE_MERGES),
+    doc="Context-window chunking: split every document into chunks of "
+    f"~{CHUNK_BUDGET} REAL tokenizer tokens (trained BPE model), never "
+    "splitting inside a word — word w goes to chunk "
+    f"floor(tokens_before_w / {CHUNK_BUDGET}), the streaming-friendly "
+    "greedy rule (a chunk overflows only by its last word's tokens). "
+    "Per-word token weights come from the shape-memoized encoder over "
+    "the DISTINCT word table; the cumulative sum is a per-document "
+    "window (no global state), so the operator is one shuffle keyed by "
+    "doc_id. The oracle replays training + encoding + the same window "
+    "in SQL. Budget is a power of two so the chunk-id floor is exact "
+    "in binary floating point across engines.",
+)
+def q_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.bpe import bpe_encode, train_bpe_batched
+
+    docs = load(spark, sf_dir, "documents")
+    merges = train_bpe_batched(docs, "text", BPE_MERGES, batch=BPE_BATCH)
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda w: w != "")
+        ).alias("pos", "word"),
+    )
+    shapes = words.select("word").distinct()
+    weights = bpe_encode(shapes, "word", merges).select(
+        "word", F.size("bpe_tokens").cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = words.join(weights, "word").select(
+        "doc_id",
+        "pos",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("pre"),
+    )
+    return (
+        c.groupBy(
+            "doc_id",
+            F.floor(F.col("pre") / CHUNK_BUDGET).alias("chunk_id"),
+        )
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("pos").alias("start_pos"),
+            F.max("pos").alias("end_pos"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

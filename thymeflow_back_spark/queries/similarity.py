@@ -1244,3 +1244,231 @@ def q_similarity_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(corpus, probes, "vec_id", "embedding", TOP_K).orderBy(
         "q_id", "rank"
     )
+
+
+# --- Q: exact-arithmetic distributed k-means -----------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_SCALE = 10_000
+
+
+def _kmeans_oracle(k: int, iters: int, scale: int) -> str:
+    """Replays the exact-integer Lloyd trajectory (operators/kmeans.py):
+    floor-quantized vectors, centroids carried as integer (sum, count),
+    the distance key A/n^2 with A an exact BIGINT — so assignments,
+    sizes, majorities AND the inertia are bit-identical across engines."""
+    parts = [
+        f"""x AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            v -> CAST(floor(v * {scale}) AS BIGINT)) AS xi
+      FROM embeddings
+    ),
+    xd AS MATERIALIZED (
+      SELECT vec_id, i AS dim, xi[i] AS x
+      FROM x, LATERAL (SELECT unnest(generate_series(1, len(xi))) AS i) s
+    ),
+    seed_dims AS MATERIALIZED (
+      SELECT cell, dim, x AS seed_x
+      FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell
+        FROM x
+        QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {k}
+      ) sd JOIN xd USING (vec_id)
+    ),
+    cent0 AS (SELECT cell, dim, seed_x AS s, CAST(1 AS BIGINT) AS n FROM seed_dims)"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(f"""f{r} AS (
+      SELECT xd.vec_id, c.cell,
+             CAST(SUM((c.n * xd.x - c.s) * (c.n * xd.x - c.s)) AS DOUBLE)
+               / (MAX(c.n) * MAX(c.n)) AS f
+      FROM xd JOIN cent{r - 1} c USING (dim)
+      GROUP BY xd.vec_id, c.cell
+    ),
+    a{r} AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY f, cell) AS rn
+        FROM f{r}) WHERE rn = 1
+    ),
+    cent{r} AS MATERIALIZED (
+      SELECT sd.cell, sd.dim, COALESCE(u.s, sd.seed_x) AS s,
+             COALESCE(u.n, 1) AS n
+      FROM seed_dims sd LEFT JOIN (
+        SELECT a.cell, xd.dim, CAST(SUM(xd.x) AS BIGINT) AS s, COUNT(*) AS n
+        FROM a{r} a JOIN xd USING (vec_id) GROUP BY 1, 2
+      ) u ON sd.cell = u.cell AND sd.dim = u.dim
+    )""")
+    t = iters
+    tail = f""",
+    ia AS (
+      SELECT a.vec_id, a.cell,
+             CAST(SUM((c.n * x2.x - c.s) * (c.n * x2.x - c.s)) AS DECIMAL(38,0)) AS A,
+             MAX(c.n) AS n
+      FROM a{t} a
+           JOIN xd x2 USING (vec_id)
+           JOIN cent{t} c ON c.cell = a.cell AND c.dim = x2.dim
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cell, COUNT(*) AS size, CAST(SUM(A) AS DECIMAL(38,0)) AS sumA,
+             MAX(n) AS n
+      FROM ia GROUP BY 1
+    ),
+    maj AS (
+      SELECT cell, label AS majority_label, cnt AS majority_n FROM (
+        SELECT a.cell, x.label, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY a.cell
+                                  ORDER BY COUNT(*) DESC, x.label) AS rn
+        FROM a{t} a JOIN x USING (vec_id) GROUP BY a.cell, x.label
+      ) WHERE rn = 1
+    )
+    SELECT s.cell AS cluster, s.size, m.majority_label, m.majority_n,
+           CAST(s.sumA AS DOUBLE) / (s.n * s.n) / {float(scale) ** 2} AS inertia
+    FROM sizes s JOIN maj m USING (cell)
+    ORDER BY cluster"""
+    return "WITH " + ",\n".join(parts) + tail
+
+
+@query(
+    "q_kmeans_clusters",
+    oracle=_kmeans_oracle(KMEANS_K, KMEANS_ITERS, KMEANS_SCALE),
+    doc=f"Distributed k-means over the embedding column ({KMEANS_K} "
+    f"clusters, {KMEANS_ITERS} Lloyd rounds) in EXACT integer arithmetic "
+    "(operators/kmeans.py): vectors floor-quantized once, centroids "
+    "carried as integer (per-dim sum, count), and the distance key "
+    "||x - s/n||^2 compared via the exact BIGINT A = sum((n*x - s)^2) "
+    "divided by n^2 once in double — so the whole trajectory, the final "
+    "sizes/majority labels AND the inertia are bit-identical across "
+    "engines and partitionings (float k-means is neither). Per-round "
+    "driver state is the k x d centroid table; the corpus never leaves "
+    "the cluster. The oracle replays every round in chained SQL CTEs. "
+    "Content-addressed seeding (first k by md5) per the IVF idiom.",
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import kmeans_cluster_stats
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_cluster_stats(
+        emb, "vec_id", "embedding", "label",
+        KMEANS_K, KMEANS_ITERS, KMEANS_SCALE,
+    ).orderBy("cluster")
+
+
+# --- Q: search ranking quality (nDCG of the ANN index vs exact) ----------------
+
+import math as _math
+
+# integer micro-weights for 1/log2(rank+1), shared literals in both
+# engines so the DCG sum is exact BIGINT arithmetic (order-free) rather
+# than an order-dependent float accumulation
+_NDCG_W = {r: round(1e9 / _math.log2(r + 1)) for r in range(1, IVF_K + 1)}
+_NDCG_IDEAL = sum((IVF_K + 1 - r) * w for r, w in _NDCG_W.items())
+
+
+def _ndcg_w_sql(rank_expr: str) -> str:
+    cases = " ".join(f"WHEN {r} THEN {w}" for r, w in _NDCG_W.items())
+    return f"CASE {rank_expr} {cases} ELSE 0 END"
+
+
+@query(
+    "q_search_ndcg",
+    oracle=_ivf_index_cte(IVF_CELLS)
+    + f""",
+    q AS (SELECT vec_id AS q_id, v AS q_v FROM vecs WHERE vec_id < {IVF_QUERIES}),
+    probe AS (
+      SELECT q_id, q_v, cell FROM (
+        SELECT q.q_id, q.q_v, cents.cell,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY list_dot_product(cents.v, q.q_v) DESC, cents.cell
+               ) AS rn
+        FROM q CROSS JOIN cents) WHERE rn <= {IVF_PROBE}
+    ),
+    ascored AS (
+      SELECT p.q_id, a.vec_id AS c_id,
+             round(
+               list_dot_product(p.q_v, a.v)
+               / (sqrt(list_dot_product(p.q_v, p.q_v)) * sqrt(list_dot_product(a.v, a.v))),
+               9
+             ) AS score
+      FROM probe p JOIN inverted a ON p.cell = a.cell AND a.vec_id <> p.q_id
+    ),
+    approx AS (
+      SELECT q_id, c_id, rank FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+        FROM ascored)
+      WHERE rank <= {IVF_K}
+    ),
+    escored AS (
+      SELECT q.q_id, c.vec_id AS c_id,
+             round(
+               list_dot_product(q.q_v, c.v)
+               / (sqrt(list_dot_product(q.q_v, q.q_v)) * sqrt(list_dot_product(c.v, c.v))),
+               9
+             ) AS score
+      FROM vecs c CROSS JOIN q
+      WHERE c.vec_id <> q.q_id
+    ),
+    exact AS (
+      SELECT q_id, c_id, e_rank FROM (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS e_rank
+        FROM escored)
+      WHERE e_rank <= {IVF_K}
+    ),
+    g AS (
+      SELECT a.q_id,
+             COALESCE({IVF_K} + 1 - e.e_rank, 0) AS rel,
+             {_ndcg_w_sql("a.rank")} AS w
+      FROM approx a LEFT JOIN exact e USING (q_id, c_id)
+    )
+    SELECT q_id,
+           CAST(SUM(rel * w) AS BIGINT) AS dcg_units,
+           CAST(SUM(rel * w) AS BIGINT) / {_NDCG_IDEAL} AS ndcg
+    FROM g GROUP BY q_id ORDER BY q_id
+    """,
+    doc=f"Search ranking quality: nDCG@{IVF_K} of the IVF approximate "
+    "index against the exact cosine ranking, per query. Graded relevance "
+    f"rel = {IVF_K}+1-exact_rank for the exact top-{IVF_K}; discount "
+    "weights 1/log2(rank+1) are pre-scaled to shared INTEGER "
+    "micro-units, so each query's DCG is an exact order-free BIGINT sum "
+    "and nDCG one double division (no float-accumulation flake). "
+    "Complements q_ann_recall: recall counts hits, nDCG weighs WHERE "
+    "the index put them.",
+)
+def q_search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivf import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < IVF_QUERIES)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", IVF_K).select(
+        "q_id", "c_id", F.col("rank").alias("e_rank")
+    )
+    approx = ivf_topk(
+        emb, queries, "vec_id", "embedding", IVF_K,
+        n_cells=IVF_CELLS, n_probe=IVF_PROBE, refine_iters=1,
+    ).select("q_id", "c_id", "rank")
+
+    w_expr = F.lit(0).cast("long")
+    for r, w in _NDCG_W.items():
+        w_expr = F.when(F.col("rank") == r, F.lit(w).cast("long")).otherwise(w_expr)
+    g = approx.join(exact, ["q_id", "c_id"], "left").select(
+        "q_id",
+        F.coalesce(F.lit(IVF_K + 1) - F.col("e_rank"), F.lit(0)).alias("rel"),
+        w_expr.alias("w"),
+    )
+    return (
+        g.groupBy("q_id")
+        .agg(F.sum(F.col("rel") * F.col("w")).alias("dcg_units"))
+        .select(
+            "q_id",
+            "dcg_units",
+            (F.col("dcg_units") / F.lit(_NDCG_IDEAL)).alias("ndcg"),
+        )
+        .orderBy("q_id")
+    )

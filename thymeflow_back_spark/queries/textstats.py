@@ -402,3 +402,228 @@ def q_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_heavy_hitters(toks, "lang", "token", HH_K).orderBy(
         "lang", F.desc("cnt"), "token"
     )
+
+
+# --- Q: Gopher repetition filters ----------------------------------------------
+
+# Deterministic repetition synthesis (the same idiom as q_pii_scrub's
+# synthetic PII): the test corpus is single-line and near-unique, so both
+# engines append, per doc_id, (a) the doc's own first 8 words echoed as two
+# extra lines (doc_id % 3 == 0) and (b) a boilerplate line repeated 2-4
+# times (doc_id % 5 == 0) — giving every Gopher signal genuinely nonzero
+# and zero cases to distinguish.
+_GOPHER_BOILER = "subscribe to our newsletter for daily updates now"
+
+_SQL_GOPHER_DIRTY = f"""
+    dirty AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || f8 || chr(10) || f8 ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN repeat(chr(10) || '{_GOPHER_BOILER}',
+                                 CAST(doc_id % 3 + 2 AS INT))
+                     ELSE '' END AS t
+      FROM (
+        SELECT doc_id, text,
+               array_to_string(
+                 (list_filter(string_split(text, ' '), x -> x <> ''))[1:8],
+                 ' ') AS f8
+        FROM documents)
+    )"""
+
+
+def _gopher_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    f8 = F.array_join(
+        F.slice(F.filter(F.split("text", " "), lambda w: w != ""), 1, 8), " "
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("\n"), f8, F.lit("\n"), f8),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.expr(
+                    f"repeat('\\n{_GOPHER_BOILER}',"
+                    " CAST(doc_id % 3 + 2 AS INT))"
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@query(
+    "q_gopher_repetition",
+    oracle=f"""
+    WITH {_SQL_GOPHER_DIRTY},
+    base AS (
+      SELECT doc_id,
+             list_filter(string_split(t, chr(10)), x -> x <> '') AS lines,
+             list_filter(string_split(replace(t, chr(10), ' '), ' '),
+                         x -> x <> '') AS toks
+      FROM dirty
+    ),
+    per_doc AS (
+      SELECT doc_id, len(lines) AS n_lines, len(toks) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(toks, w -> len(w))), 0)
+                  + greatest(len(toks) - 1, 0) AS BIGINT) AS ws_chars
+      FROM base
+    ),
+    lg AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS tot_lines,
+             COUNT(*) AS uniq_lines,
+             CAST(SUM((cnt - 1) * llen) AS BIGINT) AS dup_chars,
+             CAST(SUM(cnt * llen) AS BIGINT) AS line_chars
+      FROM (
+        SELECT doc_id, line, COUNT(*) AS cnt, len(line) AS llen
+        FROM (SELECT doc_id, unnest(lines) AS line FROM base)
+        GROUP BY doc_id, line)
+      GROUP BY 1
+    ),
+    grams AS (
+      SELECT doc_id, n, array_to_string(toks[i:i+n-1], ' ') AS gram
+      FROM base
+           CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) ns,
+           -- the lateral is bounded by base alone (a two-relation reference
+           -- trips DuckDB's lateral binder); the n-dependent cut is the WHERE
+           LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+      WHERE i <= len(toks) - n + 1
+    ),
+    top AS (
+      SELECT doc_id,
+             MAX(CASE WHEN n = 2 THEN numer END) AS numer2,
+             MAX(CASE WHEN n = 3 THEN numer END) AS numer3,
+             MAX(CASE WHEN n = 4 THEN numer END) AS numer4
+      FROM (
+        SELECT doc_id, n, CAST(cnt * len(gram) AS BIGINT) AS numer,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                  ORDER BY cnt DESC, gram) AS rn
+        FROM (SELECT doc_id, n, gram, COUNT(*) AS cnt
+              FROM grams GROUP BY 1, 2, 3))
+      WHERE rn = 1 GROUP BY 1
+    ),
+    m AS (
+      SELECT p.doc_id, p.n_lines, p.n_words,
+             CASE WHEN tot_lines > 0
+                  THEN (tot_lines - uniq_lines) / tot_lines
+                  ELSE 0.0 END AS dup_line_frac,
+             CASE WHEN line_chars > 0
+                  THEN dup_chars / line_chars ELSE 0.0 END AS dup_line_char_frac,
+             CASE WHEN ws_chars > 0
+                  THEN COALESCE(numer2, 0) / ws_chars ELSE 0.0 END AS top2gram_frac,
+             CASE WHEN ws_chars > 0
+                  THEN COALESCE(numer3, 0) / ws_chars ELSE 0.0 END AS top3gram_frac,
+             CASE WHEN ws_chars > 0
+                  THEN COALESCE(numer4, 0) / ws_chars ELSE 0.0 END AS top4gram_frac
+      FROM per_doc p LEFT JOIN lg USING (doc_id) LEFT JOIN top USING (doc_id)
+    )
+    SELECT *,
+           dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+           AND top2gram_frac <= 0.20 AND top3gram_frac <= 0.18
+           AND top4gram_frac <= 0.16 AS keep_repetition
+    FROM m ORDER BY doc_id
+    """,
+    doc="Gopher repetition filters, line + top-n-gram half (Rae et al. "
+    "2021 table A1): per-document duplicate-line fraction, duplicate-line "
+    "CHARACTER fraction, and the character share of the most frequent "
+    "word {2,3,4}-gram, with the paper's drop thresholds as a keep flag. "
+    "Repetition is synthesized deterministically per doc_id in BOTH "
+    "engines (echoed first-8-words lines, repeated boilerplate lines). "
+    "All shuffles are keyed by (doc, line) or (doc, gram) — per-task "
+    "state is one document's windows, so the operator scales linearly "
+    "(operators/gopher.py repetition_signals).",
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.gopher import repetition_signals
+
+    return repetition_signals(
+        _gopher_dirty(spark, sf_dir), "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_gopher_dup_ngrams",
+    oracle=f"""
+    WITH {_SQL_GOPHER_DIRTY},
+    base AS (
+      SELECT doc_id,
+             list_filter(string_split(replace(t, chr(10), ' '), ' '),
+                         x -> x <> '') AS toks
+      FROM dirty
+    ),
+    words AS (
+      SELECT doc_id, i - 1 AS tpos, len(toks[i]) AS wlen
+      FROM base, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+    ),
+    totals AS (
+      SELECT doc_id, CAST(SUM(wlen) AS BIGINT) AS total_chars
+      FROM words GROUP BY 1
+    ),
+    wins AS (
+      SELECT doc_id, n, i - 1 AS pos, array_to_string(toks[i:i+n-1], ' ') AS gram
+      FROM base
+           CROSS JOIN (SELECT unnest(generate_series(5, 10)) AS n) ns,
+           -- series bounded by base alone (two-relation lateral refs trip
+           -- DuckDB's binder); the n-dependent cut is the WHERE
+           LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+      WHERE i <= len(toks) - n + 1
+    ),
+    dup AS (
+      SELECT doc_id, n, gram FROM wins GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT w.doc_id, w.n, w.pos + j AS tpos
+      FROM wins w JOIN dup USING (doc_id, n, gram),
+           LATERAL (SELECT unnest(generate_series(0, w.n - 1)) AS j) s
+    ),
+    covw AS (
+      SELECT doc_id,
+             MAX(CASE WHEN n = 5 THEN cov END) AS cov5,
+             MAX(CASE WHEN n = 6 THEN cov END) AS cov6,
+             MAX(CASE WHEN n = 7 THEN cov END) AS cov7,
+             MAX(CASE WHEN n = 8 THEN cov END) AS cov8,
+             MAX(CASE WHEN n = 9 THEN cov END) AS cov9,
+             MAX(CASE WHEN n = 10 THEN cov END) AS cov10
+      FROM (
+        SELECT c.doc_id, c.n, CAST(SUM(w.wlen) AS BIGINT) AS cov
+        FROM covered c JOIN words w USING (doc_id, tpos)
+        GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT t.doc_id,
+             CASE WHEN total_chars > 0 THEN COALESCE(cov5, 0) / total_chars ELSE 0.0 END AS dup5_frac,
+             CASE WHEN total_chars > 0 THEN COALESCE(cov6, 0) / total_chars ELSE 0.0 END AS dup6_frac,
+             CASE WHEN total_chars > 0 THEN COALESCE(cov7, 0) / total_chars ELSE 0.0 END AS dup7_frac,
+             CASE WHEN total_chars > 0 THEN COALESCE(cov8, 0) / total_chars ELSE 0.0 END AS dup8_frac,
+             CASE WHEN total_chars > 0 THEN COALESCE(cov9, 0) / total_chars ELSE 0.0 END AS dup9_frac,
+             CASE WHEN total_chars > 0 THEN COALESCE(cov10, 0) / total_chars ELSE 0.0 END AS dup10_frac
+      FROM totals t LEFT JOIN covw USING (doc_id)
+    )
+    SELECT *,
+           dup5_frac <= 0.15 AND dup6_frac <= 0.14 AND dup7_frac <= 0.13
+           AND dup8_frac <= 0.12 AND dup9_frac <= 0.11 AND dup10_frac <= 0.10
+           AS keep_dup_ngrams
+    FROM m ORDER BY doc_id
+    """,
+    doc="Gopher repetition filters, duplicated-n-gram half: per-document "
+    "fraction of word characters covered by at least one word n-gram "
+    "(n = 5..10) occurring more than once within the document — each "
+    "character counted ONCE via distinct covered positions, per the "
+    "paper — with table A1's drop thresholds as a keep flag. Same "
+    "deterministic repetition synthesis as q_gopher_repetition; coverage "
+    "join is keyed by (doc, position), never corpus-wide "
+    "(operators/gopher.py dup_ngram_coverage).",
+)
+def q_gopher_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.gopher import dup_ngram_coverage
+
+    return dup_ngram_coverage(
+        _gopher_dirty(spark, sf_dir), "doc_id", "text"
+    ).orderBy("doc_id")
