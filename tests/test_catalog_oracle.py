@@ -67,12 +67,16 @@ def test_driver_priority_names_exist():
 def test_query_map_order_leads_with_unverified():
     """queries() must present the never-driver-verified round-8 rows first,
     then the rows whose last driver check is oldest (r5), so the driver's
-    50-row window re-greens the stalest record."""
-    from thymeflow_back_spark.queries.catalog import query_map
+    50-row window re-greens the stalest record. The invariant is that the
+    map's head IS the priority list, verbatim — a fixed window assertion
+    went stale every time the round-8 block grew."""
+    from thymeflow_back_spark.queries.catalog import _DRIVER_PRIORITY, query_map
 
-    head = list(query_map())[:15]
-    for name in ("q_bpe_encode", "q_bpe_bytelevel"):
-        assert name in head, (name, head)
-    # r5-stale rows follow immediately after the round-8 block
-    for name in ("q_heavy_hitters", "q_location_events", "q_pricing_summary"):
-        assert name in head, (name, head)
+    order = list(query_map())
+    assert order[: len(_DRIVER_PRIORITY)] == list(_DRIVER_PRIORITY)
+    # never-driver-verified rows lead, r5-stale rows follow inside the
+    # driver's 50-row correctness window
+    head50 = order[:50]
+    for name in ("q_bpe_encode", "q_embedding_gram", "q_heavy_hitters",
+                 "q_location_events", "q_pricing_summary"):
+        assert name in head50, (name, head50)

@@ -1472,3 +1472,64 @@ def q_search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+GRAM_SCALE = 10_000
+
+
+@query(
+    "q_embedding_gram",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * {GRAM_SCALE}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id,
+             UNNEST(generate_series(1, len(qv))) - 1 AS i,
+             UNNEST(qv) AS x
+      FROM q
+    ),
+    g AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS gram_h
+      FROM d a JOIN d b USING (vec_id)
+      WHERE b.i >= a.i
+      GROUP BY 1, 2
+    ),
+    s AS (SELECT i, SUM(x) AS sv FROM d GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_vecs FROM q)
+    SELECT g.i, g.j,
+           CAST(n.n_vecs AS BIGINT) AS n_vecs,
+           CAST(g.gram_h AS VARCHAR) AS gram,
+           CAST(n.n_vecs * g.gram_h - sa.sv * sb.sv AS VARCHAR) AS scatter
+    FROM g
+    CROSS JOIN n
+    JOIN s sa ON sa.i = g.i
+    JOIN s sb ON sb.i = g.j
+    ORDER BY g.i, g.j
+    """,
+    doc="Exact d x d Gram + centered scatter matrix of the embedding "
+    "corpus (the PCA / whitening primitive): vectors floor-quantized at "
+    f"scale {GRAM_SCALE}, per-partition int64 partial Gram folded in ONE "
+    "mapInPandas pass (numpy X^T X per Arrow batch), shuffle carries only "
+    "O(partitions * d^2) rows; totals and the n*G - s_i*s_j centering are "
+    "exact DECIMAL(38,0), so scatter / (n^2 scale^2) is the bit-defined "
+    "covariance on every engine. Published as digit strings (exact at any "
+    "magnitude — pandas would down-convert decimals to float64); oracle "
+    "replays the quantized outer product as a per-vector self-join in "
+    "HUGEINT.",
+)
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca import gram_scatter
+
+    emb = load(spark, sf_dir, "embeddings")
+    g = gram_scatter(emb, "embedding", scale=GRAM_SCALE)
+    return g.select(
+        "i",
+        "j",
+        "n_vecs",
+        F.col("gram").cast("string").alias("gram"),
+        F.col("scatter").cast("string").alias("scatter"),
+    ).orderBy("i", "j")
