@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "q_kmeans_clusters",
     "q_search_ndcg",
     "q_embedding_gram",
+    "q_label_propagation",
     # last driver-verified in round 5 (stalest existing rows):
     "q_heavy_hitters",
     "q_heavy_hitters_by_lang",

@@ -2742,3 +2742,80 @@ def q_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# --- Q: label propagation over the rare-shingle graph -------------------------
+
+LP_N = 4  # shingle width for the similarity graph
+LP_DF_CAP = 4  # rare = document frequency in [2, cap]; bounds block size
+LP_SEED_MOD = 10  # doc_id % 10 == 0 plays the labeled seed set
+LP_ROUNDS = 3
+
+
+def _labelprop_oracle() -> str:
+    shingle = " || ' ' || ".join(
+        "toks[i]" if k == 0 else f"toks[i+{k}]" for k in range(LP_N)
+    )
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, {shingle} AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - {LP_N - 1})) AS i) s
+    ),
+    freq AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY 1),
+    rare AS (SELECT shingle FROM freq WHERE c BETWEEN 2 AND {LP_DF_CAP}),
+    e AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b USING (shingle) JOIN rare USING (shingle)
+      WHERE a.doc_id <> b.doc_id
+    ),
+    l0 AS (
+      SELECT doc_id AS id, lang AS label, 0 AS round
+      FROM documents WHERE doc_id % {LP_SEED_MOD} = 0
+    )"""
+    for r in range(1, LP_ROUNDS + 1):
+        sql += f""",
+    v{r} AS (
+      SELECT e.dst AS id, l.label, COUNT(*) AS c
+      FROM e JOIN l{r - 1} l ON l.id = e.src
+      GROUP BY 1, 2
+    ),
+    n{r} AS (
+      SELECT id, label, {r} AS round FROM (
+        SELECT id, label,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+        FROM v{r}
+      ) WHERE rn = 1 AND id NOT IN (SELECT id FROM l{r - 1})
+    ),
+    l{r} AS (SELECT * FROM l{r - 1} UNION ALL SELECT * FROM n{r})"""
+    sql += f"""
+    SELECT id AS doc_id, label, round FROM l{LP_ROUNDS} ORDER BY doc_id"""
+    return sql
+
+
+@query(
+    "q_label_propagation",
+    oracle=_labelprop_oracle(),
+    doc="Semi-supervised label propagation: 10% of documents are labeled "
+    f"seeds (lang), the graph connects documents sharing a rare {LP_N}-gram "
+    f"(df in [2, {LP_DF_CAP}] — block size bounded by construction), and "
+    f"{LP_ROUNDS} synchronous majority-vote rounds (count DESC, label ASC "
+    "ties) spread labels outward; output is (doc_id, label, round "
+    "assigned). Deterministic by clamped seeds + synchronous rounds; the "
+    "oracle replays every round as chained CTEs. operators/labelprop.py.",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.labelprop import propagate_labels, rare_shingle_edges
+
+    docs = load(spark, sf_dir, "documents")
+    edges = rare_shingle_edges(docs, "doc_id", "text", n=LP_N, df_cap=LP_DF_CAP)
+    seeds = docs.filter(F.col("doc_id") % LP_SEED_MOD == 0).select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("label")
+    )
+    out = propagate_labels(edges, seeds, LP_ROUNDS)
+    return out.select(
+        F.col("id").alias("doc_id"), "label", "round"
+    ).orderBy("doc_id")
