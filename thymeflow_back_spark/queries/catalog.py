@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = [
     "q_search_ndcg",
     "q_embedding_gram",
     "q_label_propagation",
+    "q_dedup_sorted_neighborhood",
     # last driver-verified in round 5 (stalest existing rows):
     "q_heavy_hitters",
     "q_heavy_hitters_by_lang",

@@ -520,3 +520,72 @@ def q_contamination_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.cross_contamination_lsh(
         train, bench, "doc_id", "text", SHINGLE_N, JACCARD_THRESHOLD
     ).orderBy("train_id", "bench_id")
+
+
+# --- Q: sorted-neighborhood (multi-pass SNM) ----------------------------------
+
+SNM_WINDOW = 9
+SNM_PREFIX = 5
+
+
+@query(
+    "q_dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH {_SQL_SHINGLES.strip().rstrip()},
+    keys AS (
+      SELECT doc_id,
+             array_to_string(toks[1:{SNM_PREFIX}], ' ') AS kf,
+             array_to_string(list_reverse(toks)[1:{SNM_PREFIX}], ' ') AS kr
+      FROM toks
+    ),
+    rf AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY kf, doc_id) AS rn FROM keys),
+    rr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY kr, doc_id) AS rn FROM keys),
+    u AS (
+      SELECT LEAST(a.doc_id, b.doc_id) AS a_id, GREATEST(a.doc_id, b.doc_id) AS b_id,
+             1 AS in_fwd, 0 AS in_rev
+      FROM rf a JOIN rf b ON b.rn - a.rn BETWEEN 1 AND {SNM_WINDOW - 1}
+      UNION ALL
+      SELECT LEAST(a.doc_id, b.doc_id), GREATEST(a.doc_id, b.doc_id), 0, 1
+      FROM rr a JOIN rr b ON b.rn - a.rn BETWEEN 1 AND {SNM_WINDOW - 1}
+    ),
+    cands AS (
+      SELECT a_id, b_id, MAX(in_fwd) AS in_fwd, MAX(in_rev) AS in_rev
+      FROM u GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+      FROM cands c
+      JOIN sh sa ON sa.doc_id = c.a_id
+      JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT i.a_id, i.b_id, i.n_common,
+             i.n_common / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.a_id
+      JOIN sizes sb ON sb.doc_id = i.b_id
+    )
+    SELECT j.a_id, j.b_id, j.n_common, j.jaccard, c.in_fwd, c.in_rev
+    FROM jac j JOIN cands c USING (a_id, b_id)
+    WHERE j.jaccard >= {JACCARD_THRESHOLD}
+    ORDER BY j.a_id, j.b_id
+    """,
+    doc="Multi-pass sorted-neighborhood near-dup detection (Hernandez & "
+    f"Stolfo 1995): sort by the first {SNM_PREFIX} tokens (and by the "
+    "reversed-token prefix in a second pass), compare only rows within "
+    f"{SNM_WINDOW - 1} global sort ranks — candidate volume is exactly "
+    "n*(w-1) regardless of key skew, the guarantee frequency-blocking and "
+    "LSH banding lack. Global ranks via the deterministic distributed "
+    "prefix sum (one range exchange); pair provenance (in_fwd/in_rev) "
+    "rides through the shared exact-Jaccard verify. operators/snm.py.",
+)
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.snm import snm_near_dups
+
+    docs = load(spark, sf_dir, "documents")
+    return snm_near_dups(
+        docs, "doc_id", "text", SNM_WINDOW, JACCARD_THRESHOLD,
+        shingle_n=SHINGLE_N, prefix_tokens=SNM_PREFIX,
+    ).orderBy("a_id", "b_id")
