@@ -52,6 +52,8 @@ BNLJ_CROSS_OK = {
     # per-lang token counts × one broadcast min-tokens row (the
     # q_dataset_mixture shape with real-token budgets)
     "q_token_budget_mixture",
+    # d^2 Gram rows × one broadcast n_vecs row (operators/pca.py)
+    "q_embedding_gram",
 }
 
 # queries whose construction executes jobs eagerly (iterative closures,
@@ -89,6 +91,9 @@ GLOBAL_WINDOW_OK = {
     "q_quality_pr_curve",
     "q_score_auc",
     "q_balanced_bins",
+    # SNM global ranks: one prefix-sum offset pass per sort pass
+    # (#partitions rows each — operators/snm.py)
+    "q_dedup_sorted_neighborhood",
 }
 
 _PLAN_CACHE: dict[str, str] = {}
