@@ -1,0 +1,62 @@
+"""LSH recall curve + vocabulary growth (round-8 measurement rows)."""
+
+from __future__ import annotations
+
+from thymeflow_back_spark.queries.catalog import QUERIES
+
+
+def test_lsh_candidates_superset_of_verified(spark, sf_dir):
+    """The raw band-collision pairs must contain every pair the verified
+    minhash path emits — minhash_candidate_pairs is the same relation
+    minhash_near_dups verifies, so a drift here is a refactor bug."""
+    from thymeflow_back_spark.operators.dedup import (
+        _by_id,
+        doc_shingles,
+        minhash_candidate_pairs,
+        minhash_near_dups,
+    )
+    from thymeflow_back_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    docs_sh = _by_id(doc_shingles(docs, "doc_id", "text", 3), "doc_id")
+    cands = {
+        (r.a_id, r.b_id)
+        for r in minhash_candidate_pairs(docs_sh, "doc_id").collect()
+    }
+    verified = {
+        (r.a_id, r.b_id)
+        for r in minhash_near_dups(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    assert verified and verified <= cands
+
+
+def test_lsh_recall_curve_shape(spark, sf_dir):
+    rows = QUERIES["q_lsh_recall_curve"].spark(spark, sf_dir).collect()
+    assert rows, "curve must not be empty"
+    by_bucket = {r.bucket: r for r in rows}
+    for r in rows:
+        assert 0 <= r.n_caught <= r.n_pairs
+        assert abs(r.recall - r.n_caught / r.n_pairs) < 1e-12
+    # the S-curve's ends: highest-similarity bucket catches more than the
+    # lowest one (the planted truncation spread guarantees both ends exist)
+    lo, hi = min(by_bucket), max(by_bucket)
+    assert hi >= 7 and lo <= 3
+    assert by_bucket[hi].recall >= by_bucket[lo].recall
+
+
+def test_vocab_growth_monotone_and_totals(spark, sf_dir):
+    from thymeflow_back_spark.tables import load
+
+    rows = QUERIES["q_vocab_growth"].spark(spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(10))
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_tokens > a.cum_tokens
+        assert b.cum_types >= a.cum_types
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.selectExpr(
+        "explode(filter(split(text, ' '), t -> t != '')) as tok"
+    )
+    assert rows[-1].cum_tokens == tok.count()
+    assert rows[-1].cum_types == tok.distinct().count()
+    assert sum(r.n_docs for r in rows) == docs.count()

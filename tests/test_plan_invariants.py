@@ -54,6 +54,8 @@ BNLJ_CROSS_OK = {
     "q_token_budget_mixture",
     # d^2 Gram rows × one broadcast n_vecs row (operators/pca.py)
     "q_embedding_gram",
+    # doc-rank relation × one broadcast corpus-count row
+    "q_vocab_growth",
 }
 
 # queries whose construction executes jobs eagerly (iterative closures,
@@ -94,6 +96,8 @@ GLOBAL_WINDOW_OK = {
     # SNM global ranks: one prefix-sum offset pass per sort pass
     # (#partitions rows each — operators/snm.py)
     "q_dedup_sorted_neighborhood",
+    # prefix-sum offset pass + the cumulative walk over <= 10 decile rows
+    "q_vocab_growth",
 }
 
 _PLAN_CACHE: dict[str, str] = {}

@@ -545,16 +545,23 @@ def minhash_near_dups(
     LSH collision count, never to an all-pairs blocked join.
     """
     docs_sh = _by_id(doc_shingles(df, id_col, text_col, n), id_col)
+    cands = minhash_candidate_pairs(docs_sh, id_col)
+    return verify_candidates_arrays(docs_sh, cands, id_col, threshold)
+
+
+def minhash_candidate_pairs(docs_sh: DataFrame, id_col: str) -> DataFrame:
+    """Raw LSH candidate pairs (a_id < b_id) from band-bucket collisions —
+    the pre-verify relation, exposed for recall measurement
+    (q_lsh_recall_curve) as well as the verified path above."""
     bands = lsh_band_rows(minhash_signatures_mapside(docs_sh, id_col), id_col)
     a = bands.select(F.col(id_col).alias("a_id"), "band", "bkey")
     b = bands.select(F.col(id_col).alias("b_id"), "band", "bkey")
-    cands = (
+    return (
         a.join(b, ["band", "bkey"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    return verify_candidates_arrays(docs_sh, cands, id_col, threshold)
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -68,6 +68,8 @@ _DRIVER_PRIORITY = [
     "q_embedding_gram",
     "q_label_propagation",
     "q_dedup_sorted_neighborhood",
+    "q_lsh_recall_curve",
+    "q_vocab_growth",
     # last driver-verified in round 5 (stalest existing rows):
     "q_heavy_hitters",
     "q_heavy_hitters_by_lang",

@@ -589,3 +589,122 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", SNM_WINDOW, JACCARD_THRESHOLD,
         shingle_n=SHINGLE_N, prefix_tokens=SNM_PREFIX,
     ).orderBy("a_id", "b_id")
+
+
+# --- Q: LSH recall curve (index quality measurement) --------------------------
+
+LSH_CURVE_OFFSET = 1_000_000
+
+
+@query(
+    "q_lsh_recall_curve",
+    oracle=f"""
+    WITH tk0 AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {LSH_CURVE_OFFSET},
+             array_to_string(
+               toks[1:CAST(GREATEST((len(toks) * (doc_id % 8 + 2)) // 10, 3) AS BIGINT)],
+               ' ')
+      FROM tk0
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM docs2
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) s
+    ),
+    perms(i, a, b) AS (VALUES {_PERMS_VALUES}),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {D.MERSENNE_P} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, i, MIN((a * h + b) % {D.MERSENNE_P}) AS mh
+      FROM hashed CROSS JOIN perms
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, i // {D.ROWS_PER_BAND} AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkey
+      FROM sig GROUP BY 1, 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b USING (band, bkey)
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (SELECT doc_id AS a_id, doc_id + {LSH_CURVE_OFFSET} AS b_id FROM documents),
+    inter AS (
+      SELECT p.a_id, p.b_id, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.a_id
+      JOIN sh sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    jacp AS (
+      SELECT i.a_id, i.b_id,
+             i.n_common / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.a_id
+      JOIN sizes sb ON sb.doc_id = i.b_id
+    ),
+    curve AS (
+      SELECT CAST(floor(j.jaccard * 10) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+      FROM jacp j LEFT JOIN cands c USING (a_id, b_id)
+      GROUP BY 1
+    )
+    SELECT bucket, n_pairs, n_caught, n_caught / n_pairs AS recall
+    FROM curve ORDER BY bucket
+    """,
+    doc="Empirical LSH S-curve: every document is paired with a "
+    "deterministically truncated variant (prefix of 20-90% of its tokens "
+    "by doc_id, clamped to >= 3), the MinHash(16)+LSH(4x4) index runs "
+    "over the doubled corpus, and per exact-Jaccard decile the output "
+    "reports how many planted pairs the band index caught — the "
+    "measured counterpart of the 1-(1-j^r)^b guarantee, the number that "
+    "justifies band/row choices before a 100 TB dedup run. One corpus "
+    "scan feeds variants, signatures, and the exact verify; candidates "
+    "meet only in band buckets.",
+)
+def q_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cachereg import pin
+
+    docs = load(spark, sf_dir, "documents")
+    # variant = deterministic token-prefix truncation; tokenizing twice in
+    # one projection is a bounded per-row cost (no second scan)
+    var = docs.selectExpr(
+        f"doc_id + {LSH_CURVE_OFFSET} as doc_id",
+        "concat_ws(' ', slice(filter(split(text, ' '), t -> t != ''), 1,"
+        " cast(greatest((size(filter(split(text, ' '), t -> t != ''))"
+        " * (doc_id % 8 + 2)) div 10, 3) as int))) as text",
+    )
+    union = docs.select("doc_id", "text").unionByName(var)
+    docs_sh = pin(
+        D._by_id(D.doc_shingles(union, "doc_id", "text", SHINGLE_N), "doc_id")
+    )
+    cands = D.minhash_candidate_pairs(docs_sh, "doc_id")
+    pairs = docs.select(
+        F.col("doc_id").alias("a_id"),
+        (F.col("doc_id") + LSH_CURVE_OFFSET).alias("b_id"),
+    )
+    jacp = D.verify_candidates_arrays(docs_sh, pairs, "doc_id", 0.0)
+    return (
+        jacp.join(cands.withColumn("hit", F.lit(1)), ["a_id", "b_id"], "left")
+        .groupBy(F.floor(F.col("jaccard") * 10).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_caught"),
+        )
+        .withColumn("recall", F.col("n_caught") / F.col("n_pairs"))
+        .orderBy("bucket")
+    )

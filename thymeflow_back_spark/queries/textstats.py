@@ -627,3 +627,93 @@ def q_gopher_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_coverage(
         _gopher_dirty(spark, sf_dir), "doc_id", "text"
     ).orderBy("doc_id")
+
+
+# --- Q: vocabulary growth curve (Heaps' law diagnostic) ------------------------
+
+
+@query(
+    "q_vocab_growth",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rk
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    dd AS (
+      SELECT doc_id, CAST((rk * 10) // n.n AS BIGINT) AS decile
+      FROM ranked, n
+    ),
+    tok AS (
+      SELECT dd.decile,
+             unnest(list_filter(string_split(x.text, ' '), t -> t <> '')) AS tok
+      FROM documents x JOIN dd ON dd.doc_id = x.doc_id
+    ),
+    per_dec_tokens AS (SELECT decile, COUNT(*) AS n_toks FROM tok GROUP BY 1),
+    first_dec AS (SELECT tok, MIN(decile) AS decile FROM tok GROUP BY 1),
+    per_dec_types AS (SELECT decile, COUNT(*) AS n_new FROM first_dec GROUP BY 1),
+    per_dec_docs AS (SELECT decile, COUNT(*) AS n_docs FROM dd GROUP BY 1)
+    SELECT d.decile, d.n_docs,
+           CAST(SUM(t.n_toks) OVER (ORDER BY d.decile) AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(y.n_new, 0)) OVER (ORDER BY d.decile) AS BIGINT) AS cum_types
+    FROM per_dec_docs d
+    JOIN per_dec_tokens t USING (decile)
+    LEFT JOIN per_dec_types y USING (decile)
+    ORDER BY d.decile
+    """,
+    doc="Vocabulary growth curve (Heaps'-law diagnostic): documents in "
+    "doc_id order are cut into 10 deciles; per decile the output reports "
+    "cumulative token volume and cumulative DISTINCT vocabulary — the "
+    "type/token curve that predicts how a tokenizer's OOV surface and a "
+    "dedup index's key space grow with corpus size. A token's decile of "
+    "first appearance is one groupBy (min over the monotone decile), so "
+    "the vocabulary is aggregated once, never re-scanned per decile; "
+    "global doc ranks come from the deterministic distributed prefix sum "
+    "and the only unbounded shuffles are the two token aggregates.",
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.cachereg import pin
+    from ..operators.packing import distributed_prefix_sum
+
+    docs = load(spark, sf_dir, "documents")
+    ranked = distributed_prefix_sum(
+        docs.select("doc_id"), "doc_id", F.lit(1), out_col="rk"
+    )
+    cnt = docs.groupBy().agg(F.count("*").alias("n"))
+    # decile = ((rank-1) * 10) div n — pinned: feeds the doc counts AND the
+    # token explode join
+    dd = pin(
+        ranked.crossJoin(F.broadcast(cnt)).select(
+            "doc_id",
+            F.expr("((rk - 1) * 10) div n").alias("decile"),
+        )
+    )
+    tok = pin(
+        docs.selectExpr(
+            "doc_id",
+            "explode(filter(split(text, ' '), t -> t != '')) as tok",
+        ).join(dd, "doc_id")
+    )
+    per_tokens = tok.groupBy("decile").agg(F.count("*").alias("n_toks"))
+    per_types = (
+        tok.groupBy("tok")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_new"))
+    )
+    per_docs = dd.groupBy("decile").agg(F.count("*").alias("n_docs"))
+    # cumulative walk over <= 10 decile rows — bounded global window
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_docs.join(per_tokens, "decile")
+        .join(per_types, "decile", "left")
+        .select(
+            "decile",
+            "n_docs",
+            F.sum("n_toks").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).cast("bigint").alias("cum_types"),
+        )
+        .orderBy("decile")
+    )
