@@ -1,0 +1,71 @@
+"""Large-star/small-star connected components (operators/closure.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from thymeflow_back_spark.operators.closure import (
+    connected_components,
+    connected_components_star,
+)
+
+
+def _labels(df):
+    return sorted((r.node, r.component) for r in df.collect())
+
+
+def test_matches_propagation_on_mixed_graph(spark):
+    # a 150-node path (deep diameter), a triangle, and a 2-node edge
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(149)]
+        + [(500, 501), (501, 502), (500, 502), (900, 901)],
+        "src long, dst long",
+    )
+    star = _labels(connected_components_star(edges))
+    prop = _labels(connected_components(edges, max_iterations=200))
+    assert star == prop
+    comps = {c for _, c in star}
+    assert comps == {0, 500, 900}
+
+
+def test_logarithmic_rounds_on_long_chain(spark):
+    # 200-node path: diameter 199, but the star alternation must converge
+    # within 15 rounds (O(log^2 n) — propagation would need ~199)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "src long, dst long"
+    )
+    out = _labels(connected_components_star(edges, max_rounds=15))
+    assert out == [(i, 0) for i in range(200)]
+
+
+def test_round_cap_raises(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError):
+        connected_components_star(edges, max_rounds=1)
+
+
+def test_string_ids_and_self_loops(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "x"), ("x", "y")],
+        "src string, dst string",
+    )
+    out = dict(_labels(connected_components_star(edges)))
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_empty_input(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components_star(edges).count() == 0
+
+
+def test_partitioning_invariance(spark):
+    rows = [(i, i + 1) for i in range(99)] + [(50, 300), (300, 301)]
+    outs = []
+    for parts in (2, 11):
+        edges = spark.createDataFrame(rows, "src long, dst long").repartition(
+            parts
+        )
+        outs.append(_labels(connected_components_star(edges)))
+    assert outs[0] == outs[1]

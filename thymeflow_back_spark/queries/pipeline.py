@@ -2819,3 +2819,88 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("id").alias("doc_id"), "label", "round"
     ).orderBy("doc_id")
+
+
+# --- Q: connected components via large-star/small-star ------------------------
+
+CC_BLOCK = 64  # chain block length — the adversarial-diameter ingredient
+CC_CROSS_MOD = 160  # sparse cross-block bridges: doc_id % 160 == 0 links +64
+
+
+def _components_star_oracle() -> str:
+    return f"""
+    WITH RECURSIVE chain AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a JOIN documents b
+        ON b.doc_id = a.doc_id + 1 AND a.doc_id // {CC_BLOCK} = b.doc_id // {CC_BLOCK}
+    ),
+    cross_edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM documents a JOIN documents b
+        ON b.doc_id = a.doc_id + {CC_BLOCK} AND a.doc_id % {CC_CROSS_MOD} = 0
+    ),
+    alledges AS (SELECT src, dst FROM chain UNION SELECT src, dst FROM cross_edges),
+    sym AS (
+      SELECT src AS s, dst AS d FROM alledges
+      UNION
+      SELECT dst AS s, src AS d FROM alledges
+    ),
+    reach(s, d) AS (
+      SELECT s, s FROM sym
+      UNION
+      SELECT r.s, e2.d FROM reach r JOIN sym e2 ON r.d = e2.s
+    ),
+    comp AS (SELECT s AS node, MIN(d) AS component FROM reach GROUP BY s)
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+    FROM comp GROUP BY 1 ORDER BY 1"""
+
+
+@query(
+    "q_components_star",
+    oracle=_components_star_oracle(),
+    doc=f"Connected components via alternating large-star/small-star "
+    "rounds (Kiveris et al. 2014) — O(log^2 n) rounds on ANY graph shape, "
+    "vs O(diameter) for min-label propagation. The graph is adversarial "
+    f"BY CONSTRUCTION: {CC_BLOCK}-document chains (diameter {CC_BLOCK - 1} "
+    "— propagation would need that many rounds) merged pairwise by sparse "
+    f"cross-block bridges (doc_id % {CC_CROSS_MOD} == 0 links +{CC_BLOCK}), "
+    "so merged diameters exceed 2x the block; output is per-component "
+    "(min-id, size). "
+    "Star rounds are two hash-join+groupBy passes over the shrinking edge "
+    "set with an exact symmetric-difference convergence check; the oracle "
+    "replays reachability as a recursive CTE. operators/closure.py "
+    "connected_components_star.",
+)
+def q_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.closure import connected_components_star
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id")
+    chain = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            F.expr(
+                f"b.doc_id = a.doc_id + 1"
+                f" AND a.doc_id div {CC_BLOCK} = b.doc_id div {CC_BLOCK}"
+            ),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    cross = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            F.expr(
+                f"b.doc_id = a.doc_id + {CC_BLOCK}"
+                f" AND a.doc_id % {CC_CROSS_MOD} = 0"
+            ),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    comps = connected_components_star(chain.unionByName(cross))
+    return (
+        comps.groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .orderBy("component")
+    )
