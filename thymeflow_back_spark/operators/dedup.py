@@ -1029,3 +1029,76 @@ def cross_contamination_lsh(
         .filter(F.col("jaccard") >= threshold)
         .select("train_id", "bench_id", "n_common", "jaccard")
     )
+
+
+def weighted_jaccard_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    weight_scale: int = 1000,
+    block_df_cap: int = 8,
+) -> DataFrame:
+    """IDF-weighted Jaccard near-dup join — boilerplate-robust dedup.
+
+    Plain Jaccard treats every shingle equally, so corpus-wide boilerplate
+    (injected footers, licence blocks, navigation chrome) inflates the
+    similarity of UNRELATED documents until they cross the dedup
+    threshold. The standard fix weights each shingle by rarity; here
+    w(s) = weight_scale div df(s) — an exact integer, so the weighted
+    Jaccard  J_w = sum_w(A∩B) / (sum_w(A) + sum_w(B) - sum_w(A∩B))
+    is a ratio of exact integers and reproduces bit-for-bit on any engine.
+    A shingle shared by the whole corpus weighs ~0; discriminating
+    shingles keep their full weight.
+
+    Blocking runs ONLY on rare shingles (df in [2, block_df_cap]) — the
+    hot shingles that would explode a blocked self-join are exactly the
+    ones weighting discounts, so the block bound and the semantics align:
+    a pair is a candidate iff it shares at least one rare shingle
+    (documented recall contract — boilerplate-only pairs are not
+    candidates, and their J_w is negligible by construction). The
+    intersection weight is then computed EXACTLY over all shared shingles
+    (including hot ones) by a candidate-bounded pair x shingle join, so
+    reported J_w values are never approximated.
+
+    Output: (a_id, b_id, iw, wjac) at wjac >= threshold.
+    """
+    sh = pin(word_shingles(df, id_col, text_col, n))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh_w = pin(
+        sh.join(dfreq, "shingle").select(
+            id_col, "shingle", F.expr(f"{weight_scale} div df").alias("w"),
+            "df",
+        )
+    )
+    tot = sh_w.groupBy(id_col).agg(F.sum("w").alias("tw"))
+    rare = sh_w.filter(
+        (F.col("df") >= 2) & (F.col("df") <= block_df_cap)
+    )
+    cands = (
+        rare.select("shingle", F.col(id_col).alias("a_id"))
+        .join(rare.select("shingle", F.col(id_col).alias("b_id")), "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    a_sh = sh_w.select(F.col(id_col).alias("a_id"), "shingle", "w")
+    b_sh = sh_w.select(F.col(id_col).alias("b_id"), "shingle")
+    iw = (
+        cands.join(a_sh, "a_id")
+        .join(b_sh, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.sum("w").alias("iw"))
+    )
+    ta = tot.select(F.col(id_col).alias("a_id"), F.col("tw").alias("ta"))
+    tb = tot.select(F.col(id_col).alias("b_id"), F.col("tw").alias("tb"))
+    return (
+        iw.join(ta, "a_id")
+        .join(tb, "b_id")
+        .withColumn(
+            "wjac", F.col("iw") / (F.col("ta") + F.col("tb") - F.col("iw"))
+        )
+        .filter(F.col("wjac") >= threshold)
+        .select("a_id", "b_id", "iw", "wjac")
+    )

@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = [
     "q_lsh_recall_curve",
     "q_vocab_growth",
     "q_components_star",
+    "q_dedup_weighted_jaccard",
     # last driver-verified in round 5 (stalest existing rows):
     "q_heavy_hitters",
     "q_heavy_hitters_by_lang",

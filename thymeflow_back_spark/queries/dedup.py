@@ -708,3 +708,85 @@ def q_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("recall", F.col("n_caught") / F.col("n_pairs"))
         .orderBy("bucket")
     )
+
+
+# --- Q: IDF-weighted Jaccard (boilerplate-robust dedup) ------------------------
+
+WJ_SCALE = 1000
+WJ_BLOCK_CAP = 8
+# 100 synthetic boilerplate tokens appended to every EVEN doc — long enough
+# that plain Jaccard at 0.5 would cross for unrelated even-even pairs
+# (~98 shared shingles vs ~90 distinct ones), while the shingles' corpus-wide
+# document frequency drives their weight to ~0
+WJ_BOILER = " ".join(f"wb{i}" for i in range(100))
+
+
+@query(
+    "q_dedup_weighted_jaccard",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN text || ' ' || '{WJ_BOILER}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM injected
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) s
+    ),
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+    shw AS (
+      SELECT doc_id, sh.shingle, {WJ_SCALE} // df AS w, df
+      FROM sh JOIN dfreq USING (shingle)
+    ),
+    tot AS (SELECT doc_id, SUM(w) AS tw FROM shw GROUP BY 1),
+    rare AS (SELECT doc_id, shingle FROM shw WHERE df BETWEEN 2 AND {WJ_BLOCK_CAP}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM rare a JOIN rare b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+    ),
+    iw AS (
+      SELECT c.a_id, c.b_id, SUM(a.w) AS iw
+      FROM cands c
+      JOIN shw a ON a.doc_id = c.a_id
+      JOIN shw b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    jw AS (
+      SELECT i.a_id, i.b_id, i.iw,
+             i.iw / (ta.tw + tb.tw - i.iw) AS wjac
+      FROM iw i
+      JOIN tot ta ON ta.doc_id = i.a_id
+      JOIN tot tb ON tb.doc_id = i.b_id
+    )
+    SELECT a_id, b_id, iw, wjac FROM jw
+    WHERE wjac >= {JACCARD_THRESHOLD}
+    ORDER BY a_id, b_id
+    """,
+    doc="IDF-weighted Jaccard near-dup join on a boilerplate-injected "
+    "corpus (100 synthetic footer tokens appended to every even doc in "
+    "BOTH engines): shingle weight = scale div df as exact integers, so "
+    "corpus-wide boilerplate weighs ~0 and the weighted join returns "
+    "exactly the real near-dup pairs — plain Jaccard at the same "
+    "threshold admits every unrelated even-even pair (pinned by pytest). "
+    "Blocking runs only on rare shingles (df <= 8 — bounded blocks, and "
+    "exactly the shingles weighting keeps); intersection weights are "
+    "then EXACT over all shared shingles via a candidate-bounded "
+    "pair x shingle join. operators/dedup.py weighted_jaccard_near_dups.",
+)
+def q_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    injected = docs.selectExpr(
+        "doc_id",
+        f"CASE WHEN doc_id % 2 = 0 THEN concat(text, ' ', '{WJ_BOILER}')"
+        " ELSE text END AS text",
+    )
+    return D.weighted_jaccard_near_dups(
+        injected, "doc_id", "text", SHINGLE_N, JACCARD_THRESHOLD,
+        weight_scale=WJ_SCALE, block_df_cap=WJ_BLOCK_CAP,
+    ).orderBy("a_id", "b_id")
