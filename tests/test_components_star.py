@@ -69,3 +69,24 @@ def test_partitioning_invariance(spark):
         )
         outs.append(_labels(connected_components_star(edges)))
     assert outs[0] == outs[1]
+
+
+def test_random_graph_sweep_matches_propagation(spark):
+    """Seeded randomized sweep (the randomized exact-recall idiom): star
+    and propagation must agree on arbitrary graph shapes, not just the
+    hand-built fixtures."""
+    import random
+
+    rng = random.Random(42)
+    cases = []
+    for n, m in ((30, 15), (40, 60), (25, 5)):
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        )
+    cases.append([(i, i + 1) for i in range(60)])  # deep path
+    for rows in cases:
+        rows = [(a, b) for a, b in rows if a != b] or [(0, 1)]
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        star = _labels(connected_components_star(edges))
+        prop = _labels(connected_components(edges, max_iterations=100))
+        assert star == prop, rows[:10]

@@ -87,3 +87,42 @@ def test_sparql_parser_total(text):
         _Parser(text).parse_query()
     except SyntaxError:
         pass
+
+
+# --- BPE merge-scan properties (operators/bpe.py) ------------------------------
+
+_bpe_sym = st.text(alphabet="abcXY", min_size=1, max_size=3)
+
+
+@given(
+    syms=st.lists(_bpe_sym, min_size=0, max_size=12),
+    a=_bpe_sym,
+    b=_bpe_sym,
+)
+def test_merge_pair_matches_string_replace(syms, a, b):
+    """_merge_pair's left-to-right non-overlapping scan must equal the
+    delimiter-wrapped str.replace formulation — the SAME equivalence every
+    BPE SQL oracle relies on (delimiter-wrapped replace IS the merge scan),
+    so a drift here would silently invalidate the oracle construction."""
+    from thymeflow_back_spark.operators.bpe import _merge_pair
+
+    got = _merge_pair(list(syms), a, b)
+    d = "\x00"
+    wrapped = d + d.join(syms) + d if syms else d
+    replaced = wrapped.replace(f"{d}{a}{d}{b}{d}", f"{d}{a + b}{d}")
+    ref = [s for s in replaced.split(d) if s != ""]
+    assert got == ref
+
+
+def test_bytes_to_unicode_is_reversible_and_printable():
+    from thymeflow_back_spark.operators.bpe import bytes_to_unicode
+
+    table = bytes_to_unicode()
+    assert len(table) == 256
+    assert len(set(table.values())) == 256  # bijection
+    for ch in table.values():
+        assert len(ch) == 1 and not ch.isspace()
+    inv = {v: k for k, v in table.items()}
+    for raw in (b"hello world", bytes(range(256)), "naïve café".encode()):
+        mapped = "".join(table[x] for x in raw)
+        assert bytes(inv[c] for c in mapped) == raw
