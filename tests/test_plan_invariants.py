@@ -66,6 +66,7 @@ SKIP = {
     "q_streaming_window_counts",
     "q_streaming_sessions",
     "q_streaming_quality_profile",
+    "q_streaming_heavy_hitters",
 }
 
 

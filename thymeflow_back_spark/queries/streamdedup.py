@@ -318,3 +318,69 @@ def q_streaming_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT lang, keep, n_docs, total_words FROM {sink}"
     ).orderBy("lang", "keep")
+
+
+# --- Q: streaming exact heavy hitters (mergeable MG state) --------------------
+
+from .textstats import HH_K  # noqa: E402
+
+
+@query(
+    "q_streaming_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    cnts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token)
+    SELECT token, cnt, CAST(cnt AS DOUBLE) / n AS share
+    FROM cnts, tot
+    WHERE cnt * {HH_K} > n
+    ORDER BY cnt DESC, token
+    """,
+    doc="STREAMING exact heavy hitters, value-checked end to end: "
+    "documents arrive as two micro-batches whose tokens fold into a "
+    "persistent MERGEABLE Misra-Gries summary (<= k counters + exact "
+    "total, Agarwal et al. PODS 2012 merge per batch — state size "
+    "independent of corpus size), then the <= k candidates are recounted "
+    "exactly in one broadcast pass. The MG merge keeps the summary a "
+    "superset of the true heavy hitters across batches, so the final "
+    "answer equals the batch GROUP BY/HAVING — the same oracle as "
+    "q_heavy_hitters (streaming/hh_stream.py).",
+)
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.text import toks_col
+    from ..streaming.hh_stream import (
+        exact_heavy_hitters_from_state,
+        run_streaming_heavy_hitters,
+    )
+
+    base = tempfile.mkdtemp(prefix="tf_stream_hh_")
+    staging = os.path.join(base, "staging")
+    state = os.path.join(base, "state")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    for parity in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    tok_stream = stream.select(F.explode(toks_col("text")).alias("token"))
+    q = run_streaming_heavy_hitters(tok_stream, "token", HH_K, state)
+    q.awaitTermination()
+    tokens = docs.select(F.explode(toks_col("text")).alias("token"))
+    out = (
+        exact_heavy_hitters_from_state(spark, state, tokens, "token", HH_K)
+        .orderBy(F.desc("cnt"), "token")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
