@@ -60,3 +60,35 @@ def test_vocab_growth_monotone_and_totals(spark, sf_dir):
     assert rows[-1].cum_tokens == tok.count()
     assert rows[-1].cum_types == tok.distinct().count()
     assert sum(r.n_docs for r in rows) == docs.count()
+
+
+def test_phrase_match_positions(spark):
+    """Hand-built positional semantics: overlapping occurrences, repeated
+    words, phrase crossing absent."""
+    from thymeflow_back_spark.operators.fts import (
+        phrase_match,
+        positional_index,
+    )
+    import pytest
+
+    rows = [
+        (0, "a b a b a"),   # 'a b a' occurs at pos 0 and 2 (overlap ok)
+        (1, "a b c"),       # no 'a b a'
+        (2, "x a b a y a b a"),  # two occurrences
+        (3, "b a a"),       # none
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = positional_index(df, "doc_id", "text")
+    got = {
+        r.entity_id: r.n_occurrences
+        for r in phrase_match(idx, ["a", "b", "a"]).collect()
+    }
+    assert got == {0: 2, 2: 2}
+    # single-word phrase = plain term frequency
+    single = {
+        r.entity_id: r.n_occurrences
+        for r in phrase_match(idx, ["a"]).collect()
+    }
+    assert single == {0: 3, 1: 1, 2: 4, 3: 2}
+    with pytest.raises(ValueError):
+        phrase_match(idx, [])

@@ -227,3 +227,44 @@ def bm25_rank(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         id_col, "score", "rank"
     )
+
+
+def positional_index(
+    entities: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Positional postings (entity_id, pos, token) — one row per token
+    OCCURRENCE (no distinct: phrase matching needs every position). A pure
+    narrow projection off the scan; at corpus scale the phrase join below
+    filters per term BEFORE any shuffle, so posting volume per query is
+    term-frequency-bounded, never corpus-bounded."""
+    return entities.select(
+        F.col(id_col).alias("entity_id"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        ).alias("pos", "token"),
+    )
+
+
+def phrase_match(pindex: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact phrase query over positional postings: (entity_id,
+    n_occurrences) for entities containing the words of ``phrase`` at
+    consecutive positions.
+
+    The classic positional-intersection plan: each term's postings are
+    filtered FIRST (predicate reaches the scan), the i-th term's positions
+    shift back by i, and (m-1) equi-joins on (entity, pos) leave one row
+    per phrase occurrence — never a per-document scan, and join volume is
+    bounded by the rarest term's postings."""
+    if not phrase:
+        raise ValueError("phrase_match: empty phrase")
+    base = pindex.filter(F.col("token") == phrase[0]).select(
+        "entity_id", "pos"
+    )
+    for i, w in enumerate(phrase[1:], start=1):
+        nxt = pindex.filter(F.col("token") == w).select(
+            "entity_id", (F.col("pos") - i).alias("pos")
+        )
+        base = base.join(nxt, ["entity_id", "pos"])
+    return base.groupBy("entity_id").agg(
+        F.count("*").alias("n_occurrences")
+    )

@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = [
     "q_components_star",
     "q_dedup_weighted_jaccard",
     "q_streaming_heavy_hitters",
+    "q_fts_phrase",
     # last driver-verified in round 5 (stalest existing rows):
     "q_heavy_hitters",
     "q_heavy_hitters_by_lang",

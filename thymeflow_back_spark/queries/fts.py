@@ -8,6 +8,7 @@ names with a fixed query set, oracle-checked in SQL.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.fts import build_index, match_query
 from ..tables import load
@@ -209,3 +210,77 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_id").alias("id"), "rank"
     )
     return rrf_fuse([lex, sem], "id", RRF_TOP).orderBy("fused_rank")
+
+
+# --- Q: exact phrase search over positional postings ---------------------------
+
+
+@query(
+    "q_fts_phrase",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tri AS (
+      SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS phrase
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) s
+    ),
+    top AS (
+      SELECT phrase FROM (SELECT phrase, COUNT(*) AS c FROM tri GROUP BY 1)
+      ORDER BY c DESC, phrase LIMIT 1
+    ),
+    pw AS (SELECT string_split(phrase, ' ') AS w, phrase FROM top),
+    tok AS (
+      SELECT doc_id, i AS pos, toks[i] AS token
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+    ),
+    hits AS (
+      SELECT t0.doc_id
+      FROM pw, tok t0
+      JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+      JOIN tok t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+      WHERE t0.token = pw.w[1] AND t1.token = pw.w[2] AND t2.token = pw.w[3]
+    )
+    SELECT h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences, pw.phrase
+    FROM hits h, pw
+    GROUP BY h.doc_id, pw.phrase
+    ORDER BY h.doc_id
+    """,
+    doc="Exact phrase search over POSITIONAL postings: the probe phrase "
+    "is the corpus's most frequent word trigram (count DESC, phrase ASC "
+    "tie-break — derived identically in both engines), matched by the "
+    "classic positional-intersection plan: per-term postings filtered at "
+    "the scan, i-th term positions shifted back by i, (m-1) equi-joins on "
+    "(doc, pos) — join volume bounded by the rarest term's postings, "
+    "never a per-document rescan. operators/fts.py positional_index / "
+    "phrase_match.",
+)
+def q_fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fts import phrase_match, positional_index
+
+    docs = load(spark, sf_dir, "documents")
+    top = (
+        docs.selectExpr(
+            "explode(flatten(transform(array(filter(split(text, ' '), t -> t != '')),"
+            " toks -> transform("
+            "  if(size(toks) >= 3, sequence(0, size(toks) - 3), cast(array() as array<int>)),"
+            "  i -> concat_ws(' ', slice(toks, i + 1, 3)))))) as phrase"
+        )
+        .groupBy("phrase")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("phrase"))
+        .limit(1)
+        .collect()
+    )
+    phrase = top[0]["phrase"]
+    pindex = positional_index(docs, "doc_id", "text")
+    return (
+        phrase_match(pindex, phrase.split(" "))
+        .select(
+            F.col("entity_id").alias("doc_id"),
+            "n_occurrences",
+            F.lit(phrase).alias("phrase"),
+        )
+        .orderBy("doc_id")
+    )
