@@ -29,7 +29,7 @@ bench files as load-polluted; detection alone doesn't fix the record):
   "timeout") rather than blocking the run forever — the loadavg canary
   then tells the reader how bad it still was.
 - *Warm retry*: if the steady-state spread across reps exceeds
-  WARM_SPREAD_MAX seconds, the warm reps (only) re-run once after a
+  WARM_SPREAD_PER_QUERY x #queries seconds, the warm reps (only) re-run once after a
   second idle wait, and the LOWER-SPREAD attempt becomes the headline
   ``queries_warm``/``value_warm``; both attempts ride in
   ``warm_attempts``. The COLD numbers are never re-measured in-process —
@@ -56,11 +56,13 @@ from thymeflow_back_spark.session import get_spark
 WARM_REPS = 3
 IDLE_LOAD_MAX = 2.0  # 1-min loadavg below this counts as idle (32-core box)
 IDLE_WAIT_MAX = 120.0  # give up waiting after this many seconds
-# Summed rep spread above this triggers the warm retry. Calibration: idle
-# sf0.1 runs measure ~3.3-3.4 s total spread across the 16-query set, the
-# two load-polluted driver runs 6.8+ — halfway between, so an honest idle
-# run doesn't pay a pointless second pass.
-WARM_SPREAD_MAX = 4.5
+# Summed PER-QUERY rep spread above this triggers the warm retry. The
+# total spread grows with the bench set (every added query contributes
+# its own JIT/GC jitter), so the threshold is per query: round-8 idle
+# runs measure ~0.31-0.35 s/query across the 17-query set (5.3-5.9 s
+# total), the load-polluted runs 0.42-0.69 (6.8-11.7) — the cut sits
+# between, and stays put when the set grows again.
+WARM_SPREAD_PER_QUERY = 0.40
 
 
 def wait_for_idle(
@@ -167,7 +169,7 @@ def main() -> None:
         {"value_warm": round(sum(warm[n] for n in classic), 3), "warm_spread": spread}
     ]
     retried = False
-    if spread > WARM_SPREAD_MAX:
+    if spread > WARM_SPREAD_PER_QUERY * len(bench_queries):
         retried = True
         wait_for_idle()
         warm2, spread2 = _warm_pass(bench_queries, spark, sf_dir)
