@@ -81,3 +81,12 @@ def test_pca_spectrum_descending_and_trace(spark, emb):
 def test_scatter_to_cov_empty_raises():
     with pytest.raises(ValueError):
         scatter_to_cov([], D)
+
+
+def test_null_vectors_excluded(spark):
+    df = spark.createDataFrame(
+        [(0, [0.5, -0.25]), (1, None), (2, [0.1, 0.3])],
+        "id long, v array<double>",
+    )
+    rows = gram_scatter(df, "v", scale=10).collect()
+    assert rows and all(r.n_vecs == 2 for r in rows)

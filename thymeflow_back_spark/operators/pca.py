@@ -94,9 +94,12 @@ def gram_scatter(
     from .cachereg import pin
     from .skew import spread_small_input
 
-    parts = spread_small_input(df.select(vec_col)).mapInPandas(
-        _gram_partials(vec_col, scale), "i int, j int, p long"
-    )
+    # NULL vectors would reach numpy as object arrays and fail with an
+    # opaque shape error — exclude them explicitly (n_vecs counts only
+    # actual vectors, matching the oracle's non-null relation)
+    parts = spread_small_input(
+        df.select(vec_col).filter(F.col(vec_col).isNotNull())
+    ).mapInPandas(_gram_partials(vec_col, scale), "i int, j int, p long")
     # three tiny consumers (gram / sums / count) over one map stage
     tot = pin(
         parts.groupBy("i", "j").agg(
