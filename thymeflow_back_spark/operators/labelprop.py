@@ -88,11 +88,18 @@ def propagate_labels(
         .withColumn("round", F.lit(0))
         .localCheckpoint(eager=True)
     )
+    # Frontier discipline: a node still unlabeled entering round r has no
+    # neighbor labeled BEFORE round r-1 (any node with >= 1 labeled
+    # neighbor at r-2 was labeled at r-1 — votes always elect a winner),
+    # so joining edges against only the PREVIOUS round's new labels
+    # computes the identical vote relation for every anti-join survivor
+    # at O(frontier) instead of O(all-labeled) join volume per round.
+    frontier = labels
     w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("label"))
     for r in range(1, rounds + 1):
         votes = (
             edges.join(
-                labels.select(F.col("id").alias("src"), "label"), "src"
+                frontier.select(F.col("id").alias("src"), "label"), "src"
             )
             .groupBy(F.col("dst").alias("id"), "label")
             .agg(F.count("*").alias("c"))
@@ -103,6 +110,8 @@ def propagate_labels(
             .select("id", "label")
             .join(labels.select("id"), "id", "left_anti")
             .withColumn("round", F.lit(r))
+            .localCheckpoint(eager=True)
         )
         labels = labels.union(new).localCheckpoint(eager=True)
+        frontier = new
     return labels

@@ -23,9 +23,12 @@ single IEEE-rounded step any engine reproduces bit-for-bit.
 
 Overflow bounds (documented, not checked per row): with |v| <= 1 and the
 default scale 1e4, |x| <= 1e4, so a per-partition int64 Gram partial is safe
-to ~9e18 / 1e8 = 9e10 rows per partition, and the DECIMAL(38,0) totals hold
-to n ~ 1e15 rows (scatter <= 2 * scale^2 * n^2) — far past the 4e11 vectors
-of a 100 TB float32/d=64 corpus. DuckDB mirrors the arithmetic in HUGEINT.
+to ~9e18 / 1e8 = 9e10 rows per partition; the per-dim sums fit their
+DECIMAL(19,0) casts to n ~ 1e14 rows (|s| <= scale * n), and every product
+(s_i*s_j, n*gram <= scale^2 * n^2 = 1e36 at that n) stays inside exact
+DECIMAL(38,0) / HUGEINT range — n ~ 1e14 is the documented envelope, still
+two orders past the 4e11 vectors of a 100 TB float32/d=64 corpus. DuckDB
+mirrors the arithmetic in HUGEINT.
 
 No reference counterpart (thymeflow has no embedding analytics); the
 operator extends the curation suite next to operators/kmeans.py and
@@ -109,13 +112,14 @@ def gram_scatter(
     g = tot.filter("i >= 0 AND j >= 0").select(
         "i", "j", F.col("v").alias("gram")
     )
-    # s and n are bounded by the documented 1e15-row envelope, so the
-    # (18,0) casts keep every product inside exact DECIMAL(38,0) range
+    # s and n are bounded by the documented n ~ 1e14 envelope (|s| <=
+    # scale*n < 1e19), so the (19,0) casts never overflow and every
+    # product stays inside exact DECIMAL(38,0) range (<= 1e36)
     s = tot.filter("i >= 0 AND j = -1").select(
-        F.col("i").alias("si"), F.col("v").cast("decimal(18,0)").alias("s")
+        F.col("i").alias("si"), F.col("v").cast("decimal(19,0)").alias("s")
     )
     n = tot.filter("i = -1").select(
-        F.col("v").cast("decimal(18,0)").alias("n")
+        F.col("v").cast("decimal(19,0)").alias("n")
     )
     sa = s.select(F.col("si").alias("i"), F.col("s").alias("s_i"))
     sb = s.select(F.col("si").alias("j"), F.col("s").alias("s_j"))

@@ -72,11 +72,13 @@ def snm_candidates(
             F.sequence(F.col("rn") + 1, F.col("rn") + (window - 1))
         ).alias("rn"),
     )
-    pairs = probes.join(ranked, "rn").select(
+    # ranks are unique and only the lower-ranked row probes forward, so
+    # every unordered pair is emitted exactly once — no distinct needed
+    # (a dedup here would be a full shuffle of the n*(w-1) relation)
+    return probes.join(ranked, "rn").select(
         F.least("__a", "__id").alias("a_id"),
         F.greatest("__a", "__id").alias("b_id"),
     )
-    return pairs.distinct()
 
 
 def snm_near_dups(
