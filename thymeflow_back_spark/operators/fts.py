@@ -37,7 +37,11 @@ def _analyze(col, stem: bool):
     def stem_all(s: pd.Series) -> pd.Series:
         return s.map(lambda arr: None if arr is None else [porter_stem(t) for t in arr])
 
-    return stem_all(toks)
+    # dedupe AGAIN after stemming: distinct surface forms can merge to one
+    # stem ('running runs' -> [run]), and the minimum-should-match contract
+    # counts DISTINCT analyzed tokens — without this, stem-merged
+    # duplicates double-count in both n_matched and n_query_tokens
+    return F.array_distinct(stem_all(toks))
 
 
 def build_index(
@@ -61,6 +65,11 @@ def build_index(
         .dropDuplicates(["entity_id", "token"])
     )
     if max_doc_freq is not None:
+        from .cachereg import pin
+
+        # two consumers (df aggregate + join probe) — without the pin the
+        # analyze stage (corpus-wide stemming UDF when stem=True) runs twice
+        index = pin(index)
         rare = (
             index.groupBy("token")
             .agg(F.count("*").alias("df"))
@@ -110,19 +119,32 @@ def partial_match(
         F.col(text_id_col).alias("text_id"),
         tokenize(normalize_text(F.col(text_col))).alias("toks"),
     )
-    grams = None
-    for n in range(1, max_depth + 1):
-        idx = F.when(
-            F.size("toks") >= n, F.sequence(F.lit(0), F.size("toks") - n)
-        ).otherwise(F.array().cast("array<int>"))
-        g = toks.select(
+    # all n in ONE projection (explode n, then the per-n span transform) —
+    # a per-n union loop re-scanned and re-tokenized the texts max_depth
+    # times for identical output
+    idx = F.when(
+        F.size("toks") >= F.col("n"),
+        F.sequence(F.lit(0), F.size("toks") - F.col("n")),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        toks.select(
             "text_id",
-            F.lit(n).alias("n"),
+            F.explode(F.sequence(F.lit(1), F.lit(max_depth))).alias("n"),
+            "toks",
+        )
+        .select(
+            "text_id",
+            "n",
             F.explode(
-                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)))
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("toks"), i + 1, F.col("n"))
+                    ),
+                )
             ).alias("ngram"),
         )
-        grams = g if grams is None else grams.unionByName(g)
+    )
     # collapse repeated occurrences of the same n-gram in a text BEFORE the
     # word explode: a repeat would double matched_words and fail the ==n gate
     grams = grams.dropDuplicates(["text_id", "n", "ngram"])
@@ -136,7 +158,8 @@ def partial_match(
         .agg(F.count("*").alias("matched_words"))
         .filter(F.col("matched_words") == F.col("n"))
     )
-    return per_entity.select("text_id", "ngram", "n", "entity_id").dropDuplicates()
+    # already unique: the groupBy keyed exactly these four columns
+    return per_entity.select("text_id", "ngram", "n", "entity_id")
 
 
 # --- BM25 ranking -------------------------------------------------------------

@@ -1499,7 +1499,9 @@ GRAM_SCALE = 10_000
       GROUP BY 1, 2
     ),
     s AS (SELECT i, SUM(x) AS sv FROM d GROUP BY 1),
-    n AS (SELECT COUNT(*) AS n_vecs FROM q)
+    -- count NON-NULL vectors only (gram_scatter filters nulls; the d/g/s
+    -- CTEs skip them implicitly because UNNEST of NULL yields no rows)
+    n AS (SELECT COUNT(*) AS n_vecs FROM q WHERE qv IS NOT NULL)
     SELECT g.i, g.j,
            CAST(n.n_vecs AS BIGINT) AS n_vecs,
            CAST(g.gram_h AS VARCHAR) AS gram,
