@@ -74,6 +74,7 @@ _DRIVER_PRIORITY = [
     "q_dedup_weighted_jaccard",
     "q_streaming_heavy_hitters",
     "q_fts_phrase",
+    "q_streaming_upsert_dedup",
     # last driver-verified in round 5 (stalest existing rows):
     "q_heavy_hitters",
     "q_heavy_hitters_by_lang",

@@ -384,3 +384,165 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# --- Q: upsert-aware incremental near-dup (oracle-backed) ---------------------
+
+UPD_TRUNC_NUM = 6  # v1 = first 60% of tokens (min 3): the pre-update draft
+
+
+@query(
+    "q_streaming_upsert_dedup",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    c1 AS (  -- batch 1: EVERY document arrives as its v1 draft (60% prefix)
+      SELECT doc_id,
+             array_to_string(
+               toks[1:CAST(GREATEST((len(toks) * {UPD_TRUNC_NUM}) // 10, 3) AS BIGINT)],
+               ' ') AS text
+      FROM tk
+    ),
+    c2 AS (  -- batch 2: even docs RE-DELIVERED with their final text
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    t1 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM c1),
+    sh1 AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM t1, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) s
+    ),
+    t2 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM c2),
+    sh2 AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM t2, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) s
+    ),
+    s1 AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh1 GROUP BY 1),
+    s2 AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY 1),
+    -- within-batch-1 exact pairs, SURVIVING = both endpoints still at v1 (odd)
+    i1 AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM sh1 a JOIN sh1 b USING (shingle)
+      WHERE a.doc_id < b.doc_id AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+      GROUP BY 1, 2
+    ),
+    w1 AS (
+      SELECT i.a_id, i.b_id, i.n_common,
+             i.n_common / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+      FROM i1 i JOIN s1 sa ON sa.doc_id = i.a_id JOIN s1 sb ON sb.doc_id = i.b_id
+    ),
+    -- within-batch-2 exact pairs (even docs, final text)
+    i2 AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+      FROM sh2 a JOIN sh2 b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    w2 AS (
+      SELECT i.a_id, i.b_id, i.n_common,
+             i.n_common / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+      FROM i2 i JOIN s2 sa ON sa.doc_id = i.a_id JOIN s2 sb ON sb.doc_id = i.b_id
+    ),
+    -- cross pairs: surviving old corpus (odd docs at v1) x re-delivered evens
+    -- meeting in LSH band buckets, verified with exact Jaccard
+    perms(i, a, b) AS (VALUES {_PERMS_VALUES}),
+    h1 AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {D.MERSENNE_P} AS h
+      FROM sh1 WHERE doc_id % 2 = 1
+    ),
+    g1 AS (
+      SELECT doc_id, i, MIN((a * h + b) % {D.MERSENNE_P}) AS mh
+      FROM h1 CROSS JOIN perms GROUP BY 1, 2
+    ),
+    b1 AS (
+      SELECT doc_id, i // {D.ROWS_PER_BAND} AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkey
+      FROM g1 GROUP BY 1, 2
+    ),
+    h2 AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {D.MERSENNE_P} AS h
+      FROM sh2
+    ),
+    g2 AS (
+      SELECT doc_id, i, MIN((a * h + b) % {D.MERSENNE_P}) AS mh
+      FROM h2 CROSS JOIN perms GROUP BY 1, 2
+    ),
+    b2 AS (
+      SELECT doc_id, i // {D.ROWS_PER_BAND} AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkey
+      FROM g2 GROUP BY 1, 2
+    ),
+    ccand AS (
+      SELECT DISTINCT o.doc_id AS a_id, n.doc_id AS b_id
+      FROM b1 o JOIN b2 n USING (band, bkey)
+    ),
+    ci AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+      FROM ccand c
+      JOIN sh1 a ON a.doc_id = c.a_id
+      JOIN sh2 b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    cx AS (
+      SELECT i.a_id, i.b_id, i.n_common,
+             i.n_common / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+      FROM ci i JOIN s1 sa ON sa.doc_id = i.a_id JOIN s2 sb ON sb.doc_id = i.b_id
+    ),
+    allp AS (
+      SELECT * FROM w1 WHERE jaccard >= {JACCARD_THRESHOLD}
+      UNION ALL
+      SELECT * FROM w2 WHERE jaccard >= {JACCARD_THRESHOLD}
+      UNION ALL
+      SELECT * FROM cx WHERE jaccard >= {JACCARD_THRESHOLD}
+    )
+    SELECT LEAST(a_id, b_id) AS a_id, GREATEST(a_id, b_id) AS b_id,
+           n_common, jaccard
+    FROM allp
+    ORDER BY a_id, b_id
+    """,
+    doc="UPSERT-aware incremental STREAMING near-dup, value-checked end "
+    "to end: batch 1 delivers every document as a v1 draft (60% token "
+    "prefix), batch 2 RE-DELIVERS the even documents with their final "
+    "text — last writer wins. The persistent band index carries versions "
+    "(an entry's batch id; a doc's current version = its max batch in "
+    "the docs store, no separate log), stale band entries are excluded "
+    "at candidate time, and superseded pairs vanish AT READ (a pair "
+    "survives iff both endpoints are still at their emit versions) — no "
+    "retraction writes, the reference's document-replacement contract "
+    "(Pipeline.scala:61-93) applied to the dedup index. The oracle "
+    "replays drafts, band collisions, version filtering, and "
+    "verification in SQL (streaming/upsert_dedup.py).",
+)
+def q_streaming_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.dedup_stream import document_stream
+    from ..streaming.upsert_dedup import current_near_dups, run_upsert_near_dup
+
+    base = tempfile.mkdtemp(prefix="tf_stream_upsert_")
+    staging, index, pairs, ckpt = (
+        os.path.join(base, d) for d in ("staging", "index", "pairs", "ckpt")
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.selectExpr(
+        "doc_id",
+        "concat_ws(' ', slice(filter(split(text, ' '), t -> t != ''), 1,"
+        f" cast(greatest((size(filter(split(text, ' '), t -> t != ''))"
+        f" * {UPD_TRUNC_NUM}) div 10, 3) as int))) as text",
+    )
+    for b, rel in ((0, v1), (1, docs.filter(F.col("doc_id") % 2 == 0))):
+        rel.coalesce(1).write.mode("append").parquet(staging)
+        q = run_upsert_near_dup(
+            document_stream(spark, staging), index, pairs, ckpt
+        )
+        q.awaitTermination()
+    out = (
+        current_near_dups(spark, index, pairs)
+        .orderBy("a_id", "b_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out

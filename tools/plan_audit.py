@@ -31,6 +31,7 @@ SKIP = {
     "q_streaming_sessions",
     "q_streaming_quality_profile",
     "q_streaming_heavy_hitters",
+    "q_streaming_upsert_dedup",
 }
 
 _OPS = (
