@@ -101,3 +101,22 @@ def test_merge_mg_superset_guarantee():
         state = merge_mg(state, list(counts.items()), k)
     assert "HOT" in state
     assert len(state) <= k
+
+
+def test_torn_state_dir_is_ignored(spark, state, tmp_path):
+    """A summary directory without _SUCCESS (crash mid-overwrite) must be
+    invisible to state loads; non-numeric siblings must be skipped."""
+    import os
+    import shutil
+
+    st = str(tmp_path / "state2")
+    shutil.copytree(state, st)
+    before = load_hh_state(spark, st, "token")
+    # torn leftover with a HIGHER batch id than anything committed
+    torn = os.path.join(st, "summary_b999")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+        f.write(b"not parquet at all")
+    os.makedirs(os.path.join(st, "summary_b3.bak"), exist_ok=True)
+    after = load_hh_state(spark, st, "token")
+    assert after == before

@@ -103,3 +103,35 @@ def test_orientation_normalized_after_update(spark, tmp_path):
     rows = out.collect()
     assert {(r.a_id, r.b_id) for r in rows} == {(5, 9)}
     assert len(rows) == 1 and rows[0].jaccard == 1.0
+
+
+def test_compacted_index_is_refused(spark, tmp_path):
+    import os
+
+    base = str(tmp_path)
+    out = _run_batches(spark, base, [[(1, TXT_A), (2, TXT_B)]])
+    assert _pairs(out) == {(1, 2)}
+    # simulate compact_index's fold: copy the docs/bands partitions to
+    # batch_id=-1 (version information destroyed)
+    for sub in ("index/docs", "index/bands"):
+        root = os.path.join(base, sub)
+        src = spark.read.option("basePath", root).parquet(root)
+        src.drop("batch_id").withColumn("batch_id", F.lit(-1)).write.mode(
+            "append"
+        ).partitionBy(*(["batch_id", "band"] if sub.endswith("bands") else ["batch_id"])).parquet(root)
+    with pytest.raises(RuntimeError, match="compacted"):
+        current_near_dups(
+            spark, os.path.join(base, "index"), os.path.join(base, "pairs")
+        ).collect()
+    from thymeflow_back_spark.streaming.upsert_dedup import (
+        process_upsert_batch,
+    )
+
+    nxt = spark.createDataFrame([(3, TXT_X)], "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="compacted"):
+        process_upsert_batch(
+            nxt,
+            99,
+            index_dir=os.path.join(base, "index"),
+            pairs_dir=os.path.join(base, "pairs"),
+        )

@@ -390,12 +390,16 @@ def verify_candidates_arrays(
     return jaccard_verify_pairs(cands.join(a, "a_id").join(b, "b_id"), threshold)
 
 
-def jaccard_verify_pairs(paired: DataFrame, threshold: float) -> DataFrame:
+def jaccard_verify_pairs(
+    paired: DataFrame, threshold: float, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Exact-Jaccard projection over pre-paired rows (a_id, b_id, a_sh,
     b_sh) → (a_id, b_id, n_common, jaccard) at ``jaccard >= threshold``.
     The single definition of the verify arithmetic — both the batch verify
-    stage above and the streaming job (streaming/dedup_stream.py) funnel
-    through it, so the two paths cannot drift."""
+    stage above and the streaming jobs (streaming/dedup_stream.py,
+    streaming/upsert_dedup.py) funnel through it, so the paths cannot
+    drift. ``carry`` names extra input columns to pass through (version
+    tags etc.) so callers never need a join-back to recover them."""
     return (
         paired.withColumn(
             "n_common", F.size(F.array_intersect("a_sh", "b_sh")).cast("bigint")
@@ -406,7 +410,7 @@ def jaccard_verify_pairs(paired: DataFrame, threshold: float) -> DataFrame:
             / (F.size("a_sh") + F.size("b_sh") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "n_common", "jaccard")
+        .select("a_id", "b_id", "n_common", "jaccard", *carry)
     )
 
 

@@ -80,16 +80,30 @@ def merge_mg(
 
 
 def _state_dirs(spark: SparkSession, state_dir: str) -> list[tuple[int, str]]:
+    """COMMITTED summaries only: a directory without _SUCCESS is a torn
+    crash leftover (overwrite deletes, then the job dies pre-commit) and
+    reading it would yield a partial counter set / understated total.
+    Non-numeric siblings (editor backups etc.) are skipped, not fatal."""
     from .dedup_stream import _hadoop_fs
 
+    jvm = spark._jvm
     fs, root = _hadoop_fs(spark, state_dir)
     if not fs.exists(root):
         return []
     out = []
     for status in fs.listStatus(root):
         name = status.getPath().getName()
-        if name.startswith("summary_b"):
-            out.append((int(name[len("summary_b"):]), posixpath.join(state_dir, name)))
+        if not name.startswith("summary_b"):
+            continue
+        try:
+            bid = int(name[len("summary_b"):])
+        except ValueError:
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(
+            posixpath.join(state_dir, name, "_SUCCESS")
+        )
+        if fs.exists(marker):
+            out.append((bid, posixpath.join(state_dir, name)))
     return sorted(out)
 
 
@@ -123,8 +137,16 @@ def run_streaming_heavy_hitters(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        summary = batch.select(col).mapInPandas(
-            _mg_counting_partition(col, k), f"{col} string, cnt bigint"
+        # enforce the non-null token contract HERE rather than trusting
+        # the caller: value_counts() drops nulls from the counters, so an
+        # unfiltered null row would inflate the exact total and shift the
+        # N/k threshold against every true heavy hitter
+        summary = (
+            batch.select(col)
+            .filter(F.col(col).isNotNull())
+            .mapInPandas(
+                _mg_counting_partition(col, k), f"{col} string, cnt bigint"
+            )
         )
         rows = summary.collect()  # bounded: (k+1) rows per partition
         counters, total = load_hh_state(spark, state_dir, col, before=batch_id)

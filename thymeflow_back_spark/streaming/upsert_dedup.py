@@ -104,6 +104,24 @@ def process_upsert_batch(
         return
     spark = batch.sparkSession
     prev = _foreign_batch_ids(spark, docs_dir, batch_id)
+    bands_prev = _foreign_batch_ids(spark, bands_dir, batch_id)
+    if bands_prev != prev:
+        raise RuntimeError(
+            f"upsert near-dup index at {index_dir} is incomplete: bands "
+            f"has batches {sorted(bands_prev)} but docs has "
+            f"{sorted(prev)} (interrupted write?)"
+        )
+    if any(b < 0 for b in prev):
+        # compact_index folds every partition to batch_id=-1, which
+        # destroys the version information this job's liveness checks and
+        # read-side supersession depend on — refuse loudly instead of
+        # silently emptying the current view / reviving stale entries
+        raise RuntimeError(
+            f"upsert near-dup index at {index_dir} contains compacted "
+            "(batch_id=-1) partitions; compact_index is the APPEND-ONLY "
+            "job's maintenance op and is incompatible with a versioned "
+            "upsert index"
+        )
 
     # deterministic within-batch last-writer: at most one row per id
     # (double delivery inside one micro-batch has no order, so collapse
@@ -188,12 +206,7 @@ def process_upsert_batch(
             )
             .select("a_id", "b_id", "a_sh", "b_sh", "a_ver"),
             threshold,
-        )
-        # jaccard_verify_pairs projects to the 4 verify columns; re-attach
-        # the surviving a_ver via the live relation (unique per a_id here
-        # because only the latest entry survived)
-        verified = verified.join(
-            live.select("a_id", "a_ver").dropDuplicates(["a_id"]), "a_id"
+            carry=("a_ver",),  # rides through the verify — no join-back
         ).select(
             "a_id",
             "b_id",
@@ -229,9 +242,16 @@ def current_near_dups(
     store derives the version relation; stale pairs vanish without any
     retraction write."""
     docs_dir = posixpath.join(index_dir, "docs")
+    store = spark.read.parquet(docs_dir)
+    # a compacted (batch_id=-1) store has lost its version information —
+    # latest would collapse to -1 and every stored pair would be dropped
+    if store.filter(F.col("batch_id") < 0).take(1):
+        raise RuntimeError(
+            f"upsert near-dup index at {index_dir} contains compacted "
+            "partitions; the versioned view cannot be derived"
+        )
     latest = (
-        spark.read.parquet(docs_dir)
-        .groupBy(F.col(id_col).alias("id"))
+        store.groupBy(F.col(id_col).alias("id"))
         .agg(F.max("batch_id").alias("latest"))
     )
     pairs = spark.read.parquet(pairs_dir).drop("batch_id")
