@@ -55,6 +55,27 @@ def test_string_ids_and_self_loops(spark):
     assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+def test_self_loop_only_node_is_labeled(spark):
+    """A node whose ONLY incident edge is a self-loop must still be labeled
+    (node, node) — min-label propagation emits it, so the star variant's
+    IDENTICAL-output contract requires it too (round-9 advice fix)."""
+    edges = spark.createDataFrame(
+        [("z", "z"), ("a", "b")], "src string, dst string"
+    )
+    star = _labels(connected_components_star(edges))
+    prop = _labels(connected_components(edges))
+    assert star == prop
+    assert ("z", "z") in star
+    # all-self-loop input: no star rounds run at all, every node labels itself
+    only_loops = spark.createDataFrame(
+        [("p", "p"), ("q", "q")], "src string, dst string"
+    )
+    assert _labels(connected_components_star(only_loops)) == [
+        ("p", "p"),
+        ("q", "q"),
+    ]
+
+
 def test_empty_input(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert connected_components_star(edges).count() == 0

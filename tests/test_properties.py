@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from thymeflow_back_spark.functions.phone import display_phone, normalize_phone
@@ -99,17 +99,23 @@ _bpe_sym = st.text(alphabet="abcXY", min_size=1, max_size=3)
     a=_bpe_sym,
     b=_bpe_sym,
 )
+@example(syms=["X", "X", "X", "X"], a="X", b="X")
 def test_merge_pair_matches_string_replace(syms, a, b):
     """_merge_pair's left-to-right non-overlapping scan must equal the
-    delimiter-wrapped str.replace formulation — the SAME equivalence every
-    BPE SQL oracle relies on (delimiter-wrapped replace IS the merge scan),
-    so a drift here would silently invalidate the oracle construction."""
+    DOUBLED-delimiter str.replace formulation — the SAME construction every
+    BPE SQL oracle uses (queries/pipeline.py joins symbols with doubled
+    delimiters, '·a··b·', so consecutive matches are character-disjoint and
+    left-to-right replace equals the non-overlapping merge scan). A single
+    delimiter is NOT equivalent: adjacent matches of a repeated symbol share
+    the boundary delimiter and replace under-merges (['X','X','X','X'] with
+    merge (X,X) must give [XX, XX], not [XX, X, X])."""
     from thymeflow_back_spark.operators.bpe import _merge_pair
 
     got = _merge_pair(list(syms), a, b)
     d = "\x00"
-    wrapped = d + d.join(syms) + d if syms else d
-    replaced = wrapped.replace(f"{d}{a}{d}{b}{d}", f"{d}{a + b}{d}")
+    # wrapped = d + sym1 + dd + sym2 + dd + ... + symN + d  (doubled between)
+    wrapped = d + (d + d).join(syms) + d if syms else d
+    replaced = wrapped.replace(f"{d}{a}{d}{d}{b}{d}", f"{d}{a + b}{d}")
     ref = [s for s in replaced.split(d) if s != ""]
     assert got == ref
 

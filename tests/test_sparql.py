@@ -991,3 +991,78 @@ def test_negated_path_literal_term_kinds(quads):
     by_val = {r["o"]: r for r in rows}
     assert by_val["Carol"]["o__type"] == "literal"
     assert by_val["c:Robot"]["o__type"] == "iri"
+
+
+def test_star_bound_endpoint_uses_bfs_not_pair_closure(quads, monkeypatch):
+    """A `p*` pattern with a bound endpoint (syntactic constant OR a
+    pre-bound variable — the PrimaryFacetEnricher.scala:20-27 prepared
+    query) must compile through single-source BFS (reachable_nodes), never
+    the all-pairs transitive_closure: the pair relation is O(component²)
+    and the round-8 verdict's one flagged scale surface."""
+    import thymeflow_back_spark.plans.sparql as S
+
+    def boom(*a, **k):
+        raise AssertionError("transitive_closure must not run for bound-endpoint closures")
+
+    monkeypatch.setattr(S, "transitive_closure", boom)
+    # syntactic constant object
+    rows = sparql_select(
+        quads, PFX + "SELECT ?f WHERE { ?f p:knows* p:carol }"
+    ).collect()
+    assert {r.f for r in rows} == {"p:alice", "p:bob", "p:carol"}
+    # pre-bound variable (setBinding parity)
+    rows = sparql_select(
+        quads,
+        PFX + "SELECT ?f WHERE { ?f p:knows* ?start }",
+        bindings={"start": "p:carol"},
+    ).collect()
+    assert {r.f for r in rows} == {"p:alice", "p:bob", "p:carol"}
+    # bound subject, forward direction
+    rows = sparql_select(
+        quads, PFX + "SELECT ?o WHERE { p:alice p:knows* ?o }"
+    ).collect()
+    assert {r.o for r in rows} == {"p:alice", "p:bob", "p:carol"}
+    # plus: no zero-length row for the start
+    rows = sparql_select(
+        quads, PFX + "SELECT ?o WHERE { p:alice p:knows+ ?o }"
+    ).collect()
+    assert {r.o for r in rows} == {"p:bob", "p:carol"}
+
+
+def test_symmetric_star_uses_components_not_pair_closure(quads, monkeypatch):
+    """`(p|^p)*` (undirected connectivity) must compile through connected
+    components + ONE same-component join, not the iterated pair closure —
+    identical output, linear intermediate state."""
+    import thymeflow_back_spark.plans.sparql as S
+
+    def boom(*a, **k):
+        raise AssertionError("transitive_closure must not run for symmetric closures")
+
+    monkeypatch.setattr(S, "transitive_closure", boom)
+    rows = sparql_select(
+        quads,
+        PFX + "SELECT ?a ?b WHERE { ?a (p:knows|^p:knows)* ?b } ORDER BY ?a ?b",
+    ).collect()
+    got = {(r.a, r.b) for r in rows}
+    # the knows chain alice-bob-carol is one undirected component: all 9
+    # ordered pairs over it must appear
+    people = {"p:alice", "p:bob", "p:carol"}
+    assert {(a, b) for a in people for b in people} <= got
+    # zero-length universe: any term reaches itself
+    assert ("Alice", "Alice") in got
+    # and nothing crosses into a different component
+    assert ("p:alice", "Alice") not in got
+
+
+def test_unbound_asymmetric_star_matches_pair_closure(quads):
+    """The general branch (both endpoints variable, directed path) still
+    goes through transitive_closure — pin its output against the
+    rewritten forms' building blocks by checking directed semantics
+    survive: knows* is NOT symmetric."""
+    rows = sparql_select(
+        quads,
+        PFX + "SELECT ?a ?b WHERE { ?a p:knows* ?b }",
+    ).collect()
+    got = {(r.a, r.b) for r in rows}
+    assert ("p:alice", "p:carol") in got  # 2 hops forward
+    assert ("p:carol", "p:alice") not in got  # never backward

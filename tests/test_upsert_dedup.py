@@ -105,6 +105,23 @@ def test_orientation_normalized_after_update(spark, tmp_path):
     assert len(rows) == 1 and rows[0].jaccard == 1.0
 
 
+def test_zero_pair_batches_read_as_empty_view(spark, tmp_path):
+    # every batch emits ZERO pairs -> the pairs log holds only _SUCCESS
+    # markers under batch_id= dirs (no parquet footers); the current view
+    # must read as an empty relation, not fail schema inference
+    # (round-9 advice fix)
+    out = _run_batches(
+        spark,
+        str(tmp_path),
+        [
+            [(1, TXT_A)],
+            [(2, TXT_X)],  # unrelated text — no cross-batch pair either
+        ],
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"a_id", "b_id", "n_common", "jaccard"}
+
+
 def test_compacted_index_is_refused(spark, tmp_path):
     import os
 
@@ -135,3 +152,147 @@ def test_compacted_index_is_refused(spark, tmp_path):
             index_dir=os.path.join(base, "index"),
             pairs_dir=os.path.join(base, "pairs"),
         )
+
+
+# --- version-aware compaction (compact_upsert_index) -----------------------
+
+
+def _index_state(base):
+    """(sorted base generations, sorted live batch dirs) per side."""
+    out = {}
+    for side in ("docs", "bands"):
+        root = os.path.join(base, "index", side)
+        names = sorted(os.listdir(root)) if os.path.isdir(root) else []
+        out[side] = (
+            [n for n in names if n.startswith("base-")],
+            [n for n in names if n.startswith("batch_id=")],
+        )
+    return out
+
+
+def test_compact_preserves_current_view_and_resets_partitions(
+    spark, tmp_path
+):
+    from thymeflow_back_spark.streaming.upsert_dedup import (
+        compact_upsert_index,
+    )
+
+    batches = [
+        [(1, TXT_A), (2, TXT_B)],
+        [(2, TXT_X)],
+        [(2, TXT_B)],
+    ]
+    # uncompacted replay = the truth
+    truth = _pairs(_run_batches(spark, str(tmp_path / "plain"), batches))
+    out = _run_batches(spark, str(tmp_path / "c"), batches)
+    before = _pairs(out)
+    index = os.path.join(str(tmp_path / "c"), "index")
+    pairs = os.path.join(str(tmp_path / "c"), "pairs")
+    stats = compact_upsert_index(spark, index)
+    assert stats["docs"] > 0 and stats["bands"] > 0
+    from thymeflow_back_spark.streaming.upsert_dedup import current_near_dups
+
+    after = _pairs(current_near_dups(spark, index, pairs))
+    assert after == before == truth == {(1, 2)}
+    # folded layout: exactly one base generation, zero batch partitions
+    st = _index_state(str(tmp_path / "c"))
+    assert st["docs"] == (["base-2"], [])
+    assert st["bands"] == (["base-2"], [])
+    # superseded versions dropped: one docs row per id
+    docs = spark.read.parquet(os.path.join(index, "docs", "base-2"))
+    rows = {(r.doc_id, r.batch_id) for r in docs.select("doc_id", "batch_id").collect()}
+    assert rows == {(1, 0), (2, 2)}
+
+
+def test_update_after_compaction_matches_uncompacted_replay(spark, tmp_path):
+    from thymeflow_back_spark.streaming.upsert_dedup import (
+        compact_upsert_index,
+        current_near_dups,
+    )
+
+    first = [
+        [(1, TXT_A), (2, TXT_B)],
+        [(2, TXT_X)],
+    ]
+    later = [
+        [(2, TXT_B)],          # update of a FOLDED doc: must re-match 1 via base
+        [(3, TXT_X), (4, TXT_A)],  # 3 matches folded v1 of 2? no — 2 is TXT_B now; 4 matches 1
+    ]
+    truth = _pairs(_run_batches(spark, str(tmp_path / "plain"), first + later))
+    # compacted path: run first, compact, run later
+    base = str(tmp_path / "c")
+    _run_batches(spark, base, first)
+    index = os.path.join(base, "index")
+    pairs = os.path.join(base, "pairs")
+    compact_upsert_index(spark, index)
+    out = _run_batches(spark, base, later)
+    assert _pairs(out) == truth
+    # re-compaction folds the new batches into a newer generation
+    compact_upsert_index(spark, index)
+    st = _index_state(base)
+    assert st["docs"][1] == [] and len(st["docs"][0]) == 1
+    assert _pairs(current_near_dups(spark, index, pairs)) == truth
+
+
+def test_compact_resume_after_docs_side_crash(spark, tmp_path):
+    """Crash simulation: docs/base-<F> committed, bands/base-<F> missing,
+    nothing cleaned up. A reader sees the PRE-compaction state (fold = min
+    over sides); a compaction rerun resumes the bands fold and finishes."""
+    import shutil
+
+    from thymeflow_back_spark.streaming.upsert_dedup import (
+        compact_upsert_index,
+        current_near_dups,
+    )
+
+    batches = [
+        [(1, TXT_A), (2, TXT_B)],
+        [(2, TXT_X)],
+    ]
+    plain = str(tmp_path / "plain")
+    truth = _pairs(_run_batches(spark, plain, batches))
+    done = str(tmp_path / "done")
+    _run_batches(spark, done, batches)
+    compact_upsert_index(spark, os.path.join(done, "index"))
+    # crashed state = plain's uncompacted dirs + done's docs base only
+    crash = str(tmp_path / "crash")
+    shutil.copytree(plain, crash)
+    gen = [
+        n
+        for n in os.listdir(os.path.join(done, "index", "docs"))
+        if n.startswith("base-")
+    ][0]
+    shutil.copytree(
+        os.path.join(done, "index", "docs", gen),
+        os.path.join(crash, "index", "docs", gen),
+    )
+    index = os.path.join(crash, "index")
+    pairs = os.path.join(crash, "pairs")
+    # reader under the crashed state: unchanged view (fold not committed on bands)
+    assert _pairs(current_near_dups(spark, index, pairs)) == truth
+    # rerun resumes: bands folds, cleanup runs, view unchanged
+    stats = compact_upsert_index(spark, index)
+    assert stats["bands"] > 0 and stats["docs"] == 0
+    st = _index_state(crash)
+    assert st["docs"] == ([gen], []) and st["bands"] == ([gen], [])
+    assert _pairs(current_near_dups(spark, index, pairs)) == truth
+
+
+def test_replay_of_folded_batch_is_noop(spark, tmp_path):
+    from thymeflow_back_spark.streaming.upsert_dedup import (
+        compact_upsert_index,
+        current_near_dups,
+        process_upsert_batch,
+    )
+
+    base = str(tmp_path)
+    _run_batches(spark, base, [[(1, TXT_A), (2, TXT_B)], [(2, TXT_X)]])
+    index = os.path.join(base, "index")
+    pairs = os.path.join(base, "pairs")
+    compact_upsert_index(spark, index)
+    before = _index_state(base)
+    # checkpoint replay of an already-folded batch: must write nothing
+    replay = spark.createDataFrame([(2, TXT_X)], "doc_id long, text string")
+    process_upsert_batch(replay, 1, index_dir=index, pairs_dir=pairs)
+    assert _index_state(base) == before
+    assert _pairs(current_near_dups(spark, index, pairs)) == set()

@@ -134,6 +134,54 @@ def transitive_closure(
     return reach.select(F.col("s").alias(src), F.col("d").alias(dst))
 
 
+def reachable_nodes(
+    edges: DataFrame,
+    start: str,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Nodes reachable from the constant ``start`` via >= 1 edge — the
+    SINGLE-SOURCE form of :func:`transitive_closure`. Frontier BFS whose
+    per-round work is proportional to the reached subgraph, never the
+    all-pairs closure: the scale escape hatch for bound-endpoint SPARQL
+    ``p*``/``p+`` patterns (the PrimaryFacetEnricher.scala:20-27 shape
+    ``?facet sameAs* <start>``), where materializing the O(component²)
+    pair relation just to filter one endpoint would dominate at 100 TB.
+    Returns one column ``node``; ``start`` itself appears iff it lies on
+    a cycle (>= 1-step semantics — callers add the zero-length row for
+    ``p*``)."""
+    base = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).dropDuplicates()
+    frontier = (
+        base.filter(F.col("s") == start)
+        .select(F.col("d").alias("node"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    result = frontier
+    converged = False
+    for _ in range(max_iterations):
+        step = (
+            frontier.join(base, frontier["node"] == base["s"])
+            .select(F.col("d").alias("node"))
+            .dropDuplicates()
+        )
+        new = step.join(result, "node", "left_anti").localCheckpoint(eager=True)
+        if new.limit(1).count() == 0:
+            converged = True
+            break
+        result = result.unionByName(new).dropDuplicates().localCheckpoint(
+            eager=True
+        )
+        frontier = new
+    if not converged:
+        raise RuntimeError(
+            f"reachable_nodes did not converge in {max_iterations} iterations "
+            "(path length exceeds the cap); raise max_iterations"
+        )
+    return result
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al. 2014, "Connected Components in
     MapReduce and Beyond"): every node's LARGER neighbors re-attach to its
@@ -197,14 +245,22 @@ def connected_components_star(
     Every round is two hash-join + groupBy passes over the current edge
     set; localCheckpoint keeps lineage flat; convergence is an exact
     symmetric-difference emptiness check (order-free)."""
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Every node incident to ANY edge (including self-loops) must be
+    # labeled — min-label propagation emits (x, x) for a self-loop-only
+    # node, so the star variant must too (the IDENTICAL-output contract).
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
+        .distinct()
+    )
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     if not e.take(1):
-        return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        return nodes.select("node", F.col("node").alias("component"))
     converged = False
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
@@ -223,10 +279,15 @@ def connected_components_star(
         )
     # fixpoint edge set is a star forest: u -> component center; centers
     # label themselves
-    return (
+    labeled = (
         e.select(F.col("u").alias("node"), F.col("v").alias("component"))
         .unionByName(
             e.select(F.col("v").alias("node"), F.col("v").alias("component"))
         )
         .distinct()
+    )
+    # self-loop-only nodes never enter a star round; label them (node, node)
+    isolated = nodes.join(labeled, "node", "left_anti")
+    return labeled.unionByName(
+        isolated.select("node", F.col("node").alias("component"))
     )

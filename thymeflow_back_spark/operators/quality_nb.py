@@ -1,0 +1,190 @@
+"""Trained quality classifier: hashed-unigram Naive Bayes log-odds.
+
+Production curation pipelines (CCNet, RefinedWeb) pair their RULE chains
+with a TRAINED lightweight linear filter — a fasttext-style classifier
+over hashed n-gram features, usually distilled from a reference corpus or
+from the rules themselves. This module is the closed-form, SGD-free
+member of that family: multinomial Naive Bayes over hashed word unigrams.
+Its decision function is linear in the document's feature counts (exactly
+the fasttext shape), but the weights are CLOSED-FORM functions of integer
+counts — no epochs, no learning rate, no RNG — so training is two
+aggregates and the whole train+serve pipeline is bit-identical on any
+engine and any partitioning (the requirement every oracle-checked
+operator in this repo meets).
+
+Model (add-one smoothing over B hashed buckets):
+
+    w(j)    = ln(pos_j + 1) − ln(neg_j + 1) + ln(NEG + B) − ln(POS + B)
+    w_unseen= ln(NEG + B) − ln(POS + B)            (zero-count bucket)
+    prior   = ln(n_pos_docs + 1) − ln(n_neg_docs + 1)
+    score(x)= prior + Σ_occurrences w(bucket(tok));  predict pos iff > 0
+
+pos_j / neg_j are the bucket's token-occurrence counts in positive /
+negative training documents; POS / NEG the class occurrence totals.
+
+Float discipline (the dsir.py idiom): transcendentals run ONCE PER BUCKET
+(B rows), each weight quantizes to integer micro-nats
+(round(1e6·w) as BIGINT), and a document's score is an order-free BIGINT
+sum of quantized terms plus the quantized prior — float summation order
+never enters, so Spark and DuckDB agree bit-for-bit.
+
+Scale (100 TB story): the token explode is map-side and collapses
+immediately to B hashed buckets, so the training shuffle is
+O(partitions × B) with map-side combine; the weight table is B rows,
+broadcast to the scoring scan; the per-document fold is the one
+data-sized shuffle (groupBy id). No Python rows, no vocabulary shuffle.
+
+Reference context: the reference pipeline has no learned text filter
+(its enrichers are rule/inference-based, Pipeline.scala); this is the
+beyond-reference training-data operator the round briefs call for,
+alongside the rule gate (operators/text.py quality_filter), the bigram
+LM (text.py bigram_lm_scores) and DSIR (operators/dsir.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QNB_SALT = "qnb"
+QNB_SCALE = 1_000_000  # micro-nat quantization grid (dsir.py LOGW_SCALE)
+QNB_BUCKETS = 1024
+
+
+def _bucket(tok: Column, n_buckets: int) -> Column:
+    """Hashed-unigram bucket id: first 8 md5 hex chars mod n_buckets —
+    the dsir.py hash family, unigram arity."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(" ", F.lit(QNB_SALT + ":"), tok)), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % n_buckets).alias("bucket")
+
+
+def unigram_bucket_rows(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int, *extra: str
+) -> DataFrame:
+    """One row per token OCCURRENCE: (id, *extra, bucket). Map-side
+    explode straight into the hashed bucket id — the feature space never
+    exists unhashed."""
+    toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in extra], F.explode(toks).alias("__t")
+    ).select(F.col(id_col), *extra, _bucket(F.col("__t"), n_buckets))
+
+
+def nb_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = QNB_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the NB log-odds model on labeled documents.
+
+    Returns ``(weights, prior)``:
+
+    - ``weights``: (bucket, w_q) — per-bucket quantized log-odds, at most
+      ``n_buckets`` rows (broadcast-sized by construction),
+    - ``prior``: ONE row (prior_q, unseen_q, n_pos_docs, n_neg_docs,
+      pos_occ, neg_occ) — the class prior, the zero-count bucket weight
+      (both quantized), and the audit counts.
+
+    Both are exact functions of integer counts; ln() runs once per bucket
+    plus four times for the totals.
+    """
+    occ = unigram_bucket_rows(df, id_col, text_col, n_buckets, label_col)
+    counts = occ.groupBy("bucket").agg(
+        F.count_if(F.col(label_col)).alias("pos_cnt"),
+        F.count_if(~F.col(label_col)).alias("neg_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("pos_cnt").alias("__pos_tot"), F.sum("neg_cnt").alias("__neg_tot")
+    )
+    w = (
+        F.log(F.col("pos_cnt") + F.lit(1))
+        - F.log(F.col("neg_cnt") + F.lit(1))
+        + F.log(F.col("__neg_tot") + F.lit(n_buckets))
+        - F.log(F.col("__pos_tot") + F.lit(n_buckets))
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(w * F.lit(QNB_SCALE), 0).cast("bigint").alias("w_q"),
+    )
+    docs = df.groupBy().agg(
+        F.count_if(F.col(label_col)).alias("n_pos_docs"),
+        F.count_if(~F.col(label_col)).alias("n_neg_docs"),
+    )
+    prior = docs.crossJoin(F.broadcast(totals)).select(
+        F.round(
+            (
+                F.log(F.col("n_pos_docs") + F.lit(1))
+                - F.log(F.col("n_neg_docs") + F.lit(1))
+            )
+            * F.lit(QNB_SCALE),
+            0,
+        )
+        .cast("bigint")
+        .alias("prior_q"),
+        F.round(
+            (
+                F.log(F.col("__neg_tot") + F.lit(n_buckets))
+                - F.log(F.col("__pos_tot") + F.lit(n_buckets))
+            )
+            * F.lit(QNB_SCALE),
+            0,
+        )
+        .cast("bigint")
+        .alias("unseen_q"),
+        "n_pos_docs",
+        "n_neg_docs",
+        F.col("__pos_tot").cast("bigint").alias("pos_occ"),
+        F.col("__neg_tot").cast("bigint").alias("neg_occ"),
+    )
+    return weights, prior
+
+
+def nb_classify(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    prior: DataFrame,
+    n_buckets: int = QNB_BUCKETS,
+) -> DataFrame:
+    """Score documents with a trained model: (id, n_toks, score_q, score,
+    pred). ONE corpus scan joined against the broadcast weight table; a
+    bucket the training never saw contributes the model's zero-count
+    weight (unseen_q), and a zero-token document scores the prior alone.
+    score_q is the order-free BIGINT micro-nat sum; score = score_q/1e6
+    is one final division; pred = score_q > 0."""
+    occ = unigram_bucket_rows(df, id_col, text_col, n_buckets)
+    per_doc = (
+        occ.join(F.broadcast(weights), "bucket", "left")
+        .crossJoin(F.broadcast(prior.select("unseen_q")))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("w_q"), F.col("unseen_q")).alias("__w"),
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_toks"), F.sum("__w").alias("__sum_q"))
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(prior.select("prior_q")))
+        .select(
+            F.col(id_col),
+            F.coalesce("n_toks", F.lit(0)).cast("bigint").alias("n_toks"),
+            (
+                F.col("prior_q") + F.coalesce(F.col("__sum_q"), F.lit(0))
+            ).alias("score_q"),
+        )
+        .withColumn(
+            "score", F.col("score_q").cast("double") / F.lit(float(QNB_SCALE))
+        )
+        .withColumn("pred", F.col("score_q") > F.lit(0))
+    )

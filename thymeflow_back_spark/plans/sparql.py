@@ -1006,6 +1006,39 @@ class _Compiler:
                 out = out.unionByName(p)
             return out
         if kind == "star":
+            # SYMMETRIC closure rewrite: `(p|^p)*`-shaped paths (forward
+            # and inverse over the same predicate set) are undirected
+            # connectivity — same-component pairs. Compile through
+            # connected components (linear state, O(log² n) rounds) and
+            # ONE final same-component join instead of iterating the
+            # O(component²) pair relation through every closure round;
+            # endpoint filters then prune the join sides before the pairs
+            # ever materialize. Identical output to the pair closure
+            # (components ⋈ components = reachability pairs of a
+            # symmetric relation; pytest pins them against each other).
+            flat_inner = self._path_atoms(ast[1])
+            if flat_inner is not None:
+                fwd = {iri for iri, inv in flat_inner if not inv}
+                bwd = {iri for iri, inv in flat_inner if inv}
+                if fwd and fwd == bwd:
+                    from ..operators.closure import connected_components_star
+
+                    comp = connected_components_star(
+                        self._path_edges(scoped, flat_inner), "src", "dst"
+                    )
+                    pairs = (
+                        comp.select(F.col("node").alias("src"), "component")
+                        .join(
+                            comp.select(
+                                F.col("node").alias("dst"), "component"
+                            ),
+                            "component",
+                        )
+                        .select("src", "dst")
+                    )
+                    return pairs.unionByName(
+                        self._reflexive_universe(scoped)
+                    ).dropDuplicates()
             return (
                 transitive_closure(self._edges_ast(scoped, ast[1]))
                 .unionByName(self._reflexive_universe(scoped))
@@ -1069,7 +1102,9 @@ class _Compiler:
                     "SPARQL: property-path closure inside GRAPH ?var is not supported"
                 )
             scoped = scoped.filter(F.col("graph") == t.g[1])
-        rel = self._edges_ast(scoped, ast)
+        rel = self._bound_closure_rel(scoped, ast, t)
+        if rel is None:
+            rel = self._edges_ast(scoped, ast)
         out_cols = []
         for term, col in ((t.s, "src"), (t.o, "dst")):
             kind2, val = term
@@ -1099,6 +1134,64 @@ class _Compiler:
                 )
                 out = out.join(lk, out[name] == lk["__node"], "left").drop("__node")
         return out
+
+    def _bound_closure_rel(self, scoped: DataFrame, ast, t: Triple):
+        """Single-source shortcut for TOP-LEVEL ``p*``/``p+`` patterns with
+        a CONSTANT endpoint (the PrimaryFacetEnricher.scala:20-27 shape,
+        ``?facet sameAs* <start>``): reachability is computed by frontier
+        BFS from the bound node (operators/closure.py reachable_nodes —
+        work proportional to the reached subgraph) instead of
+        materializing the all-pairs closure and filtering one endpoint
+        afterwards, which transitive_closure's checkpointed loop would
+        force at O(component²). Returns the (src, dst) pair relation
+        restricted to the bound endpoint — or None when the shortcut does
+        not apply (both endpoints variable, or a non-closure path kind).
+        ``p*``'s zero-length solution (the bound node reaching itself) is
+        added iff the node is in the scoped term universe, exactly
+        matching the general branch's reflexive-universe union."""
+        kind = ast[0]
+        if kind not in ("star", "plus"):
+            return None
+
+        def resolve(term) -> str | None:
+            # a syntactic constant, or a pre-bound variable (RDF4J
+            # setBinding parity — _apply_bindings' trailing equality
+            # filter stays a no-op pass over the restricted relation)
+            k, v = term
+            if k == "var":
+                return (self.bindings or {}).get(v)
+            return str(v) if k == "num" else v
+
+        s_const = resolve(t.s)
+        o_const = resolve(t.o)
+        if s_const is None and o_const is None:
+            return None
+        from ..operators.closure import reachable_nodes
+
+        edges = self._edges_ast(scoped, ast[1])
+        if s_const is not None:
+            const = s_const
+            reach = reachable_nodes(edges, const, "src", "dst")
+            pairs = reach.select(
+                F.lit(const).alias("src"), F.col("node").alias("dst")
+            )
+            zero_col = "src"
+        else:
+            const = o_const
+            rev = edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+            reach = reachable_nodes(rev, const, "src", "dst")
+            pairs = reach.select(
+                F.col("node").alias("src"), F.lit(const).alias("dst")
+            )
+            zero_col = "dst"
+        if kind == "star":
+            zero = self._reflexive_universe(scoped).filter(
+                F.col(zero_col) == const
+            )
+            pairs = pairs.unionByName(zero)
+        return pairs.dropDuplicates()
 
     def _term_kind_lookup(self, scoped: DataFrame) -> DataFrame:
         """One deterministic (type, datatype, lang) per term VALUE in the

@@ -45,76 +45,30 @@ def query(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
 
 # The driver's per-round correctness file caps at 50 rows taken in
 # queries() order. Every catalog row has appeared green in SOME
-# CORRECTNESS_r*.json (after r6, none's latest check is a fail); to keep
-# that record fresh under rotation, rows whose LAST driver check is
-# oldest lead the map: round-8 additions (never driver-verified), then
-# the 37 rows whose freshest check is r5 (r7's slot-50 cap reached only
-# the first 13 of the r5 block), then the r6 rows in registration order
-# to fill slot 50 (r7's 50 are the freshest and fall to the tail via
-# registration order).
+# CORRECTNESS_r*.json; to keep that record fresh under rotation, rows
+# whose LAST driver check is oldest lead the map. Round-9 state (from
+# CORRECTNESS_r05..r08): r8's one red row first (q_dedup_weighted_jaccard,
+# oracle BIGINT cast fixed this round — must be re-checked), then round-9
+# additions (never driver-verified), then the 6 rows whose freshest check
+# is r5, then the 50 r6 rows in registration order (r7's and r8's green
+# rows are the freshest and fall to the tail via registration order).
 _DRIVER_PRIORITY = [
-    # round-8 additions, never driver-verified (each name is appended in the
+    # r8's red row, fixed this round (oracle HUGEINT -> BIGINT cast):
+    "q_dedup_weighted_jaccard",
+    # round-9 additions, never driver-verified (each name is appended in the
     # commit that implements it — test_driver_priority_names_exist keeps the
     # list typo-free):
-    "q_bpe_encode",
-    "q_bpe_bytelevel",
-    "q_token_budget_mixture",
-    "q_gopher_repetition",
-    "q_gopher_dup_ngrams",
-    "q_tokenizer_fertility",
-    "q_context_chunks",
-    "q_kmeans_clusters",
-    "q_search_ndcg",
-    "q_embedding_gram",
-    "q_label_propagation",
-    "q_dedup_sorted_neighborhood",
-    "q_lsh_recall_curve",
-    "q_vocab_growth",
-    "q_components_star",
-    "q_dedup_weighted_jaccard",
-    "q_streaming_heavy_hitters",
-    "q_fts_phrase",
-    "q_streaming_upsert_dedup",
+    "q_quality_classifier",
+    "q_bpe_bytelevel_unicode",
     # last driver-verified in round 5 (stalest existing rows):
-    "q_heavy_hitters",
-    "q_heavy_hitters_by_lang",
-    "q_location_events",
-    "q_multimodal_audio",
-    "q_multimodal_features",
-    "q_orders_rollup",
-    "q_outlier_mad",
-    "q_overlapping_activity",
-    "q_parts_by_brand",
-    "q_pipeline_end2end",
-    "q_pricing_summary",
-    "q_priority_discounted_orders",
-    "q_quantile_sketch",
-    "q_rdf_group_concat",
-    "q_rdf_grouped_path",
-    "q_rdf_negated_pathset",
-    "q_regional_revenue",
-    "q_salted_agg",
-    "q_salted_join",
-    "q_sample_weighted",
-    "q_semantic_dedup",
-    "q_similarity_ivfpq",
-    "q_similarity_jl",
-    "q_similarity_pq",
-    "q_similarity_pq_rerank",
-    "q_similarity_sq8",
-    "q_spatial_pairs",
-    "q_split_leakage_safe",
-    "q_streaming_near_dup",
-    "q_streaming_quality_profile",
-    "q_streaming_sessions",
     "q_streaming_window_counts",
     "q_tfidf_keywords",
     "q_top_order_per_customer",
     "q_user_sessions",
     "q_value_percentiles",
     "q_zorder_layout",
-    # last driver-verified in round 6, earliest-registered first (overflow
-    # past slot 50 rolls to round 9):
+    # last driver-verified in round 6, registration order (overflow past
+    # slot 50 rolls to round 10):
     "q_daily_order_stats",
     "q_cohort_retention",
     "q_dedup_keep_best",
@@ -130,6 +84,41 @@ _DRIVER_PRIORITY = [
     "q_score_auc",
     "q_balanced_bins",
     "q_domain_quota",
+    "q_sample_weighted_by_lang",
+    "q_cosine_topk",
+    "q_embedding_near_dup",
+    "q_embedding_near_dup_ann",
+    "q_label_centroid_stats",
+    "q_similarity_ivf",
+    "q_similarity_jl_rerank",
+    "q_kcenter_sample",
+    "q_knn_classify",
+    "q_similarity_filtered",
+    "q_text_stats",
+    "q_corpus_profile",
+    "q_token_estimates",
+    "q_doc_fingerprint",
+    "q_lang_id",
+    "q_text_repetition",
+    "q_rdf_bgp_region",
+    "q_rdf_ifp_sameas",
+    "q_rdf_sameas_components",
+    "q_rdf_construct_euro",
+    "q_rdf_describe_nations",
+    "q_rdf_rdfs_closure",
+    "q_owl_closure",
+    "q_primary_facet",
+    "q_rdf_facet_rank",
+    "q_asof_purchase_view",
+    "q_events_pivot",
+    "q_geo_track_length",
+    "q_staypoints",
+    "q_movement_smoothing",
+    "q_er_part_names",
+    "q_paris_agents",
+    "q_agent_name_weights",
+    "q_fts_part_search",
+    "q_hybrid_rrf",
 ]
 
 

@@ -743,7 +743,7 @@ WJ_BOILER = " ".join(f"wb{i}" for i in range(100))
       SELECT doc_id, sh.shingle, {WJ_SCALE} // df AS w, df
       FROM sh JOIN dfreq USING (shingle)
     ),
-    tot AS (SELECT doc_id, SUM(w) AS tw FROM shw GROUP BY 1),
+    tot AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS tw FROM shw GROUP BY 1),
     rare AS (SELECT doc_id, shingle FROM shw WHERE df BETWEEN 2 AND {WJ_BLOCK_CAP}),
     cands AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -751,7 +751,7 @@ WJ_BOILER = " ".join(f"wb{i}" for i in range(100))
       WHERE a.doc_id < b.doc_id
     ),
     iw AS (
-      SELECT c.a_id, c.b_id, SUM(a.w) AS iw
+      SELECT c.a_id, c.b_id, CAST(SUM(a.w) AS BIGINT) AS iw
       FROM cands c
       JOIN shw a ON a.doc_id = c.a_id
       JOIN shw b ON b.doc_id = c.b_id AND b.shingle = a.shingle

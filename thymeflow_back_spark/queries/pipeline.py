@@ -2904,3 +2904,195 @@ def q_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("size"))
         .orderBy("component")
     )
+
+
+# --- Q: trained quality classifier (hashed-unigram Naive Bayes) -----------------
+
+QNB_B = 1024
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             COALESCE(list_max(list_transform(toks, t -> length(t))), 0) AS max_word_len,
+             CASE WHEN len(toks) <= 5000 THEN
+               list_max(list_transform(list_distinct(toks),
+                 t -> len(list_filter(toks, x -> x = t)))) / NULLIF(len(toks), 0)
+             END AS rep_ratio,
+             len(list_filter(toks, t -> list_contains(
+               ['a','an','and','in','is','of','the','to'], t))) / NULLIF(len(toks), 0) AS stopword_ratio,
+             len(list_distinct(toks)) / NULLIF(len(toks), 0) AS unique_ratio
+      FROM t
+    ),
+    lbl AS (
+      SELECT doc_id,
+        (CASE WHEN n_words < 5 THEN 'too_few_words'
+              WHEN n_words > 5000 THEN 'too_many_words'
+              WHEN max_word_len > 20 THEN 'word_too_long'
+              WHEN rep_ratio > 0.25 THEN 'too_repetitive'
+              WHEN stopword_ratio < 0.01 THEN 'low_stopword'
+              WHEN unique_ratio < 0.3 THEN 'low_diversity'
+         END) IS NULL AS label
+      FROM m
+    ),
+    occ AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('qnb:' || ' ' || toks[i]), 1, 8))::BIGINT
+               % {QNB_B} AS bucket
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+    ),
+    counts AS (
+      SELECT bucket,
+             COUNT(*) FILTER (label) AS pos_cnt,
+             COUNT(*) FILTER (NOT label) AS neg_cnt
+      FROM occ JOIN lbl USING (doc_id) GROUP BY 1
+    ),
+    totals AS (
+      SELECT CAST(SUM(pos_cnt) AS BIGINT) AS pos_tot,
+             CAST(SUM(neg_cnt) AS BIGINT) AS neg_tot
+      FROM counts
+    ),
+    w AS (
+      SELECT bucket,
+             CAST(round(
+               (ln(pos_cnt + 1) - ln(neg_cnt + 1)
+                + ln(neg_tot + {QNB_B}) - ln(pos_tot + {QNB_B}))
+               * 1000000, 0) AS BIGINT) AS w_q
+      FROM counts CROSS JOIN totals
+    ),
+    pr AS (
+      SELECT CAST(round(
+               (ln((SELECT COUNT(*) FROM lbl WHERE label) + 1)
+                - ln((SELECT COUNT(*) FROM lbl WHERE NOT label) + 1))
+               * 1000000, 0) AS BIGINT) AS prior_q
+    ),
+    docsum AS (
+      SELECT doc_id, COUNT(*) AS n_toks, CAST(SUM(w_q) AS BIGINT) AS sum_q
+      FROM occ JOIN w USING (bucket) GROUP BY 1
+    )
+    SELECT l.doc_id, l.label,
+           CAST(COALESCE(d.n_toks, 0) AS BIGINT) AS n_toks,
+           CAST(pr.prior_q + COALESCE(d.sum_q, 0) AS BIGINT) AS score_q,
+           CAST(pr.prior_q + COALESCE(d.sum_q, 0) AS BIGINT) / 1000000.0 AS score,
+           (pr.prior_q + COALESCE(d.sum_q, 0)) > 0 AS pred
+    FROM lbl l LEFT JOIN docsum d USING (doc_id) CROSS JOIN pr
+    ORDER BY doc_id
+    """,
+    doc="Trained quality classifier: multinomial Naive Bayes log-odds over "
+    f"hashed word unigrams ({QNB_B} buckets), distilled from the rule "
+    "gate's keep labels (the CCNet/RefinedWeb learned-filter pattern, in "
+    "its closed-form SGD-free shape). Training is two integer aggregates "
+    "(per-bucket class counts + class totals); ln() runs once per bucket "
+    "and quantizes to integer micro-nats, each document's score is an "
+    "order-free BIGINT sum plus the quantized class prior, pred = "
+    "score > 0. One corpus scan for training, one broadcast-joined scan "
+    "for serving — no SGD, no vocabulary shuffle, engine/layout-"
+    "deterministic (operators/quality_nb.py).",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_nb import nb_classify, nb_train
+    from ..operators.text import quality_filter
+
+    docs = load(spark, sf_dir, "documents")
+    labels = quality_filter(docs, "doc_id", "text").select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    labeled = docs.select("doc_id", "text").join(labels, "doc_id")
+    weights, prior = nb_train(labeled, "doc_id", "text", "label", QNB_B)
+    scored = nb_classify(docs, "doc_id", "text", weights, prior, QNB_B)
+    return (
+        scored.join(labels, "doc_id")
+        .select("doc_id", "label", "n_toks", "score_q", "score", "pred")
+        .orderBy("doc_id")
+    )
+
+
+# --- Q: byte-level BPE on multi-byte UTF-8 (full byte-table fixture) -----------
+
+# The q_bpe_bytelevel oracle reduces GPT-2's 256-entry byte->unicode table
+# to replace(' ', 'Ġ') because the test corpus is [a-z ]. This variant
+# INJECTS multi-byte UTF-8 characters (2-, 3- and 4-byte sequences) by a
+# deterministic substitution both engines apply to the same base text, so
+# the full byte mapping is oracle-exercised: each injected character's
+# byte-symbol expansion is computed HERE from the same bytes_to_unicode()
+# the Spark trainer uses, and emitted as SQL literals.
+_UNI_SUBS = [("e", "é"), ("o", "ø"), ("x", "€"), ("z", "🌍")]
+
+
+def _uni_byte_expansions() -> list[tuple[str, str]]:
+    from ..operators.bpe import bytes_to_unicode
+
+    t = bytes_to_unicode()
+    return [
+        (ch, "".join(t[b] for b in ch.encode("utf-8"))) for _, ch in _UNI_SUBS
+    ]
+
+
+def _bpe_bytelevel_unicode_oracle(n_merges: int) -> str:
+    from ..operators.text import PRETOKEN_REGEX
+
+    regex_sql = PRETOKEN_REGEX.replace("'", "''")
+    subs_sql = "text"
+    for src, dst in _UNI_SUBS:
+        subs_sql = f"replace({subs_sql}, '{src}', '{dst}')"
+    sym_sql = "word"
+    for ch, exp in _uni_byte_expansions():
+        sym_sql = f"replace({sym_sql}, '{ch}', '{exp}')"
+    sym_sql = f"replace({sym_sql}, ' ', chr(288))"
+    head = f"""w AS MATERIALIZED (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(regexp_extract_all({subs_sql}, '{regex_sql}')) AS word
+        FROM documents) GROUP BY 1
+    ),
+    s0 AS MATERIALIZED (
+      SELECT word, cnt,
+             concat('·', array_to_string(string_split({sym_sql}, ''), '··'), '·') AS s
+      FROM w
+    )"""
+    parts = [head, *_bpe_chain_parts(n_merges)[1:]]
+    selects = [
+        f"SELECT {r} AS step, a, b, pair_count FROM t{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY step"
+    )
+
+
+@query(
+    "q_bpe_bytelevel_unicode",
+    oracle=_bpe_bytelevel_unicode_oracle(BPE_MERGES),
+    doc=f"Byte-level BPE over MULTI-BYTE UTF-8: the corpus gets a "
+    "deterministic substitution (e->é 2-byte, o->ø 2-byte, x->€ 3-byte, "
+    "z->🌍 4-byte) applied identically in both engines, then the first "
+    f"{BPE_MERGES} merges are learned byte-level. The Spark side runs the "
+    "full 256-entry bytes->unicode table (operators/bpe.py "
+    "bytes_to_unicode); the oracle maps each injected character to its "
+    "byte-symbol expansion computed from the SAME table and emitted as "
+    "SQL literals — so continuation bytes, 3- and 4-byte sequences, and "
+    "the shifted control-byte range are value-checked across engines, "
+    "not just the [a-z ] reduction q_bpe_bytelevel covers.",
+)
+def q_bpe_bytelevel_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import train_bpe_bytelevel
+
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    for src, dst in _UNI_SUBS:
+        text = F.replace(text, F.lit(src), F.lit(dst))
+    docs = docs.withColumn("text", text)
+    triples = train_bpe_bytelevel(
+        docs, "text", BPE_MERGES, batch=BPE_BATCH, return_counts=True
+    )
+    rows = [(i + 1, a, b, c) for i, (a, b, c) in enumerate(triples)]
+    return spark.createDataFrame(
+        rows, "step int, a string, b string, pair_count bigint"
+    ).orderBy("step")

@@ -38,6 +38,7 @@ with dynamic overwrite, so a retried batch rewrites its own partitions.
 from __future__ import annotations
 
 import posixpath
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,7 +51,89 @@ from ..operators.dedup import (
     lsh_band_rows,
     minhash_signatures_mapside,
 )
-from .dedup_stream import _foreign_batch_ids
+from .dedup_stream import _batch_ids, _hadoop_fs
+
+_BASE_RE = re.compile(r"^base-(\d+)$")
+
+
+def _committed_bases(spark, side_dir: str) -> dict[int, bool]:
+    """{F: committed} for every ``base-<F>`` directory under a side —
+    committed means the Spark write's own ``_SUCCESS`` marker landed (the
+    compaction commit point; a dir without it is a crashed partial write,
+    ignored by readers and swept by the next compaction)."""
+    out: dict[int, bool] = {}
+    fs, jpath = _hadoop_fs(spark, side_dir)
+    if not fs.exists(jpath):
+        return out
+    jvm = spark._jvm
+    for status in fs.listStatus(jpath):
+        m = _BASE_RE.match(status.getPath().getName())
+        if m:
+            ok = fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    posixpath.join(side_dir, m.group(0), "_SUCCESS")
+                )
+            )
+            out[int(m.group(1))] = bool(ok)
+    return out
+
+
+def _side_fold(spark, side_dir: str) -> int | None:
+    """The side's max COMMITTED base generation, or None if unfolded."""
+    committed = [f for f, ok in _committed_bases(spark, side_dir).items() if ok]
+    return max(committed) if committed else None
+
+
+def _index_fold(spark, docs_dir: str, bands_dir: str) -> int | None:
+    """The index's effective fold point: the max generation committed on
+    BOTH sides. Compaction writes docs' base before bands', so after a
+    mid-compaction crash docs may be one generation ahead — the common
+    (older) generation is still fully readable on both sides because old
+    bases and folded batch partitions are deleted only after both sides
+    commit."""
+    fd = _side_fold(spark, docs_dir)
+    fb = _side_fold(spark, bands_dir)
+    if fd is None or fb is None:
+        return None
+    return min(fd, fb)
+
+
+def _live_batch_ids(spark, side_dir: str, fold: int | None) -> set[int]:
+    """batch_id partitions under a side that the fold point does NOT
+    cover (fold=None covers nothing)."""
+    ids = _batch_ids(spark, side_dir)
+    if fold is None:
+        return ids
+    return {b for b in ids if b > fold}
+
+
+def _read_side(
+    spark,
+    side_dir: str,
+    fold: int | None,
+    batches: set[int],
+) -> DataFrame | None:
+    """Unified read of a side: the committed ``base-<fold>`` (batch_id is
+    a DATA column there — compaction preserves each surviving entry's
+    original version) unioned with the still-live batch_id partitions
+    (batch_id recovered from the partition dirs). None when the side holds
+    nothing at all."""
+    parts: list[DataFrame] = []
+    if fold is not None:
+        base = spark.read.parquet(posixpath.join(side_dir, f"base-{fold}"))
+        parts.append(base.withColumn("batch_id", F.col("batch_id").cast("long")))
+    if batches:
+        paths = [
+            posixpath.join(side_dir, f"batch_id={b}") for b in sorted(batches)
+        ]
+        df = spark.read.option("basePath", side_dir).parquet(*paths)
+        parts.append(df.withColumn("batch_id", F.col("batch_id").cast("long")))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def run_upsert_near_dup(
@@ -103,8 +186,9 @@ def process_upsert_batch(
     if batch.isEmpty():
         return
     spark = batch.sparkSession
-    prev = _foreign_batch_ids(spark, docs_dir, batch_id)
-    bands_prev = _foreign_batch_ids(spark, bands_dir, batch_id)
+    fold = _index_fold(spark, docs_dir, bands_dir)
+    prev = _live_batch_ids(spark, docs_dir, fold) - {batch_id}
+    bands_prev = _live_batch_ids(spark, bands_dir, fold) - {batch_id}
     if bands_prev != prev:
         raise RuntimeError(
             f"upsert near-dup index at {index_dir} is incomplete: bands "
@@ -115,13 +199,20 @@ def process_upsert_batch(
         # compact_index folds every partition to batch_id=-1, which
         # destroys the version information this job's liveness checks and
         # read-side supersession depend on — refuse loudly instead of
-        # silently emptying the current view / reviving stale entries
+        # silently emptying the current view / reviving stale entries.
+        # (compact_upsert_index is the version-AWARE op for this index.)
         raise RuntimeError(
             f"upsert near-dup index at {index_dir} contains compacted "
             "(batch_id=-1) partitions; compact_index is the APPEND-ONLY "
             "job's maintenance op and is incompatible with a versioned "
             "upsert index"
         )
+    if fold is not None and batch_id <= fold:
+        # a checkpoint replay of a batch the compaction already folded:
+        # its completed write is inside base-<fold>, and readers ignore
+        # batch partitions <= fold, so re-emitting index rows or pairs
+        # would be wasted (and the pair emits would duplicate). No-op.
+        return
 
     # deterministic within-batch last-writer: at most one row per id
     # (double delivery inside one micro-batch has no order, so collapse
@@ -146,37 +237,35 @@ def process_upsert_batch(
         "b_id",
         "n_common",
         "jaccard",
-        F.lit(batch_id).alias("a_ver"),
-        F.lit(batch_id).alias("b_ver"),
+        F.lit(batch_id).cast("long").alias("a_ver"),
+        F.lit(batch_id).cast("long").alias("b_ver"),
     )
 
-    if prev:
-        def read_prev(root: str) -> DataFrame:
-            paths = [
-                posixpath.join(root, f"batch_id={b}") for b in sorted(prev)
-            ]
-            return spark.read.option("basePath", root).parquet(*paths)
-
+    if prev or fold is not None:
         cur_ids = batch.select(F.col(id_col).alias("a_id"))
         old_bands = (
-            read_prev(bands_dir)
+            _read_side(spark, bands_dir, fold, prev)
             .withColumnRenamed(id_col, "a_id")
             # (a) re-delivered THIS batch: old bands stale, new text
             # already joined within-batch
             .join(F.broadcast(cur_ids), "a_id", "left_anti")
         )
+        # cands feeds two consumers (the version lookup's id set and the
+        # live filter join) — checkpoint so the band-bucket join against
+        # the stored index runs once per micro-batch, not twice
         cands = (
             old_bands.join(
                 bands.withColumnRenamed(id_col, "b_id"), ["band", "bkey"]
             )
             .select("a_id", F.col("batch_id").alias("entry_ver"), "b_id")
             .dropDuplicates(["a_id", "entry_ver", "b_id"])
+            .localCheckpoint(eager=True)
         )
         # (b) candidate-bounded version lookup: an id's latest batch over
         # the docs store's id+batch projection (columns only — the scan
         # prunes to two columns; the semi join bounds the aggregate to
         # candidate ids)
-        old_docs = read_prev(docs_dir)
+        old_docs = _read_side(spark, docs_dir, fold, prev)
         latest = (
             old_docs.select(F.col(id_col).alias("a_id"), "batch_id")
             .join(
@@ -213,7 +302,7 @@ def process_upsert_batch(
             "n_common",
             "jaccard",
             "a_ver",
-            F.lit(batch_id).alias("b_ver"),
+            F.lit(batch_id).cast("long").alias("b_ver"),
         )
         pairs = pairs.unionByName(verified)
 
@@ -226,9 +315,31 @@ def process_upsert_batch(
             .parquet(path)
         )
 
+    # pairs FIRST: the folded-batch replay no-op above is safe only if
+    # "docs+bands have batch N" implies "batch N's pairs were written" —
+    # compaction can then never fold a batch whose pairs are missing. A
+    # crash after pairs but before the index writes is healed by the
+    # checkpoint replay (batch N stays > fold, dynamic overwrite rewrites
+    # its own partitions); a crash between bands and docs is caught by the
+    # interrupted-write check and heals the same way.
+    write(pairs, pairs_dir)
     write(bands, bands_dir, "band")
     write(docs_sh, docs_dir)
-    write(pairs, pairs_dir)
+
+
+def _read_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame | None:
+    """Read the pairs log, tolerating the all-empty-batches layout: if
+    every batch so far emitted zero pairs, the partitioned writes leave
+    only _SUCCESS markers (no parquet footers) and a bare read fails with
+    an unable-to-infer-schema error — signal "no pairs" with None so the
+    caller can build an empty result typed from the docs store."""
+    if not _batch_ids(spark, pairs_dir):
+        return None
+    try:
+        return spark.read.parquet(pairs_dir).drop("batch_id")
+    except Exception:
+        # batch_id= dirs exist but hold no footers (zero-pair batches)
+        return None
 
 
 def current_near_dups(
@@ -242,19 +353,37 @@ def current_near_dups(
     store derives the version relation; stale pairs vanish without any
     retraction write."""
     docs_dir = posixpath.join(index_dir, "docs")
-    store = spark.read.parquet(docs_dir)
-    # a compacted (batch_id=-1) store has lost its version information —
-    # latest would collapse to -1 and every stored pair would be dropped
-    if store.filter(F.col("batch_id") < 0).take(1):
+    bands_dir = posixpath.join(index_dir, "bands")
+    fold = _index_fold(spark, docs_dir, bands_dir)
+    live = _live_batch_ids(spark, docs_dir, fold)
+    if any(b < 0 for b in live):
+        # a compact_index-folded (batch_id=-1) store has lost its version
+        # information — latest would collapse to -1 and every stored pair
+        # would be dropped (compact_upsert_index preserves versions and is
+        # read here transparently via the base-<F> generation)
         raise RuntimeError(
             f"upsert near-dup index at {index_dir} contains compacted "
             "partitions; the versioned view cannot be derived"
         )
+    store = _read_side(spark, docs_dir, fold, live)
+    if store is None:
+        raise RuntimeError(f"upsert near-dup index at {index_dir} is empty")
     latest = (
         store.groupBy(F.col(id_col).alias("id"))
         .agg(F.max("batch_id").alias("latest"))
     )
-    pairs = spark.read.parquet(pairs_dir).drop("batch_id")
+    pairs = _read_pairs(spark, pairs_dir)
+    if pairs is None:
+        # zero pairs emitted so far — empty view, id type from the store
+        return (
+            store.select(
+                F.col(id_col).alias("a_id"),
+                F.col(id_col).alias("b_id"),
+                F.lit(0).cast("bigint").alias("n_common"),
+                F.lit(0.0).alias("jaccard"),
+            )
+            .limit(0)
+        )
     la = latest.select(F.col("id").alias("a_id"), F.col("latest").alias("la"))
     lb = latest.select(F.col("id").alias("b_id"), F.col("latest").alias("lb"))
     # cross-batch pairs put the OLD document on the a side, so an update
@@ -271,3 +400,171 @@ def current_near_dups(
         )
         .dropDuplicates(["a_id", "b_id"])
     )
+
+
+def _delete_path(spark, path: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+def _sweep_uncommitted_bases(spark, side_dir: str) -> None:
+    for gen, committed in _committed_bases(spark, side_dir).items():
+        if not committed:
+            _delete_path(spark, posixpath.join(side_dir, f"base-{gen}"))
+
+
+def _cleanup_folded(spark, side_dir: str, target: int) -> None:
+    """Drop state the committed ``base-<target>`` generation covers: older
+    base generations and batch_id partitions <= target. Runs only after
+    BOTH sides committed target, so a crash mid-cleanup leaves extra (but
+    ignored) directories, never missing data."""
+    for gen in _committed_bases(spark, side_dir):
+        if gen < target:
+            _delete_path(spark, posixpath.join(side_dir, f"base-{gen}"))
+    for b in _batch_ids(spark, side_dir):
+        if b <= target:
+            _delete_path(spark, posixpath.join(side_dir, f"batch_id={b}"))
+
+
+def _fold_sides(
+    spark,
+    docs_dir: str,
+    bands_dir: str,
+    fold: int | None,
+    batches: set[int],
+    target: int,
+    *,
+    id_col: str,
+    docs_done: bool,
+) -> dict[str, int]:
+    """Write ``base-<target>`` for both sides (docs first — the recovery
+    invariant is docs_fold >= bands_fold). The latest-version map comes
+    from the docs store; every surviving entry keeps its ORIGINAL
+    batch_id as a data column, so read-side supersession (max batch per
+    id vs the pairs' emit versions) is unchanged by compaction."""
+    stats = {"docs": 0, "bands": 0}
+    if docs_done:
+        # resume: docs/base-<target> is committed, its rows ARE the
+        # latest map (one row per id at its latest version)
+        docs_new = spark.read.parquet(
+            posixpath.join(docs_dir, f"base-{target}")
+        ).withColumn("batch_id", F.col("batch_id").cast("long"))
+    else:
+        docs_all = _read_side(spark, docs_dir, fold, batches)
+        latest = docs_all.groupBy(F.col(id_col).alias("__id")).agg(
+            F.max("batch_id").alias("__latest")
+        )
+        docs_new = (
+            docs_all.join(latest, F.col(id_col) == F.col("__id"))
+            .filter(F.col("batch_id") == F.col("__latest"))
+            .drop("__id", "__latest")
+        )
+        docs_new.write.mode("overwrite").parquet(
+            posixpath.join(docs_dir, f"base-{target}")
+        )
+        stats["docs"] = spark.read.parquet(
+            posixpath.join(docs_dir, f"base-{target}")
+        ).count()
+    latest = docs_new.select(
+        F.col(id_col).alias("__id"), F.col("batch_id").alias("__latest")
+    )
+    bands_fold = _side_fold(spark, bands_dir)
+    bands_batches = {
+        b for b in _live_batch_ids(spark, bands_dir, bands_fold) if b <= target
+    }
+    bands_all = _read_side(spark, bands_dir, bands_fold, bands_batches)
+    bands_new = (
+        bands_all.join(latest, F.col(id_col) == F.col("__id"))
+        .filter(F.col("batch_id") == F.col("__latest"))
+        .drop("__id", "__latest")
+    )
+    bands_new.write.partitionBy("band").mode("overwrite").parquet(
+        posixpath.join(bands_dir, f"base-{target}")
+    )
+    stats["bands"] = spark.read.parquet(
+        posixpath.join(bands_dir, f"base-{target}")
+    ).count()
+    return stats
+
+
+def compact_upsert_index(
+    spark: SparkSession, index_dir: str, id_col: str = "doc_id"
+) -> dict[str, int]:
+    """Version-AWARE compaction of the upsert near-dup index.
+
+    The append-only job's ``compact_index`` folds everything to
+    ``batch_id=-1``, which destroys the version information this index's
+    read-side supersession depends on (process_upsert_batch refuses such
+    an index). This op instead folds each id's LATEST-version docs/bands
+    entries into a ``base-<F>`` generation directory, keeping every
+    surviving entry's original batch_id as a data column — so
+    ``max(batch_id) per id`` (the version relation) is bit-identical
+    before and after, and the current pair view is unchanged. Superseded
+    versions are dropped, and the per-batch partition count resets, fixing
+    the unbounded-accretion lifecycle gap (a long-running upsert stream
+    otherwise accretes one partition per batch forever).
+
+    Crash safety (run while the stream is quiescent, like compact_index):
+
+    - the commit point per side is the parquet write's own ``_SUCCESS``
+      in ``base-<F>``; partial writes lack it, are ignored by readers,
+      and are swept by the next run,
+    - docs' base is written before bands', so docs_fold >= bands_fold
+      always; readers use the min committed generation, under which both
+      sides are complete (old bases and folded batch partitions are
+      deleted only AFTER both sides commit),
+    - a rerun after any crash point resumes deterministically: the
+      latest-version map is a pure function of the surviving store, so
+      the resumed bands fold writes byte-identical content.
+
+    Returns {"docs": rows, "bands": rows} folded by THIS call.
+    """
+    docs_dir = posixpath.join(index_dir, "docs")
+    bands_dir = posixpath.join(index_dir, "bands")
+    # sweep crashed partial base writes (no _SUCCESS)
+    for side in (docs_dir, bands_dir):
+        _sweep_uncommitted_bases(spark, side)
+    stats = {"docs": 0, "bands": 0}
+    # resume a docs-committed / bands-missing generation first
+    fd = _side_fold(spark, docs_dir)
+    fb = _side_fold(spark, bands_dir)
+    if fd is not None and (fb is None or fb < fd):
+        s = _fold_sides(
+            spark, docs_dir, bands_dir, fb, set(), fd,
+            id_col=id_col, docs_done=True,
+        )
+        stats["bands"] += s["bands"]
+        for side in (docs_dir, bands_dir):
+            _cleanup_folded(spark, side, fd)
+    # fresh fold over whatever live batches remain
+    fold = _index_fold(spark, docs_dir, bands_dir)
+    live_docs = _live_batch_ids(spark, docs_dir, fold)
+    live_bands = _live_batch_ids(spark, bands_dir, fold)
+    if live_docs != live_bands:
+        raise RuntimeError(
+            f"upsert near-dup index at {index_dir} is incomplete: bands "
+            f"has batches {sorted(live_bands)} but docs has "
+            f"{sorted(live_docs)} (interrupted write?) — let the streaming "
+            "checkpoint retry the crashed batch, then compact"
+        )
+    if any(b < 0 for b in live_docs):
+        raise RuntimeError(
+            f"upsert near-dup index at {index_dir} contains append-only "
+            "compacted (batch_id=-1) partitions; cannot version-fold them"
+        )
+    if not live_docs:
+        if fold is not None:
+            for side in (docs_dir, bands_dir):
+                _cleanup_folded(spark, side, fold)
+        return stats
+    target = max(live_docs)
+    s = _fold_sides(
+        spark, docs_dir, bands_dir, fold, live_docs, target,
+        id_col=id_col, docs_done=False,
+    )
+    stats["docs"] += s["docs"]
+    stats["bands"] += s["bands"]
+    for side in (docs_dir, bands_dir):
+        _cleanup_folded(spark, side, target)
+    return stats
