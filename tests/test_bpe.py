@@ -293,3 +293,52 @@ def test_save_load_merges_roundtrip(tmp_path):
     assert vocab[-3:] == ["Ġl", "Ġlow", "er"]
     # no stranded temp files from the atomic publish
     assert [f for f in __import__("os").listdir(tmp_path)] == ["model.json"]
+
+
+def test_bpe_encode_merge_shipping_modes_identical(spark):
+    """The closure-literal and broadcast-variable merge shipping must be
+    bit-identical (the coreset.py centers_mode contract applied to the
+    Python side), and auto must flip to broadcast past the crossover."""
+    import thymeflow_back_spark.operators.bpe as B
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest newer newest new"), (2, "low new lowest")],
+        "doc_id long, text string",
+    )
+    merges = B.train_bpe(df, "text", 6)
+    lit = [
+        (r.doc_id, tuple(r.bpe_tokens))
+        for r in B.bpe_encode(df, "text", merges, merges_mode="literal")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    bcast = [
+        (r.doc_id, tuple(r.bpe_tokens))
+        for r in B.bpe_encode(df, "text", merges, merges_mode="broadcast")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert lit == bcast
+    # byte-level variant: same contract
+    bmerges = B.train_bpe_bytelevel(df, "text", 4)
+    blit = [
+        (r.doc_id, tuple(r.bpe_tokens))
+        for r in B.bpe_encode_bytelevel(df, "text", bmerges, merges_mode="literal")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    bbc = [
+        (r.doc_id, tuple(r.bpe_tokens))
+        for r in B.bpe_encode_bytelevel(df, "text", bmerges, merges_mode="broadcast")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert blit == bbc
+    # auto crossover: below the cap ships a closure literal, above it a
+    # broadcast variable
+    bc, litlist = B._ship_merges(df, merges, "auto")
+    assert bc is None and litlist == list(merges)
+    big = merges * (B.BPE_MERGES_LITERAL_MAX // max(len(merges), 1) + 1)
+    bc, litlist = B._ship_merges(df, big, "auto")
+    assert bc is not None and litlist is None
+    assert bc.value == list(big)

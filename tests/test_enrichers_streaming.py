@@ -391,11 +391,20 @@ def test_streaming_pipeline_with_debounce(spark, tmp_path):
     )
     try:
         # second delivery inside the quiet window folds into the same batch
+        # (if load stretches the window and it lands in a LATER batch, the
+        # IFP match against the store still yields the same 2 sameAs quads
+        # — the assertion is timing-independent, only the deadline isn't)
         time.sleep(0.8)
         make_quads(spark, [iri_q("agent:b", vocab.EMAIL, "mailto:s@t.u", "g:s2")]).write.mode(
             "append"
         ).parquet(str(staging))
-        deadline = time.time() + 45
+        # load-aware deadline: the processing-time debounce and the
+        # foreachBatch work crawl under a saturated box (the full-suite
+        # shard runs peg all 32 cores), which flaked the old fixed 45 s —
+        # an idle run still exits within seconds of the quiet period
+        import os as _os
+
+        deadline = time.time() + (150 if _os.getloadavg()[0] > 8 else 60)
         while time.time() < deadline:
             if pipe.store.quads.filter(F.col("predicate") == vocab.SAME_AS).count() == 2:
                 break

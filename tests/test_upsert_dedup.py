@@ -296,3 +296,67 @@ def test_replay_of_folded_batch_is_noop(spark, tmp_path):
     process_upsert_batch(replay, 1, index_dir=index, pairs_dir=pairs)
     assert _index_state(base) == before
     assert _pairs(current_near_dups(spark, index, pairs)) == set()
+
+
+def test_pairs_log_compaction_keeps_only_live_pairs(spark, tmp_path):
+    from thymeflow_back_spark.streaming.upsert_dedup import (
+        compact_upsert_index,
+        current_near_dups,
+    )
+
+    first = [
+        [(1, TXT_A), (2, TXT_B)],  # live pair (1,2)
+        [(5, TXT_X), (6, TXT_X)],  # pair (5,6) ...
+        [(6, TXT_A)],              # ... then 6 updated: (5,6) dead, (1,6)/(2,6) live
+    ]
+    truth = _pairs(_run_batches(spark, str(tmp_path / "plain"), first))
+    base = str(tmp_path / "c")
+    _run_batches(spark, base, first)
+    index = os.path.join(base, "index")
+    pairs = os.path.join(base, "pairs")
+    stats = compact_upsert_index(spark, index, pairs_dir=pairs)
+    assert stats["pairs"] > 0
+    # layout: one pairs base, no batch partitions
+    names = sorted(os.listdir(pairs))
+    assert [n for n in names if n.startswith("batch_id=")] == []
+    assert [n for n in names if n.startswith("base-")] == ["base-2"]
+    # the folded log IS the live set (plus per-pair emit versions)
+    folded = spark.read.parquet(os.path.join(pairs, "base-2"))
+    assert {
+        (min(r.a_id, r.b_id), max(r.a_id, r.b_id)) for r in folded.collect()
+    } == truth
+    # the view is unchanged, and further updates keep matching the
+    # uncompacted replay
+    assert _pairs(current_near_dups(spark, index, pairs)) == truth
+    later = [[(2, TXT_X)]]  # kills (1,2) and (2,6)
+    truth2 = _pairs(_run_batches(spark, str(tmp_path / "plain2"), first + later))
+    out = _run_batches(spark, base, later)
+    assert _pairs(out) == truth2
+    # second compaction folds the new state; zero-or-more survivors both fine
+    compact_upsert_index(spark, index, pairs_dir=pairs)
+    assert _pairs(current_near_dups(spark, index, pairs)) == truth2
+
+
+def test_pairs_compaction_with_zero_survivors_writes_no_base(spark, tmp_path):
+    from thymeflow_back_spark.streaming.upsert_dedup import (
+        compact_upsert_index,
+        current_near_dups,
+    )
+
+    base = str(tmp_path)
+    _run_batches(
+        spark,
+        base,
+        [
+            [(1, TXT_A), (2, TXT_B)],
+            [(2, TXT_X)],  # kills the only pair
+        ],
+    )
+    index = os.path.join(base, "index")
+    pairs = os.path.join(base, "pairs")
+    stats = compact_upsert_index(spark, index, pairs_dir=pairs)
+    assert stats["pairs"] == 0
+    names = sorted(os.listdir(pairs))
+    assert [n for n in names if n.startswith("batch_id=")] == []
+    assert [n for n in names if n.startswith("base-")] == []
+    assert _pairs(current_near_dups(spark, index, pairs)) == set()

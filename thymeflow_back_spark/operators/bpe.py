@@ -359,27 +359,58 @@ def _encode_word(word: str, merges: list[tuple[str, str]], memo: dict[str, list[
     return toks
 
 
-def bpe_encode(df: DataFrame, text_col: str, merges: list[tuple[str, str]]) -> DataFrame:
+# Above this many merges, the list ships to executors as a Spark BROADCAST
+# variable (torrent-distributed once per executor) instead of riding
+# serialized inside every task's UDF closure — the coreset.py
+# CENTER_LITERAL_MAX crossover, applied to the Python side. At 12 training
+# merges the closure is trivially small; at a realistic 32k-merge vocab it
+# would inflate every task payload.
+BPE_MERGES_LITERAL_MAX = 4096
+
+
+def _ship_merges(df: DataFrame, merges, merges_mode: str):
+    """(broadcast_or_None, closure_list) per the crossover policy."""
+    if merges_mode not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown merges_mode {merges_mode!r}")
+    use_bcast = merges_mode == "broadcast" or (
+        merges_mode == "auto" and len(merges) > BPE_MERGES_LITERAL_MAX
+    )
+    if use_bcast:
+        return df.sparkSession.sparkContext.broadcast(list(merges)), None
+    return None, list(merges)
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    merges_mode: str = "auto",
+) -> DataFrame:
     """Add a ``bpe_tokens`` array<string> column encoding ``text_col``.
 
-    The merge list ships as a broadcast-sized Python literal inside the
-    Arrow-batched UDF. Semantics are the sequential replay of the learned
-    merge list per word (identical to :func:`encode_words` — the q_bpe_train
-    oracle's definition); cost is amortized by the per-worker shape memo
-    above, so a shape is replayed against the merge list once per worker,
-    not once per occurrence — at a realistic 32k-merge vocab the replay
-    constant only ever applies to the (log-scale) distinct-shape set.
+    The merge list ships inside the Arrow-batched UDF's closure while it
+    is plan-sized, and flips to a Spark broadcast variable past
+    ``BPE_MERGES_LITERAL_MAX`` entries (``merges_mode`` forces either;
+    results are bit-identical — pytest pins both modes). Semantics are
+    the sequential replay of the learned merge list per word (identical
+    to :func:`encode_words` — the q_bpe_train oracle's definition); cost
+    is amortized by the per-worker shape memo above, so a shape is
+    replayed against the merge list once per worker, not once per
+    occurrence — at a realistic 32k-merge vocab the replay constant only
+    ever applies to the (log-scale) distinct-shape set.
     """
+    bc, lit = _ship_merges(df, merges, merges_mode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        memo = _model_memo(merges)
+        mlist = bc.value if bc is not None else lit
+        memo = _model_memo(mlist)
         for pdf in batches:
             toks = []
             for text in pdf[text_col]:
                 row: list[str] = []
                 for w in (text or "").split(" "):
                     if w:
-                        row.extend(_encode_word(w, merges, memo))
+                        row.extend(_encode_word(w, mlist, memo))
                 toks.append(row)
             pdf = pdf.copy()
             pdf["bpe_tokens"] = toks
@@ -491,27 +522,33 @@ def _encode_pretoken(
 
 
 def bpe_encode_bytelevel(
-    df: DataFrame, text_col: str, merges: list[tuple[str, str]]
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    merges_mode: str = "auto",
 ) -> DataFrame:
     """Add a ``bpe_tokens`` array<string> column: GPT-2 pretokenize (the
     SAME JVM regexp column as training — Python's ``re`` lacks ``\\p{L}``,
     so the split never re-implements the pattern), byte-map, replay the
     merge list per DISTINCT pretoken shape via the per-worker memo.
     Tokens are in the mapped alphabet ('Ġhello'); mapping back to bytes
-    is the b2u inverse."""
+    is the b2u inverse. The merge list ships per the same
+    closure/broadcast crossover as :func:`bpe_encode`."""
     from .text import pretokens_col
 
     b2u = bytes_to_unicode()
     pre_col = "__pretoks"
+    bc, lit = _ship_merges(df, merges, merges_mode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        memo = _model_memo(merges, mode="byte")
+        mlist = bc.value if bc is not None else lit
+        memo = _model_memo(mlist, mode="byte")
         for pdf in batches:
             toks = []
             for pres in pdf[pre_col]:
                 row: list[str] = []
                 for w in pres:
-                    row.extend(_encode_pretoken(w, merges, memo, b2u))
+                    row.extend(_encode_pretoken(w, mlist, memo, b2u))
                 toks.append(row)
             pdf = pdf.drop(columns=[pre_col])
             pdf["bpe_tokens"] = toks

@@ -2799,6 +2799,7 @@ def _labelprop_oracle() -> str:
 @query(
     "q_label_propagation",
     oracle=_labelprop_oracle(),
+    bench=True,
     doc="Semi-supervised label propagation: 10% of documents are labeled "
     f"seeds (lang), the graph connects documents sharing a rare {LP_N}-gram "
     f"(df in [2, {LP_DF_CAP}] — block size bounded by construction), and "
@@ -2858,6 +2859,7 @@ def _components_star_oracle() -> str:
 @query(
     "q_components_star",
     oracle=_components_star_oracle(),
+    bench=True,
     doc=f"Connected components via alternating large-star/small-star "
     "rounds (Kiveris et al. 2014) — O(log^2 n) rounds on ANY graph shape, "
     "vs O(diameter) for min-label propagation. The graph is adversarial "

@@ -1336,6 +1336,7 @@ def _kmeans_oracle(k: int, iters: int, scale: int) -> str:
 @query(
     "q_kmeans_clusters",
     oracle=_kmeans_oracle(KMEANS_K, KMEANS_ITERS, KMEANS_SCALE),
+    bench=True,
     doc=f"Distributed k-means over the embedding column ({KMEANS_K} "
     f"clusters, {KMEANS_ITERS} Lloyd rounds) in EXACT integer arithmetic "
     "(operators/kmeans.py): vectors floor-quantized once, centroids "

@@ -328,18 +328,41 @@ def process_upsert_batch(
 
 
 def _read_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame | None:
-    """Read the pairs log, tolerating the all-empty-batches layout: if
-    every batch so far emitted zero pairs, the partitioned writes leave
-    only _SUCCESS markers (no parquet footers) and a bare read fails with
-    an unable-to-infer-schema error — signal "no pairs" with None so the
+    """Read the pairs log — the committed ``base-<F>`` generation (written
+    by compact_upsert_index's pairs fold) plus the live batch_id
+    partitions — tolerating the all-empty-batches layout: if every batch
+    so far emitted zero pairs, the partitioned writes leave only _SUCCESS
+    markers (no parquet footers) and a bare read fails with an
+    unable-to-infer-schema error — signal "no pairs" with None so the
     caller can build an empty result typed from the docs store."""
-    if not _batch_ids(spark, pairs_dir):
+    fold = _side_fold(spark, pairs_dir)
+    live = _live_batch_ids(spark, pairs_dir, fold)
+    parts: list[DataFrame] = []
+    if fold is not None:
+        try:
+            parts.append(
+                spark.read.parquet(posixpath.join(pairs_dir, f"base-{fold}"))
+            )
+        except Exception:
+            pass  # a zero-row fold leaves no footers — nothing to read
+    if live:
+        try:
+            paths = [
+                posixpath.join(pairs_dir, f"batch_id={b}") for b in sorted(live)
+            ]
+            parts.append(
+                spark.read.option("basePath", pairs_dir)
+                .parquet(*paths)
+                .drop("batch_id")
+            )
+        except Exception:
+            pass  # batch_id= dirs with only _SUCCESS (zero-pair batches)
+    if not parts:
         return None
-    try:
-        return spark.read.parquet(pairs_dir).drop("batch_id")
-    except Exception:
-        # batch_id= dirs exist but hold no footers (zero-pair batches)
-        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def current_near_dups(
@@ -489,7 +512,10 @@ def _fold_sides(
 
 
 def compact_upsert_index(
-    spark: SparkSession, index_dir: str, id_col: str = "doc_id"
+    spark: SparkSession,
+    index_dir: str,
+    id_col: str = "doc_id",
+    pairs_dir: str | None = None,
 ) -> dict[str, int]:
     """Version-AWARE compaction of the upsert near-dup index.
 
@@ -518,7 +544,16 @@ def compact_upsert_index(
       latest-version map is a pure function of the surviving store, so
       the resumed bands fold writes byte-identical content.
 
-    Returns {"docs": rows, "bands": rows} folded by THIS call.
+    When ``pairs_dir`` is given, the pairs log is folded too (after the
+    index sides commit): only pairs BOTH of whose endpoints are at their
+    latest versions survive into ``pairs/base-<F>`` — safe because
+    liveness (``ver == latest``) can never return once lost (latest only
+    grows; a re-matching update re-EMITS the pair at its new version), so
+    dropped pairs are dead forever. A zero-survivor fold writes no base
+    (the read side treats a footerless generation as empty).
+
+    Returns {"docs": rows, "bands": rows, "pairs": rows} folded by THIS
+    call ("pairs" only when pairs_dir is given).
     """
     docs_dir = posixpath.join(index_dir, "docs")
     bands_dir = posixpath.join(index_dir, "bands")
@@ -557,6 +592,10 @@ def compact_upsert_index(
         if fold is not None:
             for side in (docs_dir, bands_dir):
                 _cleanup_folded(spark, side, fold)
+            if pairs_dir is not None:
+                stats["pairs"] = _fold_pairs(
+                    spark, index_dir, pairs_dir, fold, id_col
+                )
         return stats
     target = max(live_docs)
     s = _fold_sides(
@@ -567,4 +606,65 @@ def compact_upsert_index(
     stats["bands"] += s["bands"]
     for side in (docs_dir, bands_dir):
         _cleanup_folded(spark, side, target)
+    if pairs_dir is not None:
+        stats["pairs"] = _fold_pairs(spark, index_dir, pairs_dir, target, id_col)
     return stats
+
+
+def _fold_pairs(
+    spark: SparkSession,
+    index_dir: str,
+    pairs_dir: str,
+    target: int,
+    id_col: str,
+) -> int:
+    """Fold the pairs log through generation ``target``: keep only pairs
+    whose BOTH endpoints are at their latest versions (the current view's
+    survivors — stale pairs are dead forever, see compact_upsert_index).
+    Runs strictly AFTER the index fold commits, so the latest map read
+    here already reflects generation ``target``. Writes
+    ``pairs/base-<target>`` unless zero pairs survive (a footerless
+    write is unreadable; the read side treats "no base" as empty), then
+    drops the covered batch partitions and older pair bases."""
+    _sweep_uncommitted_bases(spark, pairs_dir)
+    fold_p = _side_fold(spark, pairs_dir)
+    if fold_p is not None and fold_p >= target:
+        return 0  # already folded through target
+    pairs = _read_pairs(spark, pairs_dir)
+    n = 0
+    if pairs is not None:
+        docs_dir = posixpath.join(index_dir, "docs")
+        bands_dir = posixpath.join(index_dir, "bands")
+        fold_i = _index_fold(spark, docs_dir, bands_dir)
+        store = _read_side(
+            spark, docs_dir, fold_i, _live_batch_ids(spark, docs_dir, fold_i)
+        )
+        latest = store.groupBy(F.col(id_col).alias("id")).agg(
+            F.max("batch_id").alias("latest")
+        )
+        la = latest.select(
+            F.col("id").alias("a_id"), F.col("latest").alias("__la")
+        )
+        lb = latest.select(
+            F.col("id").alias("b_id"), F.col("latest").alias("__lb")
+        )
+        live_pairs = (
+            pairs.join(la, "a_id")
+            .join(lb, "b_id")
+            .filter(
+                (F.col("a_ver") == F.col("__la"))
+                & (F.col("b_ver") == F.col("__lb"))
+            )
+            .drop("__la", "__lb")
+            .localCheckpoint(eager=True)
+        )
+        n = live_pairs.count()
+        if n > 0:
+            live_pairs.write.mode("overwrite").parquet(
+                posixpath.join(pairs_dir, f"base-{target}")
+            )
+    # cleanup: older bases and covered batch partitions. When zero pairs
+    # survived, no base-<target> exists — _cleanup_folded still only
+    # removes state <= target, which the (empty) fold covers.
+    _cleanup_folded(spark, pairs_dir, target)
+    return n
