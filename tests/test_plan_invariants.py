@@ -56,6 +56,11 @@ BNLJ_CROSS_OK = {
     "q_embedding_gram",
     # doc-rank relation × one broadcast corpus-count row
     "q_vocab_growth",
+    # NB classifier: bucket counts × one broadcast class-totals row, and
+    # the scoring scan × one broadcast prior/unseen row (both single-row
+    # by construction — operators/quality_nb.py)
+    "q_quality_classifier",
+    "q_classifier_holdout",  # same shapes over the train/test split
 }
 
 # queries whose construction executes jobs eagerly (iterative closures,

@@ -60,6 +60,7 @@ _DRIVER_PRIORITY = [
     # list typo-free):
     "q_quality_classifier",
     "q_bpe_bytelevel_unicode",
+    "q_classifier_holdout",
     # last driver-verified in round 5 (stalest existing rows):
     "q_streaming_window_counts",
     "q_tfidf_keywords",

@@ -3098,3 +3098,133 @@ def q_bpe_bytelevel_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, a string, b string, pair_count bigint"
     ).orderBy("step")
+
+
+# --- Q: classifier holdout evaluation (train/test hygiene) ---------------------
+
+QNB_TEST_FRAC = 0.25
+QNB_SPLIT_SALT = "qnbsplit"
+
+
+@query(
+    "q_classifier_holdout",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             {_SQL_U.format(salt=QNB_SPLIT_SALT)} < {QNB_TEST_FRAC} AS is_test
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, is_test,
+             len(toks) AS n_words,
+             COALESCE(list_max(list_transform(toks, t -> length(t))), 0) AS max_word_len,
+             CASE WHEN len(toks) <= 5000 THEN
+               list_max(list_transform(list_distinct(toks),
+                 t -> len(list_filter(toks, x -> x = t)))) / NULLIF(len(toks), 0)
+             END AS rep_ratio,
+             len(list_filter(toks, t -> list_contains(
+               ['a','an','and','in','is','of','the','to'], t))) / NULLIF(len(toks), 0) AS stopword_ratio,
+             len(list_distinct(toks)) / NULLIF(len(toks), 0) AS unique_ratio
+      FROM t
+    ),
+    lbl AS (
+      SELECT doc_id, is_test,
+        (CASE WHEN n_words < 5 THEN 'too_few_words'
+              WHEN n_words > 5000 THEN 'too_many_words'
+              WHEN max_word_len > 20 THEN 'word_too_long'
+              WHEN rep_ratio > 0.25 THEN 'too_repetitive'
+              WHEN stopword_ratio < 0.01 THEN 'low_stopword'
+              WHEN unique_ratio < 0.3 THEN 'low_diversity'
+         END) IS NULL AS label
+      FROM m
+    ),
+    occ AS (
+      SELECT doc_id, is_test,
+             ('0x' || substr(md5('qnb:' || ' ' || toks[i]), 1, 8))::BIGINT
+               % {QNB_B} AS bucket
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+    ),
+    counts AS (
+      SELECT bucket,
+             COUNT(*) FILTER (label) AS pos_cnt,
+             COUNT(*) FILTER (NOT label) AS neg_cnt
+      FROM occ JOIN lbl USING (doc_id)
+      WHERE NOT occ.is_test GROUP BY 1
+    ),
+    totals AS (
+      SELECT CAST(SUM(pos_cnt) AS BIGINT) AS pos_tot,
+             CAST(SUM(neg_cnt) AS BIGINT) AS neg_tot
+      FROM counts
+    ),
+    w AS (
+      SELECT bucket,
+             CAST(round(
+               (ln(pos_cnt + 1) - ln(neg_cnt + 1)
+                + ln(neg_tot + {QNB_B}) - ln(pos_tot + {QNB_B}))
+               * 1000000, 0) AS BIGINT) AS w_q
+      FROM counts CROSS JOIN totals
+    ),
+    pr AS (
+      SELECT CAST(round(
+               (ln((SELECT COUNT(*) FROM lbl WHERE label AND NOT is_test) + 1)
+                - ln((SELECT COUNT(*) FROM lbl WHERE NOT label AND NOT is_test) + 1))
+               * 1000000, 0) AS BIGINT) AS prior_q,
+             CAST(round(
+               (ln(neg_tot + {QNB_B}) - ln(pos_tot + {QNB_B}))
+               * 1000000, 0) AS BIGINT) AS unseen_q
+      FROM totals
+    ),
+    docsum AS (
+      SELECT occ.doc_id, COUNT(*) AS n_toks,
+             CAST(SUM(COALESCE(w.w_q, pr.unseen_q)) AS BIGINT) AS sum_q
+      FROM occ LEFT JOIN w USING (bucket) CROSS JOIN pr
+      WHERE occ.is_test GROUP BY 1
+    ),
+    scored AS (
+      SELECT l.doc_id, l.label,
+             CAST(pr.prior_q + COALESCE(d.sum_q, 0) AS BIGINT) AS score_q
+      FROM lbl l LEFT JOIN docsum d USING (doc_id) CROSS JOIN pr
+      WHERE l.is_test
+    )
+    SELECT label, score_q > 0 AS pred,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(score_q) AS BIGINT) AS sum_score_q
+    FROM scored GROUP BY 1, 2 ORDER BY label, pred
+    """,
+    doc="Classifier holdout evaluation — the train/test hygiene the learned "
+    f"filter needs: a deterministic hash split ({QNB_TEST_FRAC:.0%} test, "
+    "membership a pure function of doc_id so the eval set never drifts as "
+    "the corpus grows), Naive Bayes log-odds trained on the TRAIN side "
+    "only, the TEST side scored (test-only buckets fall back to the "
+    "model's zero-count weight), and the confusion matrix reported with "
+    "per-cell exact score sums — so the driver gate value-checks every "
+    "holdout score, not just the counts "
+    "(operators/quality_nb.py + operators/sampling.py train_test_split).",
+)
+def q_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_nb import nb_classify, nb_train
+    from ..operators.text import quality_filter
+
+    docs = load(spark, sf_dir, "documents")
+    labels = quality_filter(docs, "doc_id", "text").select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    labeled = train_test_split(
+        docs.select("doc_id", "text").join(labels, "doc_id"),
+        "doc_id",
+        QNB_TEST_FRAC,
+        salt=QNB_SPLIT_SALT,
+    )
+    train = labeled.filter(F.col("split") == "train")
+    test = labeled.filter(F.col("split") == "test")
+    weights, prior = nb_train(train, "doc_id", "text", "label", QNB_B)
+    scored = nb_classify(test, "doc_id", "text", weights, prior, QNB_B)
+    return (
+        scored.join(test.select("doc_id", "label"), "doc_id")
+        .groupBy("label", "pred")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("score_q").cast("bigint").alias("sum_score_q"),
+        )
+        .orderBy("label", "pred")
+    )

@@ -33,6 +33,18 @@ projection inside the read-side view.
 
 Write discipline is dedup_stream's: every sink partitioned by batch_id
 with dynamic overwrite, so a retried batch rewrites its own partitions.
+
+Lifecycle: a long-running stream accretes one partition per batch per
+sink. :func:`compact_upsert_index` (run quiescent) folds each id's
+LATEST-version docs/bands entries — original batch ids preserved as a
+data column, so the version relation is bit-identical — into a
+``base-<F>`` generation per side, and optionally folds the pairs log to
+its both-endpoints-live survivors. Commit point per side is the parquet
+``_SUCCESS``; docs fold before bands, readers use the min committed
+generation, cleanup runs only after both sides commit, and every crash
+point resumes deterministically. Batches write pairs BEFORE the index
+sides so a checkpoint replay of an already-folded batch can no-op
+without losing pairs.
 """
 
 from __future__ import annotations
