@@ -61,6 +61,10 @@ BNLJ_CROSS_OK = {
     # by construction — operators/quality_nb.py)
     "q_quality_classifier",
     "q_classifier_holdout",  # same shapes over the train/test split
+    # per-lang token counts × one broadcast min-tokens row (the
+    # q_token_budget_mixture shape with a temperature-quantized rate)
+    "q_temperature_mixture",
+    "q_classifier_bernoulli",  # NB one-row broadcast crosses (doc counts, C)
 }
 
 # queries whose construction executes jobs eagerly (iterative closures,

@@ -143,3 +143,70 @@ def test_model_artifact_round_trip(spark, tmp_path):
         json.dump({"format": "other"}, f)
     with _pytest.raises(ValueError, match="not a qnb-model"):
         load_nb_model(spark, bad)
+
+
+def test_bernoulli_weights_match_closed_form(spark):
+    """delta_q / c_q / prior_q must equal the hand-computed Bernoulli NB
+    terms (Laplace +1/+2, absent side folded into one constant)."""
+    import hashlib
+
+    from thymeflow_back_spark.operators.quality_nb import (
+        nb_classify_bernoulli,
+        nb_train_bernoulli,
+    )
+
+    df = spark.createDataFrame(
+        GOOD + BAD, "doc_id long, text string, label boolean"
+    )
+    w, p = nb_train_bernoulli(df, "doc_id", "text", "label", B)
+
+    def bucket(tok):
+        return int(hashlib.md5(f"qnb: {tok}".encode()).hexdigest()[:8], 16) % B
+
+    pres = {}
+    for _id, text, label in GOOD + BAD:
+        pres[_id] = ({bucket(t) for t in text.split() if t}, label)
+    n_pos = sum(1 for _, l in pres.values() if l)
+    n_neg = len(pres) - n_pos
+    dfs = {}
+    for bs, label in pres.values():
+        for b in bs:
+            dp, dn = dfs.get(b, (0, 0))
+            dfs[b] = (dp + label, dn + (not label))
+    got = {r.bucket: r.w_q for r in w.collect()}
+    wabs_sum = 0
+    for b, (dp, dn) in dfs.items():
+        delta = (
+            math.log(dp + 1) - math.log(n_pos - dp + 1)
+            - math.log(dn + 1) + math.log(n_neg - dn + 1)
+        )
+        assert got[b] == round(delta * QNB_SCALE), b
+        wabs = (
+            math.log(n_pos - dp + 1) - math.log(n_pos + 2)
+            - math.log(n_neg - dn + 1) + math.log(n_neg + 2)
+        )
+        wabs_sum += round(wabs * QNB_SCALE)
+    empty = round(
+        (
+            math.log(n_pos + 1) - math.log(n_pos + 2)
+            - math.log(n_neg + 1) + math.log(n_neg + 2)
+        )
+        * QNB_SCALE
+    )
+    row = p.collect()[0]
+    assert row.c_q == wabs_sum + (B - len(dfs)) * empty
+    assert row.prior_q == round(
+        (math.log(n_pos + 1) - math.log(n_neg + 1)) * QNB_SCALE
+    )
+    # end-to-end score for one doc equals the hand fold
+    out = {
+        r.doc_id: r
+        for r in nb_classify_bernoulli(df, "doc_id", "text", w, p, B).collect()
+    }
+    for _id, (bs, _) in pres.items():
+        expect = row.prior_q + row.c_q + sum(got[b] for b in bs)
+        assert out[_id].score_q == expect, _id
+        assert out[_id].n_feat == len(bs)
+    # training classes separate on the toy corpus
+    assert all(out[i].pred for i, _, _ in GOOD)
+    assert not any(out[i].pred for i, _, _ in BAD)

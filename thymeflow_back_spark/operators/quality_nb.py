@@ -64,16 +64,48 @@ def _bucket(tok: Column, n_buckets: int) -> Column:
     return (h % n_buckets).alias("bucket")
 
 
+# Exact integer length buckets (CASE chain, no transcendentals): the one
+# quality signal a bag of unigrams cannot carry is DOCUMENT LENGTH (the
+# rule gate's dominant drop reason), so it rides as an explicit hashed
+# feature token 'len:<bucket>' — the standard fasttext feature-engineering
+# move, exact in both engines.
+_LEN_EDGES = (5, 16, 64, 256, 1024, 4096)
+
+
+def _len_bucket(n: Column) -> Column:
+    out = F.lit(len(_LEN_EDGES))
+    for i, edge in reversed(list(enumerate(_LEN_EDGES))):
+        out = F.when(n < F.lit(edge), F.lit(i)).otherwise(out)
+    return out
+
+
 def unigram_bucket_rows(
-    df: DataFrame, id_col: str, text_col: str, n_buckets: int, *extra: str
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    *extra: str,
+    length_feature: bool = False,
 ) -> DataFrame:
     """One row per token OCCURRENCE: (id, *extra, bucket). Map-side
     explode straight into the hashed bucket id — the feature space never
-    exists unhashed."""
+    exists unhashed. ``length_feature`` adds one 'len:<bucket>' feature
+    occurrence per document (hashed into the same space)."""
     toks = F.expr(f"filter(split({text_col}, ' '), t -> t != '')")
-    return df.select(
+    base = df.select(
         F.col(id_col), *[F.col(c) for c in extra], F.explode(toks).alias("__t")
     ).select(F.col(id_col), *extra, _bucket(F.col("__t"), n_buckets))
+    if not length_feature:
+        return base
+    ltok = F.concat(
+        F.lit("len:"), _len_bucket(F.size(toks)).cast("string")
+    )
+    lrow = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra],
+        _bucket(ltok, n_buckets),
+    )
+    return base.unionByName(lrow)
 
 
 def nb_train(
@@ -82,6 +114,7 @@ def nb_train(
     text_col: str,
     label_col: str,
     n_buckets: int = QNB_BUCKETS,
+    length_feature: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the NB log-odds model on labeled documents.
 
@@ -96,7 +129,10 @@ def nb_train(
     Both are exact functions of integer counts; ln() runs once per bucket
     plus four times for the totals.
     """
-    occ = unigram_bucket_rows(df, id_col, text_col, n_buckets, label_col)
+    occ = unigram_bucket_rows(
+        df, id_col, text_col, n_buckets, label_col,
+        length_feature=length_feature,
+    )
     # counts is the model's whole training state (<= n_buckets rows) and
     # feeds THREE consumers (totals, weights, the prior's totals) —
     # checkpoint it so the corpus explode+aggregate runs once, not once
@@ -162,6 +198,7 @@ def nb_classify(
     weights: DataFrame,
     prior: DataFrame,
     n_buckets: int = QNB_BUCKETS,
+    length_feature: bool = False,
 ) -> DataFrame:
     """Score documents with a trained model: (id, n_toks, score_q, score,
     pred). ONE corpus scan joined against the broadcast weight table; a
@@ -169,7 +206,9 @@ def nb_classify(
     weight (unseen_q), and a zero-token document scores the prior alone.
     score_q is the order-free BIGINT micro-nat sum; score = score_q/1e6
     is one final division; pred = score_q > 0."""
-    occ = unigram_bucket_rows(df, id_col, text_col, n_buckets)
+    occ = unigram_bucket_rows(
+        df, id_col, text_col, n_buckets, length_feature=length_feature
+    )
     per_doc = (
         occ.join(F.broadcast(weights), "bucket", "left")
         .crossJoin(F.broadcast(prior.select("unseen_q")))
@@ -261,3 +300,161 @@ def load_nb_model(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
         "n_neg_docs bigint, pos_occ bigint, neg_occ bigint",
     )
     return weights, prior, int(payload["n_buckets"])
+
+
+# --- Bernoulli NB variant -------------------------------------------------------
+#
+# Multinomial NB sums PRESENT-occurrence weights, so it cannot penalize a
+# document for what is MISSING — yet the strongest rule-gate signals are
+# absences (a spam-ish document lacks stopwords; a template lacks
+# vocabulary diversity). Bernoulli NB models per-bucket PRESENCE: each
+# bucket contributes ln p(present|class) when present and
+# ln p(absent|class) when absent. Folding the absent side into one model
+# constant C keeps scoring one presence-join:
+#
+#   delta(j) = ln(df⁺+1) − ln(N⁺−df⁺+1) − ln(df⁻+1) + ln(N⁻−df⁻+1)
+#   wabs(j)  = ln(N⁺−df⁺+1) − ln(N⁺+2) − ln(N⁻−df⁻+1) + ln(N⁻+2)
+#   C        = Σ_j wabs(j)   (over ALL B buckets; unobserved ones share
+#                             one closed-form term, counted not summed)
+#   score(x) = prior + C + Σ_{j present in x} delta(j)
+#
+# (df± = docs of that class containing bucket j, N± = class doc counts,
+# Laplace +1/+2.) Same float discipline: every ln() runs once per BUCKET,
+# quantizes to micro-nat BIGINTs, and scores are order-free integer sums.
+
+
+def nb_train_bernoulli(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = QNB_BUCKETS,
+    length_feature: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the Bernoulli-NB model; returns ``(weights, prior)`` with
+    weights = (bucket, delta_q) over observed buckets and prior = ONE row
+    (prior_q, c_q, unseen_delta_q, n_pos_docs, n_neg_docs)."""
+    pres = unigram_bucket_rows(
+        df, id_col, text_col, n_buckets, label_col,
+        length_feature=length_feature,
+    ).dropDuplicates([id_col, "bucket", label_col])
+    dfs = (
+        pres.groupBy("bucket")
+        .agg(
+            F.count_if(F.col(label_col)).alias("df_pos"),
+            F.count_if(~F.col(label_col)).alias("df_neg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    docs = df.groupBy().agg(
+        F.count_if(F.col(label_col)).alias("n_pos"),
+        F.count_if(~F.col(label_col)).alias("n_neg"),
+    )
+    j = dfs.crossJoin(F.broadcast(docs))
+    delta = (
+        F.log(F.col("df_pos") + F.lit(1))
+        - F.log(F.col("n_pos") - F.col("df_pos") + F.lit(1))
+        - F.log(F.col("df_neg") + F.lit(1))
+        + F.log(F.col("n_neg") - F.col("df_neg") + F.lit(1))
+    )
+    wabs = (
+        F.log(F.col("n_pos") - F.col("df_pos") + F.lit(1))
+        - F.log(F.col("n_pos") + F.lit(2))
+        - F.log(F.col("n_neg") - F.col("df_neg") + F.lit(1))
+        + F.log(F.col("n_neg") + F.lit(2))
+    )
+    per_bucket = j.select(
+        "bucket",
+        F.round(delta * F.lit(QNB_SCALE), 0).cast("bigint").alias("delta_q"),
+        F.round(wabs * F.lit(QNB_SCALE), 0).cast("bigint").alias("__wabs_q"),
+    ).localCheckpoint(eager=True)
+    weights = per_bucket.select("bucket", F.col("delta_q").alias("w_q"))
+    # model constants: one row — observed wabs sum + the unobserved
+    # buckets' shared closed-form term, COUNTED (integer multiply)
+    empty_wabs = (
+        F.log(F.col("n_pos") + F.lit(1))
+        - F.log(F.col("n_pos") + F.lit(2))
+        - F.log(F.col("n_neg") + F.lit(1))
+        + F.log(F.col("n_neg") + F.lit(2))
+    )
+    unseen_delta = (
+        F.log(F.col("n_neg") + F.lit(1)) - F.log(F.col("n_pos") + F.lit(1))
+    )
+    obs = per_bucket.agg(
+        F.sum("__wabs_q").alias("__wabs_sum"),
+        F.count("*").alias("__n_obs"),
+    )
+    prior = (
+        docs.crossJoin(F.broadcast(obs))
+        .select(
+            F.round(
+                (
+                    F.log(F.col("n_pos") + F.lit(1))
+                    - F.log(F.col("n_neg") + F.lit(1))
+                )
+                * F.lit(QNB_SCALE),
+                0,
+            )
+            .cast("bigint")
+            .alias("prior_q"),
+            (
+                F.col("__wabs_sum")
+                + (F.lit(n_buckets) - F.col("__n_obs"))
+                * F.round(empty_wabs * F.lit(QNB_SCALE), 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("c_q"),
+            F.round(unseen_delta * F.lit(QNB_SCALE), 0)
+            .cast("bigint")
+            .alias("unseen_delta_q"),
+            F.col("n_pos").cast("bigint").alias("n_pos_docs"),
+            F.col("n_neg").cast("bigint").alias("n_neg_docs"),
+        )
+    )
+    return weights, prior
+
+
+def nb_classify_bernoulli(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    prior: DataFrame,
+    n_buckets: int = QNB_BUCKETS,
+    length_feature: bool = False,
+) -> DataFrame:
+    """Score documents with a Bernoulli model: (id, n_feat, score_q,
+    score, pred). One DISTINCT-presence scan joined against the broadcast
+    delta table; buckets never seen in training contribute the model's
+    unseen delta; a document with no features scores prior + C."""
+    pres = unigram_bucket_rows(
+        df, id_col, text_col, n_buckets, length_feature=length_feature
+    ).dropDuplicates([id_col, "bucket"])
+    per_doc = (
+        pres.join(F.broadcast(weights), "bucket", "left")
+        .crossJoin(F.broadcast(prior.select("unseen_delta_q")))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("w_q"), F.col("unseen_delta_q")).alias("__w"),
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_feat"), F.sum("__w").alias("__sum_q"))
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(prior.select("prior_q", "c_q")))
+        .select(
+            F.col(id_col),
+            F.coalesce("n_feat", F.lit(0)).cast("bigint").alias("n_feat"),
+            (
+                F.col("prior_q")
+                + F.col("c_q")
+                + F.coalesce(F.col("__sum_q"), F.lit(0))
+            ).alias("score_q"),
+        )
+        .withColumn(
+            "score", F.col("score_q").cast("double") / F.lit(float(QNB_SCALE))
+        )
+        .withColumn("pred", F.col("score_q") > F.lit(0))
+    )

@@ -22,18 +22,25 @@ from pyspark.sql import functions as F
 TWO_32 = float(1 << 32)
 
 
+def hash_u32(key: Column, salt: str) -> Column:
+    """The raw 32-bit hash (bigint in [0, 2^32)) behind
+    :func:`hash_uniform` — for INTEGER-domain threshold comparisons:
+    ``u < q/SCALE  ⟺  h·SCALE < q·2^32`` with every operand a BIGINT, so
+    a quantized keep-rate applies with no float comparison at all."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def hash_uniform(key: Column, salt: str) -> Column:
     """Deterministic uniform [0, 1) double from md5(salt ':' key).
 
     First 8 hex chars of the md5 → 32-bit integer → /2^32. Every value is an
     exact dyadic rational, so engine-independent and bit-stable.
     """
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(salt), key.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("bigint")
-    return h / F.lit(TWO_32)
+    return hash_u32(key, salt) / F.lit(TWO_32)
 
 
 def bernoulli_sample(

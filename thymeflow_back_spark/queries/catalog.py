@@ -61,6 +61,8 @@ _DRIVER_PRIORITY = [
     "q_quality_classifier",
     "q_bpe_bytelevel_unicode",
     "q_classifier_holdout",
+    "q_temperature_mixture",
+    "q_classifier_bernoulli",
     # last driver-verified in round 5 (stalest existing rows):
     "q_streaming_window_counts",
     "q_tfidf_keywords",

@@ -2949,6 +2949,11 @@ QNB_B = 1024
              ('0x' || substr(md5('qnb:' || ' ' || toks[i]), 1, 8))::BIGINT
                % {QNB_B} AS bucket
       FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+      UNION ALL
+      SELECT doc_id,
+             ('0x' || substr(md5('qnb:' || ' ' || 'len:' || CAST(CASE WHEN len(toks) < 5 THEN 0 WHEN len(toks) < 16 THEN 1 WHEN len(toks) < 64 THEN 2 WHEN len(toks) < 256 THEN 3 WHEN len(toks) < 1024 THEN 4 WHEN len(toks) < 4096 THEN 5 ELSE 6 END AS VARCHAR)), 1, 8))::BIGINT
+               % {QNB_B} AS bucket
+      FROM t
     ),
     counts AS (
       SELECT bucket,
@@ -3007,8 +3012,12 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("keep").alias("label")
     )
     labeled = docs.select("doc_id", "text").join(labels, "doc_id")
-    weights, prior = nb_train(labeled, "doc_id", "text", "label", QNB_B)
-    scored = nb_classify(docs, "doc_id", "text", weights, prior, QNB_B)
+    weights, prior = nb_train(
+        labeled, "doc_id", "text", "label", QNB_B, length_feature=True
+    )
+    scored = nb_classify(
+        docs, "doc_id", "text", weights, prior, QNB_B, length_feature=True
+    )
     return (
         scored.join(labels, "doc_id")
         .select("doc_id", "label", "n_toks", "score_q", "score", "pred")
@@ -3143,6 +3152,11 @@ QNB_SPLIT_SALT = "qnbsplit"
              ('0x' || substr(md5('qnb:' || ' ' || toks[i]), 1, 8))::BIGINT
                % {QNB_B} AS bucket
       FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+      UNION ALL
+      SELECT doc_id, is_test,
+             ('0x' || substr(md5('qnb:' || ' ' || 'len:' || CAST(CASE WHEN len(toks) < 5 THEN 0 WHEN len(toks) < 16 THEN 1 WHEN len(toks) < 64 THEN 2 WHEN len(toks) < 256 THEN 3 WHEN len(toks) < 1024 THEN 4 WHEN len(toks) < 4096 THEN 5 ELSE 6 END AS VARCHAR)), 1, 8))::BIGINT
+               % {QNB_B} AS bucket
+      FROM t
     ),
     counts AS (
       SELECT bucket,
@@ -3217,8 +3231,12 @@ def q_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = labeled.filter(F.col("split") == "train")
     test = labeled.filter(F.col("split") == "test")
-    weights, prior = nb_train(train, "doc_id", "text", "label", QNB_B)
-    scored = nb_classify(test, "doc_id", "text", weights, prior, QNB_B)
+    weights, prior = nb_train(
+        train, "doc_id", "text", "label", QNB_B, length_feature=True
+    )
+    scored = nb_classify(
+        test, "doc_id", "text", weights, prior, QNB_B, length_feature=True
+    )
     return (
         scored.join(test.select("doc_id", "label"), "doc_id")
         .groupBy("label", "pred")
@@ -3227,4 +3245,236 @@ def q_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score_q").cast("bigint").alias("sum_score_q"),
         )
         .orderBy("label", "pred")
+    )
+
+
+# --- Q: temperature-scaled mixture sampling ------------------------------------
+
+TEMP_T = 0.7  # sampling temperature (multilingual-LM convention)
+TEMP_EXP = 0.3  # 1 - TEMP_T, written exactly (1 - 0.7 is not float-exact)
+TEMP_RATE_SCALE = 1_000_000_000  # keep-rate quantization grid
+
+
+@query(
+    "q_temperature_mixture",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, CAST({_SQL_TOKENS} AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lang_tokens FROM d GROUP BY 1),
+    m AS (SELECT MIN(lang_tokens) AS mn FROM c),
+    r AS (
+      SELECT lang, lang_tokens,
+             CAST(round(pow(CAST(mn AS DOUBLE) / lang_tokens, {TEMP_EXP})
+                        * {TEMP_RATE_SCALE}, 0) AS BIGINT) AS rate_q
+      FROM c, m
+    ),
+    kept AS (
+      SELECT d.lang, d.n_tok
+      FROM d JOIN r USING (lang)
+      WHERE ('0x' || substr(md5('tempmix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              * {TEMP_RATE_SCALE} < r.rate_q * 4294967296
+    ),
+    k AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+      FROM kept GROUP BY 1
+    )
+    SELECT r.lang, r.lang_tokens, r.rate_q,
+           CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM r LEFT JOIN k USING (lang)
+    ORDER BY r.lang
+    """,
+    doc=f"Temperature-scaled mixture sampling (T={TEMP_T}, the multilingual-"
+    "LM convention): per-language keep rate (min_tokens/lang_tokens)^(1-T) "
+    "— flatter than proportional, steeper than uniform — derived from "
+    "EXACT per-language token counts. The one transcendental (pow) runs "
+    "once per LANGUAGE and quantizes to a bigint rate on a 1e-9 grid; the "
+    "keep decision is a pure INTEGER comparison (hash·SCALE < rate_q·2^32)"
+    " — no float compare anywhere, so membership is bit-stable on any "
+    "engine and any layout. Rate table broadcast; selection a pure "
+    "function of doc_id (operators/sampling.py hash_u32).",
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_u32
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.expr("filter(split(text, ' '), x -> x != '')"))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    c = d.groupBy("lang").agg(F.sum("n_tok").alias("lang_tokens"))
+    mn = c.agg(F.min("lang_tokens").alias("mn"))
+    rates = c.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        "lang_tokens",
+        F.round(
+            F.pow(F.col("mn").cast("double") / F.col("lang_tokens"), F.lit(TEMP_EXP))
+            * F.lit(TEMP_RATE_SCALE),
+            0,
+        )
+        .cast("bigint")
+        .alias("rate_q"),
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("lang", "rate_q")), "lang")
+        .filter(
+            hash_u32(F.col("doc_id"), "tempmix") * F.lit(TEMP_RATE_SCALE)
+            < F.col("rate_q") * F.lit(4294967296)
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("n_tok").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "lang_tokens",
+            "rate_q",
+            F.coalesce("kept_docs", F.lit(0)).cast("bigint").alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- Q: Bernoulli NB quality classifier (absence-aware variant) -----------------
+
+_QNB_LEN_TOK = (
+    "'len:' || CAST(CASE WHEN len(toks) < 5 THEN 0 WHEN len(toks) < 16 THEN 1 "
+    "WHEN len(toks) < 64 THEN 2 WHEN len(toks) < 256 THEN 3 "
+    "WHEN len(toks) < 1024 THEN 4 WHEN len(toks) < 4096 THEN 5 "
+    "ELSE 6 END AS VARCHAR)"
+)
+
+
+@query(
+    "q_classifier_bernoulli",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             COALESCE(list_max(list_transform(toks, t -> length(t))), 0) AS max_word_len,
+             CASE WHEN len(toks) <= 5000 THEN
+               list_max(list_transform(list_distinct(toks),
+                 t -> len(list_filter(toks, x -> x = t)))) / NULLIF(len(toks), 0)
+             END AS rep_ratio,
+             len(list_filter(toks, t -> list_contains(
+               ['a','an','and','in','is','of','the','to'], t))) / NULLIF(len(toks), 0) AS stopword_ratio,
+             len(list_distinct(toks)) / NULLIF(len(toks), 0) AS unique_ratio
+      FROM t
+    ),
+    lbl AS (
+      SELECT doc_id,
+        (CASE WHEN n_words < 5 THEN 'too_few_words'
+              WHEN n_words > 5000 THEN 'too_many_words'
+              WHEN max_word_len > 20 THEN 'word_too_long'
+              WHEN rep_ratio > 0.25 THEN 'too_repetitive'
+              WHEN stopword_ratio < 0.01 THEN 'low_stopword'
+              WHEN unique_ratio < 0.3 THEN 'low_diversity'
+         END) IS NULL AS label
+      FROM m
+    ),
+    pres AS (
+      SELECT DISTINCT doc_id, bucket FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5('qnb:' || ' ' || toks[i]), 1, 8))::BIGINT
+                 % {QNB_B} AS bucket
+        FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+        UNION ALL
+        SELECT doc_id,
+               ('0x' || substr(md5('qnb:' || ' ' || {_QNB_LEN_TOK}), 1, 8))::BIGINT
+                 % {QNB_B} AS bucket
+        FROM t
+      )
+    ),
+    nn AS (
+      SELECT COUNT(*) FILTER (label) AS n_pos,
+             COUNT(*) FILTER (NOT label) AS n_neg
+      FROM lbl
+    ),
+    dfs AS (
+      SELECT bucket,
+             COUNT(*) FILTER (label) AS df_pos,
+             COUNT(*) FILTER (NOT label) AS df_neg
+      FROM pres JOIN lbl USING (doc_id) GROUP BY 1
+    ),
+    pb AS (
+      SELECT bucket,
+             CAST(round((ln(df_pos + 1) - ln(n_pos - df_pos + 1)
+                         - ln(df_neg + 1) + ln(n_neg - df_neg + 1))
+                        * 1000000, 0) AS BIGINT) AS delta_q,
+             CAST(round((ln(n_pos - df_pos + 1) - ln(n_pos + 2)
+                         - ln(n_neg - df_neg + 1) + ln(n_neg + 2))
+                        * 1000000, 0) AS BIGINT) AS wabs_q
+      FROM dfs CROSS JOIN nn
+    ),
+    cc AS (
+      SELECT CAST(SUM(wabs_q) AS BIGINT)
+             + ({QNB_B} - COUNT(*))
+               * (SELECT CAST(round((ln(n_pos + 1) - ln(n_pos + 2)
+                                     - ln(n_neg + 1) + ln(n_neg + 2))
+                                    * 1000000, 0) AS BIGINT) FROM nn)
+             AS c_q
+      FROM pb
+    ),
+    pr AS (
+      SELECT CAST(round((ln(n_pos + 1) - ln(n_neg + 1)) * 1000000, 0) AS BIGINT)
+             AS prior_q
+      FROM nn
+    ),
+    docsum AS (
+      SELECT doc_id, COUNT(*) AS n_feat, CAST(SUM(pb.delta_q) AS BIGINT) AS sum_q
+      FROM pres JOIN pb USING (bucket) GROUP BY 1
+    )
+    SELECT l.doc_id, l.label,
+           CAST(COALESCE(d.n_feat, 0) AS BIGINT) AS n_feat,
+           CAST(pr.prior_q + cc.c_q + COALESCE(d.sum_q, 0) AS BIGINT) AS score_q,
+           (pr.prior_q + cc.c_q + COALESCE(d.sum_q, 0)) > 0 AS pred
+    FROM lbl l LEFT JOIN docsum d USING (doc_id)
+    CROSS JOIN pr CROSS JOIN cc
+    ORDER BY l.doc_id
+    """,
+    doc="Bernoulli NB quality classifier — the ABSENCE-aware variant: each "
+    "hashed bucket contributes ln p(present|class) when present and "
+    "ln p(absent|class) when absent, with the absent side folded into ONE "
+    "model constant (observed buckets' quantized terms summed exactly, "
+    "the unobserved remainder counted, never summed), so scoring stays a "
+    "single distinct-presence scan + broadcast join. This captures what "
+    "multinomial NB structurally cannot — a document penalized for the "
+    "stopwords it LACKS (the rule gate's dominant drop reason) — and its "
+    "per-document scores and honest confusion are value-checked exactly "
+    "(operators/quality_nb.py nb_train_bernoulli).",
+)
+def q_classifier_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_nb import nb_classify_bernoulli, nb_train_bernoulli
+    from ..operators.text import quality_filter
+
+    docs = load(spark, sf_dir, "documents")
+    labels = quality_filter(docs, "doc_id", "text").select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    labeled = docs.select("doc_id", "text").join(labels, "doc_id")
+    weights, prior = nb_train_bernoulli(
+        labeled, "doc_id", "text", "label", QNB_B, length_feature=True
+    )
+    scored = nb_classify_bernoulli(
+        docs, "doc_id", "text", weights, prior, QNB_B, length_feature=True
+    )
+    return (
+        scored.join(labels, "doc_id")
+        .select("doc_id", "label", "n_feat", "score_q", "pred")
+        .orderBy("doc_id")
     )
