@@ -177,3 +177,34 @@ def test_dsir_excludes_sub_bigram_docs_and_is_deterministic(spark):
     ids1 = sorted(r["doc_id"] for r in sel1.collect())
     ids2 = sorted(r["doc_id"] for r in sel2.collect())
     assert ids1 == ids2 and len(ids1) == 2 and 1 not in ids1
+
+
+def test_contaminated_spans_cross_corpus(spark):
+    """Train spans matching eval windows: exact matches flagged (including
+    the snippet's source document), non-matching text untouched, spans
+    merged maximally."""
+    from thymeflow_back_spark.operators.substring import contaminated_spans
+
+    w = 3
+    base = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    train = spark.createDataFrame(
+        [
+            (1, base),                          # source: full overlap with eval slice
+            (2, "x0 x1 t2 t3 t4 t5 x2 x3"),     # carries tokens 2..5 of eval
+            (3, "a b c d e f g h"),             # clean
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "t2 t3 t4 t5 t6")], "doc_id long, text string"
+    )
+    out = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in contaminated_spans(train, eval_df, "doc_id", "text", w).collect()
+    )
+    # doc 1: eval windows cover tokens 2..6 -> one span [2, 7)
+    # doc 2: windows 't2 t3 t4'/'t3 t4 t5' match -> span [2, 6)
+    assert out == [(1, 2, 7, 5), (2, 2, 6, 4)]
+    # empty eval set: nothing flagged
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert contaminated_spans(train, empty, "doc_id", "text", w).count() == 0

@@ -77,6 +77,7 @@ SKIP = {
     "q_streaming_quality_profile",
     "q_streaming_heavy_hitters",
     "q_streaming_upsert_dedup",
+    "q_streaming_nb_train",
 }
 
 

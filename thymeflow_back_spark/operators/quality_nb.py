@@ -145,6 +145,24 @@ def nb_train(
         )
         .localCheckpoint(eager=True)
     )
+    docs = df.groupBy().agg(
+        F.count_if(F.col(label_col)).alias("n_pos_docs"),
+        F.count_if(~F.col(label_col)).alias("n_neg_docs"),
+    )
+    return nb_model_from_counts(counts, docs, n_buckets)
+
+
+def nb_model_from_counts(
+    counts: DataFrame, docs: DataFrame, n_buckets: int = QNB_BUCKETS
+) -> tuple[DataFrame, DataFrame]:
+    """Derive (weights, prior) from the model's SUFFICIENT STATISTICS:
+    ``counts`` = (bucket, pos_cnt, neg_cnt) occurrence counts and ``docs``
+    = ONE row (n_pos_docs, n_neg_docs). The statistics are plain integer
+    sums, so they MERGE: accumulating them per micro-batch and deriving
+    the model from the running totals (streaming/nb_stream.py) is
+    bit-identical to batch training over everything seen — the mergeable-
+    sufficient-statistics property that makes NB the incrementally-
+    trainable member of the filter family."""
     totals = counts.agg(
         F.sum("pos_cnt").alias("__pos_tot"), F.sum("neg_cnt").alias("__neg_tot")
     )
@@ -157,10 +175,6 @@ def nb_train(
     weights = counts.crossJoin(F.broadcast(totals)).select(
         "bucket",
         F.round(w * F.lit(QNB_SCALE), 0).cast("bigint").alias("w_q"),
-    )
-    docs = df.groupBy().agg(
-        F.count_if(F.col(label_col)).alias("n_pos_docs"),
-        F.count_if(~F.col(label_col)).alias("n_neg_docs"),
     )
     prior = docs.crossJoin(F.broadcast(totals)).select(
         F.round(

@@ -174,3 +174,36 @@ def scrub_duplicated_spans(
             (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+def contaminated_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 8,
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Maximal spans in TRAIN documents that exactly match a w-token
+    window of the EVAL set — substring-level benchmark decontamination
+    (the cross-corpus form of :func:`duplicated_spans`; same Lee et al.
+    2022 granularity guarantee: every shared substring of >= 2w-1 tokens
+    is fully covered, every flagged span is a true >= w-token match).
+
+    Output: (id, span_start, span_end, span_tokens) over train documents.
+    The eval side collapses to its DISTINCT window texts before the join
+    — an eval benchmark is tiny next to a training corpus, so the probe
+    index is bounded by eval size and the join is one equi-join on window
+    text against a single train scan (AQE broadcasts the eval side when
+    it fits). The span merge is the same per-document gaps-and-islands
+    pass; no state ever exceeds one document's flagged positions.
+    """
+    eid = eval_id_col or id_col
+    etext = eval_text_col or text_col
+    eval_wins = (
+        token_window_rows(eval_df, eid, etext, w).select("win").dropDuplicates()
+    )
+    wins = token_window_rows(train, id_col, text_col, w)
+    flagged = wins.join(eval_wins, "win", "left_semi").select(id_col, "pos")
+    return _islands(flagged, id_col, w)

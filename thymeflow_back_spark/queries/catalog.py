@@ -63,6 +63,8 @@ _DRIVER_PRIORITY = [
     "q_classifier_holdout",
     "q_temperature_mixture",
     "q_classifier_bernoulli",
+    "q_eval_decontamination",
+    "q_streaming_nb_train",
     # last driver-verified in round 5 (stalest existing rows):
     "q_streaming_window_counts",
     "q_tfidf_keywords",

@@ -3478,3 +3478,139 @@ def q_classifier_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "label", "n_feat", "score_q", "pred")
         .orderBy("doc_id")
     )
+
+
+# --- Q: substring-level eval-set decontamination --------------------------------
+
+DECON_MOD = 13  # every 13th document contributes an eval snippet
+DECON_OFF = 7   # snippet = tokens [DECON_OFF, DECON_OFF + DECON_LEN) (1-based)
+DECON_LEN = 20
+
+
+@query(
+    "q_eval_decontamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    ewins AS (
+      SELECT DISTINCT
+             {" || ' ' || ".join(f"etoks[i+{j}]" for j in range(SUBSTR_W))} AS win
+      FROM (
+        SELECT toks[{DECON_OFF}:{DECON_OFF + DECON_LEN - 1}] AS etoks
+        FROM toks WHERE doc_id % {DECON_MOD} = 0
+      ),
+      LATERAL (SELECT unnest(generate_series(1, len(etoks) - {SUBSTR_W - 1})) AS i) s
+    ),
+    wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             {" || ' ' || ".join(f"toks[i+{j}]" for j in range(SUBSTR_W))} AS win
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, len(toks) - {SUBSTR_W - 1})) AS i) s
+    ),
+    flagged AS (SELECT w.doc_id, w.pos FROM wins w SEMI JOIN ewins USING (win)),
+    brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             + {SUBSTR_W}
+                  THEN 1 ELSE 0 END AS brk
+      FROM flagged
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM brks
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {SUBSTR_W} AS span_end,
+           MAX(pos) + {SUBSTR_W} - MIN(pos) AS span_tokens
+    FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start
+    """,
+    doc="Substring-level eval-set decontamination (the cross-corpus form "
+    "of q_substring_spans): maximal train-document spans exactly matching "
+    f"a {SUBSTR_W}-token window of the eval set — the benchmark-leakage "
+    "check run before training, at n-gram granularity rather than "
+    "whole-document LSH (q_contamination_lsh). The eval side (synthesized "
+    f"here as {DECON_LEN}-token snippets of every {DECON_MOD}th document) "
+    "collapses to its DISTINCT window texts before ONE equi-join against "
+    "a single train scan; spans merge per document "
+    "(operators/substring.py contaminated_spans).",
+)
+def q_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.substring import contaminated_spans
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t != '')")
+    eval_df = docs.filter(F.col("doc_id") % DECON_MOD == 0).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, DECON_OFF, DECON_LEN)).alias("text"),
+    )
+    return contaminated_spans(docs, eval_df, "doc_id", "text", SUBSTR_W).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+# --- Q: streaming NB training (mergeable sufficient statistics) -----------------
+
+from .catalog import QUERIES as _QUERIES  # noqa: E402  (oracle reuse below)
+
+
+@query(
+    "q_streaming_nb_train",
+    oracle=_QUERIES["q_quality_classifier"].oracle,
+    doc="STREAMING Naive Bayes training, value-checked end to end: "
+    "documents arrive as three micro-batches whose per-bucket class "
+    "counts and doc counts — the model's sufficient statistics, plain "
+    "integer sums — accumulate in write-once batch-suffixed state "
+    "(replay-guarded, the hh_stream discipline). Because the statistics "
+    "MERGE exactly, the model derived from the streamed state is "
+    "bit-identical to batch training over the whole corpus — so this row "
+    "reuses q_quality_classifier's oracle VERBATIM: the driver gate "
+    "cross-checks streamed == batch == DuckDB on every per-document "
+    "score (streaming/nb_stream.py).",
+)
+def q_streaming_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.quality_nb import nb_classify
+    from ..operators.text import quality_filter
+    from ..streaming.nb_stream import nb_model_from_state, run_streaming_nb
+
+    base = tempfile.mkdtemp(prefix="tf_stream_nb_")
+    staging = os.path.join(base, "staging")
+    state = os.path.join(base, "state")
+    docs = load(spark, sf_dir, "documents")
+    labels = quality_filter(docs, "doc_id", "text").select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    labeled = docs.select("doc_id", "text").join(labels, "doc_id")
+    for parity in (0, 1, 2):
+        labeled.filter(F.col("doc_id") % 3 == parity).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, label boolean")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    q = run_streaming_nb(
+        stream, state, "doc_id", "text", "label", QNB_B, length_feature=True
+    )
+    q.awaitTermination()
+    weights, prior = nb_model_from_state(spark, state, QNB_B)
+    scored = nb_classify(
+        docs, "doc_id", "text", weights, prior, QNB_B, length_feature=True
+    )
+    out = (
+        scored.join(labels, "doc_id")
+        .select("doc_id", "label", "n_toks", "score_q", "score", "pred")
+        .orderBy("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
