@@ -234,3 +234,38 @@ def test_jl_rerank_recall_dominates_jl_only(spark):
     assert all(rer[q] >= jl[q] for q in jl)
     # and the composition should genuinely help somewhere, not just tie
     assert sum(rer.values()) > sum(jl.values())
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR must (a) pick the most relevant candidate first, (b) demote a
+    near-duplicate of an already-selected result below a less relevant
+    but diverse one, (c) be a permutation-of-input invariant greedy."""
+    from thymeflow_back_spark.operators.similarity import mmr_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),       # the query
+        (1, [0.99, 0.1, 0.0]),      # most relevant
+        (2, [0.98, 0.11, 0.0]),     # near-duplicate of 1, almost as relevant
+        (3, [0.7, 0.0, 0.7]),       # less relevant but diverse
+        (4, [0.6, 0.0, -0.8]),      # diverse, least relevant
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    out = mmr_topk(emb, q, "vec_id", "embedding", 3, pool=4, lam=0.5).collect()
+    order = [r.c_id for r in sorted(out, key=lambda r: r.step)]
+    assert order[0] == 1                    # relevance leads
+    assert order[1] == 3                    # diversity beats the near-dup
+    assert 2 not in order[:2]
+    # step 1 mmr = lam * rel exactly
+    first = [r for r in out if r.step == 1][0]
+    assert first.mmr == 0.5 * first.rel
+    # repartitioning the corpus never changes the selection
+    out2 = mmr_topk(
+        emb.repartition(7), q, "vec_id", "embedding", 3, pool=4, lam=0.5
+    ).collect()
+    assert sorted((r.step, r.c_id) for r in out2) == sorted(
+        (r.step, r.c_id) for r in out
+    )

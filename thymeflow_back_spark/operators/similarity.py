@@ -123,3 +123,77 @@ def knn_classify(
             (F.col("m.n") / F.lit(float(k))).alias("vote_share"),
         )
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    pool: int = 12,
+    lam: float = 0.7,
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998) for ONE query: greedily pick the candidate maximizing
+    ``lam·rel(q,d) − (1−lam)·max_{s∈selected} sim(d,s)`` — relevant
+    results that are not near-duplicates of each other, the standard
+    rerank behind retrieval UIs and RAG context builders.
+
+    Output: (step, c_id, rel, mmr) — 1-based selection order; step 1's
+    mmr is ``lam·rel`` (empty diversity term).
+
+    Scale shape: the greedy runs over a RELEVANCE POOL (top-``pool`` by
+    exact cosine — one broadcast-probe corpus scan, the cosine_topk
+    plan), never the corpus; the pool collects to the driver (``pool``
+    rows × d doubles, bounded by construction — the kcenter_parallel
+    bounded-collect contract) and the O(k·pool) greedy runs there. All
+    similarities round to SCORE_DECIMALS before any comparison and ties
+    break by id, so selection is bit-stable across engines (the
+    q_cosine_topk discipline; the SQL oracle replays the same rounds)."""
+    top = cosine_topk(corpus, query, id_col, vec_col, pool, query_id_col)
+    cand = top.join(
+        corpus.select(
+            F.col(id_col).alias("c_id"), as_double_array(F.col(vec_col)).alias("__v")
+        ),
+        "c_id",
+    ).select("c_id", "score", "__v")
+    rows = cand.collect()  # bounded: pool rows
+    vecs = {r["c_id"]: list(r["__v"]) for r in rows}
+    rel = {r["c_id"]: float(r["score"]) for r in rows}
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    import math
+
+    def _sim(a, b):
+        va, vb = vecs[a], vecs[b]
+        return round(
+            _dot(va, vb) / (math.sqrt(_dot(va, va)) * math.sqrt(_dot(vb, vb))),
+            SCORE_DECIMALS,
+        )
+
+    selected: list[tuple[int, int, float, float]] = []
+    chosen: list = []
+    remaining = sorted(vecs)
+    for step in range(1, min(k, len(remaining)) + 1):
+        best = None
+        for c in remaining:
+            if c in chosen:
+                continue
+            ms = max((_sim(c, s) for s in chosen), default=0.0)
+            score = lam * rel[c] - (1.0 - lam) * ms
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        _, c, score = best
+        chosen.append(c)
+        selected.append((step, c, rel[c], score))
+    return corpus.sparkSession.createDataFrame(
+        selected, f"step int, c_id bigint, rel double, mmr double"
+    )

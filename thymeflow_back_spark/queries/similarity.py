@@ -1536,3 +1536,85 @@ def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gram").cast("string").alias("gram"),
         F.col("scatter").cast("string").alias("scatter"),
     ).orderBy("i", "j")
+
+
+# --- Q: MMR diversified retrieval ------------------------------------------------
+
+MMR_POOL = 12
+MMR_K = 6
+MMR_LAM = 0.7
+
+
+def _mmr_oracle(k: int, pool: int, lam: float) -> str:
+    """Unrolled greedy-round replay (the BPE-chain idiom): one CTE trio
+    per selection step; the λ literals are emitted with full Python repr
+    so both engines mix relevance and diversity with bit-identical
+    doubles."""
+    l_ = repr(lam)
+    m_ = repr(1.0 - lam)
+    parts = [
+        """vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+    scored AS (
+      SELECT c.vec_id AS c_id,
+             round(list_dot_product(qv, c.v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))),
+                   9) AS rel,
+             c.v
+      FROM vecs c CROSS JOIN q WHERE c.vec_id <> 0
+    ),
+    pool AS (SELECT c_id, rel, v FROM scored ORDER BY rel DESC, c_id LIMIT %d),
+    sims AS (
+      SELECT a.c_id AS a_id, b.c_id AS b_id,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                   9) AS s
+      FROM pool a JOIN pool b ON a.c_id <> b.c_id
+    ),
+    sel1 AS (SELECT c_id, rel, %s * rel AS mmr FROM pool ORDER BY rel DESC, c_id LIMIT 1),
+    s1 AS (SELECT c_id FROM sel1)""" % (pool, l_)
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"""r{r} AS (
+      SELECT p.c_id, p.rel, {l_} * p.rel - {m_} * MAX(s.s) AS mmr
+      FROM pool p JOIN sims s ON s.a_id = p.c_id
+                             AND s.b_id IN (SELECT c_id FROM s{r - 1})
+      WHERE p.c_id NOT IN (SELECT c_id FROM s{r - 1})
+      GROUP BY p.c_id, p.rel
+    ),
+    sel{r} AS (SELECT c_id, rel, mmr FROM r{r} ORDER BY mmr DESC, c_id LIMIT 1),
+    s{r} AS (SELECT c_id FROM s{r - 1} UNION ALL SELECT c_id FROM sel{r})"""
+        )
+    selects = [
+        f"SELECT {r} AS step, c_id, rel, mmr FROM sel{r}" for r in range(1, k + 1)
+    ]
+    return (
+        "WITH " + ",\n    ".join(parts) + "\n"
+        + "\nUNION ALL\n".join(selects) + "\nORDER BY step"
+    )
+
+
+@query(
+    "q_mmr_rerank",
+    oracle=_mmr_oracle(MMR_K, MMR_POOL, MMR_LAM),
+    doc=f"MMR diversified retrieval (Carbonell & Goldstein 1998): greedy "
+    f"top-{MMR_K} maximizing λ·rel − (1−λ)·max-sim-to-selected (λ="
+    f"{MMR_LAM}) over a {MMR_POOL}-candidate exact-cosine pool — the "
+    "rerank behind retrieval UIs and RAG context builders, keeping "
+    "results relevant AND mutually non-redundant. The pool is one "
+    "broadcast-probe corpus scan (the cosine_topk plan); the greedy runs "
+    "on the driver over pool-sized state (the kcenter bounded-collect "
+    "contract); all similarities round to 9 decimals, ties break by id, "
+    "and the λ literals ship with full float repr — so the unrolled SQL "
+    "replay selects the identical sequence "
+    "(operators/similarity.py mmr_topk).",
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    query_df = emb.filter(F.col("vec_id") == 0)
+    return mmr_topk(
+        emb, query_df, "vec_id", "embedding", MMR_K, MMR_POOL, MMR_LAM
+    ).orderBy("step")
