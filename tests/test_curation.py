@@ -208,3 +208,45 @@ def test_contaminated_spans_cross_corpus(spark):
     # empty eval set: nothing flagged
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert contaminated_spans(train, empty, "doc_id", "text", w).count() == 0
+
+
+def test_backoff_lm_levels_and_alpha_penalty(spark):
+    """Stupid backoff must hit the right level per position and apply the
+    quantized alpha penalty exactly; hand-checked on a tiny corpus."""
+    import math
+
+    from thymeflow_back_spark.operators.backoff_lm import (
+        LM_SCALE,
+        LNQ_ALPHA,
+        backoff_lm_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (5, "b c x")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (10, "a b c"),    # trigram 'a b c' seen twice -> tri level
+            (11, "d b c"),    # 'd b c' unseen, 'b c' seen -> bi level
+            (12, "zz qq d"),  # nothing seen -> uni floor (d in vocab)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in backoff_lm_scores(train, score, "doc_id", "text").collect()}
+
+    def lnq(x):
+        return round(math.log(x) * LM_SCALE)
+
+    # doc 10: c('a b c')=2, ctx c('a b')=2 -> lnq2 - lnq2 = 0
+    assert (out[10].n_tri, out[10].n_bi, out[10].n_uni) == (1, 0, 0)
+    assert out[10].score_q == lnq(2) - lnq(2) == 0
+    # doc 11: backoff to 'b c' (count 3), c('b')=3
+    assert (out[11].n_tri, out[11].n_bi, out[11].n_uni) == (0, 1, 0)
+    assert out[11].score_q == LNQ_ALPHA + lnq(3) - lnq(3)
+    # doc 12: full floor; w3='d' has count 1, N = 11 train tokens
+    assert (out[12].n_tri, out[12].n_bi, out[12].n_uni) == (0, 0, 1)
+    assert out[12].score_q == 2 * LNQ_ALPHA + lnq(1 + 1) - lnq(11 + 1)
+    # a doc with < 3 tokens is excluded
+    short = spark.createDataFrame([(20, "a b")], "doc_id long, text string")
+    assert backoff_lm_scores(train, short, "doc_id", "text").count() == 0

@@ -65,6 +65,8 @@ BNLJ_CROSS_OK = {
     # q_token_budget_mixture shape with a temperature-quantized rate)
     "q_temperature_mixture",
     "q_classifier_bernoulli",  # NB one-row broadcast crosses (doc counts, C)
+    # eval positions × one broadcast lnq(N+1) totals row (backoff_lm.py)
+    "q_lm_backoff_score",
 }
 
 # queries whose construction executes jobs eagerly (iterative closures,

@@ -194,6 +194,8 @@ def mmr_topk(
         _, c, score = best
         chosen.append(c)
         selected.append((step, c, rel[c], score))
+    # c_id keeps the corpus id type (string ids work, not just bigint)
+    id_type = dict(corpus.dtypes)[id_col]
     return corpus.sparkSession.createDataFrame(
-        selected, f"step int, c_id bigint, rel double, mmr double"
+        selected, f"step int, c_id {id_type}, rel double, mmr double"
     )

@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "q_eval_decontamination",
     "q_streaming_nb_train",
     "q_mmr_rerank",
+    "q_lm_backoff_score",
     # last driver-verified in round 5 (stalest existing rows):
     "q_streaming_window_counts",
     "q_tfidf_keywords",

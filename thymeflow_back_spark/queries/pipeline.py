@@ -3614,3 +3614,94 @@ def q_streaming_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# --- Q: stupid-backoff trigram LM scoring ----------------------------------------
+
+from ..operators.backoff_lm import LNQ_ALPHA as _LNQ_A  # noqa: E402
+
+LM_TRAIN_MOD = 3  # docs with doc_id % 3 == 0 are SCORED, the rest TRAIN
+
+
+@query(
+    "q_lm_backoff_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tri AS (
+      SELECT toks[i] AS a, toks[i+1] AS b, toks[i+2] AS c,
+             CAST(round(ln(COUNT(*)) * 1000000, 0) AS BIGINT) AS lnq3
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) s
+      WHERE doc_id % {LM_TRAIN_MOD} <> 0
+      GROUP BY 1, 2, 3
+    ),
+    bi AS (
+      SELECT toks[i] AS a, toks[i+1] AS b,
+             CAST(round(ln(COUNT(*)) * 1000000, 0) AS BIGINT) AS lnq2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
+      WHERE doc_id % {LM_TRAIN_MOD} <> 0
+      GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT toks[i] AS a, COUNT(*) AS cnt1,
+             CAST(round(ln(COUNT(*)) * 1000000, 0) AS BIGINT) AS lnq1,
+             CAST(round(ln(COUNT(*) + 1) * 1000000, 0) AS BIGINT) AS lnq1p
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) s
+      WHERE doc_id % {LM_TRAIN_MOD} <> 0
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(round(ln(SUM(cnt1) + 1) * 1000000, 0) AS BIGINT) AS lnq_n1
+      FROM uni
+    ),
+    spos AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) s
+      WHERE doc_id % {LM_TRAIN_MOD} = 0
+    ),
+    terms AS (
+      SELECT p.doc_id,
+             CASE WHEN t.lnq3 IS NOT NULL THEN 'tri'
+                  WHEN b23.lnq2 IS NOT NULL THEN 'bi'
+                  ELSE 'uni' END AS lvl,
+             CASE WHEN t.lnq3 IS NOT NULL THEN t.lnq3 - ctx.lnq2
+                  WHEN b23.lnq2 IS NOT NULL
+                    THEN {_LNQ_A} + b23.lnq2 - u2.lnq1
+                  ELSE {2 * _LNQ_A} + COALESCE(u3.lnq1p, 0) - tot.lnq_n1
+             END AS term
+      FROM spos p
+      LEFT JOIN tri t  ON t.a = p.w1 AND t.b = p.w2 AND t.c = p.w3
+      LEFT JOIN bi ctx ON ctx.a = p.w1 AND ctx.b = p.w2
+      LEFT JOIN bi b23 ON b23.a = p.w2 AND b23.b = p.w3
+      LEFT JOIN uni u2 ON u2.a = p.w2
+      LEFT JOIN uni u3 ON u3.a = p.w3
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(COUNT(*) FILTER (lvl = 'tri') AS BIGINT) AS n_tri,
+           CAST(COUNT(*) FILTER (lvl = 'bi') AS BIGINT) AS n_bi,
+           CAST(COUNT(*) FILTER (lvl = 'uni') AS BIGINT) AS n_uni,
+           CAST(SUM(term) AS BIGINT) AS score_q,
+           CAST(SUM(term) AS BIGINT) / (COUNT(*) * 1000000.0) AS avg_logscore
+    FROM terms GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Stupid-backoff trigram LM scoring (Brants et al. 2007 §4): "
+    "held-out documents (every third doc) scored under trigram counts "
+    "from the rest — Σ log S(w3|w1w2) with S = c123/c12, backing off to "
+    "α·c23/c2 then α²·(c3+1)/(N+1), α=0.4 — the CCNet-style perplexity "
+    "filter with real backoff traffic (per-doc n_tri/n_bi/n_uni branch "
+    "counts ride in the output). ln() runs once per DISTINCT n-gram type "
+    "and quantizes to micro-nats; ln α ships as ONE precomputed integer "
+    f"literal ({_LNQ_A}) to both engines; doc scores are order-free "
+    "BIGINT sums (operators/backoff_lm.py).",
+)
+def q_lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.backoff_lm import backoff_lm_scores
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % LM_TRAIN_MOD != 0)
+    score = docs.filter(F.col("doc_id") % LM_TRAIN_MOD == 0)
+    return backoff_lm_scores(train, score, "doc_id", "text").orderBy("doc_id")

@@ -641,7 +641,10 @@ def _fold_pairs(
     _sweep_uncommitted_bases(spark, pairs_dir)
     fold_p = _side_fold(spark, pairs_dir)
     if fold_p is not None and fold_p >= target:
-        return 0  # already folded through target
+        # already folded through target — but a crash between the fold's
+        # commit and its cleanup can leave covered dirs behind; sweep them
+        _cleanup_folded(spark, pairs_dir, fold_p)
+        return 0
     pairs = _read_pairs(spark, pairs_dir)
     n = 0
     if pairs is not None:
