@@ -3223,11 +3223,18 @@ def q_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = quality_filter(docs, "doc_id", "text").select(
         "doc_id", F.col("keep").alias("label")
     )
-    labeled = train_test_split(
-        docs.select("doc_id", "text").join(labels, "doc_id"),
-        "doc_id",
-        QNB_TEST_FRAC,
-        salt=QNB_SPLIT_SALT,
+    # the labeled+split relation feeds five consumers (train counts, the
+    # prior's doc agg, test occurrences, the test id list, the final
+    # label join) — pin it so the quality-gate chain and the split hash
+    # evaluate once, not per consumer (the multi-consumer cachereg idiom;
+    # scan budget asserted by test_source_scan_budget)
+    labeled = pin(
+        train_test_split(
+            docs.select("doc_id", "text").join(labels, "doc_id"),
+            "doc_id",
+            QNB_TEST_FRAC,
+            salt=QNB_SPLIT_SALT,
+        )
     )
     train = labeled.filter(F.col("split") == "train")
     test = labeled.filter(F.col("split") == "test")
