@@ -250,3 +250,40 @@ def test_backoff_lm_levels_and_alpha_penalty(spark):
     # a doc with < 3 tokens is excluded
     short = spark.createDataFrame([(20, "a b")], "doc_id long, text string")
     assert backoff_lm_scores(train, short, "doc_id", "text").count() == 0
+
+
+def test_luhn_validator_and_detection(spark):
+    from pyspark.sql import functions as F
+
+    from thymeflow_back_spark.operators.text import (
+        cc_detect,
+        luhn_check_digit,
+        luhn_valid,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("4111111111111111", True),   # classic valid test PAN
+            ("4111111111111112", False),  # corrupted check digit
+            ("79927398713", True),        # the canonical Luhn example
+            ("1234567890123456", False),
+        ],
+        "s string, expect boolean",
+    )
+    rows = df.select("s", "expect", luhn_valid(F.col("s")).alias("got")).collect()
+    assert all(r.got == r.expect for r in rows), rows
+    # check-digit synthesis makes any base valid
+    synth = spark.createDataFrame(
+        [(f"4{i:014d}",) for i in range(7)], "b string"
+    ).select(
+        F.concat(F.col("b"), luhn_check_digit(F.col("b")).cast("string")).alias("cc")
+    )
+    assert all(r.ok for r in synth.select(luhn_valid(F.col("cc")).alias("ok")).collect())
+    # detection: too-short runs are not candidates; invalid runs counted
+    # as candidates but not valid
+    doc = spark.createDataFrame(
+        [(1, "pay 4111111111111111 ref 4111111111111112 id 123456")],
+        "doc_id long, text string",
+    )
+    r = cc_detect(doc, "doc_id").collect()[0]
+    assert (r.n_candidates, r.n_valid, r.valid_ccs) == (2, 1, "4111111111111111")

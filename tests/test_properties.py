@@ -132,3 +132,137 @@ def test_bytes_to_unicode_is_reversible_and_printable():
     for raw in (b"hello world", bytes(range(256)), "naïve café".encode()):
         mapped = "".join(table[x] for x in raw)
         assert bytes(inv[c] for c in mapped) == raw
+
+
+# --- MMR greedy vs independent reference (operators/similarity.py) -------------
+
+
+def test_mmr_matches_reference_greedy(spark):
+    """mmr_topk (pool cut on Spark, greedy on the driver) must equal an
+    independent pure-Python implementation of pool-then-greedy with the
+    same rounding and tie-breaks, across seeded random instances."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from thymeflow_back_spark.operators.similarity import (
+        SCORE_DECIMALS,
+        mmr_topk,
+    )
+
+    rng = random.Random(77)
+    for trial in range(4):
+        n, d, pool, k, lam = 12, 4, 7, 5, 0.6
+        vecs = {
+            i: [rng.uniform(-1, 1) for _ in range(d)] for i in range(n)
+        }
+
+        def dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        def cos(a, b):
+            return round(
+                dot(vecs[a], vecs[b])
+                / (math.sqrt(dot(vecs[a], vecs[a])) * math.sqrt(dot(vecs[b], vecs[b]))),
+                SCORE_DECIMALS,
+            )
+
+        rel = {i: cos(0, i) for i in vecs if i != 0}
+        pool_ids = [i for i, _ in sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[:pool]]
+        chosen = []
+        expect = []
+        for step in range(1, k + 1):
+            best = None
+            for c in sorted(pool_ids):
+                if c in chosen:
+                    continue
+                ms = max((cos(c, s) for s in chosen), default=0.0)
+                score = lam * rel[c] - (1.0 - lam) * ms
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, score)
+            chosen.append(best[1])
+            expect.append((step, best[1]))
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in vecs.items()],
+            "vec_id long, embedding array<double>",
+        )
+        q = emb.filter(F.col("vec_id") == 0)
+        got = sorted(
+            (r.step, r.c_id)
+            for r in mmr_topk(emb, q, "vec_id", "embedding", k, pool, lam).collect()
+        )
+        assert got == expect, (trial, got, expect)
+
+
+# --- Stupid-backoff LM vs pure-Python reference (operators/backoff_lm.py) -------
+
+
+def test_backoff_lm_matches_reference(spark):
+    """backoff_lm_scores must equal an independent per-position Python
+    fold (same quantization) on seeded random corpora — every backoff
+    level exercised."""
+    import math
+    import random
+
+    from thymeflow_back_spark.operators.backoff_lm import (
+        LM_SCALE,
+        LNQ_ALPHA,
+        backoff_lm_scores,
+    )
+
+    rng = random.Random(99)
+    words = [f"w{i}" for i in range(12)]
+    train_rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(3, 15))))
+        for i in range(8)
+    ]
+    score_rows = [
+        (100 + i, " ".join(rng.choice(words + ["oov1", "oov2"]) for _ in range(rng.randint(3, 10))))
+        for i in range(5)
+    ]
+
+    def toks(t):
+        return [w for w in t.split(" ") if w]
+
+    tri, bi, uni = {}, {}, {}
+    for _, t in train_rows:
+        ts = toks(t)
+        for i in range(len(ts) - 2):
+            tri[tuple(ts[i : i + 3])] = tri.get(tuple(ts[i : i + 3]), 0) + 1
+        for i in range(len(ts) - 1):
+            bi[tuple(ts[i : i + 2])] = bi.get(tuple(ts[i : i + 2]), 0) + 1
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+    N = sum(uni.values())
+
+    def lnq(x):
+        return round(math.log(x) * LM_SCALE)
+
+    expect = {}
+    for did, t in score_rows:
+        ts = toks(t)
+        if len(ts) < 3:
+            continue
+        s = 0
+        for i in range(len(ts) - 2):
+            w1, w2, w3 = ts[i : i + 3]
+            if (w1, w2, w3) in tri:
+                s += lnq(tri[(w1, w2, w3)]) - lnq(bi[(w1, w2)])
+            elif (w2, w3) in bi:
+                s += LNQ_ALPHA + lnq(bi[(w2, w3)]) - lnq(uni[w2])
+            else:
+                s += 2 * LNQ_ALPHA + lnq(uni.get(w3, 0) + 1) - lnq(N + 1)
+        expect[did] = (len(ts) - 2, s)
+
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    score = spark.createDataFrame(score_rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_trigrams, r.score_q)
+        for r in backoff_lm_scores(train, score, "doc_id", "text").collect()
+    }
+    assert out == expect

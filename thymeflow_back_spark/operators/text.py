@@ -381,3 +381,76 @@ def bigram_lm_scores(df: DataFrame, id_col: str, text_col: str = "text") -> Data
             F.min("bg_count").alias("min_count"),
         )
     )
+
+
+# --- Luhn-validated card-number detection ---------------------------------------
+
+# Bare digit runs of plausible PAN length. Regex alone has a brutal
+# false-positive rate on numeric text (ids, timestamps, phone numbers);
+# the Luhn mod-10 checksum is the standard validator layered on top
+# (every real card number passes it; a random digit run passes 1 in 10).
+PII_CC_CANDIDATE = r"\b[0-9]{13,16}\b"
+
+
+def luhn_valid(col: Column) -> Column:
+    """True iff the digit-string column passes the Luhn mod-10 check —
+    pure integer column arithmetic (double every second digit from the
+    right, subtract 9 past 9, sum % 10 == 0), identical in Spark and
+    DuckDB SQL so oracles replay it exactly."""
+    n = F.length(col)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (n - i) % 2 == 1,
+            F.when(
+                F.substring(col, i.cast("int"), 1).cast("int") * 2 > 9,
+                F.substring(col, i.cast("int"), 1).cast("int") * 2 - 9,
+            ).otherwise(F.substring(col, i.cast("int"), 1).cast("int") * 2),
+        ).otherwise(F.substring(col, i.cast("int"), 1).cast("int")),
+    )
+    return total % 10 == 0
+
+
+def luhn_check_digit(base: Column) -> Column:
+    """The check digit that makes ``base || digit`` Luhn-valid — used by
+    fixtures to synthesize genuinely valid numbers in both engines. For
+    the appended position, every digit at odd distance from the END of
+    the full number doubles; relative to ``base`` (length L, full length
+    L+1) that is positions L, L-2, ... — i.e. (L - i) % 2 == 0 for
+    1-based i."""
+    n = F.length(base)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (n - i.cast("int")) % 2 == 0,
+            F.when(
+                F.substring(base, i.cast("int"), 1).cast("int") * 2 > 9,
+                F.substring(base, i.cast("int"), 1).cast("int") * 2 - 9,
+            ).otherwise(F.substring(base, i.cast("int"), 1).cast("int") * 2),
+        ).otherwise(F.substring(base, i.cast("int"), 1).cast("int")),
+    )
+    return (F.lit(10) - (total % 10)) % 10
+
+
+def cc_detect(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Per document: (id, n_candidates, n_valid, valid_ccs) — digit runs
+    of card length found by PII_CC_CANDIDATE, the subset passing Luhn,
+    and the valid ones sorted and comma-joined (deterministic order).
+    One scan, in-row array arithmetic, no shuffle — the validator runs
+    per CANDIDATE, never per character."""
+    # F.lit keeps the pattern out of SQL string-literal escaping (\b in
+    # an expr literal would parse as backspace)
+    cands = F.regexp_extract_all(
+        F.col(text_col), F.lit(PII_CC_CANDIDATE), F.lit(0)
+    )
+    valid = F.filter(cands, lambda c: luhn_valid(c))
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("bigint").alias("n_candidates"),
+        F.size(valid).cast("bigint").alias("n_valid"),
+        F.array_join(F.array_sort(valid), ",").alias("valid_ccs"),
+    )

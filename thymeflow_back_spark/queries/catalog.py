@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = [
     "q_streaming_nb_train",
     "q_mmr_rerank",
     "q_lm_backoff_score",
+    "q_pii_luhn",
     # last driver-verified in round 5 (stalest existing rows):
     "q_streaming_window_counts",
     "q_tfidf_keywords",

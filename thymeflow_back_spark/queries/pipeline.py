@@ -3712,3 +3712,91 @@ def q_lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % LM_TRAIN_MOD != 0)
     score = docs.filter(F.col("doc_id") % LM_TRAIN_MOD == 0)
     return backoff_lm_scores(train, score, "doc_id", "text").orderBy("doc_id")
+
+
+# --- Q: Luhn-validated card-number detection -------------------------------------
+
+
+def _luhn_sum_sql(b: str, parity: int) -> str:
+    """SQL for the Luhn digit sum of string expression ``b``: double the
+    digits whose 1-based position i satisfies (length - i) % 2 == parity
+    (parity 1 = validate a full number, parity 0 = derive the check digit
+    for a base missing its last digit)."""
+    d = f"CAST(substr({b}, i, 1) AS INT)"
+    return (
+        f"list_sum(list_transform(generate_series(1, length({b})), i -> "
+        f"CASE WHEN (length({b}) - i) % 2 = {parity} "
+        f"THEN CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END "
+        f"ELSE {d} END))"
+    )
+
+
+@query(
+    "q_pii_luhn",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             '4' || lpad(CAST(doc_id AS VARCHAR), 14, '0') AS b
+      FROM documents
+    ),
+    synth AS (
+      SELECT doc_id, b,
+             CAST((10 - ({_luhn_sum_sql('b', 0)}) % 10) % 10 AS INT) AS chk,
+             text AS t0
+      FROM base
+    ),
+    dirty AS (
+      SELECT doc_id,
+             t0
+             || CASE WHEN doc_id % 4 = 0
+                     THEN ' card ' || b || CAST(chk AS VARCHAR) ELSE '' END
+             || CASE WHEN doc_id % 6 = 0
+                     THEN ' ref ' || b || CAST((chk + 5) % 10 AS VARCHAR) ELSE '' END
+             AS t
+      FROM synth
+    ),
+    cands AS (
+      SELECT doc_id,
+             regexp_extract_all(t, '\\b[0-9]{{13,16}}\\b') AS cs
+      FROM dirty
+    )
+    SELECT doc_id,
+           CAST(len(cs) AS BIGINT) AS n_candidates,
+           CAST(len(list_filter(cs, c -> ({_luhn_sum_sql('c', 1)}) % 10 = 0))
+                AS BIGINT) AS n_valid,
+           COALESCE(array_to_string(
+             list_sort(list_filter(cs, c -> ({_luhn_sum_sql('c', 1)}) % 10 = 0)),
+             ','), '') AS valid_ccs
+    FROM cands ORDER BY doc_id
+    """,
+    doc="Luhn-validated card-number detection: digit runs of card length "
+    "are only PII when they pass the mod-10 checksum — the standard "
+    "validator that kills the regex-only false-positive flood (a random "
+    "digit run passes 1 in 10; ids and timestamps mostly don't). Valid "
+    "and check-digit-corrupted numbers are synthesized per doc_id in "
+    "BOTH engines (the check digit itself computed by the same integer "
+    "arithmetic), so n_valid and the exact detected set value-check "
+    "cross-engine. Pure in-row array arithmetic, one scan, no shuffle "
+    "(operators/text.py luhn_valid / cc_detect).",
+)
+def q_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import cc_detect, luhn_check_digit
+
+    docs = load(spark, sf_dir, "documents")
+    b = F.concat(F.lit("4"), F.lpad(F.col("doc_id").cast("string"), 14, "0"))
+    chk = luhn_check_digit(b)
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" card "), b, chk.cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(F.lit(" ref "), b, ((chk + 5) % 10).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return cc_detect(dirty, "doc_id", "text").orderBy("doc_id")
