@@ -65,21 +65,20 @@ def test_driver_priority_names_exist():
 
 
 def test_query_map_order_leads_with_unverified():
-    """queries() must present the stalest driver record first: r8's one red
-    row (q_dedup_weighted_jaccard, oracle fixed in round 9), any
-    never-driver-verified additions, then the r5-stale rows, then the r6
-    block, so the driver's 50-row window re-greens the stalest record. The
-    invariant is that the map's head IS the priority list, verbatim — a
+    """queries() must present the stalest driver record first: the 17 rows
+    whose freshest driver check is r6 (OWL/RDFS closure, PARIS, staypoints
+    among them), then any never-driver-verified round-10 additions, then the
+    r7 block, so the driver's 50-row window re-greens the stalest record.
+    The invariant is that the map's head IS the priority list, verbatim — a
     fixed window assertion went stale every time the new-row block grew."""
     from thymeflow_back_spark.queries.catalog import _DRIVER_PRIORITY, query_map
 
     order = list(query_map())
     assert order[: len(_DRIVER_PRIORITY)] == list(_DRIVER_PRIORITY)
-    # the fixed red row leads; r5-stale rows stay inside the driver's
-    # 50-row correctness window
+    # the r6-stale rows stay inside the driver's 50-row correctness window
     head50 = order[:50]
-    assert order[0] == "q_dedup_weighted_jaccard"
-    for name in ("q_streaming_window_counts", "q_tfidf_keywords",
-                 "q_top_order_per_customer", "q_user_sessions",
-                 "q_value_percentiles", "q_zorder_layout"):
+    assert order[0] == "q_agent_name_weights"
+    for name in ("q_owl_closure", "q_rdf_rdfs_closure", "q_paris_agents",
+                 "q_staypoints", "q_movement_smoothing", "q_hybrid_rrf",
+                 "q_rdf_sameas_components"):
         assert name in head50, (name, head50)

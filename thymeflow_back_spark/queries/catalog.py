@@ -46,87 +46,88 @@ def query(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
 # The driver's per-round correctness file caps at 50 rows taken in
 # queries() order. Every catalog row has appeared green in SOME
 # CORRECTNESS_r*.json; to keep that record fresh under rotation, rows
-# whose LAST driver check is oldest lead the map. Round-9 state (from
-# CORRECTNESS_r05..r08): r8's one red row first (q_dedup_weighted_jaccard,
-# oracle BIGINT cast fixed this round — must be re-checked), then round-9
-# additions (never driver-verified), then the 6 rows whose freshest check
-# is r5, then the 50 r6 rows in registration order (r7's and r8's green
-# rows are the freshest and fall to the tail via registration order).
+# whose LAST driver check is oldest lead the map. Round-10 state (from
+# CORRECTNESS_r01..r09, 50/50 green in r9): the 17 rows whose freshest
+# driver check is r6 lead (the §2-critical RDF/enricher rows among them),
+# then round-10 additions (never driver-verified), then the 50 rows whose
+# freshest check is r7 — the first ~27 of those fit the 50-row window, so
+# after r10 no row's last driver check is older than r7. r8/r9-fresh rows
+# fall to the tail via registration order.
 _DRIVER_PRIORITY = [
-    # r8's red row, fixed this round (oracle HUGEINT -> BIGINT cast):
-    "q_dedup_weighted_jaccard",
-    # round-9 additions, never driver-verified (each name is appended in the
-    # commit that implements it — test_driver_priority_names_exist keeps the
-    # list typo-free):
-    "q_quality_classifier",
-    "q_bpe_bytelevel_unicode",
-    "q_classifier_holdout",
-    "q_temperature_mixture",
-    "q_classifier_bernoulli",
-    "q_eval_decontamination",
-    "q_streaming_nb_train",
-    "q_mmr_rerank",
-    "q_lm_backoff_score",
-    "q_pii_luhn",
-    # last driver-verified in round 5 (stalest existing rows):
-    "q_streaming_window_counts",
-    "q_tfidf_keywords",
-    "q_top_order_per_customer",
-    "q_user_sessions",
-    "q_value_percentiles",
-    "q_zorder_layout",
-    # last driver-verified in round 6, registration order (overflow past
-    # slot 50 rolls to round 10):
-    "q_daily_order_stats",
-    "q_cohort_retention",
-    "q_dedup_keep_best",
-    "q_contamination_lsh",
-    "q_contamination",
-    "q_bloom_semijoin",
-    "q_bpe_pair_counts",
-    "q_substring_spans",
-    "q_substring_scrub",
-    "q_distinct_kmv_by_group",
-    "q_dsir_resample",
-    "q_quality_pr_curve",
-    "q_score_auc",
-    "q_balanced_bins",
-    "q_domain_quota",
-    "q_sample_weighted_by_lang",
-    "q_cosine_topk",
-    "q_embedding_near_dup",
-    "q_embedding_near_dup_ann",
-    "q_label_centroid_stats",
-    "q_similarity_ivf",
-    "q_similarity_jl_rerank",
-    "q_kcenter_sample",
-    "q_knn_classify",
-    "q_similarity_filtered",
-    "q_text_stats",
-    "q_corpus_profile",
-    "q_token_estimates",
-    "q_doc_fingerprint",
-    "q_lang_id",
-    "q_text_repetition",
-    "q_rdf_bgp_region",
-    "q_rdf_ifp_sameas",
-    "q_rdf_sameas_components",
+    # last driver-verified in round 6 (stalest rows — OWL/RDFS closure,
+    # PARIS, staypoints among them):
+    "q_agent_name_weights",
+    "q_asof_purchase_view",
+    "q_er_part_names",
+    "q_events_pivot",
+    "q_fts_part_search",
+    "q_geo_track_length",
+    "q_hybrid_rrf",
+    "q_movement_smoothing",
+    "q_owl_closure",
+    "q_paris_agents",
+    "q_primary_facet",
     "q_rdf_construct_euro",
     "q_rdf_describe_nations",
-    "q_rdf_rdfs_closure",
-    "q_owl_closure",
-    "q_primary_facet",
     "q_rdf_facet_rank",
-    "q_asof_purchase_view",
-    "q_events_pivot",
-    "q_geo_track_length",
+    "q_rdf_rdfs_closure",
+    "q_rdf_sameas_components",
     "q_staypoints",
-    "q_movement_smoothing",
-    "q_er_part_names",
-    "q_paris_agents",
-    "q_agent_name_weights",
-    "q_fts_part_search",
-    "q_hybrid_rrf",
+    # round-10 additions, never driver-verified, are appended here in the
+    # commit that implements each (test_driver_priority_names_exist keeps
+    # the list typo-free):
+    # last driver-verified in round 7, alphabetical (overflow past slot 50
+    # rolls to round 11):
+    "q_agents_by_nation",
+    "q_ann_recall",
+    "q_boilerplate_scrub",
+    "q_bpe_train",
+    "q_containment_join",
+    "q_counts_cm",
+    "q_customer_order_profile",
+    "q_customers_without_orders",
+    "q_dataset_mixture",
+    "q_dedup_clusters",
+    "q_dedup_consecutive",
+    "q_dedup_exact",
+    "q_dedup_jaccard_capped",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_prefix_filter",
+    "q_dedup_simhash",
+    "q_deterministic_shuffle",
+    "q_distinct_hll",
+    "q_distinct_kmv",
+    "q_doc_chunks",
+    "q_dsir_logratio",
+    "q_dup_windows",
+    "q_event_histogram",
+    "q_events_json",
+    "q_fts_bm25",
+    "q_funnel",
+    "q_html_extract",
+    "q_html_quality_funnel",
+    "q_incremental_agg",
+    "q_kcenter_parallel",
+    "q_kcore",
+    "q_lm_bigram_score",
+    "q_pagerank",
+    "q_pii_scrub",
+    "q_pretoken_counts",
+    "q_quality_filter",
+    "q_rolling_activity",
+    "q_sample_fixed_n",
+    "q_sample_stratified",
+    "q_scd2_intervals",
+    "q_shard_manifest",
+    "q_sync_delta",
+    "q_table_profile",
+    "q_time_pruned_revenue",
+    "q_token_packing",
+    "q_train_test_split",
+    "q_triangle_stats",
+    "q_url_canonical",
+    "q_vocab_topk",
 ]
 
 
