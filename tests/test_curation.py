@@ -267,6 +267,11 @@ def test_luhn_validator_and_detection(spark):
             ("4111111111111112", False),  # corrupted check digit
             ("79927398713", True),        # the canonical Luhn example
             ("1234567890123456", False),
+            # totality outside cc_detect's regex guard (round-10 advice
+            # fix): empty / non-digit inputs are FALSE, never NULL
+            ("", False),
+            ("4111-1111-1111-1111", False),
+            ("abc", False),
         ],
         "s string, expect boolean",
     )

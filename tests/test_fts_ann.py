@@ -269,3 +269,11 @@ def test_mmr_rerank_diversifies(spark):
     assert sorted((r.step, r.c_id) for r in out2) == sorted(
         (r.step, r.c_id) for r in out
     )
+    # a multi-row query would corrupt the c_id-keyed greedy state — it
+    # must raise, not last-write-wins (round-10 advice fix)
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one query row"):
+        mmr_topk(
+            emb, emb.filter(F.col("vec_id") <= 1), "vec_id", "embedding", 3
+        )

@@ -298,6 +298,32 @@ def test_replay_of_folded_batch_is_noop(spark, tmp_path):
     assert _pairs(current_near_dups(spark, index, pairs)) == set()
 
 
+def test_fresh_checkpoint_against_compacted_index_is_refused(spark, tmp_path):
+    """A NEW stream (fresh checkpoint, batch ids restarting at 0) pointed
+    at a compacted index must raise, not silently no-op its batches as
+    folded replays (round-10 advice fix): a genuinely-folded batch's ids
+    all live in the compacted docs store, so an id absent from the store
+    proves the batch never ran."""
+    from thymeflow_back_spark.streaming.upsert_dedup import (
+        compact_upsert_index,
+        process_upsert_batch,
+    )
+
+    base = str(tmp_path)
+    _run_batches(spark, base, [[(1, TXT_A), (2, TXT_B)], [(2, TXT_X)]])
+    index = os.path.join(base, "index")
+    pairs = os.path.join(base, "pairs")
+    compact_upsert_index(spark, index)
+    fresh = spark.createDataFrame([(99, TXT_A)], "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        process_upsert_batch(fresh, 0, index_dir=index, pairs_dir=pairs)
+    # a genuine replay (all ids known) still no-ops
+    before = _index_state(base)
+    replay = spark.createDataFrame([(2, TXT_X)], "doc_id long, text string")
+    process_upsert_batch(replay, 1, index_dir=index, pairs_dir=pairs)
+    assert _index_state(base) == before
+
+
 def test_pairs_log_compaction_keeps_only_live_pairs(spark, tmp_path):
     from thymeflow_back_spark.streaming.upsert_dedup import (
         compact_upsert_index,

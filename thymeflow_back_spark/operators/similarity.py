@@ -152,6 +152,16 @@ def mmr_topk(
     similarities round to SCORE_DECIMALS before any comparison and ties
     break by id, so selection is bit-stable across engines (the
     q_cosine_topk discipline; the SQL oracle replays the same rounds)."""
+    # ONE query only: the driver-side rel/vecs greedy state below is keyed
+    # by c_id alone, so pools from multiple query rows would collide
+    # (last-write-wins garbage). The query relation is tiny by contract —
+    # counting it here costs nothing next to the collect below.
+    n_q = query.count()
+    if n_q != 1:
+        raise ValueError(
+            f"mmr_topk reranks for exactly one query row, got {n_q}; "
+            "loop per query (or window by q_id upstream) for multi-query"
+        )
     top = cosine_topk(corpus, query, id_col, vec_col, pool, query_id_col)
     cand = top.join(
         corpus.select(

@@ -393,10 +393,14 @@ PII_CC_CANDIDATE = r"\b[0-9]{13,16}\b"
 
 
 def luhn_valid(col: Column) -> Column:
-    """True iff the digit-string column passes the Luhn mod-10 check —
-    pure integer column arithmetic (double every second digit from the
-    right, subtract 9 past 9, sum % 10 == 0), identical in Spark and
-    DuckDB SQL so oracles replay it exactly."""
+    """True iff the column is a non-empty digit string passing the Luhn
+    mod-10 check — pure integer column arithmetic (double every second
+    digit from the right, subtract 9 past 9, sum % 10 == 0), identical in
+    Spark and DuckDB SQL so oracles replay it exactly. Total over any
+    string input: the empty string (whose descending sequence(1, 0) would
+    be [1, 0]) and non-digit input (whose digit cast would be NULL) are
+    both simply false, so the helper is safe outside cc_detect's
+    regex-guaranteed 13-16 digit candidates."""
     n = F.length(col)
     total = F.aggregate(
         F.sequence(F.lit(1), n),
@@ -410,7 +414,7 @@ def luhn_valid(col: Column) -> Column:
             ).otherwise(F.substring(col, i.cast("int"), 1).cast("int") * 2),
         ).otherwise(F.substring(col, i.cast("int"), 1).cast("int")),
     )
-    return total % 10 == 0
+    return (n > 0) & col.rlike("^[0-9]+$") & (total % 10 == 0)
 
 
 def luhn_check_digit(base: Column) -> Column:

@@ -90,6 +90,29 @@ def _committed_bases(spark, side_dir: str) -> dict[int, bool]:
     return out
 
 
+def _has_parquet_files(spark, path: str) -> bool:
+    """True iff ``path`` exists and holds at least one ``*.parquet`` file
+    (directly or one level down — dynamic partitionBy writes nest part
+    files under partition dirs). Distinguishes a zero-row write (only
+    ``_SUCCESS``) from a readable layout WITHOUT a try/except around the
+    read, so genuine IO errors still propagate from the read itself."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return False
+    stack = [jpath]
+    depth = {str(jpath): 0}
+    while stack:
+        cur = stack.pop()
+        for status in fs.listStatus(cur):
+            name = status.getPath().getName()
+            if status.isFile() and name.endswith(".parquet"):
+                return True
+            if status.isDirectory() and depth[str(cur)] == 0:
+                stack.append(status.getPath())
+                depth[str(status.getPath())] = 1
+    return False
+
+
 def _side_fold(spark, side_dir: str) -> int | None:
     """The side's max COMMITTED base generation, or None if unfolded."""
     committed = [f for f, ok in _committed_bases(spark, side_dir).items() if ok]
@@ -223,7 +246,33 @@ def process_upsert_batch(
         # a checkpoint replay of a batch the compaction already folded:
         # its completed write is inside base-<fold>, and readers ignore
         # batch partitions <= fold, so re-emitting index rows or pairs
-        # would be wasted (and the pair emits would duplicate). No-op.
+        # would be wasted (and the pair emits would duplicate). Before
+        # no-opping, distinguish a genuine replay from MISUSE: restarting
+        # the stream against a compacted index with a FRESH checkpoint
+        # restarts batch ids at 0, and treating those as replays would
+        # silently drop data. Compaction keeps every id's latest version,
+        # so a genuinely-folded batch's ids ALL exist in the docs store;
+        # any absent id proves this batch never ran. The check is one
+        # anti-join of the (micro-batch-sized) id set against the store's
+        # pruned id column, paid only on this rare replay path.
+        store = _read_side(spark, docs_dir, fold, prev)
+        missing = (
+            batch.select(F.col(id_col))
+            .distinct()
+            .join(store.select(id_col).distinct(), id_col, "left_anti")
+            .limit(1)
+            .count()
+        )
+        if missing:
+            raise RuntimeError(
+                f"batch {batch_id} <= fold {fold} at {index_dir} contains "
+                f"ids absent from the compacted index: this is not a "
+                f"checkpoint replay of a folded batch but a NEW stream "
+                f"started with a fresh checkpoint against a compacted "
+                f"index (batch ids restarted at 0). Reuse the original "
+                f"checkpointLocation, or point the new stream at a fresh "
+                f"index_dir/pairs_dir."
+            )
         return
 
     # deterministic within-batch last-writer: at most one row per id
@@ -350,25 +399,30 @@ def _read_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame | None:
     fold = _side_fold(spark, pairs_dir)
     live = _live_batch_ids(spark, pairs_dir, fold)
     parts: list[DataFrame] = []
-    if fold is not None:
-        try:
-            parts.append(
-                spark.read.parquet(posixpath.join(pairs_dir, f"base-{fold}"))
-            )
-        except Exception:
-            pass  # a zero-row fold leaves no footers — nothing to read
+    if fold is not None and _has_parquet_files(
+        spark, posixpath.join(pairs_dir, f"base-{fold}")
+    ):
+        parts.append(
+            spark.read.parquet(posixpath.join(pairs_dir, f"base-{fold}"))
+        )
     if live:
-        try:
-            paths = [
-                posixpath.join(pairs_dir, f"batch_id={b}") for b in sorted(live)
-            ]
+        # a zero-pair batch's dynamic-overwrite write leaves only _SUCCESS
+        # (no parquet footers) under its batch_id= dir — include only dirs
+        # that hold data files, so schema inference never fails and a
+        # GENUINE IO/corruption error still surfaces from the read itself
+        paths = [
+            p
+            for b in sorted(live)
+            if _has_parquet_files(
+                spark, p := posixpath.join(pairs_dir, f"batch_id={b}")
+            )
+        ]
+        if paths:
             parts.append(
                 spark.read.option("basePath", pairs_dir)
                 .parquet(*paths)
                 .drop("batch_id")
             )
-        except Exception:
-            pass  # batch_id= dirs with only _SUCCESS (zero-pair batches)
     if not parts:
         return None
     out = parts[0]
