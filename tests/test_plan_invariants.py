@@ -67,6 +67,10 @@ BNLJ_CROSS_OK = {
     "q_classifier_bernoulli",  # NB one-row broadcast crosses (doc counts, C)
     # eval positions × one broadcast lnq(N+1) totals row (backoff_lm.py)
     "q_lm_backoff_score",
+    # per-doc feature counts × the broadcast K-row class table (K =
+    # #languages, bounded by construction — operators/langid_nb.py)
+    "q_langid_nb",
+    "q_langid_holdout",
 }
 
 # queries whose construction executes jobs eagerly (iterative closures,

@@ -76,6 +76,8 @@ _DRIVER_PRIORITY = [
     # round-10 additions, never driver-verified, are appended here in the
     # commit that implements each (test_driver_priority_names_exist keeps
     # the list typo-free):
+    "q_langid_nb",
+    "q_langid_holdout",
     # last driver-verified in round 7, alphabetical (overflow past slot 50
     # rolls to round 11):
     "q_agents_by_nation",

@@ -3800,3 +3800,166 @@ def q_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return cc_detect(dirty, "doc_id", "text").orderBy("doc_id")
+
+
+# --- Q: multi-class NB language identifier (hashed char trigrams) ---------------
+
+from ..operators.langid_nb import (  # noqa: E402
+    LID_BUCKETS as _LID_B,
+    LID_NGRAM as _LID_N,
+)
+
+LID_TEST_FRAC = 0.25
+LID_SPLIT_SALT = "lidsplit"
+
+# the trained-langid model chain, shared by the full-corpus and holdout
+# oracles: g = hashed char-trigram occurrences (with the split flag when
+# a salt is given), then per-class cell counts -> quantized weights ->
+# class priors, and per-doc bucket counts -> exact BIGINT class scores ->
+# argmax with the (score DESC, class ASC) tie-break.
+def _langid_oracle_ctes(train_pred: str, score_pred: str, split_expr: str) -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, text, {split_expr} AS is_test FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang, is_test,
+             ('0x' || substr(md5('lid:' || ' ' || substr(text, i, {_LID_N})), 1, 8))::BIGINT
+               % {_LID_B} AS bucket
+      FROM d,
+           LATERAL (SELECT unnest(generate_series(1, length(text) - {_LID_N - 1})) AS i) s
+    ),
+    counts AS (
+      SELECT lang, bucket, COUNT(*) AS c FROM g WHERE {train_pred} GROUP BY 1, 2
+    ),
+    tots AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM counts GROUP BY 1),
+    w AS (
+      SELECT c.lang, c.bucket,
+             CAST(round((ln(c.c + 1) - ln(t.tot + {_LID_B})) * 1000000, 0)
+                  AS BIGINT) AS w_q
+      FROM counts c JOIN tots t USING (lang)
+    ),
+    nd AS (SELECT lang, COUNT(*) AS n_docs FROM d WHERE {train_pred} GROUP BY 1),
+    cl AS (
+      SELECT nd.lang,
+             CAST(round(ln(nd.n_docs + 1) * 1000000, 0) AS BIGINT) AS prior_q,
+             CAST(round(-ln(COALESCE(t.tot, 0) + {_LID_B}) * 1000000, 0)
+                  AS BIGINT) AS unseen_q
+      FROM nd LEFT JOIN tots t USING (lang)
+    ),
+    pdoc AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g WHERE {score_pred} GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT p.doc_id, c.lang AS cand,
+             c.prior_q + CAST(SUM(p.cnt * COALESCE(w.w_q, c.unseen_q)) AS BIGINT)
+               AS score_q
+      FROM pdoc p
+      CROSS JOIN cl c
+      LEFT JOIN w ON w.bucket = p.bucket AND w.lang = c.lang
+      GROUP BY p.doc_id, c.lang, c.prior_q
+    ),
+    best AS (
+      SELECT doc_id, cand, score_q FROM (
+        SELECT doc_id, cand, score_q,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score_q DESC, cand) AS rn
+        FROM scored) WHERE rn = 1
+    )"""
+
+
+@query(
+    "q_langid_nb",
+    oracle=_langid_oracle_ctes("TRUE", "TRUE", "FALSE")
+    + """
+    SELECT d.doc_id, d.lang, b.cand AS pred_lang, b.score_q,
+           (d.lang = b.cand) AS correct
+    FROM d JOIN best b USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Trained multi-class language identifier: multinomial Naive Bayes "
+    f"over hashed character trigrams ({_LID_B} buckets) — the CCNet "
+    "first-stage fasttext-langid pattern in its closed-form SGD-free "
+    "shape, the K-class generalization of q_quality_classifier. ln() "
+    "runs once per (class, bucket) cell and quantizes to integer "
+    "micro-nats; each document's K class scores are exact BIGINT dot "
+    "products of its trigram bucket counts with the broadcast weight "
+    "table; the argmax breaks ties toward the smaller class code — so "
+    "predictions are bit-stable across engines and partitionings. "
+    "Training is one map-side explode folding to K·B count cells; "
+    "serving is one corpus scan, a K-row class cross, and a per-doc "
+    "argmax window (operators/langid_nb.py).",
+)
+def q_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.langid_nb import langid_classify, langid_train
+
+    docs = load(spark, sf_dir, "documents")
+    weights, classes = langid_train(docs, "doc_id", "text", "lang")
+    pred = langid_classify(docs, "doc_id", "text", weights, classes)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "pred_lang",
+            "score_q",
+            (F.col("lang") == F.col("pred_lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_langid_holdout",
+    oracle=_langid_oracle_ctes(
+        "NOT is_test",
+        "is_test",
+        _SQL_U.format(salt=LID_SPLIT_SALT) + f" < {LID_TEST_FRAC}",
+    )
+    + """
+    SELECT d.lang, b.cand AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(b.score_q) AS BIGINT) AS sum_score_q
+    FROM d JOIN best b USING (doc_id)
+    GROUP BY 1, 2 ORDER BY lang, pred_lang
+    """,
+    doc="Language-identifier holdout evaluation: the q_classifier_holdout "
+    f"hygiene applied to the multi-class model — a deterministic hash "
+    f"split ({LID_TEST_FRAC:.0%} test, membership a pure function of "
+    "doc_id), char-trigram NB trained on the TRAIN side only, the TEST "
+    "side scored (train-unseen buckets fall back to each class's "
+    "zero-count weight), and the K×K confusion matrix reported with "
+    "per-cell exact score sums so the driver gate value-checks every "
+    "holdout score (operators/langid_nb.py + operators/sampling.py "
+    "train_test_split).",
+)
+def q_langid_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.langid_nb import langid_classify, langid_train
+
+    docs = load(spark, sf_dir, "documents")
+    # the split relation feeds three consumers (train features, class
+    # counts, test scoring) — pin it so the split hash evaluates once
+    split = pin(
+        train_test_split(
+            docs.select("doc_id", "lang", "text"),
+            "doc_id",
+            LID_TEST_FRAC,
+            salt=LID_SPLIT_SALT,
+        )
+    )
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    weights, classes = langid_train(train, "doc_id", "text", "lang")
+    pred = langid_classify(test, "doc_id", "text", weights, classes)
+    return (
+        test.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("score_q").cast("bigint").alias("sum_score_q"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
