@@ -64,3 +64,39 @@ def test_balanced_bins_random_replica_and_bound(spark, seed, k):
     # weight per round, so bin spread <= max weight
     totals = [got[b]["total_weight"] for b in range(k)]
     assert max(totals) - min(totals) <= max(w for _, w in rows)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_grouped_score_tertiles_vs_bruteforce(spark, seed):
+    """Tertile membership must equal the brute-force per-group rank
+    thirds (descending score, id tie-break) for every group size 1..9,
+    including the exact ceil boundaries."""
+    from thymeflow_back_spark.operators.evalcurves import grouped_score_tertiles
+
+    rng = random.Random(seed)
+    rows = []
+    i = 0
+    for g in range(9):
+        for _ in range(g + 1):  # group sizes 1..9
+            rows.append((i, f"g{g}", rng.randrange(-50, 50)))
+            i += 1
+    df = spark.createDataFrame(rows, "rid long, grp string, score long").repartition(5)
+    got = {
+        r.rid: r.bucket
+        for r in grouped_score_tertiles(df, "grp", "score", "rid").collect()
+    }
+    by_grp: dict[str, list[tuple[int, int]]] = {}
+    for rid, grp, score in rows:
+        by_grp.setdefault(grp, []).append((-score, rid))
+    want = {}
+    for grp, members in by_grp.items():
+        members.sort()
+        n = len(members)
+        for rn, (_, rid) in enumerate(members, start=1):
+            if rn <= (n + 2) // 3:
+                want[rid] = "head"
+            elif rn <= (2 * n + 2) // 3:
+                want[rid] = "middle"
+            else:
+                want[rid] = "tail"
+    assert got == want

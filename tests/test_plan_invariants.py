@@ -67,6 +67,7 @@ BNLJ_CROSS_OK = {
     "q_classifier_bernoulli",  # NB one-row broadcast crosses (doc counts, C)
     # eval positions × one broadcast lnq(N+1) totals row (backoff_lm.py)
     "q_lm_backoff_score",
+    "q_ppl_buckets",  # same backoff_lm totals-row cross downstream
     # per-doc feature counts × the broadcast K-row class table (K =
     # #languages, bounded by construction — operators/langid_nb.py)
     "q_langid_nb",
@@ -116,6 +117,9 @@ GLOBAL_WINDOW_OK = {
     "q_dedup_sorted_neighborhood",
     # prefix-sum offset pass + the cumulative walk over <= 10 decile rows
     "q_vocab_growth",
+    # grouped_rank (evalcurves.grouped_score_tertiles): prefix-sum offset
+    # pass (#partitions rows) + group-start pass (#languages rows)
+    "q_ppl_buckets",
 }
 
 _PLAN_CACHE: dict[str, str] = {}

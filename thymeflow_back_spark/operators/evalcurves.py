@@ -57,6 +57,43 @@ def pr_curve(df: DataFrame, score_col: str, label_pred: Column) -> DataFrame:
     )
 
 
+def grouped_score_tertiles(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    tie_col: str,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Per-group head/middle/tail thirds by DESCENDING score — the CCNet
+    split ("CCNet", Wenzek et al. 2020 §3: per-language perplexity
+    tertiles; a higher log-score = lower perplexity = head).
+
+    Adds ``bucket_col`` ∈ {'head','middle','tail'} to every row: rank r
+    of n within the group (score descending, ``tie_col`` ascending) maps
+    to head iff r <= ceil(n/3), middle iff r <= ceil(2n/3), else tail —
+    exact integer arithmetic, identical in both engines.
+
+    Scale shape: the rank comes from :func:`robust.grouped_rank`
+    (distributed prefix sum over a range exchange — no per-group
+    single-task sort, so one giant language cannot serialize the pass);
+    (group, score, tie) must be globally unique (tie_col a key)."""
+    from .robust import grouped_rank
+
+    r = grouped_rank(
+        df.withColumn("__negscore", -F.col(score_col)),
+        group_col,
+        ["__negscore", tie_col],
+        rank_col="__rn",
+        n_col="__n",
+    )
+    bucket = (
+        F.when(F.col("__rn") <= F.expr("(__n + 2) div 3"), F.lit("head"))
+        .when(F.col("__rn") <= F.expr("(2 * __n + 2) div 3"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return r.withColumn(bucket_col, bucket).drop("__negscore", "__rn", "__n")
+
+
 def roc_auc(df: DataFrame, score_col: str, label_pred: Column) -> DataFrame:
     """EXACT ROC-AUC (Mann-Whitney U with average-rank tie handling), one row.
 

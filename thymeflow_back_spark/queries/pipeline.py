@@ -3629,10 +3629,9 @@ from ..operators.backoff_lm import LNQ_ALPHA as _LNQ_A  # noqa: E402
 
 LM_TRAIN_MOD = 3  # docs with doc_id % 3 == 0 are SCORED, the rest TRAIN
 
-
-@query(
-    "q_lm_backoff_score",
-    oracle=f"""
+# the stupid-backoff model + per-position term chain, shared by the
+# per-document score oracle and the CCNet tertile-bucket oracle
+_LM_CTES = f"""
     WITH toks AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
       FROM documents
@@ -3685,7 +3684,13 @@ LM_TRAIN_MOD = 3  # docs with doc_id % 3 == 0 are SCORED, the rest TRAIN
       LEFT JOIN uni u2 ON u2.a = p.w2
       LEFT JOIN uni u3 ON u3.a = p.w3
       CROSS JOIN tot
-    )
+    )"""
+
+
+@query(
+    "q_lm_backoff_score",
+    oracle=_LM_CTES
+    + """
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_trigrams,
            CAST(COUNT(*) FILTER (lvl = 'tri') AS BIGINT) AS n_tri,
@@ -3712,6 +3717,79 @@ def q_lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % LM_TRAIN_MOD != 0)
     score = docs.filter(F.col("doc_id") % LM_TRAIN_MOD == 0)
     return backoff_lm_scores(train, score, "doc_id", "text").orderBy("doc_id")
+
+
+# --- Q: CCNet perplexity buckets (per-language LM-score tertiles) ---------------
+
+
+@query(
+    "q_ppl_buckets",
+    oracle=_LM_CTES
+    + """,
+    docscore AS (
+      SELECT doc_id, CAST(SUM(term) AS BIGINT) AS score_q
+      FROM terms GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT d.lang, s.doc_id, s.score_q,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY s.score_q DESC, s.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY d.lang) AS n
+      FROM docscore s JOIN documents d USING (doc_id)
+    ),
+    b AS (
+      SELECT lang, score_q,
+             CASE WHEN rn <= (n + 2) // 3 THEN 'head'
+                  WHEN rn <= (2 * n + 2) // 3 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM ranked
+    )
+    SELECT lang, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score_q) AS BIGINT) AS sum_score_q,
+           CAST(MIN(score_q) AS BIGINT) AS min_score_q,
+           CAST(MAX(score_q) AS BIGINT) AS max_score_q
+    FROM b GROUP BY 1, 2 ORDER BY lang, bucket
+    """,
+    doc="CCNet perplexity buckets (Wenzek et al. 2020 §3): the held-out "
+    "documents' stupid-backoff LM scores (q_lm_backoff_score's exact "
+    "micro-nat score_q) split into per-LANGUAGE head/middle/tail "
+    "tertiles — higher log-score = lower perplexity = head, the split "
+    "CCNet actually ships for quality-stratified sampling. Rank-third "
+    "membership is exact integer arithmetic (r <= ceil(n/3) etc.), "
+    "ranks come from the distributed prefix sum over a range exchange "
+    "(operators/robust.py grouped_rank — no per-language single-task "
+    "sort, so one dominant language cannot serialize the pass), and the "
+    "per-bucket boundaries (min/max score) are value-checked "
+    "(operators/evalcurves.py grouped_score_tertiles).",
+)
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.backoff_lm import backoff_lm_scores
+    from ..operators.evalcurves import grouped_score_tertiles
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % LM_TRAIN_MOD != 0)
+    score = docs.filter(F.col("doc_id") % LM_TRAIN_MOD == 0)
+    scored = backoff_lm_scores(train, score, "doc_id", "text").select(
+        "doc_id", "score_q"
+    )
+    # the LM-scored relation feeds grouped_rank's two passes (range-
+    # exchange ranks + group counts) — pin it so the whole backoff chain
+    # (three count tables + the per-position term join) runs once
+    with_lang = pin(scored.join(docs.select("doc_id", "lang"), "doc_id"))
+    buckets = grouped_score_tertiles(
+        with_lang, "lang", "score_q", "doc_id"
+    )
+    return (
+        buckets.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("score_q").cast("bigint").alias("sum_score_q"),
+            F.min("score_q").cast("bigint").alias("min_score_q"),
+            F.max("score_q").cast("bigint").alias("max_score_q"),
+        )
+        .orderBy("lang", "bucket")
+    )
 
 
 # --- Q: Luhn-validated card-number detection -------------------------------------
