@@ -1253,11 +1253,13 @@ KMEANS_ITERS = 3
 KMEANS_SCALE = 10_000
 
 
-def _kmeans_oracle(k: int, iters: int, scale: int) -> str:
-    """Replays the exact-integer Lloyd trajectory (operators/kmeans.py):
-    floor-quantized vectors, centroids carried as integer (sum, count),
-    the distance key A/n^2 with A an exact BIGINT — so assignments,
-    sizes, majorities AND the inertia are bit-identical across engines."""
+def _kmeans_parts(k: int, iters: int, scale: int) -> list[str]:
+    """CTE chain replaying the exact-integer Lloyd trajectory
+    (operators/kmeans.py) through the final assignment relation
+    ``a<iters>`` — shared by the cluster-stats and cluster-quota
+    oracles: floor-quantized vectors, centroids carried as integer
+    (sum, count), the distance key A/n^2 with A an exact BIGINT — so
+    assignments are bit-identical across engines."""
     parts = [
         f"""x AS MATERIALIZED (
       SELECT vec_id, label,
@@ -1302,6 +1304,12 @@ def _kmeans_oracle(k: int, iters: int, scale: int) -> str:
         FROM a{r} a JOIN xd USING (vec_id) GROUP BY 1, 2
       ) u ON sd.cell = u.cell AND sd.dim = u.dim
     )""")
+    return parts
+
+
+def _kmeans_oracle(k: int, iters: int, scale: int) -> str:
+    """Per-cluster size/majority/inertia over the shared Lloyd chain."""
+    parts = _kmeans_parts(k, iters, scale)
     t = iters
     tail = f""",
     ia AS (
@@ -1357,6 +1365,67 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", "label",
         KMEANS_K, KMEANS_ITERS, KMEANS_SCALE,
     ).orderBy("cluster")
+
+
+# --- Q: cluster-quota topic balancing ------------------------------------------
+
+CQ_N = 5  # documents kept per k-means cluster
+
+
+def _cluster_quota_oracle(k: int, iters: int, scale: int, quota: int) -> str:
+    parts = _kmeans_parts(k, iters, scale)
+    tail = f""",
+    ranked AS (
+      SELECT a.cell AS cluster, d.doc_id, d.n_chars,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY a.cell ORDER BY d.n_chars DESC, d.doc_id
+             ) AS INTEGER) AS rnk
+      FROM a{iters} a JOIN documents d ON d.doc_id = a.vec_id
+    )
+    SELECT cluster, doc_id, n_chars, rnk FROM ranked
+    WHERE rnk <= {quota} ORDER BY cluster, rnk"""
+    return "WITH " + ",\n".join(parts) + tail
+
+
+@query(
+    "q_cluster_quota",
+    oracle=_cluster_quota_oracle(KMEANS_K, KMEANS_ITERS, KMEANS_SCALE, CQ_N),
+    doc=f"Cluster-quota topic balancing: at most {CQ_N} documents per "
+    f"k-means cluster ({KMEANS_K} clusters over the embedding column, "
+    f"{KMEANS_ITERS} exact-integer Lloyd rounds), best quality (longest) "
+    "first — the cluster-balanced sampling of DoReMi-adjacent curation "
+    "pipelines (topic diversity enforced by the embedding geometry "
+    "instead of the domain key, composing q_kmeans_clusters' bit-exact "
+    "assignments with q_domain_quota's rank-cap shape). One shuffle on "
+    "the cluster key, rank inside partitions; the oracle replays the "
+    "full Lloyd trajectory in chained CTEs and then the quota window "
+    "(operators/kmeans.py + operators/topk.py top_k_per_group).",
+)
+def q_cluster_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import kmeans_fit
+    from ..operators.topk import top_k_per_group
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    assign, _cents = kmeans_fit(
+        emb, "vec_id", "embedding", KMEANS_K, KMEANS_ITERS, KMEANS_SCALE
+    )
+    member = assign.join(
+        docs.select(F.col("doc_id"), "n_chars"),
+        assign["vec_id"] == F.col("doc_id"),
+    ).select(F.col("cell").alias("cluster"), "doc_id", "n_chars")
+    return (
+        top_k_per_group(
+            member,
+            ["cluster"],
+            [F.desc("n_chars"), F.asc("doc_id")],
+            CQ_N,
+            rank_col="rnk",
+            keep_rank=True,
+        )
+        .select("cluster", "doc_id", "n_chars", "rnk")
+        .orderBy("cluster", "rnk")
+    )
 
 
 # --- Q: search ranking quality (nDCG of the ANN index vs exact) ----------------
