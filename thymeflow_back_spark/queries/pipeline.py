@@ -4041,3 +4041,115 @@ def q_langid_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pred_lang")
     )
+
+
+# --- Q: unigram-LM (SentencePiece-style) Viterbi segmentation -------------------
+
+from ..operators.unigram_lm import (  # noqa: E402
+    UNI_MAX_PIECE as _UNI_P,
+    UNI_MAX_WORD as _UNI_W,
+    UNI_TOP as _UNI_T,
+)
+
+
+def _unigram_oracle(max_piece: int, top: int, max_word: int) -> str:
+    """Replays the unigram-LM pipeline: the closed-form vocabulary
+    (weighted piece counts -> top-V + char floor -> quantized micro-nat
+    log-probs), then the exact-integer Viterbi DP as ONE CHAINED CTE PER
+    POSITION — b<i> holds each word's best prefix segmentation at
+    position i, the per-step winner picked by the same total order
+    (score DESC, n_pieces ASC, start ASC) the Spark DP uses."""
+    head = f"""WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    wc AS MATERIALIZED (SELECT w AS word, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    pieces AS (
+      SELECT substr(word, i, l) AS piece, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM wc,
+           LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) a,
+           LATERAL (SELECT unnest(generate_series(1, {max_piece})) AS l) b
+      WHERE i + l - 1 <= length(word)
+      GROUP BY 1
+    ),
+    topv AS (SELECT piece, c FROM pieces ORDER BY c DESC, piece LIMIT {top}),
+    vocab0 AS (
+      SELECT DISTINCT piece, c FROM (
+        SELECT piece, c FROM topv
+        UNION ALL SELECT piece, c FROM pieces WHERE length(piece) = 1)
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab0),
+    vocab AS MATERIALIZED (
+      SELECT piece, CAST(round((ln(c) - ln(t)) * 1000000, 0) AS BIGINT) AS lp_q
+      FROM vocab0, tot
+    ),
+    words AS MATERIALIZED (SELECT word FROM wc WHERE length(word) <= {max_word}),
+    b0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS score, 0 AS np, '' AS seg FROM words)"""
+    parts = [head]
+    for i in range(1, max_word + 1):
+        cands = []
+        for j in range(max(0, i - max_piece), i):
+            cands.append(
+                f"""
+      SELECT b.word, b.score + v.lp_q AS score, b.np + 1 AS np, {j} AS j,
+             b.seg || CASE WHEN b.seg = '' THEN '' ELSE ' ' END || v.piece AS seg
+      FROM b{j} b JOIN vocab v ON v.piece = substr(b.word, {j + 1}, {i - j})
+      WHERE length(b.word) >= {i}"""
+            )
+        parts.append(
+            f"""c{i} AS ({" UNION ALL ".join(cands)}
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT word, score, np, seg FROM (
+        SELECT word, score, np, seg,
+               ROW_NUMBER() OVER (PARTITION BY word
+                                  ORDER BY score DESC, np, j) AS rn
+        FROM c{i}) WHERE rn = 1
+    )"""
+        )
+    finals = [
+        f"SELECT word, score AS score_q, np AS n_pieces, seg FROM b{L}"
+        f" WHERE length(word) = {L}"
+        for L in range(1, max_word + 1)
+    ]
+    return (
+        ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+        + "\nORDER BY word"
+    )
+
+
+@query(
+    "q_unigram_segment",
+    oracle=_unigram_oracle(_UNI_P, _UNI_T, _UNI_W),
+    doc="Unigram-LM (SentencePiece-style) Viterbi segmentation (Kudo "
+    "2018) — the second production tokenizer family next to the BPE "
+    "stack: a closed-form vocabulary (corpus substrings of length 1..4 "
+    f"weighted by token counts, top-{_UNI_T} by count plus the "
+    "single-character totality floor, log-probs quantized to integer "
+    "micro-nats with ln() once per PIECE), then the maximum-likelihood "
+    "segmentation of every distinct word by exact-integer Viterbi DP "
+    "with a total candidate order (score DESC, pieces ASC, start ASC) — "
+    "so the winning score, piece count AND the split string itself are "
+    "bit-stable and value-checked. The vocab collect is model-sized "
+    "(BPE-merges contract); segmentation runs over the DISTINCT-word "
+    "relation — vocabulary-sized, not corpus-sized — in one "
+    "Arrow-batched pass; the oracle replays the DP as one chained CTE "
+    "per character position (operators/unigram_lm.py).",
+)
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram_lm import (
+        corpus_words,
+        unigram_vocab,
+        viterbi_segment,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = unigram_vocab(docs, "text", _UNI_P, _UNI_T)
+    words = (
+        corpus_words(docs, "text")
+        .filter(F.length("word") <= _UNI_W)
+        .select("word")
+    )
+    return viterbi_segment(words, vocab, "word", _UNI_P).orderBy("word")
