@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = [
     "q_ppl_buckets",
     "q_cluster_quota",
     "q_unigram_segment",
+    "q_streaming_decontamination",
     # last driver-verified in round 7, alphabetical (overflow past slot 50
     # rolls to round 11):
     "q_agents_by_nation",

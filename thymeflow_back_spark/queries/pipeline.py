@@ -4153,3 +4153,65 @@ def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word")
     )
     return viterbi_segment(words, vocab, "word", _UNI_P).orderBy("word")
+
+
+# --- Q: streaming eval-set decontamination --------------------------------------
+
+
+@query(
+    "q_streaming_decontamination",
+    oracle=_QUERIES["q_eval_decontamination"].oracle,
+    doc="STREAMING eval-set decontamination, value-checked end to end: "
+    "the eval benchmark's distinct window texts publish ONCE as a "
+    "write-once committed probe index, then train documents arrive as "
+    "three micro-batches, each probed against the broadcast index on "
+    "arrival (per-batch cost is batch-sized — one window explode, one "
+    "semi-join, one per-document span merge; no full-corpus read after "
+    "index build). Spans land in a batch-partitioned log with dynamic "
+    "overwrite (replay-idempotent). A document's spans depend only on "
+    "itself and the fixed index, so streamed == batch BIT-EXACTLY — "
+    "this row reuses q_eval_decontamination's oracle VERBATIM (the "
+    "q_streaming_nb_train identity-as-correctness pattern; "
+    "streaming/decon_stream.py).",
+)
+def q_streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.decon_stream import (
+        build_eval_index,
+        read_decon_spans,
+        run_streaming_decon,
+    )
+
+    base = tempfile.mkdtemp(prefix="tf_stream_decon_")
+    staging = os.path.join(base, "staging")
+    index = os.path.join(base, "eval_index")
+    spans = os.path.join(base, "spans")
+    ckpt = os.path.join(base, "ckpt")
+    docs = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), t -> t != '')")
+    eval_df = docs.filter(F.col("doc_id") % DECON_MOD == 0).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, DECON_OFF, DECON_LEN)).alias("text"),
+    )
+    build_eval_index(eval_df, index, "doc_id", "text", SUBSTR_W)
+    for parity in (0, 1, 2):
+        docs.filter(F.col("doc_id") % 3 == parity).select(
+            "doc_id", "text"
+        ).coalesce(1).write.mode("append").parquet(staging)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    q = run_streaming_decon(stream, index, spans, ckpt, "doc_id", "text", SUBSTR_W)
+    q.awaitTermination()
+    out = (
+        read_decon_spans(spark, spans)
+        .orderBy("doc_id", "span_start")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
