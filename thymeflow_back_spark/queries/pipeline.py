@@ -2915,6 +2915,7 @@ QNB_B = 1024
 
 @query(
     "q_quality_classifier",
+    bench=True,  # r10: the classifier train+serve scan gets an sf0.1 number
     oracle=f"""
     WITH t AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -3689,6 +3690,7 @@ _LM_CTES = f"""
 
 @query(
     "q_lm_backoff_score",
+    bench=True,  # r10: the trigram-model join gets an sf0.1 number
     oracle=_LM_CTES
     + """
     SELECT doc_id,

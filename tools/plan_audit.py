@@ -33,6 +33,7 @@ SKIP = {
     "q_streaming_heavy_hitters",
     "q_streaming_upsert_dedup",
     "q_streaming_nb_train",
+    "q_streaming_decontamination",
 }
 
 _OPS = (
