@@ -86,6 +86,7 @@ SKIP = {
     "q_streaming_upsert_dedup",
     "q_streaming_nb_train",
     "q_streaming_decontamination",
+    "q_streaming_langid_train",
 }
 
 

@@ -129,6 +129,24 @@ def langid_train(
         .agg(F.sum("cnt").alias("c"))
         .localCheckpoint(eager=True)
     )
+    docs = df.groupBy(lang_col).agg(F.count("*").alias("n_docs"))
+    return langid_model_from_counts(counts, docs, lang_col, n_buckets)
+
+
+def langid_model_from_counts(
+    counts: DataFrame,
+    docs: DataFrame,
+    lang_col: str = "lang",
+    n_buckets: int = LID_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """Derive (weights, classes) from the model's SUFFICIENT STATISTICS:
+    ``counts`` = (lang, bucket, c) occurrence counts and ``docs`` =
+    (lang, n_docs). Both are plain integer sums, so they MERGE across
+    micro-batches with no approximation — the streaming trainer
+    (streaming/langid_stream.py) accumulates them per batch and the
+    model from the running totals is bit-identical to batch training
+    over everything seen (the quality_nb nb_model_from_counts
+    property, K-class form)."""
     tots = counts.groupBy(lang_col).agg(F.sum("c").alias("__tot"))
     weights = counts.join(tots, lang_col).select(
         lang_col,
@@ -142,8 +160,7 @@ def langid_train(
         .alias("w_q"),
     )
     classes = (
-        df.groupBy(lang_col)
-        .agg(F.count("*").alias("n_docs"))
+        docs
         # a class whose every text is shorter than n has no occurrences
         .join(tots, lang_col, "left")
         .select(

@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = [
     "q_cluster_quota",
     "q_unigram_segment",
     "q_streaming_decontamination",
+    "q_streaming_langid_train",
     # last driver-verified in round 7, alphabetical (overflow past slot 50
     # rolls to round 11):
     "q_agents_by_nation",

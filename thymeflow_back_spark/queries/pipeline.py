@@ -4217,3 +4217,66 @@ def q_streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# --- Q: streaming multi-class langid training ------------------------------------
+
+
+@query(
+    "q_streaming_langid_train",
+    oracle=_QUERIES["q_langid_nb"].oracle,
+    doc="STREAMING multi-class language-identifier training, value-checked "
+    "end to end: documents arrive as three micro-batches whose "
+    "per-(class, bucket) char-trigram counts and per-class doc counts — "
+    "the K-class model's sufficient statistics, plain integer sums — "
+    "accumulate in write-once batch-suffixed state (replay-guarded, the "
+    "nb_stream discipline with a class dimension). Because the "
+    "statistics MERGE exactly, the model derived from the streamed "
+    "state is bit-identical to batch training over the whole corpus — "
+    "so this row reuses q_langid_nb's oracle VERBATIM: the driver gate "
+    "cross-checks streamed == batch == DuckDB on every per-document "
+    "prediction and score (streaming/langid_stream.py).",
+)
+def q_streaming_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.langid_nb import langid_classify
+    from ..streaming.langid_stream import (
+        langid_model_from_state,
+        run_streaming_langid,
+    )
+
+    base = tempfile.mkdtemp(prefix="tf_stream_lid_")
+    staging = os.path.join(base, "staging")
+    state = os.path.join(base, "state")
+    docs = load(spark, sf_dir, "documents")
+    for parity in (0, 1, 2):
+        docs.filter(F.col("doc_id") % 3 == parity).select(
+            "doc_id", "text", "lang"
+        ).coalesce(1).write.mode("append").parquet(staging)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, lang string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    q = run_streaming_langid(stream, state, "doc_id", "text", "lang")
+    q.awaitTermination()
+    weights, classes = langid_model_from_state(spark, state, "lang")
+    pred = langid_classify(docs, "doc_id", "text", weights, classes)
+    out = (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "pred_lang",
+            "score_q",
+            (F.col("lang") == F.col("pred_lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
