@@ -68,6 +68,9 @@ BNLJ_CROSS_OK = {
     # eval positions × one broadcast lnq(N+1) totals row (backoff_lm.py)
     "q_lm_backoff_score",
     "q_ppl_buckets",  # same backoff_lm totals-row cross downstream
+    # composes the backoff_lm totals-row cross AND the langid K-row
+    # class-table cross (both bounded by construction)
+    "q_ccnet_filter",
     # per-doc feature counts × the broadcast K-row class table (K =
     # #languages, bounded by construction — operators/langid_nb.py)
     "q_langid_nb",
@@ -122,6 +125,7 @@ GLOBAL_WINDOW_OK = {
     # grouped_rank (evalcurves.grouped_score_tertiles): prefix-sum offset
     # pass (#partitions rows) + group-start pass (#languages rows)
     "q_ppl_buckets",
+    "q_ccnet_filter",
 }
 
 _PLAN_CACHE: dict[str, str] = {}

@@ -83,6 +83,7 @@ _DRIVER_PRIORITY = [
     "q_unigram_segment",
     "q_streaming_decontamination",
     "q_streaming_langid_train",
+    "q_ccnet_filter",
     # last driver-verified in round 7, alphabetical (overflow past slot 50
     # rolls to round 11):
     "q_agents_by_nation",

@@ -3898,8 +3898,13 @@ LID_SPLIT_SALT = "lidsplit"
 # class priors, and per-doc bucket counts -> exact BIGINT class scores ->
 # argmax with the (score DESC, class ASC) tie-break.
 def _langid_oracle_ctes(train_pred: str, score_pred: str, split_expr: str) -> str:
-    return f"""
-    WITH d AS (
+    return "\n    WITH " + _langid_body(train_pred, score_pred, split_expr)
+
+
+def _langid_body(train_pred: str, score_pred: str, split_expr: str) -> str:
+    """The langid model chain WITHOUT the leading WITH — composable into
+    a larger CTE list (q_ccnet_filter chains it after the LM model)."""
+    return f"""d AS (
       SELECT doc_id, lang, text, {split_expr} AS is_test FROM documents
     ),
     g AS (
@@ -4280,3 +4285,76 @@ def q_streaming_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# --- Q: the composed CCNet filter (langid -> perplexity tertiles -> keep) -------
+
+
+@query(
+    "q_ccnet_filter",
+    oracle=_LM_CTES
+    + ",\n    "
+    + _langid_body("TRUE", "TRUE", "FALSE")
+    + """,
+    docscore AS (
+      SELECT doc_id, CAST(SUM(term) AS BIGINT) AS score_q
+      FROM terms GROUP BY doc_id
+    ),
+    lidscored AS (
+      SELECT b.cand AS pred_lang, s.doc_id, s.score_q
+      FROM docscore s JOIN best b USING (doc_id)
+    ),
+    lidranked AS (
+      SELECT pred_lang, doc_id, score_q,
+             ROW_NUMBER() OVER (PARTITION BY pred_lang
+                                ORDER BY score_q DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY pred_lang) AS n
+      FROM lidscored
+    ),
+    bucketed AS (
+      SELECT pred_lang, doc_id, score_q,
+             CASE WHEN rn <= (n + 2) // 3 THEN 'head'
+                  WHEN rn <= (2 * n + 2) // 3 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM lidranked
+    )
+    SELECT doc_id, pred_lang, bucket, score_q FROM bucketed
+    WHERE bucket <> 'tail' ORDER BY doc_id
+    """,
+    doc="The composed CCNet pipeline (Wenzek et al. 2020), end to end in "
+    "one row: held-out documents get (a) a PREDICTED language from the "
+    "trained char-trigram NB identifier — the model CCNet actually "
+    "groups by, not the gold label — and (b) a stupid-backoff LM score; "
+    "per PREDICTED language the scores split into head/middle/tail "
+    "tertiles and the tail drops (CCNet's default keep). Every kept "
+    "document's predicted language, bucket, and exact micro-nat score "
+    "are value-checked; the oracle chains the LM model, the langid "
+    "model, and the tertile window in one CTE list — the two model "
+    "chains compose because every term is exact-integer "
+    "(operators/langid_nb.py + operators/backoff_lm.py + "
+    "operators/evalcurves.py grouped_score_tertiles).",
+)
+def q_ccnet_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.backoff_lm import backoff_lm_scores
+    from ..operators.evalcurves import grouped_score_tertiles
+    from ..operators.langid_nb import langid_classify, langid_train
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % LM_TRAIN_MOD != 0)
+    held = docs.filter(F.col("doc_id") % LM_TRAIN_MOD == 0)
+    scored = backoff_lm_scores(train, held, "doc_id", "text").select(
+        "doc_id", "score_q"
+    )
+    weights, classes = langid_train(docs, "doc_id", "text", "lang")
+    pred = langid_classify(held, "doc_id", "text", weights, classes).select(
+        "doc_id", "pred_lang"
+    )
+    # the joined (LM score x predicted language) relation feeds
+    # grouped_rank's two passes — pin it so both model chains run once
+    lid_scored = pin(scored.join(pred, "doc_id"))
+    buckets = grouped_score_tertiles(lid_scored, "pred_lang", "score_q", "doc_id")
+    return (
+        buckets.filter(F.col("bucket") != "tail")
+        .select("doc_id", "pred_lang", "bucket", "score_q")
+        .orderBy("doc_id")
+    )
