@@ -4059,13 +4059,15 @@ from ..operators.unigram_lm import (  # noqa: E402
 )
 
 
-def _unigram_oracle(max_piece: int, top: int, max_word: int) -> str:
+def _unigram_oracle(max_piece: int, top: int, max_word: int) -> tuple[str, str]:
     """Replays the unigram-LM pipeline: the closed-form vocabulary
     (weighted piece counts -> top-V + char floor -> quantized micro-nat
     log-probs), then the exact-integer Viterbi DP as ONE CHAINED CTE PER
     POSITION — b<i> holds each word's best prefix segmentation at
     position i, the per-step winner picked by the same total order
-    (score DESC, n_pieces ASC, start ASC) the Spark DP uses."""
+    (score DESC, n_pieces ASC, start ASC) the Spark DP uses. Returns
+    (cte_chain, per-word final UNION) so the segmentation row and the
+    fertility row share one chain."""
     head = f"""WITH tok AS (
       SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
       FROM documents
@@ -4119,17 +4121,15 @@ def _unigram_oracle(max_piece: int, top: int, max_word: int) -> str:
         f" WHERE length(word) = {L}"
         for L in range(1, max_word + 1)
     ]
-    return (
-        ",\n".join(parts)
-        + "\n"
-        + "\nUNION ALL\n".join(finals)
-        + "\nORDER BY word"
-    )
+    return ",\n".join(parts), "\nUNION ALL\n".join(finals)
+
+
+_UNI_CHAIN, _UNI_FINALS = _unigram_oracle(_UNI_P, _UNI_T, _UNI_W)
 
 
 @query(
     "q_unigram_segment",
-    oracle=_unigram_oracle(_UNI_P, _UNI_T, _UNI_W),
+    oracle=_UNI_CHAIN + "\n" + _UNI_FINALS + "\nORDER BY word",
     doc="Unigram-LM (SentencePiece-style) Viterbi segmentation (Kudo "
     "2018) — the second production tokenizer family next to the BPE "
     "stack: a closed-form vocabulary (corpus substrings of length 1..4 "
@@ -4357,4 +4357,78 @@ def q_ccnet_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.filter(F.col("bucket") != "tail")
         .select("doc_id", "pred_lang", "bucket", "score_q")
         .orderBy("doc_id")
+    )
+
+
+# --- Q: tokenizer fertility by language (unigram-LM pieces per word) -------------
+
+
+@query(
+    "q_unigram_fertility",
+    oracle=_UNI_CHAIN
+    + """,
+    segs AS MATERIALIZED (
+"""
+    + _UNI_FINALS
+    + """
+    ),
+    ltok AS (
+      SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    lwc AS (SELECT lang, w AS word, COUNT(*) AS cnt FROM ltok GROUP BY 1, 2)
+    SELECT lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(cnt * s.n_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(cnt * s.n_pieces) AS BIGINT)
+             / CAST(SUM(cnt) AS BIGINT) AS fertility,
+           CAST(SUM(cnt * s.score_q) AS BIGINT) AS sum_score_q
+    FROM lwc JOIN segs s USING (word)
+    GROUP BY 1 ORDER BY lang
+    """,
+    doc="Tokenizer FERTILITY by language under the unigram-LM vocabulary "
+    "(pieces per word — the standard multilingual-tokenizer equity "
+    "metric: a language with high fertility pays more sequence length "
+    "per word): per-language token occurrences joined against the "
+    "distinct-word segmentation table, so the corpus-sized side touches "
+    "only (lang, word, count) rows and the DP runs once per DISTINCT "
+    "word (the q_unigram_segment relation, reused verbatim). The "
+    "corpus-weighted micro-nat score sum rides along, value-checked "
+    "exactly; fertility is one final BIGINT/BIGINT division "
+    "(operators/unigram_lm.py).",
+)
+def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram_lm import (
+        corpus_words,
+        unigram_vocab,
+        viterbi_segment,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = unigram_vocab(docs, "text", _UNI_P, _UNI_T)
+    words = (
+        corpus_words(docs, "text")
+        .filter(F.length("word") <= _UNI_W)
+        .select("word")
+    )
+    segs = viterbi_segment(words, vocab, "word", _UNI_P)
+    toks = F.expr("filter(split(text, ' '), t -> t != '')")
+    lwc = (
+        docs.select("lang", F.explode(toks).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        lwc.join(segs, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_pieces")).cast("bigint").alias("n_pieces"),
+            (
+                F.sum(F.col("cnt") * F.col("n_pieces")).cast("bigint")
+                / F.sum("cnt").cast("bigint")
+            ).alias("fertility"),
+            F.sum(F.col("cnt") * F.col("score_q")).cast("bigint").alias("sum_score_q"),
+        )
+        .orderBy("lang")
     )
