@@ -71,6 +71,9 @@ BNLJ_CROSS_OK = {
     # composes the backoff_lm totals-row cross AND the langid K-row
     # class-table cross (both bounded by construction)
     "q_ccnet_filter",
+    # NB one-row broadcast crosses + the domain relation x one-row
+    # corpus-totals / normalizer crosses (all single-row by construction)
+    "q_doremi_weights",
     # per-doc feature counts × the broadcast K-row class table (K =
     # #languages, bounded by construction — operators/langid_nb.py)
     "q_langid_nb",

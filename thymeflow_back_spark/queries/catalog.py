@@ -85,6 +85,7 @@ _DRIVER_PRIORITY = [
     "q_streaming_langid_train",
     "q_ccnet_filter",
     "q_unigram_fertility",
+    "q_doremi_weights",
     # last driver-verified in round 7, alphabetical (overflow past slot 50
     # rolls to round 11):
     "q_agents_by_nation",

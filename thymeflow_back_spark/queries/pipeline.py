@@ -2913,10 +2913,10 @@ def q_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 QNB_B = 1024
 
 
-@query(
-    "q_quality_classifier",
-    bench=True,  # r10: the classifier train+serve scan gets an sf0.1 number
-    oracle=f"""
+# the trained-classifier model chain (rule labels -> hashed-unigram NB
+# counts -> quantized weights/prior -> per-doc sums), shared by the
+# full-corpus classifier oracle and the DoReMi domain-reweighting oracle
+_QNB_CTES = f"""
     WITH t AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
       FROM documents
@@ -2984,7 +2984,14 @@ QNB_B = 1024
     docsum AS (
       SELECT doc_id, COUNT(*) AS n_toks, CAST(SUM(w_q) AS BIGINT) AS sum_q
       FROM occ JOIN w USING (bucket) GROUP BY 1
-    )
+    )"""
+
+
+@query(
+    "q_quality_classifier",
+    bench=True,  # r10: the classifier train+serve scan gets an sf0.1 number
+    oracle=_QNB_CTES
+    + """
     SELECT l.doc_id, l.label,
            CAST(COALESCE(d.n_toks, 0) AS BIGINT) AS n_toks,
            CAST(pr.prior_q + COALESCE(d.sum_q, 0) AS BIGINT) AS score_q,
@@ -4431,4 +4438,141 @@ def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cnt") * F.col("score_q")).cast("bigint").alias("sum_score_q"),
         )
         .orderBy("lang")
+    )
+
+
+# --- Q: DoReMi-style domain reweighting (one exponentiated-gradient step) -------
+
+DOREMI_ETA = 0.5  # multiplicative-weights step size (nats^-1)
+
+
+@query(
+    "q_doremi_weights",
+    oracle=_QNB_CTES
+    + f""",
+    dscore AS (
+      SELECT l.doc_id,
+             CAST(pr.prior_q + COALESCE(ds.sum_q, 0) AS BIGINT) AS score_q
+      FROM lbl l LEFT JOIN docsum ds USING (doc_id) CROSS JOIN pr
+    ),
+    dom AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM({_SQL_TOKENS}) AS BIGINT) AS tokens,
+             CAST(SUM(s.score_q) AS BIGINT) AS sum_score_q
+      FROM documents d JOIN dscore s USING (doc_id)
+      GROUP BY 1
+    ),
+    tot2 AS (
+      SELECT CAST(SUM(sum_score_q) AS BIGINT) AS all_sum,
+             CAST(SUM(n_docs) AS BIGINT) AS all_n
+      FROM dom
+    ),
+    rated AS (
+      SELECT source, n_docs, tokens, sum_score_q,
+             CAST(round(exp({DOREMI_ETA} * (
+                     (CAST(sum_score_q AS DOUBLE) / n_docs
+                      - CAST(all_sum AS DOUBLE) / all_n) / 1000000.0
+                   )) * {TEMP_RATE_SCALE}, 0) AS BIGINT) AS rate_q
+      FROM dom, tot2
+    ),
+    nrm AS (
+      SELECT CAST(SUM(CAST(tokens AS DECIMAL(38,0)) * rate_q)
+                  AS DECIMAL(38,0)) AS z
+      FROM rated
+    )
+    SELECT source, n_docs, tokens, sum_score_q, rate_q,
+           CAST(CAST(tokens AS DECIMAL(38,0)) * rate_q AS DOUBLE)
+             / CAST(z AS DOUBLE) AS weight
+    FROM rated, nrm
+    ORDER BY source
+    """,
+    doc="DoReMi-style domain reweighting (Xie et al. 2023), one "
+    "exponentiated-gradient step: per-source mean quality-classifier "
+    "score minus the corpus mean plays the per-domain excess-reward "
+    f"signal, and each domain's token-proportional baseline weight "
+    f"multiplies by exp(eta * excess) (eta = {DOREMI_ETA}), normalized "
+    "once — the multiplicative-weights update DoReMi iterates, composed "
+    "from the trained NB classifier. Float discipline: the excess is "
+    "IEEE ops over exact integer sums (identical in both engines), "
+    "exp() runs ONCE PER DOMAIN and quantizes to an integer rate, the "
+    "normalizer is an exact DECIMAL(38,0) sum of integer products "
+    "(token counts x 1e9 rates overflow BIGINT at petascale), and the "
+    "final weight is one double division. One corpus scan for scoring "
+    "joined to one for domain totals; everything after is "
+    "domain-cardinality-sized (operators/quality_nb.py).",
+)
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_nb import nb_classify, nb_train
+    from ..operators.text import quality_filter
+
+    docs = load(spark, sf_dir, "documents")
+    labels = quality_filter(docs, "doc_id", "text").select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    labeled = docs.select("doc_id", "text").join(labels, "doc_id")
+    weights, prior = nb_train(
+        labeled, "doc_id", "text", "label", QNB_B, length_feature=True
+    )
+    scored = nb_classify(
+        docs, "doc_id", "text", weights, prior, QNB_B, length_feature=True
+    ).select("doc_id", "score_q")
+    toks = F.size(F.expr("filter(split(text, ' '), x -> x != '')")).cast("bigint")
+    # the domain-summary relation is domain-cardinality-sized but feeds
+    # every downstream consumer (corpus totals, rates, normalizer, final
+    # select) — pin it so the classifier train+serve chain runs once
+    dom = pin(
+        docs.select("doc_id", "source", toks.alias("__tok"))
+        .join(scored, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__tok").cast("bigint").alias("tokens"),
+            F.sum("score_q").cast("bigint").alias("sum_score_q"),
+        )
+    )
+    tot = dom.agg(
+        F.sum("sum_score_q").cast("bigint").alias("__all_sum"),
+        F.sum("n_docs").cast("bigint").alias("__all_n"),
+    )
+    excess = (
+        F.col("sum_score_q").cast("double") / F.col("n_docs")
+        - F.col("__all_sum").cast("double") / F.col("__all_n")
+    ) / F.lit(1_000_000.0)
+    rated = dom.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        "sum_score_q",
+        F.round(
+            F.exp(F.lit(DOREMI_ETA) * excess) * F.lit(TEMP_RATE_SCALE), 0
+        )
+        .cast("bigint")
+        .alias("rate_q"),
+    )
+    nrm = rated.agg(
+        F.sum(
+            (F.col("tokens").cast("decimal(38,0)") * F.col("rate_q")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("__z")
+    )
+    return (
+        rated.crossJoin(F.broadcast(nrm))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            "sum_score_q",
+            "rate_q",
+            (
+                (F.col("tokens").cast("decimal(38,0)") * F.col("rate_q")).cast(
+                    "double"
+                )
+                / F.col("__z").cast("double")
+            ).alias("weight"),
+        )
+        .orderBy("source")
     )
