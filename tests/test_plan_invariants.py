@@ -93,6 +93,7 @@ SKIP = {
     "q_streaming_nb_train",
     "q_streaming_decontamination",
     "q_streaming_langid_train",
+    "q_streaming_ivf_upsert",
 }
 
 

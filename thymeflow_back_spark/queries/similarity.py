@@ -220,26 +220,39 @@ IVF_QUERIES = 20
 IVF_K = 5
 
 
-def _ivf_index_cte(n_cells: int) -> str:
+def _ivf_index_cte(
+    n_cells: int,
+    vecs_sql: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+    train_sql: str | None = None,
+) -> str:
     """Shared oracle prefix replaying the deterministic IVF index build
     (operators/ivf.py): content-addressed seeds -> one Lloyd refinement ->
     inverted file. Used by q_similarity_ivf and q_semantic_dedup so both
-    oracles check the identical quantizer."""
-    return f"""
-    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    oracles check the identical quantizer. ``vecs_sql`` overrides the
+    corpus relation; ``train_sql`` (optional) trains the quantizer on a
+    DIFFERENT relation than the one indexed — the streaming-upsert form,
+    where centroids freeze on the first batch while the inverted file
+    tracks the whole evolving corpus."""
+    tv = "tvecs" if train_sql is not None else "vecs"
+    head = f"""
+    WITH vecs AS ({vecs_sql}),"""
+    if train_sql is not None:
+        head += f"""
+    tvecs AS ({train_sql}),"""
+    return head + f"""
     seeds AS (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell, v
-      FROM vecs
+      FROM {tv}
       QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {n_cells}
     ),
     assign0 AS (
       SELECT vec_id, v, cell FROM (
-        SELECT vecs.vec_id, vecs.v, seeds.cell,
+        SELECT {tv}.vec_id, {tv}.v, seeds.cell,
                row_number() OVER (
-                 PARTITION BY vecs.vec_id
-                 ORDER BY list_dot_product(seeds.v, vecs.v) DESC, seeds.cell
+                 PARTITION BY {tv}.vec_id
+                 ORDER BY list_dot_product(seeds.v, {tv}.v) DESC, seeds.cell
                ) AS rn
-        FROM vecs CROSS JOIN seeds) WHERE rn = 1
+        FROM {tv} CROSS JOIN seeds) WHERE rn = 1
     ),
     means AS (
       SELECT cell, i, avg(v[i]) AS m
@@ -314,6 +327,120 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=IVF_PROBE,
         refine_iters=1,
     ).orderBy("q_id", "rank")
+
+
+# --- Q: streaming IVF index maintenance (upsert-aware vector ingestion) --------
+
+IVF_UPD_MOD = 10  # vec_id % 10 == 0 is RE-EMBEDDED (negated) in the last batch
+
+_IVF_UPSERT_VECS = f"""SELECT vec_id,
+             CASE WHEN vec_id % {IVF_UPD_MOD} = 0
+                  THEN list_transform(embedding::DOUBLE[], x -> -x)
+                  ELSE embedding::DOUBLE[] END AS v
+      FROM embeddings"""
+
+_IVF_BATCH0_VECS = (
+    "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+    " WHERE vec_id % 3 = 0"
+)
+
+
+@query(
+    "q_streaming_ivf_upsert",
+    oracle=_ivf_index_cte(
+        IVF_CELLS, vecs_sql=_IVF_UPSERT_VECS, train_sql=_IVF_BATCH0_VECS
+    )
+    + f""",
+    q AS (SELECT vec_id AS q_id, v AS q_v FROM vecs WHERE vec_id < {IVF_QUERIES}),
+    probe AS (
+      SELECT q_id, q_v, cell FROM (
+        SELECT q.q_id, q.q_v, cents.cell,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY list_dot_product(cents.v, q.q_v) DESC, cents.cell
+               ) AS rn
+        FROM q CROSS JOIN cents) WHERE rn <= {IVF_PROBE}
+    ),
+    scored AS (
+      SELECT p.q_id, a.vec_id AS c_id,
+             round(
+               list_dot_product(p.q_v, a.v)
+               / (sqrt(list_dot_product(p.q_v, p.q_v)) * sqrt(list_dot_product(a.v, a.v))),
+               9
+             ) AS score
+      FROM probe p JOIN inverted a ON p.cell = a.cell AND a.vec_id <> p.q_id
+    )
+    SELECT q_id, c_id, score, rank FROM (
+      SELECT q_id, c_id, score,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+      FROM scored)
+    WHERE rank <= {IVF_K}
+    ORDER BY q_id, rank
+    """,
+    doc="STREAMING IVF index maintenance, value-checked end to end: "
+    "vectors arrive as four micro-batches — three initial loads plus a "
+    f"RE-EMBEDDING batch (every {IVF_UPD_MOD}th vector re-delivered "
+    "negated, last writer wins). The coarse quantizer freezes on the "
+    "FIRST batch (committed write-once JSON — the production pattern: "
+    "quantizers retrain offline, never per insert); each batch assigns "
+    "map-side against it and appends (batch_id, cell)-partitioned rows "
+    "with dynamic overwrite; search probes the nearest cells of the "
+    "CURRENT view (max-batch version per id, the upsert_dedup read "
+    "discipline — a re-embedded vector that moved cells supersedes its "
+    "stale entry). With the quantizer fixed, streamed top-k == batch "
+    "IVF over the upserted corpus with the same centroids; the oracle "
+    "replays exactly that (trained on batch 0, indexing the upserted "
+    "corpus; streaming/ivf_stream.py).",
+)
+def q_streaming_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.ivf_stream import (
+        current_ivf_topk,
+        current_ivf_view,
+        run_streaming_ivf,
+    )
+
+    base = tempfile.mkdtemp(prefix="tf_stream_ivf_")
+    staging = os.path.join(base, "staging")
+    index = os.path.join(base, "index")
+    ckpt = os.path.join(base, "ckpt")
+    emb = load(spark, sf_dir, "embeddings")
+    # initial loads: batch 0 trains the quantizer, so it must be the
+    # vec_id % 3 == 0 slice the oracle trains on
+    for parity in (0, 1, 2):
+        emb.filter(F.col("vec_id") % 3 == parity).select(
+            "vec_id", "embedding"
+        ).coalesce(1).write.mode("append").parquet(staging)
+    # the re-embedding batch: negated vectors, delivered LAST
+    emb.filter(F.col("vec_id") % IVF_UPD_MOD == 0).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
+    ).coalesce(1).write.mode("append").parquet(staging)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    q = run_streaming_ivf(
+        stream, index, ckpt, "vec_id", "embedding", n_cells=IVF_CELLS
+    )
+    q.awaitTermination()
+    queries = current_ivf_view(spark, index).filter(
+        F.col("c_id") < IVF_QUERIES
+    ).select(F.col("c_id").alias("vec_id"), F.col("c_vec").alias("embedding"))
+    out = (
+        current_ivf_topk(
+            spark, index, queries, "vec_id", "embedding", IVF_K,
+            n_probe=IVF_PROBE,
+        )
+        .orderBy("q_id", "rank")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 # --- Q: int8 scalar quantization recall ---------------------------------------
