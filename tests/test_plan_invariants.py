@@ -78,6 +78,7 @@ BNLJ_CROSS_OK = {
     # #languages, bounded by construction — operators/langid_nb.py)
     "q_langid_nb",
     "q_langid_holdout",
+    "q_langid_agreement",  # same class cross + one broadcast total row
 }
 
 # queries whose construction executes jobs eagerly (iterative closures,

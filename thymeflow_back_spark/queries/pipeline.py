@@ -4576,3 +4576,75 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Q: trained-vs-heuristic language-ID agreement -------------------------------
+
+from .textstats import _M_SQL as _LID_M_SQL  # noqa: E402
+from .textstats import LANG_MARKERS as _LID_MARKERS  # noqa: E402
+
+
+@query(
+    "q_langid_agreement",
+    oracle=_langid_oracle_ctes("TRUE", "TRUE", "FALSE")
+    + f""",
+    ht AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM d
+    ),
+    h AS (
+      SELECT doc_id,
+             len(list_filter(toks, t -> t IN ({_LID_M_SQL['de']}))) AS h_de,
+             len(list_filter(toks, t -> t IN ({_LID_M_SQL['en']}))) AS h_en,
+             len(list_filter(toks, t -> t IN ({_LID_M_SQL['fr']}))) AS h_fr
+      FROM ht
+    ),
+    heur AS (
+      SELECT doc_id,
+             CASE WHEN h_fr > GREATEST(h_de, h_en) THEN 'fr'
+                  WHEN h_en > h_de THEN 'en'
+                  ELSE 'de' END AS pred_heur
+      FROM h
+    ),
+    tot3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM best)
+    SELECT hr.pred_heur, b.cand AS pred_nb,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) / CAST(MAX(tot3.nn) AS BIGINT) AS frac
+    FROM best b JOIN heur hr USING (doc_id) CROSS JOIN tot3
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Trained-vs-heuristic language-ID agreement: the K x K' matrix "
+    "between the marker-word heuristic (q_lang_id, the CCNet-style cheap "
+    "first pass) and the trained char-trigram NB identifier "
+    "(q_langid_nb) — the calibration readout that tells a pipeline owner "
+    "where the cheap gate and the trained model disagree before swapping "
+    "one for the other. Exact counts plus one BIGINT/BIGINT share "
+    "division per cell; both prediction chains replayed in one oracle "
+    "(operators/langid_nb.py + operators/text.py lang_id_scores).",
+)
+def q_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.langid_nb import langid_classify, langid_train
+    from ..operators.text import lang_id_scores
+
+    docs = load(spark, sf_dir, "documents")
+    weights, classes = langid_train(docs, "doc_id", "text", "lang")
+    nb = langid_classify(docs, "doc_id", "text", weights, classes).select(
+        "doc_id", F.col("pred_lang").alias("pred_nb")
+    )
+    heur = lang_id_scores(docs, "text", _LID_MARKERS).select(
+        "doc_id", F.col("pred_lang").alias("pred_heur")
+    )
+    joined = nb.join(heur, "doc_id")
+    tot = joined.agg(F.count("*").cast("bigint").alias("__nn"))
+    return (
+        joined.groupBy("pred_heur", "pred_nb")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pred_heur",
+            "pred_nb",
+            "n",
+            (F.col("n") / F.col("__nn")).alias("frac"),
+        )
+        .orderBy("pred_heur", "pred_nb")
+    )
