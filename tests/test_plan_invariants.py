@@ -79,6 +79,9 @@ BNLJ_CROSS_OK = {
     "q_langid_nb",
     "q_langid_holdout",
     "q_langid_agreement",  # same class cross + one broadcast total row
+    # piece-usage relation × one broadcast vocab-total row (both
+    # vocabulary-sized by construction — operators/unigram_lm.py)
+    "q_unigram_hard_em",
 }
 
 # queries whose construction executes jobs eagerly (iterative closures,

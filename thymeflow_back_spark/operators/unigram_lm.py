@@ -132,6 +132,42 @@ def _viterbi_one(
     return best[n]
 
 
+def hard_em_reestimate(
+    segs: DataFrame,
+    word_counts: DataFrame,
+) -> DataFrame:
+    """One HARD-EM round of unigram-LM vocabulary refinement — the
+    engine-exact member of SentencePiece's EM/prune loop (Kudo 2018 §4):
+    the E-step is the VITERBI segmentation (``segs`` = (word, seg) from
+    :func:`viterbi_segment`), the M-step recounts each piece's usage
+    across the corpus (piece occurrences in each word's best split,
+    weighted by the word's token count) and re-derives quantized
+    log-probs from the new counts. Pieces the Viterbi splits never use
+    DROP — the prune step; soft-EM's fractional counts are float-heavy
+    and order-sensitive, hard-EM is integer-exact and replayable.
+
+    Returns (piece, cnt, lp_q): the refined vocabulary. Scale: the
+    piece-usage explode runs over the DISTINCT-word segmentation
+    relation (vocabulary-sized), one aggregate, one total — never a
+    corpus scan."""
+    usage = (
+        segs.join(word_counts, "word")
+        .select("cnt", F.explode(F.split("seg", " ")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    tot = usage.agg(F.sum("cnt").alias("__t"))
+    return usage.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "cnt",
+        F.round(
+            (F.log(F.col("cnt")) - F.log(F.col("__t"))) * F.lit(UNI_SCALE), 0
+        )
+        .cast("bigint")
+        .alias("lp_q"),
+    )
+
+
 def viterbi_segment(
     words: DataFrame,
     vocab: DataFrame,

@@ -88,6 +88,7 @@ _DRIVER_PRIORITY = [
     "q_doremi_weights",
     "q_streaming_ivf_upsert",
     "q_langid_agreement",
+    "q_unigram_hard_em",
     # last driver-verified in round 7, alphabetical (overflow past slot 50
     # rolls to round 11):
     "q_agents_by_nation",

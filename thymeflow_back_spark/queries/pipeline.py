@@ -4648,3 +4648,58 @@ def q_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pred_heur", "pred_nb")
     )
+
+
+# --- Q: unigram-LM hard-EM vocabulary refinement ---------------------------------
+
+
+@query(
+    "q_unigram_hard_em",
+    oracle=_UNI_CHAIN
+    + """,
+    segs AS MATERIALIZED (
+"""
+    + _UNI_FINALS
+    + """
+    ),
+    usage AS (
+      SELECT p.piece, CAST(SUM(wc.cnt) AS BIGINT) AS cnt
+      FROM segs s JOIN wc ON wc.word = s.word,
+           LATERAL (SELECT unnest(string_split(s.seg, ' ')) AS piece) p
+      GROUP BY 1
+    ),
+    tot2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM usage)
+    SELECT piece, cnt,
+           CAST(round((ln(cnt) - ln(t)) * 1000000, 0) AS BIGINT) AS lp_q
+    FROM usage, tot2 ORDER BY piece
+    """,
+    doc="Unigram-LM HARD-EM vocabulary refinement (the engine-exact member "
+    "of SentencePiece's EM/prune loop, Kudo 2018 §4): E-step = the "
+    "Viterbi segmentation of every distinct word (q_unigram_segment's "
+    "relation, reused verbatim), M-step = re-counting each piece's usage "
+    "across the corpus (occurrences in best splits, weighted by token "
+    "counts) and re-deriving quantized micro-nat log-probs; pieces no "
+    "Viterbi split uses DROP — the prune step. Soft EM's fractional "
+    "counts are float-order-sensitive; hard EM is integer-exact, so the "
+    "refined vocabulary (counts AND log-probs) is value-checked "
+    "bit-for-bit. The usage explode runs over the distinct-word "
+    "segmentation relation — vocabulary-sized, never a corpus scan "
+    "(operators/unigram_lm.py hard_em_reestimate).",
+)
+def q_unigram_hard_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram_lm import (
+        corpus_words,
+        hard_em_reestimate,
+        unigram_vocab,
+        viterbi_segment,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = unigram_vocab(docs, "text", _UNI_P, _UNI_T)
+    # the word-count relation feeds the segmentation input AND the
+    # M-step weighting — pin it so the token explode runs once
+    wc = pin(corpus_words(docs, "text").filter(F.length("word") <= _UNI_W))
+    segs = viterbi_segment(wc.select("word"), vocab, "word", _UNI_P).select(
+        "word", "seg"
+    )
+    return hard_em_reestimate(segs, wc).orderBy("piece")
