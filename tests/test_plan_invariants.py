@@ -82,6 +82,9 @@ BNLJ_CROSS_OK = {
     # piece-usage relation × one broadcast vocab-total row (both
     # vocabulary-sized by construction — operators/unigram_lm.py)
     "q_unigram_hard_em",
+    # NB one-row crosses + scores × the broadcast (n_bins−1)-edge
+    # relation + the one-row totals cross (evalcurves.score_drift_psi)
+    "q_score_drift_psi",
 }
 
 # queries whose construction executes jobs eagerly (iterative closures,
@@ -134,6 +137,8 @@ GLOBAL_WINDOW_OK = {
     # pass (#partitions rows) + group-start pass (#languages rows)
     "q_ppl_buckets",
     "q_ccnet_filter",
+    # grouped_rank over the reference cohort (evalcurves.score_drift_psi)
+    "q_score_drift_psi",
 }
 
 _PLAN_CACHE: dict[str, str] = {}

@@ -94,6 +94,94 @@ def grouped_score_tertiles(
     return r.withColumn(bucket_col, bucket).drop("__negscore", "__rn", "__n")
 
 
+def score_drift_psi(
+    df: DataFrame,
+    is_ref: Column,
+    score_col: str,
+    tie_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population-stability-index drift monitor between a REFERENCE
+    cohort and the CURRENT cohort under one frozen score — the standard
+    model-monitoring statistic (PSI = Σ_bins (p−q)·ln(p/q); < 0.1 stable,
+    > 0.25 drifted).
+
+    Bins are the reference cohort's exact ``n_bins``-quantile edges
+    (lower-quantile SELECTION at rank max(1, k·n div n_bins) — a value
+    that exists in the data, so both engines agree bitwise; ties at an
+    edge stay in the lower bin). Shares are Laplace-smoothed (+1 per
+    bin) so empty bins stay finite. Returns one row per bin 1..n_bins:
+    (bin, ref_n, cur_n, psi_term) — exact integer counts, ln once per
+    bin, psi_term a pure IEEE expression of them.
+
+    Scale shape: scores collapse to a per-cohort bin histogram; the only
+    rank pass is :func:`robust.grouped_rank` over the reference cohort
+    (distributed prefix sum, no single-task sort); the edge relation is
+    ``n_bins − 1`` rows broadcast to one binning pass."""
+    from .robust import grouped_rank
+
+    spark = df.sparkSession
+    labeled = df.select(
+        F.col(score_col).alias("__s"),
+        F.col(tie_col).alias("__tie"),
+        is_ref.alias("__ref"),
+    )
+    ranked = grouped_rank(
+        labeled.filter(F.col("__ref")).withColumn("__g", F.lit(0)),
+        "__g",
+        ["__s", "__tie"],
+        rank_col="__rn",
+        n_col="__n",
+    )
+    ks = spark.range(1, n_bins).select(F.col("id").alias("__k"))
+    edges = ranked.join(
+        F.broadcast(ks),
+        F.col("__rn")
+        == F.expr(f"greatest(1, (__k * __n) div {n_bins})"),
+    ).select(F.col("__s").alias("__edge"))
+    binned = (
+        labeled.crossJoin(F.broadcast(edges))
+        .groupBy("__s", "__tie", "__ref")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(F.when(F.col("__s") > F.col("__edge"), 1).otherwise(0))
+            ).alias("bin")
+        )
+    )
+    cnts = binned.groupBy("bin").agg(
+        F.count_if(F.col("__ref")).cast("bigint").alias("ref_n"),
+        F.count_if(~F.col("__ref")).cast("bigint").alias("cur_n"),
+    )
+    allbins = spark.range(1, n_bins + 1).select(F.col("id").alias("bin"))
+    tots = cnts.agg(
+        F.sum("ref_n").alias("__refN"), F.sum("cur_n").alias("__curN")
+    )
+    p = (F.col("ref_n") + F.lit(1)).cast("double") / (
+        F.col("__refN") + F.lit(n_bins)
+    ).cast("double")
+    q = (F.col("cur_n") + F.lit(1)).cast("double") / (
+        F.col("__curN") + F.lit(n_bins)
+    ).cast("double")
+    return (
+        allbins.join(cnts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ref_n", F.lit(0)).cast("bigint").alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).cast("bigint").alias("cur_n"),
+        )
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bin",
+            "ref_n",
+            "cur_n",
+            # rounded to the house score grid: ln() may differ by an ulp
+            # between libms, and the monitor needs 4 decimals anyway
+            F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
+        )
+    )
+
+
 def roc_auc(df: DataFrame, score_col: str, label_pred: Column) -> DataFrame:
     """EXACT ROC-AUC (Mann-Whitney U with average-rank tie handling), one row.
 

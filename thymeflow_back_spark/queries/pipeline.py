@@ -4703,3 +4703,94 @@ def q_unigram_hard_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word", "seg"
     )
     return hard_em_reestimate(segs, wc).orderBy("piece")
+
+
+# --- Q: score-drift monitoring (population stability index) ----------------------
+
+PSI_BINS = 10
+
+
+@query(
+    "q_score_drift_psi",
+    oracle=_QNB_CTES
+    + f""",
+    dscore AS (
+      SELECT l.doc_id,
+             CAST(pr.prior_q + COALESCE(ds.sum_q, 0) AS BIGINT) AS score_q
+      FROM lbl l LEFT JOIN docsum ds USING (doc_id) CROSS JOIN pr
+    ),
+    halves AS (SELECT doc_id, score_q, doc_id % 2 = 0 AS is_ref FROM dscore),
+    refsorted AS (
+      SELECT score_q, ROW_NUMBER() OVER (ORDER BY score_q, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM halves WHERE is_ref
+    ),
+    edges AS (
+      SELECT r.score_q AS edge
+      FROM (SELECT unnest(generate_series(1, {PSI_BINS - 1})) AS k) ks
+      JOIN refsorted r ON r.rn = GREATEST(1, (ks.k * r.n) // {PSI_BINS})
+    ),
+    binned AS (
+      SELECT h.doc_id, h.is_ref,
+             1 + CAST(SUM(CASE WHEN h.score_q > e.edge THEN 1 ELSE 0 END)
+                      AS BIGINT) AS bin
+      FROM halves h CROSS JOIN edges e
+      GROUP BY h.doc_id, h.is_ref
+    ),
+    cnts AS (
+      SELECT bin,
+             CAST(COUNT(*) FILTER (is_ref) AS BIGINT) AS ref_n,
+             CAST(COUNT(*) FILTER (NOT is_ref) AS BIGINT) AS cur_n
+      FROM binned GROUP BY 1
+    ),
+    tots AS (
+      SELECT CAST(SUM(ref_n) AS BIGINT) AS refN,
+             CAST(SUM(cur_n) AS BIGINT) AS curN
+      FROM cnts
+    ),
+    allb AS (SELECT unnest(generate_series(1, {PSI_BINS})) AS bin)
+    SELECT CAST(allb.bin AS BIGINT) AS bin,
+           CAST(COALESCE(c.ref_n, 0) AS BIGINT) AS ref_n,
+           CAST(COALESCE(c.cur_n, 0) AS BIGINT) AS cur_n,
+           round(((COALESCE(c.ref_n, 0) + 1) / CAST(refN + {PSI_BINS} AS DOUBLE)
+            - (COALESCE(c.cur_n, 0) + 1) / CAST(curN + {PSI_BINS} AS DOUBLE))
+           * ln(((COALESCE(c.ref_n, 0) + 1) / CAST(refN + {PSI_BINS} AS DOUBLE))
+                / ((COALESCE(c.cur_n, 0) + 1) / CAST(curN + {PSI_BINS} AS DOUBLE))), 9)
+             AS psi_term
+    FROM allb LEFT JOIN cnts c USING (bin) CROSS JOIN tots
+    ORDER BY allb.bin
+    """,
+    doc="Score-drift monitoring: the population stability index between "
+    "two corpus cohorts (even/odd doc ids standing in for last-week vs "
+    "this-week) under the FROZEN trained quality classifier — the "
+    "standard production monitor that catches a shifted input "
+    "distribution before it poisons downstream filters (PSI < 0.1 "
+    f"stable, > 0.25 drifted). Bins are the reference cohort's exact "
+    f"{PSI_BINS}-quantile edges (rank SELECTION — values that exist in "
+    "the data, bit-agreeable), counts are exact integers with Laplace "
+    "smoothing, ln() runs once per bin, and every per-bin PSI term is "
+    "value-checked (operators/evalcurves.py score_drift_psi).",
+)
+def q_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.evalcurves import score_drift_psi
+    from ..operators.quality_nb import nb_classify, nb_train
+    from ..operators.text import quality_filter
+
+    docs = load(spark, sf_dir, "documents")
+    labels = quality_filter(docs, "doc_id", "text").select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    labeled = docs.select("doc_id", "text").join(labels, "doc_id")
+    weights, prior = nb_train(
+        labeled, "doc_id", "text", "label", QNB_B, length_feature=True
+    )
+    # the scored relation feeds the reference rank pass AND the binning
+    # pass — pin it so the classifier chain runs once
+    scored = pin(
+        nb_classify(
+            docs, "doc_id", "text", weights, prior, QNB_B, length_feature=True
+        ).select("doc_id", "score_q")
+    )
+    return score_drift_psi(
+        scored, F.col("doc_id") % 2 == 0, "score_q", "doc_id", PSI_BINS
+    ).orderBy("bin")
