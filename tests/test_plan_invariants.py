@@ -26,6 +26,7 @@ CARTESIAN_OK = {"q_embedding_near_dup"}
 # is the intended scale shape, not an accident
 BNLJ_CROSS_OK = {
     "q_cosine_topk",  # corpus streams against a broadcast fixed probe set
+    "q_hard_negatives",  # same probe-set cross, mined into triplets
     "q_similarity_sq8",  # same probe-set shape over the SQ8 codes
     "q_similarity_jl",  # same probe-set shape over the JL projections
     "q_similarity_jl_rerank",  # JL probe-set shortlist + broadcast rerank side

@@ -90,6 +90,7 @@ _DRIVER_PRIORITY = [
     "q_langid_agreement",
     "q_unigram_hard_em",
     "q_score_drift_psi",
+    "q_hard_negatives",
     # last driver-verified in round 7, alphabetical (overflow past slot 50
     # rolls to round 11):
     "q_agents_by_nation",

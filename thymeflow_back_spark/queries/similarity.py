@@ -1814,3 +1814,88 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_topk(
         emb, query_df, "vec_id", "embedding", MMR_K, MMR_POOL, MMR_LAM
     ).orderBy("step")
+
+
+# --- Q: hard-negative mining for contrastive training ---------------------------
+
+HN_NEGS = 3  # hard negatives mined per anchor (ranks 2..4)
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS q_vec FROM vecs WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, c.vec_id AS c_id,
+             round(
+               list_dot_product(q.q_vec, c.v)
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.v, c.v))),
+               9
+             ) AS score
+      FROM vecs c CROSS JOIN q
+      WHERE c.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, c_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+      FROM scored
+    ),
+    pos AS (
+      SELECT q_id, c_id AS pos_id, score AS pos_score
+      FROM ranked WHERE rank = 1
+    ),
+    negs AS (
+      SELECT q_id, c_id AS neg_id, score AS neg_score, rank AS neg_rank
+      FROM ranked WHERE rank BETWEEN 2 AND {1 + HN_NEGS}
+    )
+    SELECT p.q_id, p.pos_id, p.pos_score,
+           n.neg_id, n.neg_score, n.neg_rank,
+           p.pos_score - n.neg_score AS margin
+    FROM pos p JOIN negs n USING (q_id)
+    ORDER BY p.q_id, n.neg_rank
+    """,
+    doc="Hard-negative mining for contrastive embedding training: per "
+    "anchor, the nearest neighbor is the self-supervised POSITIVE and "
+    f"ranks 2..{1 + HN_NEGS} are the hard negatives — the (anchor, "
+    "positive, negative, margin) triplets an InfoNCE/triplet-loss "
+    "pipeline exports (the standard mining recipe: negatives close "
+    "enough to be informative, the margin column the curriculum "
+    "signal). One exact-cosine pass over the broadcast probe set "
+    "produces both roles (the top-k relation is pinned, so the corpus "
+    "scan runs once); margins are differences of 9-decimal-rounded "
+    "scores, bit-identical cross-engine (operators/similarity.py).",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cachereg import pin
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    # one scored+ranked pass feeds the positive AND negative roles
+    nn = pin(cosine_topk(emb, queries, "vec_id", "embedding", 1 + HN_NEGS))
+    pos = nn.filter(F.col("rank") == 1).select(
+        "q_id",
+        F.col("c_id").alias("pos_id"),
+        F.col("score").alias("pos_score"),
+    )
+    negs = nn.filter(F.col("rank") >= 2).select(
+        "q_id",
+        F.col("c_id").alias("neg_id"),
+        F.col("score").alias("neg_score"),
+        F.col("rank").alias("neg_rank"),
+    )
+    return (
+        pos.join(negs, "q_id")
+        .select(
+            "q_id",
+            "pos_id",
+            "pos_score",
+            "neg_id",
+            "neg_score",
+            "neg_rank",
+            (F.col("pos_score") - F.col("neg_score")).alias("margin"),
+        )
+        .orderBy("q_id", "neg_rank")
+    )
