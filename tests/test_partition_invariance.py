@@ -38,6 +38,13 @@ NAMES = [
     "q_kcenter_parallel",
     "q_bpe_train",
     "q_html_quality_funnel",
+    # round 10: prefix-sum tertile ranks, per-doc argmax windows, exact
+    # quantile-edge selection, Arrow-batched Viterbi over distinct words
+    "q_ppl_buckets",
+    "q_langid_nb",
+    "q_ccnet_filter",
+    "q_score_drift_psi",
+    "q_unigram_segment",
 ]
 
 
