@@ -83,6 +83,8 @@ def char_ngram_bucket_counts(
     identically) and folds straight into per-document bucket counts;
     a document shorter than ``n`` characters contributes nothing (the
     guarded sequence avoids Spark's descending sequence(1, 0) trap)."""
+    from .skew import spread_small_input
+
     grams = F.expr(
         f"transform("
         f" if(length({text_col}) >= {n},"
@@ -90,6 +92,10 @@ def char_ngram_bucket_counts(
         f"    cast(array() as array<int>)),"
         f" i -> substring({text_col}, i, {n}))"
     )
+    # the per-character explode + md5 is the CPU-heavy narrow stage — a
+    # single-file scan would serialize it on one core (no-op on a wide
+    # scan, so safe as the permanent guard)
+    df = spread_small_input(df)
     return (
         df.select(
             F.col(id_col),
@@ -109,6 +115,7 @@ def langid_train(
     lang_col: str,
     n: int = LID_NGRAM,
     n_buckets: int = LID_BUCKETS,
+    features: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the K-class model on language-labeled documents.
 
@@ -119,13 +126,26 @@ def langid_train(
     - ``classes``: (lang, prior_q, unseen_q, n_docs, occ_tot) — one row
       per class with the quantized prior, the zero-count-bucket weight,
       and the audit counts.
+
+    ``features`` (optional): a precomputed per-document feature relation
+    from :func:`char_ngram_bucket_counts` (id, bucket, cnt) — pass the
+    SAME pinned relation to :func:`langid_classify` when training and
+    serving over one corpus, so the char-explode pass runs once (the
+    summed cell counts are identical either way).
     """
     # cell counts are the model's whole training state (≤ K·B rows) and
     # feed two consumers (class totals, weights) — checkpoint so the
     # corpus explode+fold runs once
+    if features is None:
+        cells = char_ngram_bucket_counts(
+            df, id_col, text_col, n, n_buckets, lang_col
+        )
+    else:
+        cells = features.join(
+            df.select(F.col(id_col), F.col(lang_col)), id_col
+        )
     counts = (
-        char_ngram_bucket_counts(df, id_col, text_col, n, n_buckets, lang_col)
-        .groupBy(lang_col, "bucket")
+        cells.groupBy(lang_col, "bucket")
         .agg(F.sum("cnt").alias("c"))
         .localCheckpoint(eager=True)
     )
@@ -191,6 +211,7 @@ def langid_classify(
     lang_col: str = "lang",
     n: int = LID_NGRAM,
     n_buckets: int = LID_BUCKETS,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Predict each document's language: (id, pred_lang, score_q) — the
     argmax class and its exact micro-nat score. One corpus scan folds to
@@ -198,8 +219,13 @@ def langid_classify(
     BIGINT dot products against the broadcast weight table, and the
     argmax window breaks ties toward the smaller class code. Documents
     with no char n-grams (text shorter than ``n``) are excluded — the
-    classifier has no evidence (both engines agree by construction)."""
-    pdoc = char_ngram_bucket_counts(df, id_col, text_col, n, n_buckets)
+    classifier has no evidence (both engines agree by construction).
+    ``features``: see :func:`langid_train`."""
+    pdoc = (
+        features
+        if features is not None
+        else char_ngram_bucket_counts(df, id_col, text_col, n, n_buckets)
+    )
     cl = classes.select(
         F.col(lang_col).alias("__cand"), "prior_q", "unseen_q"
     )

@@ -3963,6 +3963,7 @@ def _langid_body(train_pred: str, score_pred: str, split_expr: str) -> str:
 
 @query(
     "q_langid_nb",
+    bench=True,  # r10: the char-trigram K-class serve scan gets an sf0.1 number
     oracle=_langid_oracle_ctes("TRUE", "TRUE", "FALSE")
     + """
     SELECT d.doc_id, d.lang, b.cand AS pred_lang, b.score_q,
@@ -3984,11 +3985,22 @@ def _langid_body(train_pred: str, score_pred: str, split_expr: str) -> str:
     "argmax window (operators/langid_nb.py).",
 )
 def q_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.langid_nb import langid_classify, langid_train
+    from ..operators.langid_nb import (
+        char_ngram_bucket_counts,
+        langid_classify,
+        langid_train,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    weights, classes = langid_train(docs, "doc_id", "text", "lang")
-    pred = langid_classify(docs, "doc_id", "text", weights, classes)
+    # one pinned feature pass serves BOTH training and scoring — the
+    # char-explode + md5 fold is the query's CPU-heavy stage
+    feats = pin(char_ngram_bucket_counts(docs, "doc_id", "text"))
+    weights, classes = langid_train(
+        docs, "doc_id", "text", "lang", features=feats
+    )
+    pred = langid_classify(
+        docs, "doc_id", "text", weights, classes, features=feats
+    )
     return (
         docs.select("doc_id", "lang")
         .join(pred, "doc_id")
@@ -4136,6 +4148,7 @@ _UNI_CHAIN, _UNI_FINALS = _unigram_oracle(_UNI_P, _UNI_T, _UNI_W)
 
 @query(
     "q_unigram_segment",
+    bench=True,  # r10: the distinct-word Viterbi pass gets an sf0.1 number
     oracle=_UNI_CHAIN + "\n" + _UNI_FINALS + "\nORDER BY word",
     doc="Unigram-LM (SentencePiece-style) Viterbi segmentation (Kudo "
     "2018) — the second production tokenizer family next to the BPE "
