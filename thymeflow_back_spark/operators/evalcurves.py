@@ -94,6 +94,98 @@ def grouped_score_tertiles(
     return r.withColumn(bucket_col, bucket).drop("__negscore", "__rn", "__n")
 
 
+def quantile_edges(
+    df: DataFrame, score_col: str, tie_col: str, n_bins: int = 10
+) -> DataFrame:
+    """The cohort's exact ``n_bins``-quantile edges, one column
+    ``__edge`` with ``n_bins − 1`` rows: lower-quantile SELECTION at
+    rank max(1, k·n div n_bins) — values that exist in the data, so both
+    engines agree bitwise. Rank via the distributed prefix sum (no
+    single-task sort); ``tie_col`` must make (score, tie) a key."""
+    from .robust import grouped_rank
+
+    spark = df.sparkSession
+    ranked = grouped_rank(
+        df.select(
+            F.col(score_col).alias("__s"), F.col(tie_col).alias("__tie")
+        ).withColumn("__g", F.lit(0)),
+        "__g",
+        ["__s", "__tie"],
+        rank_col="__rn",
+        n_col="__n",
+    )
+    ks = spark.range(1, n_bins).select(F.col("id").alias("__k"))
+    return ranked.join(
+        F.broadcast(ks),
+        F.col("__rn") == F.expr(f"greatest(1, (__k * __n) div {n_bins})"),
+    ).select(F.col("__s").alias("__edge"))
+
+
+def bin_counts_by_edges(
+    df: DataFrame, score_col: str, tie_col: str, edges: DataFrame
+) -> DataFrame:
+    """Histogram a cohort over quantile edges: (bin, n) with
+    bin = 1 + #edges strictly below the score (ties at an edge stay in
+    the lower bin — the :func:`quantile_edges` convention). One
+    broadcast of the (n_bins − 1)-row edge relation; counts are exact
+    integers, so per-cohort histograms MERGE across micro-batches (the
+    property streaming/drift_stream.py builds on)."""
+    return (
+        df.select(
+            F.col(score_col).alias("__s"), F.col(tie_col).alias("__tie")
+        )
+        .crossJoin(F.broadcast(edges))
+        .groupBy("__s", "__tie")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(F.when(F.col("__s") > F.col("__edge"), 1).otherwise(0))
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def psi_from_histograms(
+    spark,
+    ref_hist: DataFrame,
+    cur_hist: DataFrame,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-bin PSI terms from two (bin, n) histograms: (bin, ref_n,
+    cur_n, psi_term) over ALL bins 1..n_bins (absent bins are zero;
+    Laplace +1 smoothing keeps terms finite; ln once per bin, rounded
+    to the house score grid)."""
+    allbins = spark.range(1, n_bins + 1).select(F.col("id").alias("bin"))
+    cnts = (
+        allbins.join(
+            ref_hist.select("bin", F.col("n").alias("ref_n")), "bin", "left"
+        )
+        .join(cur_hist.select("bin", F.col("n").alias("cur_n")), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ref_n", F.lit(0)).cast("bigint").alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).cast("bigint").alias("cur_n"),
+        )
+    )
+    tots = cnts.agg(
+        F.sum("ref_n").alias("__refN"), F.sum("cur_n").alias("__curN")
+    )
+    p = (F.col("ref_n") + F.lit(1)).cast("double") / (
+        F.col("__refN") + F.lit(n_bins)
+    ).cast("double")
+    q = (F.col("cur_n") + F.lit(1)).cast("double") / (
+        F.col("__curN") + F.lit(n_bins)
+    ).cast("double")
+    return cnts.crossJoin(F.broadcast(tots)).select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
+    )
+
+
 def score_drift_psi(
     df: DataFrame,
     is_ref: Column,
@@ -117,69 +209,23 @@ def score_drift_psi(
     Scale shape: scores collapse to a per-cohort bin histogram; the only
     rank pass is :func:`robust.grouped_rank` over the reference cohort
     (distributed prefix sum, no single-task sort); the edge relation is
-    ``n_bins − 1`` rows broadcast to one binning pass."""
-    from .robust import grouped_rank
-
+    ``n_bins − 1`` rows broadcast to one binning pass. Composed from
+    :func:`quantile_edges` / :func:`bin_counts_by_edges` /
+    :func:`psi_from_histograms` — the streaming monitor
+    (streaming/drift_stream.py) reuses the same pieces, so streamed PSI
+    is bit-identical to this batch form."""
     spark = df.sparkSession
     labeled = df.select(
         F.col(score_col).alias("__s"),
         F.col(tie_col).alias("__tie"),
         is_ref.alias("__ref"),
     )
-    ranked = grouped_rank(
-        labeled.filter(F.col("__ref")).withColumn("__g", F.lit(0)),
-        "__g",
-        ["__s", "__tie"],
-        rank_col="__rn",
-        n_col="__n",
-    )
-    ks = spark.range(1, n_bins).select(F.col("id").alias("__k"))
-    edges = ranked.join(
-        F.broadcast(ks),
-        F.col("__rn")
-        == F.expr(f"greatest(1, (__k * __n) div {n_bins})"),
-    ).select(F.col("__s").alias("__edge"))
-    binned = (
-        labeled.crossJoin(F.broadcast(edges))
-        .groupBy("__s", "__tie", "__ref")
-        .agg(
-            (
-                F.lit(1)
-                + F.sum(F.when(F.col("__s") > F.col("__edge"), 1).otherwise(0))
-            ).alias("bin")
-        )
-    )
-    cnts = binned.groupBy("bin").agg(
-        F.count_if(F.col("__ref")).cast("bigint").alias("ref_n"),
-        F.count_if(~F.col("__ref")).cast("bigint").alias("cur_n"),
-    )
-    allbins = spark.range(1, n_bins + 1).select(F.col("id").alias("bin"))
-    tots = cnts.agg(
-        F.sum("ref_n").alias("__refN"), F.sum("cur_n").alias("__curN")
-    )
-    p = (F.col("ref_n") + F.lit(1)).cast("double") / (
-        F.col("__refN") + F.lit(n_bins)
-    ).cast("double")
-    q = (F.col("cur_n") + F.lit(1)).cast("double") / (
-        F.col("__curN") + F.lit(n_bins)
-    ).cast("double")
-    return (
-        allbins.join(cnts, "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("ref_n", F.lit(0)).cast("bigint").alias("ref_n"),
-            F.coalesce("cur_n", F.lit(0)).cast("bigint").alias("cur_n"),
-        )
-        .crossJoin(F.broadcast(tots))
-        .select(
-            "bin",
-            "ref_n",
-            "cur_n",
-            # rounded to the house score grid: ln() may differ by an ulp
-            # between libms, and the monitor needs 4 decimals anyway
-            F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
-        )
-    )
+    ref = labeled.filter(F.col("__ref"))
+    cur = labeled.filter(~F.col("__ref"))
+    edges = quantile_edges(ref, "__s", "__tie", n_bins)
+    ref_hist = bin_counts_by_edges(ref, "__s", "__tie", edges)
+    cur_hist = bin_counts_by_edges(cur, "__s", "__tie", edges)
+    return psi_from_histograms(spark, ref_hist, cur_hist, n_bins)
 
 
 def roc_auc(df: DataFrame, score_col: str, label_pred: Column) -> DataFrame:

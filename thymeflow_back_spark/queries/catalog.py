@@ -91,6 +91,7 @@ _DRIVER_PRIORITY = [
     "q_unigram_hard_em",
     "q_score_drift_psi",
     "q_hard_negatives",
+    "q_streaming_drift_psi",
     # last driver-verified in round 7, alphabetical (overflow past slot 50
     # rolls to round 11):
     "q_agents_by_nation",

@@ -4807,3 +4807,76 @@ def q_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_drift_psi(
         scored, F.col("doc_id") % 2 == 0, "score_q", "doc_id", PSI_BINS
     ).orderBy("bin")
+
+
+# --- Q: streaming score-drift monitoring -----------------------------------------
+
+
+@query(
+    "q_streaming_drift_psi",
+    oracle=_QUERIES["q_score_drift_psi"].oracle,
+    doc="STREAMING drift monitoring, value-checked end to end: the "
+    "reference cohort's quantile edges and histogram freeze ONCE as "
+    "committed write-once state (monitoring against a moving baseline "
+    "is the classic monitoring bug), then the current cohort streams in "
+    "as three micro-batches, each binned against the broadcast frozen "
+    "edges and merged into n_bins rows of write-once replay-guarded "
+    "state — bin counts are plain integer sums, so the accumulated "
+    "histogram is bit-identical to binning the whole cohort at once, "
+    "and the streamed PSI equals the batch monitor exactly: this row "
+    "reuses q_score_drift_psi's oracle VERBATIM "
+    "(streaming/drift_stream.py).",
+)
+def q_streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.quality_nb import nb_classify, nb_train
+    from ..operators.text import quality_filter
+    from ..streaming.drift_stream import (
+        build_drift_reference,
+        psi_from_drift_state,
+        run_streaming_drift,
+    )
+
+    base = tempfile.mkdtemp(prefix="tf_stream_drift_")
+    staging = os.path.join(base, "staging")
+    ref_dir = os.path.join(base, "ref")
+    state = os.path.join(base, "state")
+    docs = load(spark, sf_dir, "documents")
+    labels = quality_filter(docs, "doc_id", "text").select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    labeled = docs.select("doc_id", "text").join(labels, "doc_id")
+    weights, prior = nb_train(
+        labeled, "doc_id", "text", "label", QNB_B, length_feature=True
+    )
+    scored = pin(
+        nb_classify(
+            docs, "doc_id", "text", weights, prior, QNB_B, length_feature=True
+        ).select("doc_id", "score_q")
+    )
+    build_drift_reference(
+        scored.filter(F.col("doc_id") % 2 == 0), ref_dir,
+        "score_q", "doc_id", PSI_BINS,
+    )
+    cur = scored.filter(F.col("doc_id") % 2 == 1)
+    for parity in (0, 1, 2):
+        cur.filter(F.col("doc_id") % 3 == parity).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+    stream = (
+        spark.readStream.schema("doc_id bigint, score_q bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    q = run_streaming_drift(stream, ref_dir, state, "score_q", "doc_id", PSI_BINS)
+    q.awaitTermination()
+    out = (
+        psi_from_drift_state(spark, ref_dir, state, PSI_BINS)
+        .orderBy("bin")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out

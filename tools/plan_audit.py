@@ -36,6 +36,7 @@ SKIP = {
     "q_streaming_decontamination",
     "q_streaming_langid_train",
     "q_streaming_ivf_upsert",
+    "q_streaming_drift_psi",
 }
 
 _OPS = (
