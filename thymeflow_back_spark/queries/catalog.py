@@ -46,71 +46,17 @@ def query(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
 # The driver's per-round correctness file caps at 50 rows taken in
 # queries() order. Every catalog row has appeared green in SOME
 # CORRECTNESS_r*.json; to keep that record fresh under rotation, rows
-# whose LAST driver check is oldest lead the map. Round-10 state (from
-# CORRECTNESS_r01..r09, 50/50 green in r9): the 17 rows whose freshest
-# driver check is r6 lead (the §2-critical RDF/enricher rows among them),
-# then round-10 additions (never driver-verified), then the 50 rows whose
-# freshest check is r7 — the first ~27 of those fit the 50-row window, so
-# after r10 no row's last driver check is older than r7. r8/r9-fresh rows
+# whose LAST driver check is oldest lead the map. Round-11 state
+# (computed from CORRECTNESS_r01..r10 last-green histogram: 50 r10,
+# 50 r9, 49 r8, 33 r7): the 33 rows whose freshest driver check is r7
+# lead, then round-11 additions (never driver-verified), then the 49
+# r8-fresh rows alphabetically — whatever fits the 50-row window after
+# the stale+new rows; overflow rolls to round 12. r9/r10-fresh rows
 # fall to the tail via registration order.
 _DRIVER_PRIORITY = [
-    # last driver-verified in round 6 (stalest rows — OWL/RDFS closure,
-    # PARIS, staypoints among them):
-    "q_agent_name_weights",
-    "q_asof_purchase_view",
-    "q_er_part_names",
-    "q_events_pivot",
-    "q_fts_part_search",
-    "q_geo_track_length",
-    "q_hybrid_rrf",
-    "q_movement_smoothing",
-    "q_owl_closure",
-    "q_paris_agents",
-    "q_primary_facet",
-    "q_rdf_construct_euro",
-    "q_rdf_describe_nations",
-    "q_rdf_facet_rank",
-    "q_rdf_rdfs_closure",
-    "q_rdf_sameas_components",
-    "q_staypoints",
-    # round-10 additions, never driver-verified, are appended here in the
-    # commit that implements each (test_driver_priority_names_exist keeps
-    # the list typo-free):
-    "q_langid_nb",
-    "q_langid_holdout",
-    "q_ppl_buckets",
-    "q_cluster_quota",
-    "q_unigram_segment",
-    "q_streaming_decontamination",
-    "q_streaming_langid_train",
-    "q_ccnet_filter",
-    "q_unigram_fertility",
-    "q_doremi_weights",
-    "q_streaming_ivf_upsert",
-    "q_langid_agreement",
-    "q_unigram_hard_em",
-    "q_score_drift_psi",
-    "q_hard_negatives",
-    "q_streaming_drift_psi",
-    # last driver-verified in round 7, alphabetical (overflow past slot 50
-    # rolls to round 11):
-    "q_agents_by_nation",
-    "q_ann_recall",
-    "q_boilerplate_scrub",
-    "q_bpe_train",
-    "q_containment_join",
-    "q_counts_cm",
-    "q_customer_order_profile",
-    "q_customers_without_orders",
-    "q_dataset_mixture",
-    "q_dedup_clusters",
-    "q_dedup_consecutive",
-    "q_dedup_exact",
-    "q_dedup_jaccard_capped",
-    "q_dedup_minhash_lsh",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_prefix_filter",
-    "q_dedup_simhash",
+    # last driver-verified in round 7 (stalest — q_sync_delta is the
+    # §2.1 EmailSynchronizer row; pagerank/kcore/triangles/sketches are
+    # the §8-critical ones):
     "q_deterministic_shuffle",
     "q_distinct_hll",
     "q_distinct_kmv",
@@ -144,6 +90,60 @@ _DRIVER_PRIORITY = [
     "q_triangle_stats",
     "q_url_canonical",
     "q_vocab_topk",
+    # round-11 additions, never driver-verified, appended here in the
+    # commit that implements each (test_driver_priority_names_exist
+    # keeps the list typo-free):
+    # last driver-verified in round 8, alphabetical (overflow past
+    # slot 50 rolls to round 12):
+    "q_bpe_bytelevel",
+    "q_bpe_encode",
+    "q_components_star",
+    "q_context_chunks",
+    "q_dedup_sorted_neighborhood",
+    "q_embedding_gram",
+    "q_fts_phrase",
+    "q_gopher_dup_ngrams",
+    "q_gopher_repetition",
+    "q_heavy_hitters",
+    "q_heavy_hitters_by_lang",
+    "q_kmeans_clusters",
+    "q_label_propagation",
+    "q_location_events",
+    "q_lsh_recall_curve",
+    "q_multimodal_audio",
+    "q_multimodal_features",
+    "q_orders_rollup",
+    "q_outlier_mad",
+    "q_overlapping_activity",
+    "q_parts_by_brand",
+    "q_pipeline_end2end",
+    "q_pricing_summary",
+    "q_priority_discounted_orders",
+    "q_quantile_sketch",
+    "q_rdf_group_concat",
+    "q_rdf_grouped_path",
+    "q_rdf_negated_pathset",
+    "q_regional_revenue",
+    "q_salted_agg",
+    "q_salted_join",
+    "q_sample_weighted",
+    "q_search_ndcg",
+    "q_semantic_dedup",
+    "q_similarity_ivfpq",
+    "q_similarity_jl",
+    "q_similarity_pq",
+    "q_similarity_pq_rerank",
+    "q_similarity_sq8",
+    "q_spatial_pairs",
+    "q_split_leakage_safe",
+    "q_streaming_heavy_hitters",
+    "q_streaming_near_dup",
+    "q_streaming_quality_profile",
+    "q_streaming_sessions",
+    "q_streaming_upsert_dedup",
+    "q_token_budget_mixture",
+    "q_tokenizer_fertility",
+    "q_vocab_growth",
 ]
 
 
