@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from thymeflow_back_spark.streaming.ivf_stream import (
+    compact_ivf_index,
     current_ivf_topk,
     current_ivf_view,
     load_stream_centroids,
@@ -115,3 +116,111 @@ def test_replay_is_idempotent_and_within_batch_dup_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="more than once"):
         process_ivf_batch(dup, 2, index_dir=index, n_cells=CELLS)
+
+
+def _view_rows(spark, index):
+    return sorted(
+        (r.c_id, r.cell, tuple(r.c_vec))
+        for r in current_ivf_view(spark, index).collect()
+    )
+
+
+def _search_rows(spark, index, n=3):
+    queries = spark.createDataFrame(
+        [(100, [1.0] * 8), (101, [-0.5] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    return sorted(
+        (r.q_id, r.c_id, r.score, r.rank)
+        for r in current_ivf_topk(
+            spark, index, queries, "vec_id", "embedding", k=n, n_probe=2
+        ).collect()
+    )
+
+
+def test_compaction_preserves_view_and_search(spark, tmp_path):
+    index = _run(
+        spark,
+        str(tmp_path),
+        [_rows(range(0, 16)), _rows(range(16, 24)), [(3, [1.0] * 8)]],
+    )
+    before_view = _view_rows(spark, index)
+    before_search = _search_rows(spark, index)
+    stats = compact_ivf_index(spark, index)
+    assert stats["cells"] == 24  # one latest-version entry per id
+    assert _view_rows(spark, index) == before_view
+    assert _search_rows(spark, index) == before_search
+    # folded batch partitions are gone; the committed base remains
+    cells = os.path.join(index, "cells")
+    names = set(os.listdir(cells))
+    assert "base-2" in names
+    assert not any(n.startswith("batch_id=") for n in names)
+    assert os.path.exists(os.path.join(cells, "base-2", "_SUCCESS"))
+    # idempotent: a second run folds nothing and changes nothing
+    assert compact_ivf_index(spark, index)["cells"] == 0
+    assert _view_rows(spark, index) == before_view
+
+
+def test_post_compaction_live_batch_supersedes_base(spark, tmp_path):
+    base = str(tmp_path)
+    index = _run(spark, base, [_rows(range(0, 16))])
+    compact_ivf_index(spark, index)
+    # live batch after the fold: one update + one insert
+    _run(spark, base, [[(5, [1.0] * 8), (40, [-1.0] * 8)]])
+    view = {r.c_id: list(r.c_vec) for r in current_ivf_view(spark, index).collect()}
+    assert len(view) == 17
+    assert view[5] == [1.0] * 8 and view[40] == [-1.0] * 8
+    assert view[4] == _vec(4)
+    # a second compaction folds base + live tail into one generation
+    stats = compact_ivf_index(spark, index)
+    assert stats["cells"] == 17
+    assert {r.c_id: list(r.c_vec) for r in current_ivf_view(spark, index).collect()} == view
+
+
+def test_replay_after_compaction_noops_and_fresh_checkpoint_raises(spark, tmp_path):
+    index = _run(spark, str(tmp_path), [_rows(range(0, 12)), [(3, [1.0] * 8)]])
+    compact_ivf_index(spark, index)
+    before = _view_rows(spark, index)
+    # checkpoint replay of folded batch 1: all ids known -> no-op
+    replay = spark.createDataFrame(
+        [(3, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    process_ivf_batch(replay, 1, index_dir=index, n_cells=CELLS)
+    assert _view_rows(spark, index) == before
+    cells = os.path.join(index, "cells")
+    assert not any(n.startswith("batch_id=") for n in os.listdir(cells))
+    # fresh-checkpoint misuse: batch 0 of a NEW stream carries an unknown id
+    fresh = spark.createDataFrame(
+        [(99, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        process_ivf_batch(fresh, 0, index_dir=index, n_cells=CELLS)
+
+
+def test_compaction_crash_safety_sweeps_uncommitted_base(spark, tmp_path):
+    import shutil
+
+    index = _run(spark, str(tmp_path), [_rows(range(0, 12)), [(3, [1.0] * 8)]])
+    before = _view_rows(spark, index)
+    # simulate a crashed partial fold: base dir without _SUCCESS
+    crashed = os.path.join(index, "cells", "base-1")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-garbage.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    # readers ignore it (no _SUCCESS -> not committed)
+    assert _view_rows(spark, index) == before
+    stats = compact_ivf_index(spark, index)  # sweeps, then folds for real
+    assert stats["cells"] == 12
+    assert _view_rows(spark, index) == before
+    shutil.rmtree(os.path.join(index, "cells", "base-1"), ignore_errors=True)
+
+
+def test_search_read_path_prunes_base_partitions(spark, tmp_path):
+    from thymeflow_back_spark.streaming.ivf_stream import current_ivf_entries
+
+    index = _run(spark, str(tmp_path), [_rows(range(0, 16)), [(3, [1.0] * 8)]])
+    compact_ivf_index(spark, index)
+    df = current_ivf_entries(spark, index, cells=[0, 1])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]

@@ -398,6 +398,7 @@ def q_streaming_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..streaming.ivf_stream import (
+        compact_ivf_index,
         current_ivf_topk,
         current_ivf_view,
         run_streaming_ivf,
@@ -408,17 +409,33 @@ def q_streaming_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = os.path.join(base, "index")
     ckpt = os.path.join(base, "ckpt")
     emb = load(spark, sf_dir, "embeddings")
+
+    # This row is order-SENSITIVE (batch 0 trains the frozen quantizer;
+    # the re-embedding batch must get the max batch_id for last-writer-
+    # wins), and FileStreamSource orders files by MODIFICATION TIME — an
+    # mtime tie between sequentially appended files could reorder the
+    # batches. Stamp strictly increasing mtimes explicitly after each
+    # write so the dependency is in code, not in filesystem timing.
+    def _stamp(seq: int, seen=set()):  # noqa: B006 - intentional accumulator
+        for name in os.listdir(staging):
+            p = os.path.join(staging, name)
+            if name.endswith(".parquet") and p not in seen:
+                os.utime(p, (1_000_000_000 + seq, 1_000_000_000 + seq))
+                seen.add(p)
+
     # initial loads: batch 0 trains the quantizer, so it must be the
     # vec_id % 3 == 0 slice the oracle trains on
     for parity in (0, 1, 2):
         emb.filter(F.col("vec_id") % 3 == parity).select(
             "vec_id", "embedding"
         ).coalesce(1).write.mode("append").parquet(staging)
+        _stamp(parity)
     # the re-embedding batch: negated vectors, delivered LAST
     emb.filter(F.col("vec_id") % IVF_UPD_MOD == 0).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
     ).coalesce(1).write.mode("append").parquet(staging)
+    _stamp(3)
     stream = (
         spark.readStream.schema("vec_id bigint, embedding array<float>")
         .option("maxFilesPerTrigger", "1")
@@ -426,6 +443,26 @@ def q_streaming_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = run_streaming_ivf(
         stream, index, ckpt, "vec_id", "embedding", n_cells=IVF_CELLS
+    )
+    q.awaitTermination()
+    # exercise the full index lifecycle in the checked row: fold batches
+    # 0-3 into a base generation (view bit-identical — batch_id survives
+    # as a data column), then ingest one more LIVE batch re-delivering
+    # the re-embedded slice unchanged (same content at a higher version,
+    # so the oracle is untouched). The search below therefore reads the
+    # compacted split: cell-pruned base anti-joined against the live id
+    # tail, plus the live tail's max-batch survivors.
+    compact_ivf_index(spark, index)
+    emb.filter(F.col("vec_id") % IVF_UPD_MOD == 0).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
+    ).coalesce(1).write.mode("append").parquet(staging)
+    _stamp(4)
+    q = run_streaming_ivf(
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging),
+        index, ckpt, "vec_id", "embedding", n_cells=IVF_CELLS,
     )
     q.awaitTermination()
     queries = current_ivf_view(spark, index).filter(

@@ -252,9 +252,16 @@ def process_upsert_batch(
         # restarts batch ids at 0, and treating those as replays would
         # silently drop data. Compaction keeps every id's latest version,
         # so a genuinely-folded batch's ids ALL exist in the docs store;
-        # any absent id proves this batch never ran. The check is one
-        # anti-join of the (micro-batch-sized) id set against the store's
-        # pruned id column, paid only on this rare replay path.
+        # any absent id proves this batch never ran. NECESSARY but not
+        # SUFFICIENT: a fresh-checkpoint batch that only RE-delivers ids
+        # already in the compacted store passes this check and is dropped
+        # as a replay, silently losing those updates — content is not
+        # compared (a text-hash check would catch it at the cost of
+        # reading the store's text column on this path). Reuse the
+        # original checkpointLocation to avoid the hazard entirely. The
+        # check is one anti-join of the (micro-batch-sized) id set
+        # against the store's pruned id column, paid only on this rare
+        # replay path.
         store = _read_side(spark, docs_dir, fold, prev)
         missing = (
             batch.select(F.col(id_col))
@@ -271,7 +278,9 @@ def process_upsert_batch(
                 f"started with a fresh checkpoint against a compacted "
                 f"index (batch ids restarted at 0). Reuse the original "
                 f"checkpointLocation, or point the new stream at a fresh "
-                f"index_dir/pairs_dir."
+                f"index_dir/pairs_dir. (Caveat: an update-only fresh "
+                f"batch — every id already indexed — cannot be told "
+                f"apart from a replay and would be silently dropped.)"
             )
         return
 
