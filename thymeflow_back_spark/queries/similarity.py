@@ -122,13 +122,16 @@ def _srp_sig_sql() -> str:
     return " + ".join(terms)
 
 
-def _ann_oracle() -> str:
+def _ann_edges_ctes() -> str:
+    """The shared SRP-LSH replay CTEs (vecs/sigs/bands/cands/scored) —
+    the candidate generation + exact-cosine verify both the ANN near-dup
+    oracle and the semantic-components oracle chain from."""
     from ..operators.ann import BANDS, N_PLANES
 
     rows = N_PLANES // BANDS
     mask = (1 << rows) - 1
     return f"""
-    WITH vecs AS (
+    vecs AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
     sigs AS (SELECT vec_id, {_srp_sig_sql()} AS sig FROM vecs),
@@ -151,11 +154,19 @@ def _ann_oracle() -> str:
       FROM cands
       JOIN vecs va ON va.vec_id = a_id
       JOIN vecs vb ON vb.vec_id = b_id
-    )
+    )"""
+
+
+def _ann_oracle() -> str:
+    return (
+        "\n    WITH "
+        + _ann_edges_ctes()
+        + f"""
     SELECT a_id, b_id, score FROM scored
     WHERE score >= {NEAR_DUP_THRESHOLD}
     ORDER BY a_id, b_id
     """
+    )
 
 
 @query(
@@ -174,6 +185,109 @@ def q_embedding_near_dup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         srp_near_dup(emb, "vec_id", "embedding", EMB_DIMS, NEAR_DUP_THRESHOLD)
         .orderBy("a_id", "b_id")
+    )
+
+
+@query(
+    "q_semantic_components",
+    oracle="\n    WITH RECURSIVE "
+    + _ann_edges_ctes()
+    + f""",
+    pairs AS (
+      SELECT a_id, b_id FROM scored WHERE score >= {NEAR_DUP_THRESHOLD}
+    ),
+    edges AS (
+      SELECT a_id AS s, b_id AS d FROM pairs
+      UNION
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS node, MIN(d) AS mn FROM reach GROUP BY s),
+    labeled AS (
+      SELECT e.vec_id,
+             LEAST(COALESCE(c.mn, e.vec_id), e.vec_id) AS component
+      FROM vecs e LEFT JOIN comp c ON e.vec_id = c.node
+    ),
+    csizes AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM labeled GROUP BY 1
+    ),
+    ranked AS (
+      SELECT l.vec_id, l.component, s.cluster_size, d.n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY l.component
+               ORDER BY d.n_chars DESC, l.vec_id ASC
+             ) AS rn
+      FROM labeled l
+      JOIN csizes s USING (component)
+      JOIN documents d ON d.doc_id = l.vec_id
+    )
+    SELECT vec_id AS keep_id, component, cluster_size, n_chars
+    FROM ranked WHERE rn = 1
+    ORDER BY component
+    """,
+    doc="ε-NN SEMANTIC DEDUP at the cluster level — the production "
+    "composition SemDeDup's one-per-k-means-cluster policy approximates: "
+    "SRP-LSH candidate pairs -> exact cosine >= τ edges -> connected "
+    "components over the ε-NN graph (large-star/small-star, O(log^2 n) "
+    "rounds) -> keep the HIGHEST-quality member per component (longest "
+    "source document, ties to smallest id — the dedup_keep_best struct-MAX "
+    "argmax, never a per-cluster window sort). Vectors with no ε-neighbor "
+    "are singleton components and survive. Scale: candidates are banded "
+    "equi-joins (no all-pairs), components shrink edges per round with "
+    "localCheckpoint, the quality join is vector-count-sized, and the "
+    "argmax is one aggregate. The oracle chains the SRP replay, recursive "
+    "reachability, and the ranked argmax as one CTE pipeline. "
+    "operators/ann.py + operators/closure.py + the keep-best policy.",
+)
+def q_semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import srp_near_dup
+    from ..operators.closure import connected_components_star
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    edges = srp_near_dup(
+        emb, "vec_id", "embedding", EMB_DIMS, NEAR_DUP_THRESHOLD
+    ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    comps = connected_components_star(edges)
+    labeled = (
+        emb.select("vec_id")
+        .join(comps.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.least(
+                F.coalesce(F.col("component"), F.col("vec_id")),
+                F.col("vec_id"),
+            ).alias("component"),
+        )
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    quality = docs.select(F.col("doc_id").alias("vec_id"), "n_chars")
+    return (
+        labeled.join(quality, "vec_id")
+        .join(sizes, "component")
+        .groupBy("component", "cluster_size")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars").alias("q"),
+                    (-F.col("vec_id")).alias("negid"),
+                )
+            ).alias("m")
+        )
+        .select(
+            (-F.col("m.negid")).alias("keep_id"),
+            "component",
+            "cluster_size",
+            F.col("m.q").alias("n_chars"),
+        )
+        .orderBy("component")
     )
 
 
