@@ -94,6 +94,7 @@ _DRIVER_PRIORITY = [
     # commit that implements each (test_driver_priority_names_exist
     # keeps the list typo-free):
     "q_semantic_components",
+    "q_streaming_components",
     # last driver-verified in round 8, alphabetical (overflow past
     # slot 50 rolls to round 12):
     "q_bpe_bytelevel",

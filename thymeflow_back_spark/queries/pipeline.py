@@ -2908,6 +2908,104 @@ def q_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_components_star's adversarial edge set (chain blocks + sparse
+    cross-block bridges), shared with the streaming form."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    chain = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            F.expr(
+                f"b.doc_id = a.doc_id + 1"
+                f" AND a.doc_id div {CC_BLOCK} = b.doc_id div {CC_BLOCK}"
+            ),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    cross = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            F.expr(
+                f"b.doc_id = a.doc_id + {CC_BLOCK}"
+                f" AND a.doc_id % {CC_CROSS_MOD} = 0"
+            ),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    return chain.unionByName(cross)
+
+
+@query(
+    "q_streaming_components",
+    oracle=_components_star_oracle(),
+    doc="INCREMENTAL connected components over an edge STREAM — the "
+    "reference's diff discipline (StatementSetDiff added-quads, "
+    "Pipeline.scala:61-93) applied to a graph operator: "
+    "q_components_star's adversarial edge set arrives as three "
+    "micro-batches (src % 3 slices; components are order-free, so "
+    "edge->batch assignment cannot matter), each batch projects its new "
+    "edges onto the CURRENT labels (candidate-bounded lookup), runs "
+    "star-CC on the batch-bounded QUOTIENT graph, and rewrites only the "
+    "comp_bucket-pruned rows of merged labels. The state store is "
+    "compacted mid-stream (base generation via parquet _SUCCESS) before "
+    "the last batch, so the row certifies the full lifecycle. Streamed "
+    "labeling == batch star-CC over the edge union — the oracle is "
+    "q_components_star's recursive-CTE replay VERBATIM. "
+    "streaming/cc_stream.py.",
+)
+def q_streaming_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.cc_stream import (
+        compact_cc_state,
+        current_components,
+        run_streaming_components,
+    )
+
+    base = tempfile.mkdtemp(prefix="tf_stream_cc_")
+    staging = os.path.join(base, "staging")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    edges = _cc_edges(spark, sf_dir)
+
+    def deliver(parity: int) -> None:
+        edges.filter(F.col("src") % 3 == parity).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+
+    def drain() -> None:
+        q = run_streaming_components(
+            spark.readStream.schema("src bigint, dst bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging),
+            state,
+            ckpt,
+        )
+        q.awaitTermination()
+
+    deliver(0)
+    deliver(1)
+    drain()
+    # fold batches 0-1, then ingest the last slice against the compacted
+    # base — the labeling is identical either way (pinned in pytest)
+    compact_cc_state(spark, state)
+    deliver(2)
+    drain()
+    out = (
+        current_components(spark, state)
+        .groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .orderBy("component")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 # --- Q: trained quality classifier (hashed-unigram Naive Bayes) -----------------
 
 QNB_B = 1024
