@@ -95,6 +95,7 @@ _DRIVER_PRIORITY = [
     # keeps the list typo-free):
     "q_semantic_components",
     "q_streaming_components",
+    "q_lsh_param_select",
     # last driver-verified in round 8, alphabetical (overflow past
     # slot 50 rolls to round 12):
     "q_bpe_bytelevel",

@@ -596,6 +596,34 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_CURVE_OFFSET = 1_000_000
 
 
+def _planted_variant_pairs(spark, sf_dir: str):
+    """The doubled-corpus planted-pair relation shared by the recall
+    curve and the parameter-selection row: every document paired with a
+    deterministically truncated variant. Returns (docs_sh, jacp) where
+    jacp = (a_id, b_id, n_common, jaccard) with EXACT Jaccard (threshold
+    0.0 — the full measured distribution)."""
+    from ..operators.cachereg import pin
+
+    docs = load(spark, sf_dir, "documents")
+    # variant = deterministic token-prefix truncation; tokenizing twice in
+    # one projection is a bounded per-row cost (no second scan)
+    var = docs.selectExpr(
+        f"doc_id + {LSH_CURVE_OFFSET} as doc_id",
+        "concat_ws(' ', slice(filter(split(text, ' '), t -> t != ''), 1,"
+        " cast(greatest((size(filter(split(text, ' '), t -> t != ''))"
+        " * (doc_id % 8 + 2)) div 10, 3) as int))) as text",
+    )
+    union = docs.select("doc_id", "text").unionByName(var)
+    docs_sh = pin(
+        D._by_id(D.doc_shingles(union, "doc_id", "text", SHINGLE_N), "doc_id")
+    )
+    pairs = docs.select(
+        F.col("doc_id").alias("a_id"),
+        (F.col("doc_id") + LSH_CURVE_OFFSET).alias("b_id"),
+    )
+    return docs_sh, D.verify_candidates_arrays(docs_sh, pairs, "doc_id", 0.0)
+
+
 @query(
     "q_lsh_recall_curve",
     oracle=f"""
@@ -677,27 +705,8 @@ LSH_CURVE_OFFSET = 1_000_000
     "meet only in band buckets.",
 )
 def q_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.cachereg import pin
-
-    docs = load(spark, sf_dir, "documents")
-    # variant = deterministic token-prefix truncation; tokenizing twice in
-    # one projection is a bounded per-row cost (no second scan)
-    var = docs.selectExpr(
-        f"doc_id + {LSH_CURVE_OFFSET} as doc_id",
-        "concat_ws(' ', slice(filter(split(text, ' '), t -> t != ''), 1,"
-        " cast(greatest((size(filter(split(text, ' '), t -> t != ''))"
-        " * (doc_id % 8 + 2)) div 10, 3) as int))) as text",
-    )
-    union = docs.select("doc_id", "text").unionByName(var)
-    docs_sh = pin(
-        D._by_id(D.doc_shingles(union, "doc_id", "text", SHINGLE_N), "doc_id")
-    )
+    docs_sh, jacp = _planted_variant_pairs(spark, sf_dir)
     cands = D.minhash_candidate_pairs(docs_sh, "doc_id")
-    pairs = docs.select(
-        F.col("doc_id").alias("a_id"),
-        (F.col("doc_id") + LSH_CURVE_OFFSET).alias("b_id"),
-    )
-    jacp = D.verify_candidates_arrays(docs_sh, pairs, "doc_id", 0.0)
     return (
         jacp.join(cands.withColumn("hit", F.lit(1)), ["a_id", "b_id"], "left")
         .groupBy(F.floor(F.col("jaccard") * 10).cast("bigint").alias("bucket"))
@@ -707,6 +716,187 @@ def q_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("recall", F.col("n_caught") / F.col("n_pairs"))
         .orderBy("bucket")
+    )
+
+
+# --- Q: LSH parameter autotuning (close the measure -> choose loop) -----------
+
+LSH_SEL_GRID = [(r, b) for r in (1, 2, 3, 4, 6, 8) for b in (2, 4, 8, 16)]
+LSH_SEL_TARGET_PPM = 900_000  # recall >= 0.90 at the dedup threshold
+LSH_SEL_SCALE = 1_000_000  # micro-probability grid
+
+
+def _chain_mul_sql(term: str, k: int) -> str:
+    """``term`` multiplied by itself ``k`` times, explicitly left-
+    associated — IEEE double multiplication chains are bit-identical
+    across engines, unlike libm pow() which is only ulp-accurate."""
+    out = term
+    for _ in range(k - 1):
+        out = f"({out} * {term})"
+    return out
+
+
+def _lsh_param_ctes() -> str:
+    """DuckDB replay of the planted-pair relation (the recall curve's
+    doubled corpus, exact Jaccard, no LSH index) and the (r, b) grid
+    scores: p(j) = 1 - (1 - j^r)^b by chained multiplication, quantized
+    to integer micro-probabilities so every aggregate is exact."""
+    scores = []
+    for r, b in LSH_SEL_GRID:
+        jr = _chain_mul_sql("jaccard", r)
+        qb = _chain_mul_sql(f"(1.0 - {jr})", b)
+        scores.append(
+            f"""
+      SELECT {r} AS r, {b} AS b,
+             CAST(ROUND((1.0 - {qb}) * {LSH_SEL_SCALE}, 0) AS BIGINT) AS p_q,
+             jaccard >= {JACCARD_THRESHOLD} AS above
+      FROM jacp"""
+        )
+    union = "\n      UNION ALL".join(scores)
+    return f"""
+    WITH tk0 AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {LSH_CURVE_OFFSET},
+             array_to_string(
+               toks[1:CAST(GREATEST((len(toks) * (doc_id % 8 + 2)) // 10, 3) AS BIGINT)],
+               ' ')
+      FROM tk0
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM docs2
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) s
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (SELECT doc_id AS a_id, doc_id + {LSH_CURVE_OFFSET} AS b_id FROM documents),
+    inter AS (
+      SELECT p.a_id, p.b_id, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.a_id
+      JOIN sh sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    jacp AS (
+      SELECT i.a_id, i.b_id,
+             i.n_common / (sa.n_sh + sb.n_sh - i.n_common) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.a_id
+      JOIN sizes sb ON sb.doc_id = i.b_id
+    ),
+    grid AS ({union}
+    ),
+    agg AS (
+      SELECT r, b, r * b AS cost,
+             CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+             CAST(SUM(CASE WHEN above THEN p_q ELSE 0 END) AS BIGINT) AS caught_q,
+             CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n_below,
+             CAST(SUM(CASE WHEN above THEN 0 ELSE p_q END) AS BIGINT) AS fp_q
+      FROM grid GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT r, b, cost, n_above,
+             caught_q // n_above AS recall_ppm,
+             CASE WHEN n_below > 0 THEN fp_q // n_below ELSE 0 END AS fp_ppm,
+             caught_q >= {LSH_SEL_TARGET_PPM} * n_above AS feasible
+      FROM agg
+    )"""
+
+
+@query(
+    "q_lsh_param_select",
+    oracle=_lsh_param_ctes()
+    + """
+    SELECT r, b, cost, recall_ppm, fp_ppm, feasible,
+           feasible AND ROW_NUMBER() OVER (
+             ORDER BY feasible DESC, cost ASC, b ASC, r ASC
+           ) = 1 AS selected
+    FROM scored
+    ORDER BY r, b
+    """,
+    doc="LSH parameter AUTOTUNING — closes the measure->choose loop "
+    "q_lsh_recall_curve leaves open: over the measured Jaccard "
+    "distribution of the planted truncation pairs, score every (r, b) "
+    "in a small grid by the S-curve catch probability "
+    "p(j) = 1-(1-j^r)^b (chained double multiplication, never libm pow "
+    "— bit-identical across engines), quantized to integer "
+    "micro-probabilities so the expected-recall aggregate is exact; "
+    "then pick the cheapest feasible setting: minimize r*b (signature "
+    "hashes per doc) subject to expected recall >= 0.90 on pairs at or "
+    "above the dedup threshold, ties to fewer bands then fewer rows. "
+    "Output is the fully scored grid (expected recall and below-"
+    "threshold false-positive rate in ppm) with the winner flagged — "
+    "the number that justifies MinHash/LSH parameters before a 100 TB "
+    "dedup run. One corpus scan feeds the measured pairs; the grid "
+    "explode is 24 structs per pair row, one aggregate.",
+)
+def q_lsh_param_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    _, jacp = _planted_variant_pairs(spark, sf_dir)
+
+    def p_q(r: int, b: int):
+        j = F.col("jaccard")
+        jr = j
+        for _ in range(r - 1):
+            jr = jr * j
+        q1 = F.lit(1.0) - jr
+        qb = q1
+        for _ in range(b - 1):
+            qb = qb * q1
+        return (
+            F.round((F.lit(1.0) - qb) * LSH_SEL_SCALE, 0).cast("bigint")
+        )
+
+    grid = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"), F.lit(b).alias("b"), p_q(r, b).alias("p_q")
+            )
+            for r, b in LSH_SEL_GRID
+        ]
+    )
+    exploded = jacp.select(
+        (F.col("jaccard") >= JACCARD_THRESHOLD).alias("above"),
+        F.explode(grid).alias("g"),
+    ).select("above", "g.r", "g.b", "g.p_q")
+    agg = exploded.groupBy("r", "b").agg(
+        F.sum(F.when(F.col("above"), 1).otherwise(0)).cast("bigint").alias("n_above"),
+        F.sum(F.when(F.col("above"), F.col("p_q")).otherwise(0)).cast("bigint").alias("caught_q"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1)).cast("bigint").alias("n_below"),
+        F.sum(F.when(F.col("above"), 0).otherwise(F.col("p_q"))).cast("bigint").alias("fp_q"),
+    )
+    scored = agg.select(
+        "r",
+        "b",
+        (F.col("r") * F.col("b")).alias("cost"),
+        "n_above",
+        F.expr("caught_q div n_above").alias("recall_ppm"),
+        F.when(F.col("n_below") > 0, F.expr("fp_q div n_below"))
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("fp_ppm"),
+        (F.col("caught_q") >= LSH_SEL_TARGET_PPM * F.col("n_above")).alias(
+            "feasible"
+        ),
+    )
+    # the grid is 24 rows — the selection window is driver-trivial but
+    # stays declarative (no collect)
+    w = Window.orderBy(
+        F.desc("feasible"), F.asc("cost"), F.asc("b"), F.asc("r")
+    )
+    return (
+        scored.withColumn(
+            "selected", F.col("feasible") & (F.row_number().over(w) == 1)
+        )
+        .select("r", "b", "cost", "recall_ppm", "fp_ppm", "feasible", "selected")
+        .orderBy("r", "b")
     )
 
 
