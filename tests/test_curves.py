@@ -92,3 +92,21 @@ def test_phrase_match_positions(spark):
     assert single == {0: 3, 1: 1, 2: 4, 3: 2}
     with pytest.raises(ValueError):
         phrase_match(idx, [])
+
+
+def test_bin_counts_handles_duplicate_scores(spark):
+    # regression: the old (score, tie)-keyed regroup collapsed duplicate
+    # rows into one group (bin id AND count both wrong); the scalar
+    # per-row binning must count every row independently
+    from thymeflow_back_spark.operators.evalcurves import bin_counts_by_edges
+
+    edges = spark.createDataFrame([(10.0,), (20.0,)], "__edge double")
+    df = spark.createDataFrame(
+        [(5.0,)] * 3 + [(15.0,)] * 2 + [(25.0,)] * 4 + [(10.0,)] * 2,
+        "s double",
+    )
+    got = {
+        r.bin: r.n for r in bin_counts_by_edges(df, "s", edges).collect()
+    }
+    # ties at an edge stay in the LOWER bin: the two 10.0 rows join bin 1
+    assert got == {1: 5, 2: 2, 3: 4}

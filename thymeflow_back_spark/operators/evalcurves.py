@@ -122,26 +122,32 @@ def quantile_edges(
 
 
 def bin_counts_by_edges(
-    df: DataFrame, score_col: str, tie_col: str, edges: DataFrame
+    df: DataFrame, score_col: str, edges: DataFrame
 ) -> DataFrame:
     """Histogram a cohort over quantile edges: (bin, n) with
     bin = 1 + #edges strictly below the score (ties at an edge stay in
-    the lower bin — the :func:`quantile_edges` convention). One
-    broadcast of the (n_bins − 1)-row edge relation; counts are exact
-    integers, so per-cohort histograms MERGE across micro-batches (the
-    property streaming/drift_stream.py builds on)."""
+    the lower bin — the :func:`quantile_edges` convention). The edge
+    relation folds to ONE broadcast array row and the bin is a scalar
+    per-row expression (``aggregate`` over the array), so no uniqueness
+    precondition exists on the input rows — duplicate scores bin
+    independently and correctly (unlike a (score, tie)-keyed regroup,
+    which would collapse duplicates and corrupt both the bin id and the
+    count). Counts are exact integers, so per-cohort histograms MERGE
+    across micro-batches (the property streaming/drift_stream.py builds
+    on — each micro-batch bins independently, whatever its key shape)."""
+    edge_arr = edges.agg(
+        F.sort_array(F.collect_list("__edge")).alias("__edges")
+    )
+    bin_expr = F.lit(1) + F.aggregate(
+        "__edges",
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(F.col("__s") > e, F.lit(1)).otherwise(F.lit(0)),
+    )
     return (
-        df.select(
-            F.col(score_col).alias("__s"), F.col(tie_col).alias("__tie")
-        )
-        .crossJoin(F.broadcast(edges))
-        .groupBy("__s", "__tie")
-        .agg(
-            (
-                F.lit(1)
-                + F.sum(F.when(F.col("__s") > F.col("__edge"), 1).otherwise(0))
-            ).alias("bin")
-        )
+        df.select(F.col(score_col).alias("__s"))
+        .crossJoin(F.broadcast(edge_arr))
+        .select(bin_expr.alias("bin"))
         .groupBy("bin")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
@@ -223,8 +229,8 @@ def score_drift_psi(
     ref = labeled.filter(F.col("__ref"))
     cur = labeled.filter(~F.col("__ref"))
     edges = quantile_edges(ref, "__s", "__tie", n_bins)
-    ref_hist = bin_counts_by_edges(ref, "__s", "__tie", edges)
-    cur_hist = bin_counts_by_edges(cur, "__s", "__tie", edges)
+    ref_hist = bin_counts_by_edges(ref, "__s", edges)
+    cur_hist = bin_counts_by_edges(cur, "__s", edges)
     return psi_from_histograms(spark, ref_hist, cur_hist, n_bins)
 
 

@@ -65,7 +65,7 @@ def build_drift_reference(
     # edges feed their own write AND the reference histogram — pin via
     # localCheckpoint so the rank pass runs once
     edges = edges.localCheckpoint(eager=True)
-    hist = bin_counts_by_edges(ref_scored, score_col, tie_col, edges)
+    hist = bin_counts_by_edges(ref_scored, score_col, edges)
     hist.coalesce(1).write.mode("overwrite").parquet(
         posixpath.join(ref_dir, "hist")
     )
@@ -130,7 +130,7 @@ def run_streaming_drift(
                 "build_drift_reference before starting the stream"
             )
         edges, _hist = ref
-        delta = bin_counts_by_edges(batch, score_col, tie_col, edges)
+        delta = bin_counts_by_edges(batch, score_col, edges)
         prev = load_drift_state(spark, state_dir, before=batch_id)
         merged = delta if prev is None else (
             delta.unionByName(prev).groupBy("bin").agg(F.sum("n").alias("n"))
