@@ -28,11 +28,14 @@ bench files as load-polluted; detection alone doesn't fix the record):
   IDLE_LOAD_MAX. A gate that times out is reported (``idle_gate``
   "timeout") rather than blocking the run forever — the loadavg canary
   then tells the reader how bad it still was.
-- *Warm retry*: if the steady-state spread across reps exceeds
-  WARM_SPREAD_PER_QUERY x #queries seconds, the warm reps (only) re-run once after a
-  second idle wait, and the LOWER-SPREAD attempt becomes the headline
+- *Warm retry* (canary recalibrated round 11 — see the WARM_NOISY_*
+  comment): if a MAJORITY of queries show a rep spread above
+  max(WARM_NOISY_FLOOR, WARM_NOISY_FRAC x their own median), the warm
+  reps (only) re-run once after a second idle wait, and the attempt with
+  FEWER noisy queries becomes the headline
   ``queries_warm``/``value_warm``; both attempts ride in
-  ``warm_attempts``. The COLD numbers are never re-measured in-process —
+  ``warm_attempts`` and the per-query spreads in
+  ``warm_spread_by_query``. The COLD numbers are never re-measured in-process —
   a retry pass runs against a warmed JVM, so re-timing "cold" there
   would flatter the series; the single genuine cold pass stays, with the
   loadavg canary to qualify it.
@@ -56,13 +59,22 @@ from thymeflow_back_spark.session import get_spark
 WARM_REPS = 3
 IDLE_LOAD_MAX = 2.0  # 1-min loadavg below this counts as idle (32-core box)
 IDLE_WAIT_MAX = 120.0  # give up waiting after this many seconds
-# Summed PER-QUERY rep spread above this triggers the warm retry. The
-# total spread grows with the bench set (every added query contributes
-# its own JIT/GC jitter), so the threshold is per query: round-8 idle
-# runs measure ~0.31-0.35 s/query across the 17-query set (5.3-5.9 s
-# total), the load-polluted runs 0.42-0.69 (6.8-11.7) — the cut sits
-# between, and stays put when the set grows again.
-WARM_SPREAD_PER_QUERY = 0.40
+# Warm-pass noise canary (recalibrated round 11). The r1-r9 canary
+# summed absolute rep spreads against 0.40 s/query, which stopped
+# discriminating once the set grew to 24 queries including iterative
+# rows (star-CC, k-means, PageRank legitimately jitter 1-2 s/rep while
+# trivial scans jitter < 0.1 s): every r10-era run tripped it, idle or
+# not, including runs whose unchanged-query sentinels proved the
+# machine, not the load, had drifted. The canary is now PER-QUERY and
+# RELATIVE: a query is "noisy" when its rep spread exceeds
+# max(floor, frac · its own median); the pass retries only when a
+# MAJORITY of queries are noisy — concurrent load inflates nearly every
+# query at once, while idle jitter (GC, JIT, one slow iterative rep)
+# trips a handful. Uniform host drift moves medians, not relative
+# spreads, so it no longer forces a retry.
+WARM_NOISY_FLOOR = 0.25  # seconds — below this a spread is never noisy
+WARM_NOISY_FRAC = 0.35  # spread > 35% of the query's own median
+WARM_NOISY_QUORUM = 0.5  # retry when > half the queries are noisy
 
 
 def wait_for_idle(
@@ -99,11 +111,14 @@ CLASSIC = [
 ]
 
 
-def _warm_pass(bench_queries: dict, spark, sf_dir: str) -> tuple[dict, float]:
+def _warm_pass(
+    bench_queries: dict, spark, sf_dir: str
+) -> tuple[dict, dict, float]:
     """One steady-state pass: WARM_REPS timed executions per query;
-    returns (per-query median map, summed rep spread)."""
+    returns (per-query median map, per-query rep-spread map, summed
+    spread — kept for cross-round comparability of the records)."""
     warm: dict[str, float] = {}
-    spread = 0.0
+    spreads: dict[str, float] = {}
     for name, q in bench_queries.items():
         reps: list[float] = []
         for _ in range(WARM_REPS):
@@ -111,9 +126,18 @@ def _warm_pass(bench_queries: dict, spark, sf_dir: str) -> tuple[dict, float]:
             q.spark(spark, sf_dir).count()
             reps.append(time.time() - t0)
         warm[name] = round(statistics.median(reps), 3)
-        spread += max(reps) - min(reps)
+        spreads[name] = round(max(reps) - min(reps), 3)
         release_pinned()
-    return warm, round(spread, 3)
+    return warm, spreads, round(sum(spreads.values()), 3)
+
+
+def _noisy_queries(warm: dict, spreads: dict) -> list[str]:
+    """Queries whose rep spread is noise-suspect (see canary comment)."""
+    return [
+        n
+        for n, s in spreads.items()
+        if s > max(WARM_NOISY_FLOOR, WARM_NOISY_FRAC * warm[n])
+    ]
 
 
 def main() -> None:
@@ -164,23 +188,30 @@ def main() -> None:
         release_pinned()
 
     classic = [n for n in CLASSIC if n in timings]
-    warm, spread = _warm_pass(bench_queries, spark, sf_dir)
+    warm, spreads, spread = _warm_pass(bench_queries, spark, sf_dir)
+    noisy = _noisy_queries(warm, spreads)
     attempts = [
-        {"value_warm": round(sum(warm[n] for n in classic), 3), "warm_spread": spread}
+        {
+            "value_warm": round(sum(warm[n] for n in classic), 3),
+            "warm_spread": spread,
+            "noisy_queries": len(noisy),
+        }
     ]
     retried = False
-    if spread > WARM_SPREAD_PER_QUERY * len(bench_queries):
+    if len(noisy) > WARM_NOISY_QUORUM * len(bench_queries):
         retried = True
         wait_for_idle()
-        warm2, spread2 = _warm_pass(bench_queries, spark, sf_dir)
+        warm2, spreads2, spread2 = _warm_pass(bench_queries, spark, sf_dir)
+        noisy2 = _noisy_queries(warm2, spreads2)
         attempts.append(
             {
                 "value_warm": round(sum(warm2[n] for n in classic), 3),
                 "warm_spread": spread2,
+                "noisy_queries": len(noisy2),
             }
         )
-        if spread2 < spread:
-            warm, spread = warm2, spread2
+        if len(noisy2) < len(noisy):
+            warm, spreads, spread, noisy = warm2, spreads2, spread2, noisy2
     print(
         json.dumps(
             {
@@ -195,6 +226,8 @@ def main() -> None:
                 "value_extended_warm": round(sum(warm.values()), 3),
                 "warm_reps": WARM_REPS,
                 "warm_spread": round(spread, 3),
+                "warm_spread_by_query": spreads,
+                "noisy_queries": sorted(noisy),
                 "warm_attempts": attempts,
                 "warm_retried": retried,
                 "idle_gate": idle_gate,

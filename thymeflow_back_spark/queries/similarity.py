@@ -230,6 +230,7 @@ def q_embedding_near_dup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rn = 1
     ORDER BY component
     """,
+    bench=True,
     doc="ε-NN SEMANTIC DEDUP at the cluster level — the production "
     "composition SemDeDup's one-per-k-means-cluster policy approximates: "
     "SRP-LSH candidate pairs -> exact cosine >= τ edges -> connected "
