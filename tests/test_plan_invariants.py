@@ -65,6 +65,9 @@ BNLJ_CROSS_OK = {
     # per-lang token counts × one broadcast min-tokens row (the
     # q_token_budget_mixture shape with a temperature-quantized rate)
     "q_temperature_mixture",
+    # 24 grid rows × one broadcast min-priority-key row (argmin without
+    # an unpartitioned window — queries/dedup.py q_lsh_param_select)
+    "q_lsh_param_select",
     "q_classifier_bernoulli",  # NB one-row broadcast crosses (doc counts, C)
     # eval positions × one broadcast lnq(N+1) totals row (backoff_lm.py)
     "q_lm_backoff_score",
@@ -338,6 +341,9 @@ SCAN_BUDGET = {
     "q_primary_facet": 24,
     # brute-force oracle side reads raw vectors per ANN stage comparison
     "q_embedding_near_dup_ann": 12,
+    # the same SRP band/verify pipeline (pinned ε-NN edges appear once)
+    # plus the star-CC node inventory and the documents quality join
+    "q_semantic_components": 12,
 }
 
 

@@ -813,12 +813,15 @@ def _lsh_param_ctes() -> str:
 @query(
     "q_lsh_param_select",
     oracle=_lsh_param_ctes()
-    + """
+    + """,
+    sel AS (
+      SELECT MIN(CASE WHEN feasible THEN cost * 100000 + b * 100 + r END)
+             AS minkey
+      FROM scored
+    )
     SELECT r, b, cost, recall_ppm, fp_ppm, feasible,
-           feasible AND ROW_NUMBER() OVER (
-             ORDER BY feasible DESC, cost ASC, b ASC, r ASC
-           ) = 1 AS selected
-    FROM scored
+           feasible AND cost * 100000 + b * 100 + r = minkey AS selected
+    FROM scored CROSS JOIN sel
     ORDER BY r, b
     """,
     doc="LSH parameter AUTOTUNING — closes the measure->choose loop "
@@ -838,8 +841,6 @@ def _lsh_param_ctes() -> str:
     "explode is 24 structs per pair row, one aggregate.",
 )
 def q_lsh_param_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     _, jacp = _planted_variant_pairs(spark, sf_dir)
 
     def p_q(r: int, b: int):
@@ -886,15 +887,18 @@ def q_lsh_param_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feasible"
         ),
     )
-    # the grid is 24 rows — the selection window is driver-trivial but
-    # stays declarative (no collect)
-    w = Window.orderBy(
-        F.desc("feasible"), F.asc("cost"), F.asc("b"), F.asc("r")
+    # the winner by ARGMIN over an encoded priority key (cost, b, r packed
+    # into one integer — bounded: cost <= 128, b <= 16, r <= 8), never an
+    # unpartitioned window: the 24-row grid crosses one broadcast min-key
+    # row (FALSE AND NULL = FALSE covers the no-feasible-setting case in
+    # both engines)
+    key = F.col("cost") * 100000 + F.col("b") * 100 + F.col("r")
+    sel = scored.agg(
+        F.min(F.when(F.col("feasible"), key)).alias("__minkey")
     )
     return (
-        scored.withColumn(
-            "selected", F.col("feasible") & (F.row_number().over(w) == 1)
-        )
+        scored.crossJoin(F.broadcast(sel))
+        .withColumn("selected", F.col("feasible") & (key == F.col("__minkey")))
         .select("r", "b", "cost", "recall_ppm", "fp_ppm", "feasible", "selected")
         .orderBy("r", "b")
     )

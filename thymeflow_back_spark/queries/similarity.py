@@ -247,15 +247,22 @@ def q_embedding_near_dup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_semantic_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import srp_near_dup
+    from ..operators.cachereg import pin
     from ..operators.closure import connected_components_star
 
     emb = load(spark, sf_dir, "embeddings")
     docs = load(spark, sf_dir, "documents")
-    edges = srp_near_dup(
-        emb, "vec_id", "embedding", EMB_DIMS, NEAR_DUP_THRESHOLD
-    ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    # pin the verified ε-NN edges: star-CC's node inventory and its round
+    # iterations both consume them, and without the pin each consumer
+    # re-derives the whole SRP band/verify pipeline
+    edges = pin(
+        srp_near_dup(
+            emb, "vec_id", "embedding", EMB_DIMS, NEAR_DUP_THRESHOLD
+        ).select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
     comps = connected_components_star(edges)
-    labeled = (
+    # labeled feeds the size aggregate AND the quality argmax
+    labeled = pin(
         emb.select("vec_id")
         .join(comps.withColumnRenamed("node", "vec_id"), "vec_id", "left")
         .select(
