@@ -65,20 +65,22 @@ def test_driver_priority_names_exist():
 
 
 def test_query_map_order_leads_with_unverified():
-    """queries() must present the stalest driver record first: the 17 rows
-    whose freshest driver check is r6 (OWL/RDFS closure, PARIS, staypoints
-    among them), then any never-driver-verified round-10 additions, then the
-    r7 block, so the driver's 50-row window re-greens the stalest record.
-    The invariant is that the map's head IS the priority list, verbatim — a
-    fixed window assertion went stale every time the new-row block grew."""
+    """queries() must present the stalest driver record first: the 33 rows
+    whose freshest driver check is r7 (q_sync_delta, the graph family, the
+    sketch family among them), then any never-driver-verified round-11
+    additions, then the r8 block, so the driver's 50-row window re-greens
+    the stalest record. The invariant is that the map's head IS the
+    priority list, verbatim — a fixed window assertion went stale every
+    time the new-row block grew."""
     from thymeflow_back_spark.queries.catalog import _DRIVER_PRIORITY, query_map
 
     order = list(query_map())
     assert order[: len(_DRIVER_PRIORITY)] == list(_DRIVER_PRIORITY)
-    # the r6-stale rows stay inside the driver's 50-row correctness window
+    # the r7-stale rows stay inside the driver's 50-row correctness window
     head50 = order[:50]
-    assert order[0] == "q_agent_name_weights"
-    for name in ("q_owl_closure", "q_rdf_rdfs_closure", "q_paris_agents",
-                 "q_staypoints", "q_movement_smoothing", "q_hybrid_rrf",
-                 "q_rdf_sameas_components"):
+    assert order[0] == "q_deterministic_shuffle"
+    for name in ("q_sync_delta", "q_pagerank", "q_triangle_stats", "q_kcore",
+                 "q_distinct_hll", "q_distinct_kmv", "q_fts_bm25",
+                 "q_vocab_topk", "q_semantic_components",
+                 "q_streaming_components", "q_lsh_param_select"):
         assert name in head50, (name, head50)
