@@ -182,16 +182,23 @@ def reachable_nodes(
     return result
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star(e: DataFrame, input_canonical: bool = False) -> DataFrame:
     """One large-star round (Kiveris et al. 2014, "Connected Components in
     MapReduce and Beyond"): every node's LARGER neighbors re-attach to its
     minimum neighbor (or itself). Strictly monotone — large neighbors only
-    ever move to smaller attachment points."""
-    sym = (
-        e.select("u", "v")
-        .unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
+    ever move to smaller attachment points.
+
+    ``input_canonical``: caller guarantees ``e`` is distinct with u > v on
+    every row. Then sym = e ∪ reverse(e) is distinct BY CONSTRUCTION (the
+    two halves live in disjoint u>v / u<v orientations), so its explicit
+    ``.distinct()`` — one full (u, v) shuffle per round — is skipped. The
+    output keeps the canonical u > v orientation either way: emitted rows
+    are (v, m) with m <= u < v."""
+    sym = e.select("u", "v").unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
+    if not input_canonical:
+        sym = sym.distinct()
     m = (
         sym.groupBy("u")
         .agg(F.min("v").alias("mn"))
@@ -205,17 +212,29 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, input_canonical: bool = False) -> DataFrame:
     """One small-star round: orient every edge toward its larger endpoint,
     then each node's SMALLER neighbors (and the node itself) attach to its
-    minimum smaller neighbor."""
-    oriented = (
-        e.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    minimum smaller neighbor.
+
+    ``input_canonical``: caller guarantees every input row already has
+    u > v (large-star output and canonicalized initial edge sets do), so
+    the greatest/least re-orientation is the identity and the input-side
+    ``.distinct()`` — needed only to collapse re-oriented duplicates — is
+    dropped. Input duplicates are harmless without it: the groupBy min is
+    duplicate-insensitive and the final ``.distinct()`` collapses the join
+    side, so output is identical. Output rows are (x, m) with m < x —
+    canonical u > v again."""
+    if input_canonical:
+        oriented = e.select("u", "v")
+    else:
+        oriented = (
+            e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
     m = oriented.groupBy("u").agg(F.min("v").alias("m"))
     return (
         oriented.join(m, "u")
@@ -224,6 +243,21 @@ def _small_star(e: DataFrame) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+
+
+def _edge_signature(e: DataFrame) -> tuple[int, object]:
+    """(row count, order-free exact DECIMAL(38,0) sum of xxhash64(u, v)) in
+    ONE job — the cheap per-round convergence guard. Equal signatures are
+    necessary for set equality (and sufficient up to a 64-bit hash-sum
+    collision); the caller confirms with an exact exceptAll before
+    declaring convergence, so a collision can only cost one extra exact
+    check, never a wrong answer. DECIMAL(38,0) because a BIGINT sum of
+    ~2^63-magnitude hashes overflows (and ANSI mode makes that an error)."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return int(row["n"]), row["h"]
 
 
 def connected_components_star(
@@ -242,9 +276,19 @@ def connected_components_star(
     Returns (node, component) with component = smallest reachable id —
     IDENTICAL output to :func:`connected_components` (pytest pins them
     against each other), so callers can switch on graph shape alone.
-    Every round is two hash-join + groupBy passes over the current edge
-    set; localCheckpoint keeps lineage flat; convergence is an exact
-    symmetric-difference emptiness check (order-free)."""
+
+    Round discipline (optimization round 11 — guide §2.4/§1): the edge
+    set is canonicalized to distinct u > v rows ONCE up front, which lets
+    every round skip the large-star symmetrize-distinct and small-star
+    re-orient-distinct shuffles (see the helpers' ``input_canonical``
+    docs) — 2 fewer Exchanges per round. Each round is materialized by a
+    SINGLE action (a lazy localCheckpoint forced by the count+hash-sum
+    signature aggregate) instead of the former eager-checkpoint + count +
+    exceptAll triple; the exact exceptAll equality check now runs only
+    when the cheap signature matches the previous round — once, at the
+    fixpoint (plus vanishingly rare hash-sum collisions, which cost one
+    extra exact check, never correctness). Lineage stays flat via the
+    localCheckpoint, so plan analysis cost does not grow with rounds."""
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # Every node incident to ANY edge (including self-loops) must be
     # labeled — min-label propagation emits (x, x) for a self-loop-only
@@ -256,26 +300,25 @@ def connected_components_star(
     )
     e = (
         raw.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    if not e.take(1):
+    sig_prev = _edge_signature(e)  # materializes the checkpoint too
+    if sig_prev[0] == 0:
         return nodes.select("node", F.col("node").alias("component"))
     converged = False
-    n_prev = e.count()
     for _ in range(max_rounds):
-        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # set equality via |nxt| == |e| + ONE one-sided difference check
-        # (both sides are distinct by construction, so equal cardinality
-        # plus nxt ⊆ e implies equality) — halves the per-round
-        # convergence cost vs the two-sided exceptAll pair
-        n_next = nxt.count()
-        stable = (
-            n_next == n_prev
-            and nxt.exceptAll(e).limit(1).count() == 0
-        )
+        nxt = _small_star(
+            _large_star(e, input_canonical=True), input_canonical=True
+        ).localCheckpoint(eager=False)
+        sig_next = _edge_signature(nxt)  # ONE job: materialize + guard
+        # exact set equality = signature match confirmed by ONE one-sided
+        # difference check (both sides distinct, equal cardinality, and
+        # nxt ⊆ e imply equality)
+        stable = sig_next == sig_prev and nxt.exceptAll(e).limit(1).count() == 0
         e = nxt
-        n_prev = n_next
+        sig_prev = sig_next
         if stable:
             converged = True
             break
