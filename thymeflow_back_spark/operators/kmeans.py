@@ -23,8 +23,10 @@ Scale audit (documented bound): |x| <= scale * |v|_max, and the integer
 A-term needs (n * |x| + |s|)^2 * d < 2^63 — at scale 1e4, |v| < 0.6,
 d = 64 that holds to n ~ 2e4 members per cluster; raise/lower ``scale``
 to trade precision against headroom. Per-round driver state is the k x d
-centroid table (bounded, like the BPE/k-center round loops); everything
-else is map-side joins keyed by (vec, dim) and aggregates keyed by cell.
+centroid table (bounded, like the BPE/k-center round loops); since that
+table lives on the driver anyway, each round inlines it as LITERALS —
+assignment is a zero-join codegen projection and the centroid update one
+map-side-combined k-row aggregate, so the corpus is never shuffled.
 """
 
 from __future__ import annotations
@@ -59,6 +61,42 @@ def _seed_cells(x: DataFrame, k: int) -> list[tuple[int, int, list[int]]]:
     ]
 
 
+def _sql_long_array(vals: list[int]) -> str:
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+
+def _assign_cell_sql(cents: list[tuple[int, int, list[int]]]) -> str:
+    """SQL text: nearest-centroid cell id for the ``__xi`` array.
+
+    The centroid stats live on the DRIVER between rounds, so instead of the
+    former broadcast (cell, n, dim, s) table — which joined every exploded
+    (vec, dim) row against all k cells, a |vecs|·d·k-row shuffle-aggregate
+    per round (guide §2.3/§2.4) — the k centroids are inlined as LITERALS
+    and the whole argmin evaluates inside whole-stage codegen with ZERO
+    joins and ZERO extra shuffles. Arithmetic is bit-identical to the
+    join formulation: A_j = Σ_d (n_j·x_d − s_jd)² in BIGINT (integer sums
+    are order-free), f_j = cast(A_j as double) / (n_j²) with n_j² the same
+    BIGINT product, and the (f, cell) struct min keeps the tie-break
+    toward the smaller cell id.
+
+    Emitted as ONE SQL string parsed JVM-side: building the same tree out
+    of pyspark Column operators costs thousands of py4j round-trips
+    (~2 s of pure driver time per build, measured) — the string build is
+    free and the ANTLR parse is milliseconds."""
+    structs = []
+    for cell, n, svec in cents:
+        n, n2 = int(n), int(n) * int(n)
+        a = (
+            f"aggregate(zip_with(__xi, {_sql_long_array(svec)}, "
+            f"(xi, si) -> ({n}L * xi - si) * ({n}L * xi - si)), "
+            "0L, (acc, t) -> acc + t)"
+        )
+        structs.append(
+            f"named_struct('f', CAST({a} AS DOUBLE) / {n2}L, 'cell', {cell})"
+        )
+    return f"array_min(array({','.join(structs)})).cell"
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str,
@@ -75,74 +113,51 @@ def kmeans_fit(
     table to the driver (bounded state); assignments stay distributed.
     An empty cluster falls back to its seed vector with n = 1 (the IVF
     COALESCE(seed) rule).
+
+    Round shape (optimization round 11): assignment is a pure projection
+    over the pinned quantized corpus (``_assign_cell`` literals — no
+    joins), and the centroid update is ONE map-side-combined aggregate
+    keyed by cell with d per-dimension BIGINT sums + a count (k rows
+    collected). The corpus is scanned once per round and never shuffled —
+    only the k-row aggregate crosses the exchange — versus the former
+    posexplode + dim-join + two shuffle aggregates per round.
     """
     from .cachereg import pin
 
-    spark = df.sparkSession
-    # pinned: every Lloyd round reads the quantized corpus twice (distance
-    # join + centroid update), and the stats pass reads it again — the
-    # rebuilt identical plan hits Spark's CacheManager
+    # pinned: every Lloyd round reads the quantized corpus (assignment
+    # projection + centroid update), and the stats pass reads it again —
+    # the rebuilt identical plan hits Spark's CacheManager
     x = pin(_quantized(df, id_col, vec_col, scale))
-    xd = x.select(
-        "__vid", F.posexplode("__xi").alias("dim", "x")
-    )
 
     seeds = _seed_cells(x, k)
     if not seeds:
         raise ValueError("kmeans_fit: empty input")
+    d = len(seeds[0][2])
     cents = seeds
-
-    def cent_df(c: list[tuple[int, int, list[int]]]) -> DataFrame:
-        rows = [
-            (cell, n, dim, s)
-            for cell, n, svec in c
-            for dim, s in enumerate(svec)
-        ]
-        return spark.createDataFrame(rows, "cell int, n long, dim int, s long")
 
     assign = None
     for _ in range(iters):
-        cd = F.broadcast(cent_df(cents))
-        f = (
-            xd.join(cd, "dim")
-            .groupBy("__vid", "cell")
-            .agg(
-                F.sum(
-                    (F.col("n") * F.col("x") - F.col("s"))
-                    * (F.col("n") * F.col("x") - F.col("s"))
-                ).alias("A"),
-                F.max("n").alias("n"),
-            )
-            .select(
-                "__vid",
-                "cell",
-                (F.col("A").cast("double") / (F.col("n") * F.col("n"))).alias(
-                    "f"
-                ),
-            )
-        )
-        assign = (
-            f.groupBy("__vid")
-            .agg(F.min(F.struct("f", "cell")).alias("m"))
-            .select("__vid", F.col("m.cell").alias("cell"))
-        )
-        # one aggregate keyed by (cell, dim): s = exact member sum, and
-        # count(*) = member count n (each member contributes one row per
-        # dim). k x d rows collected — the bounded per-round driver state.
+        cell_sql = _assign_cell_sql(cents)
+        assign = x.selectExpr("__vid", f"{cell_sql} AS cell")
+        # one aggregate keyed by cell: d exact per-dim BIGINT member sums
+        # + the member count (k rows collected — the bounded per-round
+        # driver state). Partial aggregation runs map-side, so only k
+        # rows per task reach the exchange.
         rows = (
-            assign.join(xd, "__vid")
-            .groupBy("cell", "dim")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            x.selectExpr(f"{cell_sql} AS cell", "__xi")
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.expr(f"sum(__xi[{i}]) AS s{i}") for i in range(d)],
+            )
             .collect()
         )
-        upd: dict[int, tuple[int, dict[int, int]]] = {}
-        for r in rows:
-            n, dims = upd.setdefault(int(r["cell"]), (int(r["n"]), {}))
-            dims[int(r["dim"])] = int(r["s"])
+        upd = {
+            int(r["cell"]): (int(r["n"]), [int(r[f"s{i}"]) for i in range(d)])
+            for r in rows
+        }
         cents = [
-            (cell, upd[cell][0], [upd[cell][1][d] for d in range(len(svec0))])
-            if cell in upd
-            else (cell, 1, svec0)
+            (cell, upd[cell][0], upd[cell][1]) if cell in upd else (cell, 1, svec0)
             for cell, _, svec0 in seeds
         ]
 
@@ -168,34 +183,32 @@ def kmeans_cluster_stats(
     from pyspark.sql import Window
 
     assign, cents = kmeans_fit(df, id_col, vec_col, k, iters, scale)
-    spark = df.sparkSession
     x = _quantized(df, id_col, vec_col, scale)
-    xd = x.select("__vid", F.posexplode("__xi").alias("dim", "x"))
 
-    cd = F.broadcast(
-        spark.createDataFrame(
-            [
-                (cell, n, dim, s)
-                for cell, n, svec in cents
-                for dim, s in enumerate(svec)
-            ],
-            "cell int, n long, dim int, s long",
-        )
+    # FINAL centroid stats as literal lookup arrays indexed by cell id
+    # (cells are 0..k-1 by construction; element_at is 1-based) — the
+    # same zero-join discipline as the fit rounds: the former broadcast
+    # (cell, n, dim, s) table joined every exploded (vec, dim) row, then
+    # re-aggregated per vector; now A is one in-row BIGINT fold. SQL-text
+    # built for the same py4j reason as _assign_cell_sql.
+    n_arr = _sql_long_array([n for _, n, _ in cents])
+    s_arr = (
+        "array("
+        + ",".join(_sql_long_array(svec) for _, _, svec in cents)
+        + ")"
+    )
+    n_sql = f"element_at({n_arr}, cell + 1)"
+    a_sql = (
+        f"aggregate(zip_with(__xi, element_at({s_arr}, cell + 1), "
+        f"(xi, si) -> ({n_sql} * xi - si) * ({n_sql} * xi - si)), "
+        "0L, (acc, t) -> acc + t)"
     )
     a = assign.select(F.col(id_col).alias("__vid"), "cell")
-    per_vec = (
-        a.join(xd, "__vid")
-        .join(cd, ["cell", "dim"])
-        .groupBy("__vid", "cell")
-        .agg(
-            F.sum(
-                (F.col("n") * F.col("x") - F.col("s"))
-                * (F.col("n") * F.col("x") - F.col("s"))
-            )
-            .cast("decimal(38,0)")
-            .alias("A"),
-            F.max("n").alias("n"),
-        )
+    per_vec = a.join(x, "__vid").selectExpr(
+        "__vid",
+        "cell",
+        f"CAST({a_sql} AS DECIMAL(38,0)) AS A",
+        f"{n_sql} AS n",
     )
     sizes = per_vec.groupBy("cell").agg(
         F.count("*").alias("size"),
