@@ -19,9 +19,10 @@ intermediates stay below 2^53, so `floor(a/b)` on doubles is exact.
 Plan shape per iteration: ranks ⋈ edges on src (one shuffle, or zero if
 both sides are pre-partitioned by src), groupBy dst with map-side
 partial sums (the in-degree combine), left join back to the node spine
-for teleport-only nodes. Iterations are bounded and each result is
-persisted + localCheckpointed to cut lineage — the same loop discipline
-as operators/closure.py connected components. Dangling nodes are absent
+for teleport-only nodes. Iterations are a fixed count with no per-round
+driver decision, so the whole chain executes lazily as ONE job (each
+round's shuffle materialized once inside it); the pinned edge/node
+relations are the only cached state. Dangling nodes are absent
 by construction here (callers guarantee outdeg >= 1); a general caller
 adds the standard dangling-mass term, one extra scalar aggregate.
 """
@@ -50,14 +51,22 @@ def pagerank(
     only used for the teleport base, and skipping the recount saves a full
     scan of the node spine.
     """
+    from .cachereg import pin
+
     n_row = nodes.count() if n_nodes is None else n_nodes
     base = (PR_SCALE // n_row) * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e = edges.join(deg, "src").persist()
-    e.count()
-    # the node spine joins into EVERY iteration (teleport-only nodes) —
-    # pin it too, or the source is re-scanned iters times
-    nodes = nodes.persist()
+    # Iterations are a FIXED count with no driver-side convergence check,
+    # so the whole ``iters``-round chain is built lazily and executed as
+    # ONE job by the caller's action (optimization round 11, guide §2.4):
+    # the former per-round eager localCheckpoint forced a full
+    # materialization job every round purely to cut lineage, which a
+    # 5-join linear chain does not need. Each iteration's shuffle output
+    # is materialized exactly once inside the single job. The edge and
+    # node relations feed every iteration — pin them (released by the
+    # harness after results are collected) so they are computed once.
+    e = pin(edges.join(deg, "src"))
+    nodes = pin(nodes)
     ranks = nodes.select(F.col("id"), F.lit(PR_SCALE // n_row).alias("r"))
     for _ in range(iters):
         contrib = (
@@ -66,19 +75,13 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + _idiv(F.lit(PR_DAMP_NUM) * F.coalesce(F.col("s"), F.lit(0)), F.lit(PR_DAMP_DEN))
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit(base)
+                + _idiv(F.lit(PR_DAMP_NUM) * F.coalesce(F.col("s"), F.lit(0)), F.lit(PR_DAMP_DEN))
+            ).alias("r"),
         )
-    e.unpersist()
-    nodes.unpersist()
     return ranks.select(
         "id",
         F.col("r").alias("rank_scaled"),
