@@ -182,7 +182,9 @@ def reachable_nodes(
     return result
 
 
-def _large_star(e: DataFrame, input_canonical: bool = False) -> DataFrame:
+def _large_star(
+    e: DataFrame, input_canonical: bool = False, defer_distinct: bool = False
+) -> DataFrame:
     """One large-star round (Kiveris et al. 2014, "Connected Components in
     MapReduce and Beyond"): every node's LARGER neighbors re-attach to its
     minimum neighbor (or itself). Strictly monotone — large neighbors only
@@ -193,7 +195,14 @@ def _large_star(e: DataFrame, input_canonical: bool = False) -> DataFrame:
     two halves live in disjoint u>v / u<v orientations), so its explicit
     ``.distinct()`` — one full (u, v) shuffle per round — is skipped. The
     output keeps the canonical u > v orientation either way: emitted rows
-    are (v, m) with m <= u < v."""
+    are (v, m) with m <= u < v.
+
+    ``defer_distinct``: skip the output ``.distinct()`` — exactly one
+    shuffle — when the caller feeds the result straight into
+    :func:`_small_star`, whose groupBy-min is duplicate-insensitive and
+    whose own trailing distinct collapses the join side; the composed
+    round's OUTPUT is identical (pre-distinct large-star output is at
+    most |sym| rows, so no intermediate blowup either)."""
     sym = e.select("u", "v").unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -204,12 +213,12 @@ def _large_star(e: DataFrame, input_canonical: bool = False) -> DataFrame:
         .agg(F.min("v").alias("mn"))
         .select("u", F.least("mn", F.col("u")).alias("m"))
     )
-    return (
+    out = (
         sym.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
+    return out if defer_distinct else out.distinct()
 
 
 def _small_star(e: DataFrame, input_canonical: bool = False) -> DataFrame:
@@ -310,7 +319,8 @@ def connected_components_star(
     converged = False
     for _ in range(max_rounds):
         nxt = _small_star(
-            _large_star(e, input_canonical=True), input_canonical=True
+            _large_star(e, input_canonical=True, defer_distinct=True),
+            input_canonical=True,
         ).localCheckpoint(eager=False)
         sig_next = _edge_signature(nxt)  # ONE job: materialize + guard
         # exact set equality = signature match confirmed by ONE one-sided
