@@ -32,6 +32,44 @@ def _plane_component(plane: int, dim: int) -> float:
     return h / 2_147_483_648.0 - 1.0
 
 
+def _sql_double(v: float) -> str:
+    """Exact double literal as SQL text: CAST of the repr round-trips to
+    the identical IEEE value Double.parseDouble gives F.lit."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def srp_signature_sql(vec_sql: str, dims: int, n_planes: int = N_PLANES) -> str:
+    """b-bit signature as SQL text over an ARRAY<DOUBLE> expression: bit
+    p = sign(plane_p · vec).
+
+    Emitted as one SQL string instead of a pyspark Column tree: building
+    n_planes × dims literal plane components through Column operators
+    costs one py4j round-trip per node (~1.65 s of pure driver time per
+    build, measured at 16×64) and that price was paid on EVERY query
+    construction; the string build is free and the JVM parse is
+    milliseconds. Arithmetic is unchanged — same left-to-right
+    aggregate/zip_with dot, same >= 0 sign rule, same bigint bit sum —
+    so signatures are bit-identical. ``vec_sql`` should reference an
+    already-cast ARRAY<DOUBLE> column (callers project it once) so the
+    float→double cast is not re-evaluated per plane."""
+    terms = []
+    for p in range(n_planes):
+        plane = (
+            "array("
+            + ",".join(_sql_double(_plane_component(p, d)) for d in range(dims))
+            + ")"
+        )
+        dotp = (
+            f"aggregate(zip_with({plane}, {vec_sql}, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"(CASE WHEN {dotp} >= 0 THEN CAST({1 << p} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
 def srp_signature(vec: Column, dims: int, n_planes: int = N_PLANES) -> Column:
     """b-bit signature as bigint: bit p = sign(plane_p · vec)."""
     v = as_double_array(vec)
@@ -49,7 +87,11 @@ def srp_candidate_pairs(
     """Candidate pairs (a_id < b_id) sharing at least one signature band."""
     rows = n_planes // bands
     mask = (1 << rows) - 1
-    sigs = df.select(F.col(id_col).alias("id"), srp_signature(F.col(vec_col), dims, n_planes).alias("sig"))
+    sigs = df.select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("__v")
+    ).select(
+        "id", F.expr(srp_signature_sql("__v", dims, n_planes)).alias("sig")
+    )
     chunks = None
     for band in range(bands):
         c = sigs.select(
