@@ -63,7 +63,7 @@ def rare_shingle_edges(
     blocked = pin(sh.join(rare, "shingle"))
     a = blocked.select("shingle", F.col(id_col).alias("src"))
     b = blocked.select("shingle", F.col(id_col).alias("dst"))
-    return (
+    return pin(
         a.join(b, "shingle")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
@@ -112,6 +112,11 @@ def propagate_labels(
             .withColumn("round", F.lit(r))
             .localCheckpoint(eager=True)
         )
-        labels = labels.union(new).localCheckpoint(eager=True)
+        # labels stays a LAZY union of already-checkpointed pieces: every
+        # leg is a materialized RDD, so re-reading the union costs a scan,
+        # while the former labels.union(new).localCheckpoint(eager=True)
+        # re-wrote the ENTIRE label set as one extra blocking job per
+        # round (guide §1.2 — count the jobs).
+        labels = labels.union(new)
         frontier = new
     return labels
