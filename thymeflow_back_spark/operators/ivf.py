@@ -35,8 +35,13 @@ N_CELLS = 16
 N_PROBE = 4
 
 
-def _centroid_lit(c: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in c])
+def _centroids_lit(centroids: list[list[float]]) -> Column:
+    """All centroids as ONE array<array<double>> literal via a single
+    F.expr parse — the k×d F.lit tree costs ~1.5-2 s of py4j driver time
+    per construction (see similarity.sql_double_array_2d)."""
+    from .similarity import sql_double_array_2d
+
+    return F.expr(sql_double_array_2d(centroids))
 
 
 def seed_centroids(
@@ -62,8 +67,15 @@ def _cell_scores(vec: Column, centroids: list[list[float]]) -> Column:
     Each dot subtree appears exactly ONCE — argmax and probe selection then
     reference the materialized array column, keeping the expression tree
     linear in n_cells (a when-chain argmax re-embeds every previous dot and
-    goes quadratic, which stalls Catalyst for tens of seconds)."""
-    return F.array(*[dot(_centroid_lit(c), vec) for c in centroids])
+    goes quadratic, which stalls Catalyst for tens of seconds).
+
+    The centroid matrix rides as ONE 2-d literal (single F.expr parse)
+    and the per-cell dots come from a transform over it — same
+    zip_with/aggregate fold per element as the former
+    array-of-dot(_centroid_lit(c), vec) tree, so scores are
+    bit-identical, but construction is ~10 py4j calls instead of
+    ~3·k·d."""
+    return F.transform(_centroids_lit(centroids), lambda c: dot(c, vec))
 
 
 def _argmax_cell(scores: Column) -> Column:

@@ -64,13 +64,16 @@ def jl_project(
     FAILS FAST (raise_error) on any row whose vector length differs,
     surfacing a dimension mismatch as an error instead of corrupting
     downstream recall with NULL projections."""
+    from .similarity import sql_double_array_2d
+
     signs = jl_sign_matrix(salt, d_in, d_out)
     v = as_double_array(F.col(vec_col))
-    proj = F.array(
-        *[
-            dot(v, F.array(*[F.lit(s) for s in row])).alias(f"p{j}")
-            for j, row in enumerate(signs)
-        ]
+    # the sign matrix rides as ONE 2-d literal (single F.expr parse, ~10
+    # py4j calls) instead of d_out×d_in F.lit nodes (~1.5 s of driver
+    # time per construction at 16×64); each projection is the same
+    # ordered dot(v, signs_j) fold, so values are bit-identical
+    proj = F.transform(
+        F.expr(sql_double_array_2d(signs)), lambda row: dot(v, row)
     )
     guarded = F.when(F.size(F.col(vec_col)) == F.lit(d_in), proj).otherwise(
         F.raise_error(

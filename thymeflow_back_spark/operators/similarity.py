@@ -26,6 +26,28 @@ def as_double_array(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def sql_double_array_2d(rows: list[list[float]]) -> str:
+    """``array<array<double>>`` literal as ONE SQL string.
+
+    Building k×d literal components through pyspark Column operators
+    costs one py4j round-trip per node (~1.5-2 s of pure DRIVER time at
+    16×64, measured in round 11) and is paid on every query
+    construction; the string build is free and the JVM parse takes
+    milliseconds. ``CAST('<repr>' AS DOUBLE)`` round-trips the exact
+    IEEE value ``F.lit`` would produce, so downstream arithmetic is
+    bit-identical."""
+    return (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in row)
+            + ")"
+            for row in rows
+        )
+        + ")"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right ordered dot product of two array<double> columns."""
     return F.aggregate(
