@@ -298,10 +298,14 @@ def prefix_filtered_near_dups(
     w = Window.partitionBy(id_col).orderBy("df", "shingle")
     # ceil(t·n) = (tn·n + td - 1) div td — bigint `div`, no rounding
     ceil_tn = F.expr(f"(CAST({tn} AS BIGINT) * n_sh + {td - 1}) div {td}")
-    # anchor ONE shingle-keyed exchange for both self-join sides (same
-    # canonical subplan -> ReusedExchange), so the df join + rank window
-    # run once rather than per side
-    prefix = (
+    # materialize the prefix relation ONCE for both self-join sides: the
+    # former repartition-anchored ReusedExchange never actually fired —
+    # column pruning pushes each side's projection below the exchange, the
+    # canonical subplans diverge, and the plan computed the df aggregate +
+    # rank window TWICE (verified in plans/r11/q_dedup_prefix_filter_before
+    # .txt: two Window + two dfreq HashAggregate subtrees). The pin is
+    # released by the harness via operators.cachereg.release_pinned.
+    prefix = pin(
         ex.join(dfreq, "shingle")
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= F.col("n_sh") - ceil_tn + 1)
