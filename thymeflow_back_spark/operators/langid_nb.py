@@ -217,41 +217,77 @@ def langid_classify(
     argmax class and its exact micro-nat score. One corpus scan folds to
     per-document bucket counts, each document's K class scores are exact
     BIGINT dot products against the broadcast weight table, and the
-    argmax window breaks ties toward the smaller class code. Documents
-    with no char n-grams (text shorter than ``n``) are excluded — the
-    classifier has no evidence (both engines agree by construction).
-    ``features``: see :func:`langid_train`."""
+    argmax breaks ties toward the smaller class code. Documents with no
+    char n-grams (text shorter than ``n``) are excluded — the classifier
+    has no evidence (both engines agree by construction).
+    ``features``: see :func:`langid_train`.
+
+    Serving shape (optimization round 11, guide §2.2 "shuffle fewer
+    bytes"): the former crossJoin with the K-row class table exploded
+    the feature relation ×K (measured 3.3M intermediate rows at sf0.1)
+    and ranked the argmax with a per-document window. Now the K class
+    codes are COLLECTED (model-sized — K rows, the pq codebook
+    discipline), the weight table pivots to ONE broadcast map per
+    bucket, per-class sums ride as K aggregate columns over a single
+    groupBy(id), and the argmax is an in-row ordered fold (earlier =
+    smaller class code wins ties). Scores are the identical exact
+    BIGINT sums (integer addition commutes), so output is bit-equal;
+    the ×K row blowup, one broadcast join and the window Exchange are
+    gone."""
     pdoc = (
         features
         if features is not None
         else char_ngram_bucket_counts(df, id_col, text_col, n, n_buckets)
     )
-    cl = classes.select(
-        F.col(lang_col).alias("__cand"), "prior_q", "unseen_q"
+    cls = sorted(
+        classes.select(lang_col, "prior_q", "unseen_q").collect(),
+        key=lambda r: r[lang_col],
     )
-    w = weights.select(
-        F.col(lang_col).alias("__cand"), "bucket", "w_q"
+    wvec = weights.groupBy("bucket").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col(lang_col), F.col("w_q")))
+        ).alias("__wm")
     )
-    scored = (
-        pdoc.crossJoin(F.broadcast(cl))
-        .join(F.broadcast(w), ["bucket", "__cand"], "left")
-        .groupBy(id_col, "__cand", "prior_q")
+    sums = (
+        pdoc.join(F.broadcast(wvec), "bucket", "left")
+        .groupBy(id_col)
         .agg(
-            F.sum(
-                F.col("cnt") * F.coalesce(F.col("w_q"), F.col("unseen_q"))
-            ).alias("__s")
-        )
-        .select(
-            F.col(id_col),
-            F.col("__cand"),
-            (F.col("prior_q") + F.col("__s")).cast("bigint").alias("score_q"),
+            *[
+                F.sum(
+                    F.col("cnt")
+                    * F.coalesce(
+                        F.element_at("__wm", F.lit(c[lang_col])),
+                        F.lit(int(c["unseen_q"])),
+                    )
+                ).alias(f"__s{k}")
+                for k, c in enumerate(cls)
+            ]
         )
     )
-    rank = Window.partitionBy(id_col).orderBy(
-        F.desc("score_q"), F.asc("__cand")
+    scores = F.array(
+        *[
+            F.struct(
+                (F.lit(int(c["prior_q"])) + F.col(f"__s{k}"))
+                .cast("bigint")
+                .alias("score_q"),
+                F.lit(k).alias("__k"),
+            )
+            for k, c in enumerate(cls)
+        ]
     )
-    return (
-        scored.withColumn("__rn", F.row_number().over(rank))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col("__cand").alias("pred_lang"), "score_q")
+    langs = F.array(*[F.lit(c[lang_col]) for c in cls])
+    if len(cls) == 1:
+        best = F.element_at(scores, 1)
+    else:
+        best = F.aggregate(
+            F.slice(scores, 2, len(cls) - 1),
+            F.element_at(scores, 1),
+            lambda acc, s: F.when(s["score_q"] > acc["score_q"], s).otherwise(
+                acc
+            ),
+        )
+    return sums.withColumn("__best", best).select(
+        F.col(id_col),
+        F.element_at(langs, F.col("__best.__k") + 1).alias("pred_lang"),
+        F.col("__best.score_q").alias("score_q"),
     )
