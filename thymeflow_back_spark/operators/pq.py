@@ -135,17 +135,30 @@ def _with_subvectors(
     squared norms hoisted into columns ONCE, so downstream argmin trees
     reference them instead of re-embedding a norm per codeword (16× tree
     blow-up otherwise — the same Catalyst-inlining trap the IVF scores
-    array documents)."""
-    v = as_double_array(F.col(vec_col))
-    sliced = corpus.select(
-        F.col(id_col),
-        *[F.col(c) for c in carry],
-        *[_sub(v, j, sub_d).alias(f"x{j}") for j in range(m)],
+    array documents).
+
+    Emitted as selectExpr strings: the m×sub_d Column-operator tree for
+    the self-dots costs one py4j round-trip per node (~1.5 s of driver
+    time at m=4, sub_d=16, measured round 11) on EVERY construction —
+    including each warm search. SQL text parses in milliseconds; the
+    arithmetic (slice after the double cast, left-associated self-dot
+    chain) is unchanged, so values are bit-identical."""
+    v = f"transform(`{vec_col}`, __x -> CAST(__x AS DOUBLE))"
+    sliced = corpus.selectExpr(
+        f"`{id_col}`",
+        *[f"`{c}`" for c in carry],
+        *[f"slice({v}, {j * sub_d + 1}, {sub_d}) AS x{j}" for j in range(m)],
     )
-    return sliced.select(
-        "*",
-        *[_self_dot(F.col(f"x{j}"), sub_d).alias(f"xx{j}") for j in range(m)],
-    )
+    selfdots = [
+        "("
+        + " + ".join(
+            f"element_at(x{j}, {i + 1}) * element_at(x{j}, {i + 1})"
+            for i in range(sub_d)
+        )
+        + f") AS xx{j}"
+        for j in range(m)
+    ]
+    return sliced.selectExpr("*", *selfdots)
 
 
 def codebook_row(spark, books: list[list[list[float]]]) -> DataFrame:
