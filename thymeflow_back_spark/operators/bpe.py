@@ -262,21 +262,26 @@ def _train_batched_core(
             firsts = {r.a for r in cands}
             seconds = {r.b for r in cands}
             # per-symbol max pair counts, aggregated BEFORE collecting:
-            # driver state is O(#candidate symbols), never vocabulary-sized
-            start_rows = (
+            # driver state is O(#candidate symbols), never vocabulary-sized.
+            # Both sides ride in ONE union -> one job per round instead of
+            # two sequential collects over the persisted counts.
+            sym_rows = (
                 counts.filter(F.col("a").isin(seconds))
-                .groupBy("a").agg(F.max("pair_count").alias("c"))
-                .collect()
-            )
-            end_rows = (
-                counts.filter(F.col("b").isin(firsts))
-                .groupBy("b").agg(F.max("pair_count").alias("c"))
+                .groupBy(F.col("a").alias("s"))
+                .agg(F.max("pair_count").alias("c"))
+                .withColumn("side", F.lit("start"))
+                .unionByName(
+                    counts.filter(F.col("b").isin(firsts))
+                    .groupBy(F.col("b").alias("s"))
+                    .agg(F.max("pair_count").alias("c"))
+                    .withColumn("side", F.lit("end"))
+                )
                 .collect()
             )
         finally:
             counts.unpersist()
-        m_start = {r.a: r.c for r in start_rows}  # max count of (b_cand, y)
-        m_end = {r.b: r.c for r in end_rows}  # max count of (x, a_cand)
+        m_start = {r.s: r.c for r in sym_rows if r.side == "start"}  # max count of (b_cand, y)
+        m_end = {r.s: r.c for r in sym_rows if r.side == "end"}  # max count of (x, a_cand)
 
         accepted: list[tuple[str, str]] = []
         used: set[str] = set()
