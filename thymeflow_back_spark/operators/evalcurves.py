@@ -226,9 +226,14 @@ def score_drift_psi(
         F.col(tie_col).alias("__tie"),
         is_ref.alias("__ref"),
     )
+    from .cachereg import pin
+
     ref = labeled.filter(F.col("__ref"))
     cur = labeled.filter(~F.col("__ref"))
-    edges = quantile_edges(ref, "__s", "__tie", n_bins)
+    # pin the n_bins-1 edge rows: both cohort histograms consume them,
+    # and without the pin EACH binning pass re-runs the whole reference
+    # rank pipeline (measured ~1.7 s per recompute at sf0.1)
+    edges = pin(quantile_edges(ref, "__s", "__tie", n_bins))
     ref_hist = bin_counts_by_edges(ref, "__s", edges)
     cur_hist = bin_counts_by_edges(cur, "__s", edges)
     return psi_from_histograms(spark, ref_hist, cur_hist, n_bins)
