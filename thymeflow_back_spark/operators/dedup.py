@@ -573,21 +573,27 @@ def minhash_candidate_pairs(docs_sh: DataFrame, id_col: str) -> DataFrame:
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """60-bit SimHash per document, term-frequency weighted: (id, fp)."""
-    tf = tokens(df, id_col, text_col).groupBy(id_col, "tok").agg(F.count("*").alias("cnt"))
-    hashed = tf.select(F.col(id_col), F.col("cnt"), h60(F.col("tok")).alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, F.col("cnt")).otherwise(-F.col("cnt"))
-        ).alias(f"v{b}")
+    """60-bit SimHash per document, term-frequency weighted: (id, fp).
+
+    One aggregate, one expression: each bit's vote folds ±1 per token
+    OCCURRENCE, which is exactly the ±tf-per-distinct-token sum (integer
+    addition commutes), so the per-(id, tok) tf pre-aggregate — a second
+    corpus-wide Exchange — is unnecessary. A document's occurrences all
+    explode from one input row, so the map-side partial aggregation
+    collapses them locally and the single shuffle carries one 60-cell
+    vote row per document. The 60 vote sums and the fp fold are emitted
+    as ONE SQL string (a single expression parse) instead of ~480 py4j
+    Column-node round-trips."""
+    hashed = tokens(df, id_col, text_col).select(
+        F.col(id_col), h60(F.col("tok")).alias("h")
+    )
+    fp_sql = " + ".join(
+        f"(case when sum(case when (shiftright(h, {b}) & 1) = 1"
+        f" then 1 else -1 end) > 0"
+        f" then cast({1 << b} as bigint) else cast(0 as bigint) end)"
         for b in range(SIMHASH_BITS)
-    ]
-    sums = hashed.groupBy(id_col).agg(*votes)
-    fp = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        fp = term if fp is None else fp + term
-    return sums.select(F.col(id_col), fp.alias("fp"))
+    )
+    return hashed.groupBy(id_col).agg(F.expr(fp_sql).alias("fp"))
 
 
 def simhash_pairs(fps: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
@@ -600,12 +606,18 @@ def simhash_pairs(fps: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
         raise ValueError("max_hamming must be < SIMHASH_BANDS for exact recall")
     width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << width) - 1
-    # band rows via ONE map-side explode — a per-band union would make the
-    # fingerprint aggregation an N-band-consumer subtree and recompute it
-    # per band; the explicit repartition on the join key gives both
-    # self-join sides the same canonical exchange (ReusedExchange), so the
-    # fingerprints materialize exactly once
-    exploded = fps.select(
+    # The fingerprint relation is PINNED: column pruning rewrites each
+    # self-join side's projection independently, so the canonical
+    # subplans diverge and ReusedExchange never fires (the PPJoin
+    # pathology) — without the pin the corpus-wide fingerprint aggregate
+    # runs once PER SIDE. The pin sits on fps (one narrow row per doc),
+    # not the 4×-exploded band relation: the explode + bkey arithmetic
+    # re-derives map-side from the cache for each side, which is cheaper
+    # than writing the wider band relation into the cache (measured).
+    # Band rows via ONE map-side explode — a per-band union would make
+    # the fingerprint aggregation an N-band-consumer subtree and
+    # recompute it per band.
+    exploded = pin(fps).select(
         F.col(id_col),
         F.col("fp"),
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
@@ -614,7 +626,7 @@ def simhash_pairs(fps: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
         "fp",
         "band",
         f"shiftright(fp, band * {width}) & {mask} as bkey",
-    ).repartition(F.col("band"), F.col("bkey"))
+    )
     a = exploded.select(F.col(id_col).alias("a_id"), F.col("fp").alias("a_fp"), "band", "bkey")
     b = exploded.select(F.col(id_col).alias("b_id"), F.col("fp").alias("b_fp"), "band", "bkey")
     return (
