@@ -32,7 +32,19 @@ def connected_components(
 
     ``checkpoint_every=1``: sameAs-style graphs converge in 2-3 rounds, so
     checking after every round with flat lineage beats piling k rounds of
-    nested plans between checks (measured on the IFP component query)."""
+    nested plans between checks (measured on the IFP component query).
+
+    Round discipline (optimization round 11 — guide §1.2): each round is
+    materialized by ONE action — a lazy localCheckpoint forced by the
+    count+hash-sum signature aggregate — instead of the former
+    eager-checkpoint + changed-count pair; the exact equality check runs
+    only when the signature repeats (once, at the fixpoint, plus
+    vanishingly rare hash-sum collisions which cost one extra exact
+    check, never correctness). A rank-encode of string node ids to
+    bigint surrogates (to dodge min(string)'s SortAggregate fallback)
+    was tried and REVERTED: the two per-edge mapping joins plus the
+    prefix-sum rank pass cost more than the narrow-type rounds saved
+    (isolated A/B on q_primary_facet: 17.5 → 22.8 s count median)."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -46,9 +58,11 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .dropDuplicates()
         .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=False)
     )
+    sig_prev = _label_signature(labels)  # materializes the checkpoint too
     converged = False
-    for i in range(max_iterations):
+    for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy(F.col("a").alias("node"))
@@ -62,22 +76,20 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
             )
+            .localCheckpoint(eager=False)
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                converged = True
-                break
-        else:
-            labels = new_labels
+        sig_next = _label_signature(new_labels)  # ONE job: materialize + guard
+        # labels are a set keyed by node with a fixed node set, so equal
+        # cardinality + one-sided difference emptiness = exact equality
+        stable = (
+            sig_next == sig_prev
+            and new_labels.exceptAll(labels).limit(1).count() == 0
+        )
+        labels = new_labels
+        sig_prev = sig_next
+        if stable:
+            converged = True
+            break
     if not converged:
         # exit by iteration cap: silently-split components would be a wrong
         # answer, not a slow one — verify a full propagation round is a no-op
@@ -252,6 +264,20 @@ def _small_star(e: DataFrame, input_canonical: bool = False) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+
+
+def _label_signature(labels: DataFrame) -> tuple[int, object]:
+    """(row count, order-free exact DECIMAL(38,0) sum of
+    xxhash64(node, component)) in ONE job — the propagation loop's
+    convergence guard, same discipline as :func:`_edge_signature`: equal
+    signatures are necessary for set equality (sufficient up to a hash-sum
+    collision), and the caller confirms with an exact one-sided difference
+    check before declaring convergence."""
+    row = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("node", "component").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return int(row["n"]), row["h"]
 
 
 def _edge_signature(e: DataFrame) -> tuple[int, object]:
