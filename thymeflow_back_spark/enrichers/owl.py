@@ -188,7 +188,12 @@ def owl_enricher(store: StatementStore, diff: Diff, max_iterations: int = 25) ->
         if new.limit(1).count() == 0:
             converged = True
             break
-        known = known.unionByName(new).localCheckpoint(eager=True)
+        # keep the known union LAZY: both legs are materialized (the pinned
+        # store projection / checkpointed per-round deltas), so consumers
+        # scan them without recompute — the former eager re-checkpoint
+        # REWROTE the whole accumulated fact set every round (O(total
+        # facts) per round, the labelprop round-11 lesson)
+        known = known.unionByName(new)
         derived_all = derived_all.unionByName(new)
         delta = new
     if not converged:

@@ -354,6 +354,7 @@ def q_owl_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         TRANSITIVE_PROPERTY,
         owl_enricher,
     )
+    from ..operators.cachereg import pin
     from ..rdf import vocab
     from ..rdf.model import QUAD_SCHEMA
     from ..rdf.store import Diff, StatementStore
@@ -369,7 +370,10 @@ def q_owl_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         QUAD_SCHEMA,
     )
-    quads = base.unionByName(located).unionByName(schema_df)
+    # the quad relation feeds the enricher's known projection, the
+    # schema-seed branches AND the final already-known anti-join — pin it
+    # so the TPC-H quad build runs once, not once per consumer
+    quads = pin(base.unionByName(located).unionByName(schema_df))
     store = StatementStore(quads)
     diff = owl_enricher(store, Diff(added=quads, removed=quads.limit(0)))
     return (
