@@ -84,24 +84,34 @@ def srp_signature(vec: Column, dims: int, n_planes: int = N_PLANES) -> Column:
 def srp_candidate_pairs(
     df: DataFrame, id_col: str, vec_col: str, dims: int, n_planes: int = N_PLANES, bands: int = BANDS
 ) -> DataFrame:
-    """Candidate pairs (a_id < b_id) sharing at least one signature band."""
+    """Candidate pairs (a_id < b_id) sharing at least one signature band.
+
+    The (id, sig) relation is PINNED and band rows come from ONE map-side
+    explode (the simhash_pairs discipline): the former per-band union made
+    the corpus-wide signature aggregate a bands-consumer subtree, and
+    column pruning rewrites each self-join side's projection independently
+    so ReusedExchange never fires — the 16-plane signature expression
+    appeared 10× in the physical plan and the signature pass ran up to
+    8× per query (4 bands × 2 sides). The pin sits on the narrow one-
+    row-per-vector sigs relation; the explode + bkey arithmetic re-derives
+    map-side from the cache for each side. Band/bkey values, join keys and
+    the output dedup are unchanged, so the candidate set is identical."""
+    from .cachereg import pin
+
     rows = n_planes // bands
     mask = (1 << rows) - 1
-    sigs = df.select(
-        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("__v")
-    ).select(
-        "id", F.expr(srp_signature_sql("__v", dims, n_planes)).alias("sig")
+    sigs = pin(
+        df.select(
+            F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("__v")
+        ).select("id", F.expr(srp_signature_sql("__v", dims, n_planes)).alias("sig"))
     )
-    chunks = None
-    for band in range(bands):
-        c = sigs.select(
-            "id",
-            F.lit(band).alias("band"),
-            F.shiftright(F.col("sig"), band * rows).bitwiseAND(mask).alias("bkey"),
-        )
-        chunks = c if chunks is None else chunks.unionByName(c)
-    a = chunks.select(F.col("id").alias("a_id"), "band", "bkey")
-    b = chunks.select(F.col("id").alias("b_id"), "band", "bkey")
+    exploded = sigs.select(
+        "id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).selectExpr("id", "band", f"shiftright(sig, band * {rows}) & {mask} as bkey")
+    a = exploded.select(F.col("id").alias("a_id"), "band", "bkey")
+    b = exploded.select(F.col("id").alias("b_id"), "band", "bkey")
     return (
         a.join(b, ["band", "bkey"])
         .filter(F.col("a_id") < F.col("b_id"))
