@@ -111,3 +111,35 @@ def test_random_graph_sweep_matches_propagation(spark):
         star = _labels(connected_components_star(edges))
         prop = _labels(connected_components(edges, max_iterations=100))
         assert star == prop, rows[:10]
+
+
+def test_local_closure_matches_distributed(spark):
+    # transitive_closure_local (the model-sized driver-side escape hatch
+    # rdfs.py uses for ontology hierarchies) must return the SAME relation
+    # as the distributed fixpoint: reflexive pairs for every endpoint plus
+    # every >=1-step reachability pair — including on a cycle and a DAG
+    # with diamond re-convergence.
+    from thymeflow_back_spark.operators.closure import (
+        transitive_closure,
+        transitive_closure_local,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),      # 3-cycle
+         ("d", "e"), ("d", "f"), ("e", "g"), ("f", "g"),  # diamond
+         ("h", "h")],                              # self-loop
+        "src string, dst string",
+    )
+    dist = sorted((r.src, r.dst) for r in transitive_closure(edges).collect())
+    local = sorted((r.src, r.dst) for r in transitive_closure_local(edges).collect())
+    assert local == dist
+
+
+def test_local_closure_guards_data_sized_input(spark):
+    from thymeflow_back_spark.operators.closure import transitive_closure_local
+
+    edges = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(30)], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="use transitive_closure"):
+        transitive_closure_local(edges, max_rows=10)

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.cachereg import pin
-from ..operators.closure import transitive_closure
+from ..operators.closure import transitive_closure_local
 from ..rdf import vocab
 from ..rdf.model import QUAD_COLUMNS
 from ..rdf.store import Diff, StatementStore
@@ -52,12 +52,12 @@ def rdfs_derivations(
     )
 
     # transitively close the subclass/subproperty hierarchies (small, local)
-    sub_class = transitive_closure(
+    sub_class = transitive_closure_local(
         ontology.filter(F.col("predicate") == SUB_CLASS_OF).select(
             F.col("subject").alias("src"), F.col("object_value").alias("dst")
         )
     ).filter(F.col("src") != F.col("dst"))
-    sub_prop = transitive_closure(
+    sub_prop = transitive_closure_local(
         ontology.filter(F.col("predicate") == SUB_PROPERTY_OF).select(
             F.col("subject").alias("src"), F.col("object_value").alias("dst")
         )

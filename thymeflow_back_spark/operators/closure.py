@@ -146,6 +146,56 @@ def transitive_closure(
     return reach.select(F.col("s").alias(src), F.col("d").alias(dst))
 
 
+def transitive_closure_local(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_rows: int = 100_000
+) -> DataFrame:
+    """Reflexive-transitive closure computed DRIVER-SIDE for MODEL-SIZED
+    edge sets — same output relation as :func:`transitive_closure`
+    (reflexive pairs for every endpoint + every >= 1-step reachability
+    pair), for inputs that are schema/vocabulary-sized by construction
+    (the RDFS ontology hierarchies: the reference loads the ontology at
+    startup, and subclass/subproperty graphs are bounded by the schema,
+    never the data).
+
+    Why: the distributed fixpoint costs ~3 Spark jobs PER ROUND (step
+    join, frontier anti-join checkpoint, reach union checkpoint) — pure
+    scheduling overhead when the whole relation is a few hundred rows.
+    One collect (sanctioned by the house model-sized-collect discipline:
+    k-means centroids, BPE merges, NB codebooks) plus a BFS in Python
+    replaces 2 x rounds x 3 jobs with one job and one createDataFrame.
+    ``max_rows`` guards the contract — a data-sized edge set must use
+    the distributed form."""
+    rows = edges.select(
+        F.col(src).cast("string").alias("s"), F.col(dst).cast("string").alias("d")
+    ).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"transitive_closure_local got {len(rows)} edges (> {max_rows}); "
+            "use transitive_closure for data-sized inputs"
+        )
+    adj: dict[str, set[str]] = {}
+    nodes: set[str] = set()
+    for r in rows:
+        adj.setdefault(r["s"], set()).add(r["d"])
+        nodes.add(r["s"])
+        nodes.add(r["d"])
+    pairs: set[tuple[str, str]] = {(n, n) for n in nodes}
+    for start in nodes:
+        seen: set[str] = set()
+        stack = list(adj.get(start, ()))
+        while stack:
+            cur = stack.pop()
+            if cur in seen:
+                continue
+            seen.add(cur)
+            stack.extend(adj.get(cur, ()))
+        pairs.update((start, d) for d in seen)
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        sorted(pairs), schema=f"{src} string, {dst} string"
+    )
+
+
 def reachable_nodes(
     edges: DataFrame,
     start: str,
