@@ -27,18 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import SCORE_DECIMALS, as_double_array, dot
-
-
-def _d2(v: Column, center: list[float]) -> Column:
-    c = F.array(*[F.lit(float(x)) for x in center])
-    return dot(v, v) - F.lit(2.0) * dot(v, c) + dot(c, c)
-
-
-def _min_dist(v: Column, centers: list[list[float]]) -> Column:
-    terms = [_d2(v, c) for c in centers]
-    mind = terms[0] if len(terms) == 1 else F.least(*terms)
-    return F.round(mind, SCORE_DECIMALS)
+from .similarity import SCORE_DECIMALS, as_double_array, dot, sql_double_array_2d
 
 
 def kcenter_sample(df: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
@@ -64,12 +53,19 @@ def kcenter_sample(df: DataFrame, id_col: str, vec_col: str, k: int) -> DataFram
     for _ in range(1, k):
         centers = [v for _, _, v in chosen]
         ids = [i for i, _, _ in chosen]
+        # centers ship as ONE array<array<double>> SQL literal
+        # (sql_double_array_2d round-trips the exact IEEE doubles F.lit
+        # would produce) and the per-row distance is one array_min over a
+        # transform — the former per-center F.lit trees cost one py4j
+        # round-trip per node (O(k²·d) over the selection loop) and a
+        # k-term LEAST tree; min over the identical d2 doubles is
+        # unchanged, so the selection sequence is bit-identical.
         picked = (
             vecs.filter(~F.col("id").isin(ids))
             .select(
                 F.max(
                     F.struct(
-                        _min_dist(F.col("v"), centers).alias("mind"),
+                        _centers_min_dist(F.col("v"), centers).alias("mind"),
                         (-F.col("id")).alias("negid"),
                         F.col("v").alias("v"),
                     )
@@ -98,9 +94,11 @@ def _centers_min_dist(v: Column, centers: list[list[float]]) -> Column:
     """:func:`_min_dist_over` with the center list shipped as ONE
     array-of-arrays plan literal (k*d doubles) so the per-row work is a
     single array_min over a transform — the plan stays linear in k, not a
-    k-term LEAST tree."""
-    arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centers])
-    return _min_dist_over(v, arr)
+    k-term LEAST tree. The literal is emitted as one SQL string
+    (sql_double_array_2d — exact IEEE round-trip, so arithmetic is
+    bit-identical) instead of k·d F.lit Column nodes, which cost one
+    py4j round-trip each and were rebuilt per selection round."""
+    return _min_dist_over(v, F.expr(sql_double_array_2d(centers)))
 
 
 # k*d doubles above this ship as a broadcast one-row relation instead of
