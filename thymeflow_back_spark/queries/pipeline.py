@@ -3114,8 +3114,16 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import quality_filter
 
     docs = load(spark, sf_dir, "documents")
-    labels = quality_filter(docs, "doc_id", "text").select(
-        "doc_id", F.col("keep").alias("label")
+    # pin the rule-gate labels: nb_train consumes the labeled relation
+    # twice (the eager sufficient-statistics checkpoint + the class-prior
+    # doc aggregate) and several queries join labels again downstream —
+    # without the pin the gate's O(unique·n)-per-row token scan re-runs
+    # once PER CONSUMER (the narrow (doc_id, label) rows are what get
+    # cached, never the text)
+    labels = pin(
+        quality_filter(docs, "doc_id", "text").select(
+            "doc_id", F.col("keep").alias("label")
+        )
     )
     labeled = docs.select("doc_id", "text").join(labels, "doc_id")
     weights, prior = nb_train(
@@ -3576,8 +3584,16 @@ def q_classifier_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import quality_filter
 
     docs = load(spark, sf_dir, "documents")
-    labels = quality_filter(docs, "doc_id", "text").select(
-        "doc_id", F.col("keep").alias("label")
+    # pin the rule-gate labels: nb_train consumes the labeled relation
+    # twice (the eager sufficient-statistics checkpoint + the class-prior
+    # doc aggregate) and several queries join labels again downstream —
+    # without the pin the gate's O(unique·n)-per-row token scan re-runs
+    # once PER CONSUMER (the narrow (doc_id, label) rows are what get
+    # cached, never the text)
+    labels = pin(
+        quality_filter(docs, "doc_id", "text").select(
+            "doc_id", F.col("keep").alias("label")
+        )
     )
     labeled = docs.select("doc_id", "text").join(labels, "doc_id")
     weights, prior = nb_train_bernoulli(
@@ -3698,8 +3714,16 @@ def q_streaming_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging = os.path.join(base, "staging")
     state = os.path.join(base, "state")
     docs = load(spark, sf_dir, "documents")
-    labels = quality_filter(docs, "doc_id", "text").select(
-        "doc_id", F.col("keep").alias("label")
+    # pin the rule-gate labels: nb_train consumes the labeled relation
+    # twice (the eager sufficient-statistics checkpoint + the class-prior
+    # doc aggregate) and several queries join labels again downstream —
+    # without the pin the gate's O(unique·n)-per-row token scan re-runs
+    # once PER CONSUMER (the narrow (doc_id, label) rows are what get
+    # cached, never the text)
+    labels = pin(
+        quality_filter(docs, "doc_id", "text").select(
+            "doc_id", F.col("keep").alias("label")
+        )
     )
     labeled = docs.select("doc_id", "text").join(labels, "doc_id")
     for parity in (0, 1, 2):
@@ -4618,8 +4642,16 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import quality_filter
 
     docs = load(spark, sf_dir, "documents")
-    labels = quality_filter(docs, "doc_id", "text").select(
-        "doc_id", F.col("keep").alias("label")
+    # pin the rule-gate labels: nb_train consumes the labeled relation
+    # twice (the eager sufficient-statistics checkpoint + the class-prior
+    # doc aggregate) and several queries join labels again downstream —
+    # without the pin the gate's O(unique·n)-per-row token scan re-runs
+    # once PER CONSUMER (the narrow (doc_id, label) rows are what get
+    # cached, never the text)
+    labels = pin(
+        quality_filter(docs, "doc_id", "text").select(
+            "doc_id", F.col("keep").alias("label")
+        )
     )
     labeled = docs.select("doc_id", "text").join(labels, "doc_id")
     weights, prior = nb_train(
@@ -4888,8 +4920,16 @@ def q_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import quality_filter
 
     docs = load(spark, sf_dir, "documents")
-    labels = quality_filter(docs, "doc_id", "text").select(
-        "doc_id", F.col("keep").alias("label")
+    # pin the rule-gate labels: nb_train consumes the labeled relation
+    # twice (the eager sufficient-statistics checkpoint + the class-prior
+    # doc aggregate) and several queries join labels again downstream —
+    # without the pin the gate's O(unique·n)-per-row token scan re-runs
+    # once PER CONSUMER (the narrow (doc_id, label) rows are what get
+    # cached, never the text)
+    labels = pin(
+        quality_filter(docs, "doc_id", "text").select(
+            "doc_id", F.col("keep").alias("label")
+        )
     )
     labeled = docs.select("doc_id", "text").join(labels, "doc_id")
     weights, prior = nb_train(
@@ -4943,8 +4983,16 @@ def q_streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref_dir = os.path.join(base, "ref")
     state = os.path.join(base, "state")
     docs = load(spark, sf_dir, "documents")
-    labels = quality_filter(docs, "doc_id", "text").select(
-        "doc_id", F.col("keep").alias("label")
+    # pin the rule-gate labels: nb_train consumes the labeled relation
+    # twice (the eager sufficient-statistics checkpoint + the class-prior
+    # doc aggregate) and several queries join labels again downstream —
+    # without the pin the gate's O(unique·n)-per-row token scan re-runs
+    # once PER CONSUMER (the narrow (doc_id, label) rows are what get
+    # cached, never the text)
+    labels = pin(
+        quality_filter(docs, "doc_id", "text").select(
+            "doc_id", F.col("keep").alias("label")
+        )
     )
     labeled = docs.select("doc_id", "text").join(labels, "doc_id")
     weights, prior = nb_train(
