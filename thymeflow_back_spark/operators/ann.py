@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import as_double_array, dot
@@ -68,17 +68,6 @@ def srp_signature_sql(vec_sql: str, dims: int, n_planes: int = N_PLANES) -> str:
             " ELSE CAST(0 AS BIGINT) END)"
         )
     return " + ".join(terms)
-
-
-def srp_signature(vec: Column, dims: int, n_planes: int = N_PLANES) -> Column:
-    """b-bit signature as bigint: bit p = sign(plane_p · vec)."""
-    v = as_double_array(vec)
-    sig = F.lit(0).cast("bigint")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(dims)])
-        bit = F.when(dot(plane, v) >= 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        sig = sig + bit
-    return sig
 
 
 def srp_candidate_pairs(
