@@ -33,9 +33,11 @@ bench files as load-polluted; detection alone doesn't fix the record):
   max(WARM_NOISY_FLOOR, WARM_NOISY_FRAC x their own median), the warm
   reps (only) re-run once after a second idle wait, and the attempt with
   FEWER noisy queries becomes the headline
-  ``queries_warm``/``value_warm``; both attempts ride in
-  ``warm_attempts`` and the per-query spreads in
-  ``warm_spread_by_query``. The COLD numbers are never re-measured in-process —
+  ``queries_warm``/``value_warm``; the noisy-query count rides on the
+  line (``n_noisy_queries``), while both attempts and the per-query
+  spreads go to the BENCH_DETAIL.json sidecar (round 12: the one-line
+  JSON had outgrown the driver's capture buffer, truncating BENCH_r10's
+  record). The COLD numbers are never re-measured in-process —
   a retry pass runs against a warmed JVM, so re-timing "cold" there
   would flatter the series; the single genuine cold pass stays, with the
   loadavg canary to qualify it.
@@ -212,6 +214,32 @@ def main() -> None:
         )
         if len(noisy2) < len(noisy):
             warm, spreads, spread, noisy = warm2, spreads2, spread2, noisy2
+    # The printed line keeps every cross-round-comparable number and the
+    # summary canaries; the VERBOSE canary detail (per-query spreads, the
+    # per-attempt table) moves to a sidecar file (round 12 — BENCH_r10's
+    # stored record was tail-truncated because the one-line JSON outgrew
+    # the driver's capture buffer, which nulled PERF_r11's entire
+    # round-over-round section; the sidecar keeps the detail auditable
+    # without risking the line). Timing methodology is UNCHANGED.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(
+                {
+                    "warm_spread_by_query": spreads,
+                    "warm_attempts": attempts,
+                    "noisy_queries": sorted(noisy),
+                    "classic_queries": classic,
+                    "sf": sf,
+                },
+                f,
+                indent=1,
+            )
+    except OSError:
+        pass  # read-only checkout — the headline line below still prints
     print(
         json.dumps(
             {
@@ -221,14 +249,11 @@ def main() -> None:
                 "queries": timings,
                 "value_warm": round(sum(warm[n] for n in classic), 3),
                 "queries_warm": warm,
-                "classic_queries": classic,
                 "value_extended": round(sum(timings.values()), 3),
                 "value_extended_warm": round(sum(warm.values()), 3),
                 "warm_reps": WARM_REPS,
                 "warm_spread": round(spread, 3),
-                "warm_spread_by_query": spreads,
-                "noisy_queries": sorted(noisy),
-                "warm_attempts": attempts,
+                "n_noisy_queries": len(noisy),
                 "warm_retried": retried,
                 "idle_gate": idle_gate,
                 "idle_wait_sec": idle_wait,

@@ -65,22 +65,27 @@ def test_driver_priority_names_exist():
 
 
 def test_query_map_order_leads_with_unverified():
-    """queries() must present the stalest driver record first: the 33 rows
-    whose freshest driver check is r7 (q_sync_delta, the graph family, the
-    sketch family among them), then any never-driver-verified round-11
-    additions, then the r8 block, so the driver's 50-row window re-greens
-    the stalest record. The invariant is that the map's head IS the
-    priority list, verbatim — a fixed window assertion went stale every
-    time the new-row block grew."""
+    """queries() must present optimization-touched-but-unverified rows
+    first (round-11 VERDICT item 1): the 29 rows whose semantics-critical
+    code round 11 changed AFTER their last driver check, then the bench
+    rows round 12's optimizations touch, so the driver's 50-row window
+    converts the builder's self-certified equivalence claims into driver
+    ground truth. The invariant is that the map's head IS the priority
+    list, verbatim — a fixed window assertion went stale every time the
+    new-row block grew."""
     from thymeflow_back_spark.queries.catalog import _DRIVER_PRIORITY, query_map
 
     order = list(query_map())
     assert order[: len(_DRIVER_PRIORITY)] == list(_DRIVER_PRIORITY)
-    # the r7-stale rows stay inside the driver's 50-row correctness window
+    # the r11-touched and r12-touched rows stay inside the driver's
+    # 50-row correctness window
     head50 = order[:50]
-    assert order[0] == "q_deterministic_shuffle"
-    for name in ("q_sync_delta", "q_pagerank", "q_triangle_stats", "q_kcore",
-                 "q_distinct_hll", "q_distinct_kmv", "q_fts_bm25",
-                 "q_vocab_topk", "q_semantic_components",
-                 "q_streaming_components", "q_lsh_param_select"):
+    assert order[0] == "q_langid_nb"
+    for name in ("q_quality_classifier", "q_owl_closure",
+                 "q_rdf_rdfs_closure", "q_dedup_simhash",
+                 "q_dedup_prefix_filter", "q_embedding_near_dup_ann",
+                 "q_similarity_pq_rerank", "q_kcenter_sample",
+                 "q_streaming_ivf_upsert", "q_components_star",
+                 "q_semantic_components", "q_label_propagation",
+                 "q_dedup_minhash_lsh", "q_bpe_encode", "q_pagerank"):
         assert name in head50, (name, head50)

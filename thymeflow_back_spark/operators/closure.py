@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .looptune import fixpoint_partitions, scoped_shuffle_partitions
+
 
 def connected_components(
     edges: DataFrame,
@@ -51,65 +53,73 @@ def connected_components(
         .dropDuplicates()
         # the edge list joins into EVERY round — materialize it once, or the
         # whole upstream pair-generation (e.g. the IFP self-join) re-executes
-        # per iteration
-        .localCheckpoint(eager=True)
+        # per iteration (lazy checkpoint: the count below forces it, so
+        # materialize + size measurement is ONE job, not two)
+        .localCheckpoint(eager=False)
     )
+    # |sym| sizes every round's exchanges (the join/groupBy volume is
+    # O(|sym|), not O(|labels|)) — round 12, guide §2.2: the loop scopes
+    # its shuffle partitions to the measured state size instead of the
+    # session's core-count default (see operators/looptune.py).
+    sym_n = sym.count()
     labels = (
         sym.select(F.col("a").alias("node"))
         .dropDuplicates()
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=False)
     )
-    sig_prev = _label_signature(labels)  # materializes the checkpoint too
-    converged = False
-    for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
+    spark = edges.sparkSession
+    with scoped_shuffle_partitions(spark, fixpoint_partitions(sym_n)):
+        sig_prev = _label_signature(labels)  # materializes the checkpoint too
+        converged = False
+        for _ in range(max_iterations):
+            neighbor_min = (
+                sym.join(labels, sym["b"] == labels["node"])
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.min("component").alias("nbr_component"))
             )
-            .localCheckpoint(eager=False)
-        )
-        sig_next = _label_signature(new_labels)  # ONE job: materialize + guard
-        # labels are a set keyed by node with a fixed node set, so equal
-        # cardinality + one-sided difference emptiness = exact equality
-        stable = (
-            sig_next == sig_prev
-            and new_labels.exceptAll(labels).limit(1).count() == 0
-        )
-        labels = new_labels
-        sig_prev = sig_next
-        if stable:
-            converged = True
-            break
-    if not converged:
-        # exit by iteration cap: silently-split components would be a wrong
-        # answer, not a slow one — verify a full propagation round is a no-op
-        neighbor_min = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        pending = (
-            labels.join(neighbor_min, "node")
-            .filter(F.col("nbr_component") < F.col("component"))
-            .limit(1)
-            .count()
-        )
-        if pending:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iterations} "
-                "iterations (component diameter exceeds the cap); raise "
-                "max_iterations or use a large-star/small-star variant"
+            new_labels = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=False)
             )
+            sig_next = _label_signature(new_labels)  # ONE job: materialize + guard
+            # labels are a set keyed by node with a fixed node set, so equal
+            # cardinality + one-sided difference emptiness = exact equality
+            stable = (
+                sig_next == sig_prev
+                and new_labels.exceptAll(labels).limit(1).count() == 0
+            )
+            labels = new_labels
+            sig_prev = sig_next
+            if stable:
+                converged = True
+                break
+        if not converged:
+            # exit by iteration cap: silently-split components would be a wrong
+            # answer, not a slow one — verify a full propagation round is a no-op
+            neighbor_min = (
+                sym.join(labels, sym["b"] == labels["node"])
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.min("component").alias("nbr_component"))
+            )
+            pending = (
+                labels.join(neighbor_min, "node")
+                .filter(F.col("nbr_component") < F.col("component"))
+                .limit(1)
+                .count()
+            )
+            if pending:
+                raise RuntimeError(
+                    f"connected_components did not converge in {max_iterations} "
+                    "iterations (component diameter exceeds the cap); raise "
+                    "max_iterations or use a large-star/small-star variant"
+                )
     return labels
 
 
@@ -393,16 +403,24 @@ def connected_components_star(
     if sig_prev[0] == 0:
         return nodes.select("node", F.col("node").alias("component"))
     converged = False
+    spark = edges.sparkSession
     for _ in range(max_rounds):
-        nxt = _small_star(
-            _large_star(e, input_canonical=True, defer_distinct=True),
-            input_canonical=True,
-        ).localCheckpoint(eager=False)
-        sig_next = _edge_signature(nxt)  # ONE job: materialize + guard
-        # exact set equality = signature match confirmed by ONE one-sided
-        # difference check (both sides distinct, equal cardinality, and
-        # nxt ⊆ e imply equality)
-        stable = sig_next == sig_prev and nxt.exceptAll(e).limit(1).count() == 0
+        # Round 12 (guide §2.2): scope the round's exchanges to the
+        # MEASURED canonical-edge count from the previous signature —
+        # the session default is core-count-sized, which shreds a
+        # few-thousand-row loop state into ~100-row tasks (AQE's
+        # parallelismFirst coalescing keeps them); the size-derived
+        # count is 1 at bench scale and thousands at 100 TB.
+        with scoped_shuffle_partitions(spark, fixpoint_partitions(sig_prev[0])):
+            nxt = _small_star(
+                _large_star(e, input_canonical=True, defer_distinct=True),
+                input_canonical=True,
+            ).localCheckpoint(eager=False)
+            sig_next = _edge_signature(nxt)  # ONE job: materialize + guard
+            # exact set equality = signature match confirmed by ONE one-sided
+            # difference check (both sides distinct, equal cardinality, and
+            # nxt ⊆ e imply equality)
+            stable = sig_next == sig_prev and nxt.exceptAll(e).limit(1).count() == 0
         e = nxt
         sig_prev = sig_next
         if stable:

@@ -46,97 +46,82 @@ def query(name: str, oracle: str | None, bench: bool = False, doc: str = ""):
 # The driver's per-round correctness file caps at 50 rows taken in
 # queries() order. Every catalog row has appeared green in SOME
 # CORRECTNESS_r*.json; to keep that record fresh under rotation, rows
-# whose LAST driver check is oldest lead the map. Round-11 state
-# (computed from CORRECTNESS_r01..r10 last-green histogram: 50 r10,
-# 50 r9, 49 r8, 33 r7): the 33 rows whose freshest driver check is r7
-# lead, then round-11 additions (never driver-verified), then the 49
-# r8-fresh rows alphabetically — whatever fits the 50-row window after
-# the stale+new rows; overflow rolls to round 12. r9/r10-fresh rows
-# fall to the tail via registration order.
+# whose LAST driver check is oldest lead the map — EXCEPT that queries
+# whose semantics-critical code was touched by an optimization round
+# outrank stale-but-untouched rows (round-11 VERDICT item 1: 30 of the
+# 38 queries touched by round-11 optimizations were last
+# driver-verified BEFORE those changes; their post-change correctness
+# must become driver ground truth before anything else rotates in).
+# Round-12 window: the 29 round-11-touched-but-unverified rows lead,
+# then the round-12-touched bench rows, then the stalest r8-fresh rows
+# alphabetically to fill slot 50; overflow rolls to round 13.
 _DRIVER_PRIORITY = [
-    # last driver-verified in round 7 (stalest — q_sync_delta is the
-    # §2.1 EmailSynchronizer row; pagerank/kcore/triangles/sketches are
-    # the §8-critical ones):
-    "q_deterministic_shuffle",
-    "q_distinct_hll",
-    "q_distinct_kmv",
-    "q_doc_chunks",
-    "q_dsir_logratio",
-    "q_dup_windows",
-    "q_event_histogram",
-    "q_events_json",
-    "q_fts_bm25",
-    "q_funnel",
-    "q_html_extract",
-    "q_html_quality_funnel",
-    "q_incremental_agg",
-    "q_kcenter_parallel",
-    "q_kcore",
-    "q_lm_bigram_score",
-    "q_pagerank",
-    "q_pii_scrub",
-    "q_pretoken_counts",
-    "q_quality_filter",
-    "q_rolling_activity",
-    "q_sample_fixed_n",
-    "q_sample_stratified",
-    "q_scd2_intervals",
-    "q_shard_manifest",
-    "q_sync_delta",
-    "q_table_profile",
-    "q_time_pruned_revenue",
-    "q_token_packing",
-    "q_train_test_split",
-    "q_triangle_stats",
-    "q_url_canonical",
-    "q_vocab_topk",
-    # round-11 additions, never driver-verified, appended here in the
-    # commit that implements each (test_driver_priority_names_exist
-    # keeps the list typo-free):
+    # touched by round-11 optimization items 6/8/9/11/12/13/14/16/17/18
+    # but last driver-verified on the PRE-change code (r10 or earlier):
+    "q_langid_nb",
+    "q_langid_holdout",
+    "q_langid_agreement",
+    "q_ccnet_filter",
+    "q_quality_classifier",
+    "q_classifier_bernoulli",
+    "q_streaming_nb_train",
+    "q_doremi_weights",
+    "q_score_drift_psi",
+    "q_streaming_drift_psi",
+    "q_owl_closure",
+    "q_rdf_rdfs_closure",
+    "q_rdf_sameas_components",
+    "q_rdf_ifp_sameas",
+    "q_primary_facet",
+    "q_dedup_simhash",
+    "q_dedup_prefix_filter",
+    "q_dedup_clusters",
+    "q_embedding_near_dup_ann",
+    "q_similarity_pq",
+    "q_similarity_pq_rerank",
+    "q_similarity_ivf",
+    "q_similarity_ivfpq",
+    "q_similarity_jl",
+    "q_similarity_jl_rerank",
+    "q_kcenter_sample",
+    "q_cluster_quota",
+    "q_bpe_train",
+    "q_streaming_ivf_upsert",
+    # queries whose operators round 12 touches (fixpoint partition
+    # sizing, minhash signature sharing, BPE merge batching, remaining
+    # Column-tree builders) — their post-change correctness needs
+    # driver verification this round:
+    "q_components_star",
     "q_semantic_components",
     "q_streaming_components",
-    "q_lsh_param_select",
-    # last driver-verified in round 8, alphabetical (overflow past
-    # slot 50 rolls to round 12):
-    "q_bpe_bytelevel",
-    "q_bpe_encode",
-    "q_components_star",
-    "q_context_chunks",
-    "q_dedup_sorted_neighborhood",
-    "q_embedding_gram",
-    "q_fts_phrase",
-    "q_gopher_dup_ngrams",
-    "q_gopher_repetition",
-    "q_heavy_hitters",
-    "q_heavy_hitters_by_lang",
-    "q_kmeans_clusters",
     "q_label_propagation",
-    "q_location_events",
+    "q_dedup_minhash_lsh",
+    "q_contamination_lsh",
+    "q_lsh_param_select",
+    "q_bpe_encode",
+    "q_similarity_sq8",
+    "q_pagerank",
+    "q_kmeans_clusters",
+    # last driver-verified in round 8, alphabetical (continuing the
+    # r11 rotation where its 50-row window left off; overflow past
+    # slot 50 rolls to round 13):
     "q_lsh_recall_curve",
     "q_multimodal_audio",
     "q_multimodal_features",
     "q_orders_rollup",
     "q_outlier_mad",
-    "q_overlapping_activity",
     "q_parts_by_brand",
     "q_pipeline_end2end",
-    "q_pricing_summary",
     "q_priority_discounted_orders",
     "q_quantile_sketch",
     "q_rdf_group_concat",
     "q_rdf_grouped_path",
     "q_rdf_negated_pathset",
-    "q_regional_revenue",
     "q_salted_agg",
     "q_salted_join",
     "q_sample_weighted",
     "q_search_ndcg",
     "q_semantic_dedup",
-    "q_similarity_ivfpq",
-    "q_similarity_jl",
-    "q_similarity_pq",
-    "q_similarity_pq_rerank",
-    "q_similarity_sq8",
     "q_spatial_pairs",
     "q_split_leakage_safe",
     "q_streaming_heavy_hitters",
